@@ -1,0 +1,382 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator demos over the star schema.
+  *
+  * Each query exercises one operator class from SURVEY.md §2 (site cited
+  * per query) and has a DuckDB-equivalent oracle in [[Relational.oracle]].
+  *
+  * Determinism contract with the oracle: every double aggregate is summed
+  * in decimal (exact, order-independent) and cast back to double at the
+  * end, so Spark's parallel partial aggregation and DuckDB's sequential
+  * sum produce bit-identical results. Row-level double arithmetic uses
+  * the identical IEEE-754 expression on both sides.
+  */
+object Relational {
+
+  /** Exact order-independent sum of a double column: cast each value to
+    * decimal(30,6) (exact for the 2-decimal money columns in the test
+    * data), sum exactly, cast once back to double. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
+  private def dsumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A3 count/sum aggregations (reference chunks_data.py:66,77,98,104) —
+    // TPC-H-Q1-shaped pricing summary; map-side partial agg, 2 groups.
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // P7 substring filter (reference dags/access/test.py:19).
+    "q02_filter_contains" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .filter(col("text").contains("spark"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          length(col("text")).cast("long").as("text_len"))
+    }),
+
+    // A1 dedup by content hash (reference bronze.py:66-70, crawl_web.py:79-85):
+    // sha2 group — shuffle on 256-bit hash, even key distribution at any scale.
+    "q03_dedup_hash_groups" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+    }),
+
+    // J1 anti-join (reference visited-set semantics, crawl_web.py:119-122).
+    "q04_anti_join" -> ((s, dir) => {
+      val customer = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+      customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
+
+    // J1 semi-join (set membership, the positive side of the visited set).
+    "q05_semi_join" -> ((s, dir) => {
+      val customer = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // J3 dimension-lookup joins (silver→gold enrichment class,
+    // seed_milvus.py:53-59): star join with broadcast dims — no shuffle of
+    // the fact side beyond the final 2-key aggregation.
+    "q06_star_join" -> ((s, dir) => {
+      val customer = Tables(s, dir, "customer")
+      val nation = Tables(s, dir, "nation")
+      val region = Tables(s, dir, "region")
+      customer
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_acctbal"))
+    }),
+
+    // Window top-k per group (SURVEY §2.7; powers kNN A8 too).
+    "q07_topk_per_group" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val customer = Tables(s, dir, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+    }),
+
+    // T2 explode / frontier expansion (reference crawl_web.py:144-158):
+    // 1-to-N row generation stays inside whole-stage codegen.
+    "q08_word_explode" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Set ops (SURVEY §2.7): EXCEPT ≙ distinct anti-join on all columns.
+    "q09_except" -> ((s, dir) => {
+      val customer = Tables(s, dir, "customer")
+      val supplier = Tables(s, dir, "supplier")
+      customer.select(col("c_nationkey").as("nationkey"))
+        .except(supplier.select(col("s_nationkey").as("nationkey")))
+    }),
+
+    // F11/S9 date bucketing (reference bronze.py:53 date partitioning).
+    "q10_monthly_orders" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("order_month"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+    }),
+
+    // F7 content-type dispatch (reference crawl_web.py:127-138) as
+    // when/otherwise branching.
+    "q11_case_dispatch" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("category",
+          when(col("event_type").isin("click", "view"), "engagement")
+            .when(col("event_type") === "purchase", "conversion")
+            .when(col("event_type") === "error", "fault")
+            .otherwise("other"))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+    }),
+
+    // Grouping sets (SURVEY §2.7): rollup over the region/nation hierarchy.
+    "q12_rollup" -> ((s, dir) => {
+      val customer = Tables(s, dir, "customer")
+      val nation = Tables(s, dir, "nation")
+      val region = Tables(s, dir, "region")
+      customer
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // A5 distinct counts (reference dedup sets as unique-seen counters,
+    // bronze.py:55). Exact here; approx_count_distinct is the 100 TB path
+    // (demonstrated in ScalaTest, not oracle-able bit-for-bit).
+    "q13_distinct_parts" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
+
+    // HAVING-style post-aggregation filter + join back to the dimension.
+    "q14_hot_parts" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val part = Tables(s, dir, "part")
+      val hot = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_lines"))
+        .filter(col("n_lines") > 35)
+      hot.join(broadcast(part), hot("l_partkey") === part("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("n_lines"))
+    }),
+
+    // P8 higher-order array filter (reference link filter crawl_web.py:90-94).
+    "q15_array_filter" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("CAST(size(filter(split(text, ' '), w -> length(w) > 5)) AS BIGINT)").as("n_long_words"))
+    }),
+
+    // Set ops: UNION + distinct (reference set-union dedup, crawl_web.py:114-117).
+    "q16_union_distinct" -> ((s, dir) => {
+      val customer = Tables(s, dir, "customer")
+      val supplier = Tables(s, dir, "supplier")
+      customer.select(col("c_nationkey").as("nationkey"))
+        .union(supplier.select(col("s_nationkey").as("nationkey")))
+        .distinct()
+    }),
+
+    // Time-bucketed event aggregation (daily) — the batch equivalent of the
+    // streaming tumbling window (see graft.streaming).
+    "q27_events_daily" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    }),
+
+    // Sessionization: gap-based session assignment via window lag + running
+    // sum — the scalable replacement for the reference's driver-side
+    // sequential loops (chunks_data.py:69).
+    "q28_sessionize" -> ((s, dir) => {
+      val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      Tables(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_sec"))
+    }),
+
+    // Running total per user (window frame aggregation); summed in decimal
+    // for cross-engine determinism.
+    "q29_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(30, 6))).over(w).cast("double").as("running_value"))
+    }),
+
+    // Pivot (conditional aggregation spread over columns).
+    "q30_pivot_events" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+    }),
+
+    // Tumbling window (6h) keyed by epoch-aligned bucket start — batch twin
+    // of the Structured Streaming path in graft.streaming.EventsStream.
+    "q31_tumbling_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("bucket_start_epoch"), col("event_type"), col("n"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2025-01-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_contains" ->
+      """SELECT doc_id, lang, n_chars, CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents WHERE text LIKE '%spark%'""".stripMargin,
+
+    "q03_dedup_hash_groups" ->
+      """SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies,
+        |  MIN(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+
+    "q04_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+
+    "q06_star_join" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
+         |  ${dsumSql("c_acctbal")} AS total_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q07_topk_per_group" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rk <= 3""".stripMargin,
+
+    "q08_word_explode" ->
+      """SELECT word, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+
+    "q09_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q10_monthly_orders" ->
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+         |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q11_case_dispatch" ->
+      s"""SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement'
+         |            WHEN event_type = 'purchase' THEN 'conversion'
+         |            WHEN event_type = 'error' THEN 'fault'
+         |            ELSE 'other' END AS category,
+         |  COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q12_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q13_distinct_parts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q14_hot_parts" ->
+      """SELECT p_partkey, p_name, n_lines FROM (
+        |  SELECT l_partkey, COUNT(*) AS n_lines FROM lineitem
+        |  GROUP BY l_partkey HAVING COUNT(*) > 35) t
+        |JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q15_array_filter" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS BIGINT) AS n_long_words
+        |FROM documents""".stripMargin,
+
+    "q16_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier) t""".stripMargin,
+
+    "q27_events_daily" ->
+      s"""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+         |  ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q28_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+
+    "q29_running_total" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events""".stripMargin,
+
+    "q30_pivot_events" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q31_tumbling_window" ->
+      """SELECT CAST(floor(floor(epoch(ts)) / 21600) * 21600 AS BIGINT) AS bucket_start_epoch,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}
