@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Text scalar functions re-expressing the reference's Python helpers
+  * (SURVEY.md §2.3) as Spark columns/UDFs.
+  *
+  * Column-returning helpers stay inside whole-stage codegen; UDFs are
+  * reserved for logic Spark has no builtin for (recursive chunking,
+  * urljoin, HTML strip).
+  */
+object TextFunctions {
+
+  // ---------------------------------------------------------------- chunker
+
+  /** Recursive character text splitter (capability of reference
+    * dags/utils/chunks_data.py:101-102, which configures LangChain's
+    * RecursiveCharacterTextSplitter(5000, 500)).
+    *
+    * Spec (ours, documented per SURVEY §7.4 — capability, not port):
+    *  - split `text` on the first separator in `seps` that occurs in it;
+    *    pieces keep their separator suffix so concatenation loses nothing;
+    *  - greedily pack pieces into chunks of ≤ `size` chars;
+    *  - when a chunk closes, the next chunk starts with the trailing
+    *    pieces of the previous one totalling ≤ `overlap` chars;
+    *  - any piece longer than `size` is recursively split with the
+    *    remaining separators ("" = hard character split, always fits).
+    * Invariants (property-tested in ChunkerSpec): every chunk has length
+    * in (0, size]; stripping each chunk's overlap prefix and concatenating
+    * reproduces the input; short inputs round-trip unchanged.
+    */
+  def chunkText(text: String, size: Int, overlap: Int,
+                seps: List[String] = List("\n\n", "\n", " ", "")): Vector[String] =
+    chunkWithCarry(text, size, overlap, seps).map(_._1)
+
+  /** Like [[chunkText]] but each chunk is paired with its carry length:
+    * the number of leading chars repeated from the previous chunk's tail
+    * (0 for the first chunk). `chunk.substring(carry)` concatenated over
+    * all chunks reproduces the input exactly. */
+  def chunkWithCarry(text: String, size: Int, overlap: Int,
+                     seps: List[String] = List("\n\n", "\n", " ", "")): Vector[(String, Int)] = {
+    require(size > 0 && overlap >= 0 && overlap < size, s"bad chunk config ($size,$overlap)")
+    if (text.isEmpty) return Vector.empty
+    if (text.length <= size) return Vector((text, 0))
+
+    val sep = seps.find(s => s.nonEmpty && text.contains(s)).getOrElse("")
+    val rest = seps.dropWhile(_ != sep) match { case _ :: t => t; case Nil => Nil }
+
+    // split keeping the separator attached to the preceding piece
+    val pieces: Vector[String] =
+      if (sep.isEmpty) text.grouped(size).toVector
+      else {
+        val parts = text.split(java.util.regex.Pattern.quote(sep), -1)
+        parts.iterator.zipWithIndex.map { case (p, i) =>
+          if (i < parts.length - 1) p + sep else p
+        }.filter(_.nonEmpty).toVector
+      }
+
+    // recursively shrink any piece that alone exceeds the chunk size;
+    // strip the sub-chunks' carry so pieces stay disjoint (the packer
+    // below reintroduces overlap at piece granularity)
+    val sized: Vector[String] =
+      pieces.flatMap { p =>
+        if (p.length <= size) Vector(p)
+        else chunkWithCarry(p, size, overlap, rest).map { case (c, k) => c.substring(k) }
+      }
+
+    // greedy pack with overlap carry-over
+    val chunks = Vector.newBuilder[(String, Int)]
+    var cur = Vector.empty[String]
+    var curLen = 0
+    var carryLen = 0 // how many chars at the head of `cur` repeat the previous chunk
+    def flush(): Unit = if (curLen > 0) {
+      chunks += ((cur.mkString, carryLen))
+      // carry the longest contiguous suffix of pieces totalling <= overlap
+      var keep = List.empty[String]
+      var keepLen = 0
+      val it = cur.reverseIterator
+      var go = true
+      while (go && it.hasNext) {
+        val p = it.next()
+        if (keepLen + p.length <= overlap) { keep = p :: keep; keepLen += p.length }
+        else go = false
+      }
+      cur = keep.toVector; curLen = keepLen; carryLen = keepLen
+    }
+    for (p <- sized) {
+      if (curLen + p.length > size) {
+        flush()
+        // if the carry leaves no room for this piece, drop the carry
+        if (curLen + p.length > size) { cur = Vector.empty; curLen = 0; carryLen = 0 }
+      }
+      cur = cur :+ p; curLen += p.length
+    }
+    if (curLen > carryLen) chunks += ((cur.mkString, carryLen)) // skip pure-carry tail
+    chunks.result()
+  }
+
+  /** UDF form: text → array of chunks, for `explode(chunk_text(text))`. */
+  val chunkTextUdf: UserDefinedFunction =
+    udf((text: String, size: Int, overlap: Int) =>
+      if (text == null) Array.empty[String] else chunkText(text, size, overlap).toArray)
+
+  // ------------------------------------------------------------ HTML / URL
+
+  /** HTML → text (reference bs4_extractor, crawl_web.py:14-23): drop
+    * script/style subtrees, strip tags, decode common entities, collapse
+    * blank runs. Pure-JVM (no jsoup in this classpath). */
+  def htmlToText(html: String): String = {
+    if (html == null) return null
+    val noScript = html.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+    val noTags = noScript.replaceAll("(?s)<[^>]*>", " ")
+    val decoded = noTags
+      .replace("&nbsp;", " ").replace("&amp;", "&").replace("&lt;", "<")
+      .replace("&gt;", ">").replace("&quot;", "\"").replace("&#39;", "'")
+    normalizeWs(decoded)
+  }
+  val htmlToTextUdf: UserDefinedFunction = udf(htmlToText _)
+
+  /** Whitespace normalization (reference crawl_web.py:23). */
+  def normalizeWs(s: String): String =
+    if (s == null) null else s.replaceAll("[ \\t]+", " ").replaceAll("\\n{2,}", "\n\n").trim
+
+  /** RFC-3986-ish urljoin (reference crawl_web.py:91 `urljoin`): resolve a
+    * possibly-relative href against a base URL. */
+  def urljoin(base: String, href: String): String = {
+    if (href == null || href.isEmpty) return base
+    try new java.net.URI(base).resolve(href).toString
+    catch { case _: Exception => href }
+  }
+  val urljoinUdf: UserDefinedFunction = udf(urljoin _)
+
+  /** Object-name sanitization (reference bronze.py:79-81 +
+    * chunks_data.py:7-26): host+path with '/'→'_', extension → suffix. */
+  def sanitizeName(url: String, suffix: String): String = {
+    val u = try new java.net.URI(url) catch { case _: Exception => null }
+    val base = if (u == null || u.getHost == null) url else u.getHost + Option(u.getPath).getOrElse("")
+    base.replaceAll("[/\\\\]+", "_").replaceAll("\\.[A-Za-z0-9]{1,5}$", "") + suffix
+  }
+  val sanitizeNameUdf: UserDefinedFunction = udf(sanitizeName _)
+
+  // ------------------------------------------------------------- columns
+
+  /** SHA-256 content hash column (reference get_content_hash,
+    * crawl_web.py:51-59) — Spark builtin, identical hex output. */
+  def contentHash(c: Column): Column = sha2(c, 256)
+
+  /** Canonical-struct hash (reference bronze.py:13-22 canonical-JSON
+    * SHA-256): field order is fixed by struct construction. */
+  def canonicalHash(cols: Column*): Column = sha2(to_json(struct(cols: _*)), 256)
+
+  /** Deterministic footer/contact cleaner (engine version of the LLM
+    * cleaning agent, reference agent_clean_data.py:16-48): strips email,
+    * phone-like runs, and footer markers onward. */
+  def cleanContact(c: Column): Column = {
+    val noEmail = regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "")
+    val noPhone = regexp_replace(noEmail, "(\\+?\\d[\\d .-]{7,}\\d)", "")
+    trim(regexp_replace(noPhone, "(?is)(lien he|contact us|hotline).*$", ""))
+  }
+}

@@ -56,10 +56,11 @@ object Relational {
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
     }),
 
-    // J1 anti-join (reference visited-set semantics, crawl_web.py:119-122).
+    // J1 anti-join (reference visited-set semantics, crawl_web.py:119-122):
+    // customers with no 300k+ order.
     "q04_anti_join" -> ((s, dir) => {
       val customer = Tables(s, dir, "customer")
-      val orders = Tables(s, dir, "orders")
+      val orders = Tables(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
       customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     }),
@@ -108,12 +109,13 @@ object Relational {
         .agg(count(lit(1)).as("cnt"))
     }),
 
-    // Set ops (SURVEY §2.7): EXCEPT ≙ distinct anti-join on all columns.
+    // Set ops (SURVEY §2.7): EXCEPT ≙ distinct anti-join on all columns —
+    // orderkeys present in orders but absent from lineitem.
     "q09_except" -> ((s, dir) => {
-      val customer = Tables(s, dir, "customer")
-      val supplier = Tables(s, dir, "supplier")
-      customer.select(col("c_nationkey").as("nationkey"))
-        .except(supplier.select(col("s_nationkey").as("nationkey")))
+      val orders = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      orders.select(col("o_orderkey").as("orderkey"))
+        .except(li.select(col("l_orderkey").as("orderkey")))
     }),
 
     // F11/S9 date bucketing (reference bronze.py:53 date partitioning).
@@ -261,7 +263,8 @@ object Relational {
 
     "q04_anti_join" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
 
     "q05_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
@@ -290,9 +293,9 @@ object Relational {
         |WHERE word <> '' GROUP BY word""".stripMargin,
 
     "q09_except" ->
-      """SELECT c_nationkey AS nationkey FROM customer
+      """SELECT o_orderkey AS orderkey FROM orders
         |EXCEPT
-        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+        |SELECT l_orderkey AS orderkey FROM lineitem""".stripMargin,
 
     "q10_monthly_orders" ->
       s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,

@@ -1,10 +1,287 @@
 package graft.queries
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Text-pipeline operator demos (chunking, dedup, analysis) — filled in
-  * incrementally; see SURVEY.md §2.3/§2.5 and the training-data ops. */
+/** Text-pipeline operator demos: chunking (T1), text analysis
+  * (lang-ID, quality, tokens, fingerprint), dedup families (exact /
+  * n-gram-Jaccard / MinHash-LSH / SimHash) over the `documents` table.
+  *
+  * Hash determinism across engines: token/shingle hashes are derived by
+  * parsing the first 15 hex chars of sha256 as a 60-bit integer — both
+  * Spark (`conv(substr(sha2(s,256),1,15),16,10)`) and DuckDB
+  * (`('0x'||substr(sha256(s),1,15))::bigint`) produce identical values,
+  * so MinHash/SimHash signatures match bit-for-bit.
+  */
 object TextOps {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime for perm hashes
+  private def permA(i: Int): Long = (i + 1).toLong * 1299721L
+  private def permB(i: Int): Long = ((i + 1).toLong * 15485863L) % P
+
+  /** non-empty whitespace tokens */
+  private val toksExpr = "filter(split(text, ' '), w -> w <> '')"
+  /** distinct word 3-gram shingles (guarded: <3 tokens → empty) */
+  private val shinglesExpr =
+    s"""CASE WHEN size($toksExpr) >= 3
+       |THEN array_distinct(transform(sequence(1, size($toksExpr) - 2),
+       |     i -> array_join(slice($toksExpr, i, 3), ' ')))
+       |ELSE array() END""".stripMargin
+  /** 60-bit shingle hash reduced mod P */
+  private val hmExpr = "CAST(conv(substr(sha2(s, 256), 1, 15), 16, 10) AS BIGINT) % 2147483647"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Text quality scoring (training-data op): length/stopword/word-shape
+    // signals combined into one score. All-double arithmetic written
+    // identically on the oracle side.
+    "q17_quality_score" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
+        .withColumn("n_stop", expr(
+          "CAST(size(filter(toks, w -> w IN ('the','a','an','of','and','to','in'))) AS BIGINT)"))
+        .withColumn("total_tok_chars", expr("CAST(aggregate(toks, 0, (acc, w) -> acc + length(w)) AS BIGINT)"))
+        .withColumn("stop_ratio", expr("CAST(n_stop AS DOUBLE) / n_tokens"))
+        .withColumn("avg_token_len", expr("CAST(total_tok_chars AS DOUBLE) / n_tokens"))
+        .withColumn("quality_score", expr(
+          """0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+            | + 0.4 * (1.0 - stop_ratio)
+            | + 0.2 * least(avg_token_len / 10.0, 1.0)""".stripMargin))
+        .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+          col("avg_token_len"), col("quality_score"))
+    }),
+
+    // Token counting (training-data op): whitespace tokens + a BPE-ish
+    // regex lexer (letters / digits / single punctuation).
+    "q18_token_count" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"CAST(size($toksExpr) AS BIGINT)").as("n_ws_tokens"),
+          expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)").as("n_lex_tokens"))
+    }),
+
+    // Language-ID heuristic (training-data op): stopword-hit scoring per
+    // candidate language, argmax with fixed precedence.
+    "q19_lang_id" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("s_en", expr("size(filter(toks, w -> w IN ('the','a','of','and','to')))"))
+        .withColumn("s_de", expr("size(filter(toks, w -> w IN ('der','die','das','und','zu')))"))
+        .withColumn("s_fr", expr("size(filter(toks, w -> w IN ('le','la','les','et','de')))"))
+        .withColumn("predicted_lang", expr(
+          """CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+            |     WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END""".stripMargin))
+        .select(col("doc_id"), col("lang").as("labeled_lang"), col("predicted_lang"),
+          col("s_en").cast("long").as("score_en"))
+    }),
+
+    // Document fingerprint (training-data op): sha256 over
+    // case/whitespace-normalized text — the canonical exact-dedup key.
+    "q20_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256).as("fingerprint"))
+    }),
+
+    // Near-dup by n-gram Jaccard (training-data op): distinct word
+    // 3-gram shingles, shared-shingle self-join, |A∩B|/|A∪B| ≥ 0.5.
+    // Scale path: the shingle join shuffles on the shingle string —
+    // uniform fan-out; sizes side is doc-count-sized (broadcastable).
+    "q21_ngram_jaccard" -> ((s, dir) => {
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.alias("a"); val b = sh.alias("b")
+      val shared = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
+        .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (na + nb - shared)"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+    }),
+
+    // MinHash + LSH candidate pairs (training-data op): 16 permutation
+    // min-hashes computed in ONE pass (16 conditional aggs — no row
+    // blowup), 4 bands × 4 rows, bucket-join for candidates.
+    "q22_minhash_lsh" -> ((s, dir) => {
+      val hm = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+        .select(col("doc_id"), expr(hmExpr).as("hm"))
+      val mhCols = (0 until 16).map(i =>
+        min((lit(permA(i)) * col("hm") + lit(permB(i))) % lit(P)).as(s"mh$i"))
+      val sig = hm.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+      val bandStructs = (0 until 4).map(bnd =>
+        struct(lit(bnd).as("band"),
+          concat_ws(",", (0 until 4).map(j => col(s"mh${bnd * 4 + j}")): _*).as("bucket")))
+      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val x = bands.alias("x"); val y = bands.alias("y")
+      x.join(y, col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+    }),
+
+    // SimHash (training-data op): 16-bit signature; per-bit signed vote
+    // over token hashes, again one-pass conditional aggregation.
+    "q23_simhash" -> ((s, dir) => {
+      val h = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toksExpr)).as("s"))
+        .select(col("doc_id"), expr(hmExpr).as("h"))
+      val voteCols = (0 until 16).map(b =>
+        sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"v$b"))
+      val votes = h.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      val simhash = (0 until 16).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      votes.select(col("doc_id"), simhash.as("simhash"))
+    }),
+
+    // Fixed-stride chunking (oracle-able form of T1; the separator-aware
+    // recursive splitter is TextFunctions.chunkText, property-tested and
+    // exercised in q33): size 500, overlap 50, stride 450.
+    "q26_chunk_fixed" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), greatest(length(col("text")) - 51, lit(0)), lit(450))).as("start"))
+        .select(col("doc_id"), col("start").cast("long").as("chunk_start"),
+          expr("substring(text, start + 1, 500)").as("chunk"))
+        .withColumn("chunk_len", length(col("chunk")).cast("long"))
+    }),
+
+    // Recursive separator-aware chunker (T1 faithful capability) — UDF,
+    // not SQL-expressible: driver records rows-only. 1-to-N generation
+    // via explode keeps it distributed; chunk_id via posexplode.
+    "q33_chunk_recursive" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFunctions.chunkTextUdf(col("text"), lit(200), lit(20))))
+        .withColumnRenamed("pos", "chunk_id")
+        .withColumnRenamed("col", "chunk")
+        .select(col("doc_id"), col("chunk_id").cast("long"), col("chunk"),
+          length(col("chunk")).cast("long").as("chunk_len"))
+    }),
+
+    // Multimodal plumbing (training-data op): text treated as an opaque
+    // binary payload + typed metadata (byte length, digest). The real
+    // decode step for image/audio is stubbed (no codec libs in this
+    // container) — see graft.multimodal for the partition-wise pipeline.
+    "q32_binary_meta" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          sha2(col("text").cast("binary"), 256).as("digest"),
+          col("source"))
+    })
+  )
+
+  val oracle: Map[String, String] = {
+    val toksSql = "list_filter(string_split(text, ' '), w -> w <> '')"
+    val shinglesSql =
+      s"""CASE WHEN len($toksSql) >= 3
+         |THEN list_distinct(list_transform(generate_series(1, len($toksSql) - 2),
+         |     i -> array_to_string(list_slice($toksSql, i, i + 2), ' ')))
+         |ELSE [] END""".stripMargin
+    val hmSql = "CAST(('0x' || substr(sha256(s), 1, 15)) AS BIGINT) % 2147483647"
+    Map(
+      "q17_quality_score" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |b AS (SELECT doc_id,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_filter(toks, w -> w IN ('the','a','an','of','and','to','in'))) AS BIGINT) AS n_stop,
+           |  CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS total_tok_chars
+           |  FROM t)
+           |SELECT doc_id, n_tokens,
+           |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+           |  CAST(total_tok_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           |  0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           |   + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+           |   + 0.2 * least((CAST(total_tok_chars AS DOUBLE) / n_tokens) / 10.0, 1.0) AS quality_score
+           |FROM b""".stripMargin,
+
+      "q18_token_count" ->
+        s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_lex_tokens
+           |FROM documents""".stripMargin,
+
+      "q19_lang_id" ->
+        s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+           |sc AS (SELECT doc_id, lang,
+           |  len(list_filter(toks, w -> w IN ('the','a','of','and','to'))) AS s_en,
+           |  len(list_filter(toks, w -> w IN ('der','die','das','und','zu'))) AS s_de,
+           |  len(list_filter(toks, w -> w IN ('le','la','les','et','de'))) AS s_fr
+           |  FROM t)
+           |SELECT doc_id, lang AS labeled_lang,
+           |  CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+           |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted_lang,
+           |  CAST(s_en AS BIGINT) AS score_en
+           |FROM sc""".stripMargin,
+
+      "q20_fingerprint" ->
+        """SELECT doc_id,
+          |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+          |FROM documents""".stripMargin,
+
+      "q21_ngram_jaccard" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |shared AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, shared,
+           |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+           |FROM shared
+           |JOIN sizes sa ON doc_a = sa.doc_id
+           |JOIN sizes sb ON doc_b = sb.doc_id
+           |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5""".stripMargin,
+
+      "q22_minhash_lsh" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+           |h AS (SELECT doc_id, $hmSql AS hm FROM sh),
+           |mh AS (
+           |  SELECT doc_id, i,
+           |    MIN(((i + 1) * 1299721 * hm + ((i + 1) * 15485863) % 2147483647) % 2147483647) AS mh
+           |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) perms
+           |  GROUP BY 1, 2),
+           |bands AS (
+           |  SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS bucket
+           |  FROM mh GROUP BY 1, 2)
+           |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |FROM bands x JOIN bands y
+           |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin,
+
+      "q23_simhash" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS s FROM documents),
+           |h AS (SELECT doc_id, $hmSql AS h FROM tok),
+           |votes AS (
+           |  SELECT doc_id, b,
+           |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bits
+           |  GROUP BY 1, 2)
+           |SELECT doc_id,
+           |  CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+           |FROM votes GROUP BY doc_id""".stripMargin,
+
+      "q26_chunk_fixed" ->
+        """SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+          |  substr(text, start + 1, 500) AS chunk,
+          |  CAST(length(substr(text, start + 1, 500)) AS BIGINT) AS chunk_len
+          |FROM (SELECT doc_id, text,
+          |        unnest(generate_series(0, greatest(length(text) - 51, 0), 450)) AS start
+          |      FROM documents) t""".stripMargin,
+
+      "q32_binary_meta" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  sha256(text) AS digest, source
+          |FROM documents""".stripMargin
+      // q33_chunk_recursive: UDF chunker, not SQL-expressible → rows-only.
+    )
+  }
 }
