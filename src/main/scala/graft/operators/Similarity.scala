@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (reference capability A8 — the Milvus vector store's retrieval surface,
+  * dags/utils/seed_milvus.py:7-25).
+  *
+  * Two equivalent implementations of brute-force top-k:
+  *  - [[topKWindow]]: declarative — broadcast the query side, cosine via
+  *    higher-order functions, `row_number` window. Catalyst/codegen
+  *    handles everything; the window shuffles |corpus|×|queries| rows.
+  *  - [[topKPartitioned]]: the 100 TB path — per-partition bounded heaps
+  *    (map-side top-k) reduce the shuffle to |partitions|×|queries|×k
+  *    rows before the final window. Equality with topKWindow is asserted
+  *    in SimilaritySpec.
+  * Both order by (cosine desc, neighbor_id asc) so results are fully
+  * deterministic under ties.
+  */
+object Similarity {
+
+  /** queries: (query_id: Long, qv: Array[Float]); corpus: (neighbor_id,
+    * cv). Returns (query_id, neighbor_id, cosine, rank), rank ≤ k. */
+  def topKWindow(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val sims = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine("qv", "cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long"))
+  }
+
+  /** Map-side top-k: each partition keeps a bounded worst-first heap per
+    * query, so only |partitions|·|queries|·k candidate rows shuffle. The
+    * dot/norm accumulation is sequential IEEE double, identical to the
+    * HOF expression in [[topKWindow]]. */
+  def topKPartitioned(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col("query_id"), col("qv")).as[(Long, Array[Float])].collect()
+    val qBc = spark.sparkContext.broadcast(qs)
+
+    val partial = corpus.select(col("neighbor_id"), col("cv")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qarr = qBc.value
+        val qnorm = qarr.map { case (_, v) => math.sqrt(sumsq(v)) }
+        // per-query bounded heap ordered worst-first
+        val heaps = Array.fill(qarr.length)(
+          collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
+        for ((nid, cv) <- it) {
+          val cn = math.sqrt(sumsq(cv))
+          var qi = 0
+          while (qi < qarr.length) {
+            val (qid, qv) = qarr(qi)
+            if (qid != nid) {
+              val c = dot(qv, cv) / (qnorm(qi) * cn)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((c, nid))
+              else {
+                val (wc, wid) = h.head
+                if (c > wc || (c == wc && nid < wid)) { h.dequeue(); h.enqueue((c, nid)) }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (c, nid) => (qarr(qi)._1, nid, c) }
+        }
+      }.toDF("query_id", "neighbor_id", "cosine")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long"))
+  }
+
+  /** Sequential left-to-right double dot product — bit-identical to the
+    * `aggregate(zip_with(...))` HOF and DuckDB's list_sum/list_transform. */
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def sumsq(a: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    s
+  }
+}

@@ -1,10 +1,120 @@
 package graft.queries
 
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Vector/similarity operator demos (kNN, near-dup) — filled in
-  * incrementally; see SURVEY.md §2.4 A8 and the training-data ops. */
+/** Vector/similarity operator demos over the `embeddings` table
+  * (reference capability A8 — kNN over the Milvus gold store; plus the
+  * ANN scale paths a 100 TB training-data pipeline needs: LSH bucketing
+  * and IVF cluster assignment).
+  *
+  * Cosine math is bit-identical across Spark and DuckDB (sequential
+  * IEEE-double accumulation on both sides — see VectorFunctions), so the
+  * oracle compares exact doubles, not approximations.
+  */
 object VectorOps {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-5 per query vector (A8). Query side =
+    // vec_id % 50 == 0 (broadcast); exact, deterministic tiebreak.
+    "q24_knn_brute" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      Similarity.topKWindow(q, c, 5)
+    }),
+
+    // Embedding near-duplicate pairs: all pairs with cosine > 0.45
+    // (the data's max pair sim is ~0.51; planted structure sits above
+    // the 0.999-quantile 0.38). At scale the crossJoin is replaced by
+    // LSH-bucketed candidates (q34) — this is the exact verifier.
+    "q25_embedding_neardup" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", cosine("va", "vb"))
+        .filter(col("cosine") > 0.45)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }),
+
+    // Random-hyperplane LSH bucketing (ANN scale path): 8 deterministic
+    // pseudo-random hyperplanes -> 8 sign bits -> bucket id. Vectors in
+    // the same bucket are near-dup candidates; join cost drops from
+    // O(n²) to O(Σ bucket²).
+    "q34_lsh_buckets" -> ((s, dir) => {
+      val planeDot = (p: Int) =>
+        s"""aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+           | (acc, d) -> acc + ((CAST(($p * 1000003 + d * 7919) % 1000 AS DOUBLE) - 499.5) / 1000.0)
+           |   * CAST(element_at(embedding, d) AS DOUBLE))""".stripMargin
+      val bucket = (0 until 8).map(p =>
+        when(expr(planeDot(p)) >= 0.0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), bucket.as("bucket"), col("label"))
+    }),
+
+    // IVF cluster assignment (ANN scale path): centroids = vec_id 0..7;
+    // every vector is assigned to its max-cosine centroid (deterministic
+    // tiebreak). A query then probes only its centroid's partition.
+    "q35_ivf_assign" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("centroid_id").asc)
+      e.select(col("vec_id"), col("embedding"), col("label"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cosine", cosine("embedding", "cvec"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("centroid_id"), col("cosine"), col("label"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q24_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |sims AS (
+         |  SELECT query_id, neighbor_id, ${duckCosineExpr("qv", "cv")} AS cosine
+         |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+         |  FROM sims)
+         |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q25_embedding_neardup" ->
+      s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+         |b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+         |SELECT id_a, id_b, ${duckCosineExpr("va", "vb")} AS cosine
+         |FROM a CROSS JOIN b
+         |WHERE id_a < id_b AND ${duckCosineExpr("va", "vb")} > 0.45""".stripMargin,
+
+    "q34_lsh_buckets" -> {
+      val planeDot = (p: Int) =>
+        s"""list_sum(list_transform(generate_series(1, 64),
+           | d -> ((CAST(($p * 1000003 + d * 7919) % 1000 AS DOUBLE) - 499.5) / 1000.0)
+           |   * CAST(embedding[d] AS DOUBLE)))""".stripMargin
+      val bucketSql = (0 until 8).map(p =>
+        s"CASE WHEN ${planeDot(p)} >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END").mkString(" + ")
+      s"SELECT vec_id, $bucketSql AS bucket, label FROM embeddings"
+    },
+
+    "q35_ivf_assign" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |               FROM embeddings WHERE vec_id < 8),
+         |sims AS (
+         |  SELECT e.vec_id, centroid_id, ${duckCosineExpr("e.embedding", "cvec")} AS cosine, e.label,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCosineExpr("e.embedding", "cvec")} DESC, centroid_id ASC) AS rk
+         |  FROM embeddings e CROSS JOIN cents)
+         |SELECT vec_id, centroid_id, cosine, label FROM sims WHERE rk = 1""".stripMargin
+  )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB top-k path (per-partition heaps) must return exactly the
+  * declarative window result; hashEmbed invariants. */
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("topKPartitioned equals topKWindow exactly") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .repartition(7) // force multiple partitions so partial top-k matters
+    val a = Similarity.topKWindow(q, c, 5).collect().map(_.toSeq).toSet
+    val b = Similarity.topKPartitioned(spark, q, c, 5).collect().map(_.toSeq).toSet
+    assert(a.nonEmpty)
+    assert(a == b)
+  }
+
+  test("hashEmbed is deterministic, fixed-dim, L2-normalized") {
+    val v1 = VectorFunctions.hashEmbed("the quick brown fox", 64)
+    val v2 = VectorFunctions.hashEmbed("the quick brown fox", 64)
+    assert(v1.toSeq == v2.toSeq)
+    assert(v1.length == 64)
+    val norm = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // different text -> different vector (overwhelmingly)
+    val v3 = VectorFunctions.hashEmbed("a completely different sentence", 64)
+    assert(v1.toSeq != v3.toSeq)
+    // empty/null-safe
+    assert(VectorFunctions.hashEmbed("", 16).toSeq == Seq.fill(16)(0f))
+    assert(VectorFunctions.hashEmbed(null, 16).toSeq == Seq.fill(16)(0f))
+  }
+
+  test("approx_count_distinct is the scale form of A5 (sanity, not oracle)") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val exact = docs.select(countDistinct(sha2(col("text"), 256))).head.getLong(0)
+    val approx = docs.select(approx_count_distinct(sha2(col("text"), 256), 0.02)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+}
