@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (training-data op; reference evidence: the
+  * raw HTML/image archive at minio/data/bronze/web/04-01-2025/{html,image}
+  * — SURVEY.md §1.2 "historical surfaces").
+  *
+  * Images/audio/video are opaque `binary` columns + typed metadata. The
+  * Spark-side plumbing — schema, partition-wise batch iteration, UDF
+  * signatures — is real and tested; the actual codec work is STUBBED
+  * (no image/audio libraries in this container): `decodeStub` parses
+  * magic bytes + PNG/JPEG header fields deterministically and fakes the
+  * rest, exactly where a Pandas-UDF/JNI decoder would plug in at scale.
+  */
+object Multimodal {
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video|html
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  case class AssetFeatures(asset_id: Long, modality: String, n_bytes: Long,
+                           format: String, width: Int, height: Int,
+                           feature: Array[Float])
+
+  /** Load a directory of raw files as assets (S14: binaryFile source —
+    * splittable listing, content read lazily per task). */
+  def readAssets(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        xxhash64(col("path")).as("asset_id"),
+        when(col("path").endsWith(".png") || col("path").endsWith(".jpg"), "image")
+          .when(col("path").endsWith(".html"), "html")
+          .otherwise("binary").as("modality"),
+        col("content"),
+        map(lit("path"), col("path"), lit("length"), col("length").cast("string")).as("meta"))
+
+  /** STUB decoder: recognizes PNG / JPEG magic bytes and reads the real
+    * dimensions from the header when present (PNG IHDR); everything a
+    * real codec would produce beyond that is deterministic fake. */
+  def decodeStub(bytes: Array[Byte]): (String, Int, Int) = {
+    if (bytes == null || bytes.length < 8) return ("empty", 0, 0)
+    val isPng = bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G'
+    val isJpeg = bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8
+    if (isPng && bytes.length >= 24) {
+      def be(i: Int) = ((bytes(i) & 0xFF) << 24) | ((bytes(i + 1) & 0xFF) << 16) |
+        ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)
+      ("png", be(16), be(20)) // IHDR width/height
+    } else if (isPng) ("png", 0, 0)
+    else if (isJpeg) ("jpeg", -1, -1) // full JPEG header walk = real codec territory
+    else ("unknown", 0, 0)
+  }
+
+  /** Partition-wise feature extraction: iterate assets in bounded batches
+    * (the reference's batch-100 pattern, seed_milvus.py:78-86, done
+    * executor-side), decode, and emit a fixed-dim feature vector (hash of
+    * content bytes — the stub stand-in for a vision/audio encoder). */
+  def extractFeatures(spark: SparkSession, assets: DataFrame, dim: Int = 16,
+                      batchSize: Int = 100): Dataset[AssetFeatures] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("modality"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // a real decoder would amortize model/codec setup per batch here
+          batch.iterator.map { case (id, modality, bytes) =>
+            val (fmt, w, h) = decodeStub(bytes)
+            val feat = new Array[Float](dim)
+            if (bytes != null) {
+              var i = 0
+              while (i < bytes.length) {
+                feat(math.floorMod(java.lang.Byte.hashCode(bytes(i)) * 31 + i, dim)) += 1f
+                i += 1
+              }
+            }
+            AssetFeatures(id, modality, if (bytes == null) 0L else bytes.length.toLong,
+              fmt, w, h, feat)
+          }
+        }
+      }
+  }
+
+  /** Frame-sampling plan for video assets (STUB: emits the byte offsets a
+    * real demuxer would seek to — one per `everyNBytes` — demonstrating
+    * the 1-to-N explode shape of frame extraction). */
+  def sampleFrameOffsets(assets: DataFrame, everyNBytes: Long = 1024L): DataFrame =
+    assets
+      .withColumn("n_frames",
+        greatest((col("meta.length").cast("long") / everyNBytes).cast("long"), lit(1L)))
+      .select(col("asset_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .withColumn("byte_offset", col("frame_idx") * everyNBytes)
+}

