@@ -31,7 +31,16 @@ object VectorFunctions {
     s"${dotExpr(a, b)} / (sqrt(${sumsqExpr(a)}) * sqrt(${sumsqExpr(b)}))"
 
   def dot(a: String, b: String): Column = expr(dotExpr(a, b))
-  def cosine(a: String, b: String): Column = expr(cosineExpr(a, b))
+
+  /** Cosine column — delegates to the native codegen'd Catalyst
+    * expression (graft.plans.CosineSim), which ExpressionsSpec proves
+    * bit-equal to the HOF form [[cosineExpr]]; the HOF string remains the
+    * documentation of the exact arithmetic and the oracle's twin. */
+  def cosine(a: String, b: String): Column =
+    graft.plans.GraftExpressions.cosineSimNative(col(a), col(b))
+
+  /** Interpreted HOF form (kept for equality testing). */
+  def cosineHof(a: String, b: String): Column = expr(cosineExpr(a, b))
 
   // DuckDB twins of the fragments above (for oracle SQL) ------------------
 

@@ -1,0 +1,119 @@
+package graft.plans
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (SURVEY.md §4.2 "optional perf" items,
+  * implemented because they sit on hot paths):
+  *
+  *  - [[CosineSim]]: cosine similarity over two float-array columns with
+  *    whole-stage codegen. Spark's higher-order `aggregate`/`zip_with`
+  *    evaluate their lambdas interpreted per element; for the kNN inner
+  *    loop (|corpus|×|queries|×dim evaluations) a fused codegen loop
+  *    removes that overhead. The arithmetic is the identical sequential
+  *    IEEE-double accumulation, so results stay bit-equal to the HOF
+  *    form and the DuckDB oracle (asserted in ExpressionsSpec).
+  *
+  *  - [[ChunkTextGen]]: the recursive chunker (T1) as a Generator, giving
+  *    it a SQL surface: `LATERAL VIEW chunk_text(text, 5000, 500)`
+  *    (reference chunks_data.py:101-102; SURVEY §4.2 flags this exact
+  *    polish).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects two array<float> args, got ${left.dataType}, ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x(i).toDouble * y(i).toDouble; i += 1 }
+    var na = 0.0; i = 0
+    while (i < x.length) { na += x(i).toDouble * x(i).toDouble; i += 1 }
+    var nb = 0.0; i = 0
+    while (i < y.length) { nb += y(i).toDouble * y(i).toDouble; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |float[] $x = $a.toFloatArray();
+         |float[] $y = $b.toFloatArray();
+         |int $n = Math.min($x.length, $y.length);
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $dot += (double)$x[$i] * (double)$y[$i]; }
+         |for (int $i = 0; $i < $x.length; $i++) { $na += (double)$x[$i] * (double)$x[$i]; }
+         |for (int $i = 0; $i < $y.length; $i++) { $nb += (double)$y[$i] * (double)$y[$i]; }
+         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** `chunk_text(text, size, overlap)` as a row Generator (1-to-N), usable
+  * from SQL via LATERAL VIEW / table-generating select. Emits
+  * (chunk_id int, chunk string). */
+case class ChunkTextGen(child: Expression, sizeExpr: Expression, overlapExpr: Expression)
+    extends Expression with Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child, sizeExpr, overlapExpr)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("chunk_id", IntegerType, nullable = false),
+    StructField("chunk", StringType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) return Nil
+    val size = sizeExpr.eval(input).asInstanceOf[Int]
+    val overlap = overlapExpr.eval(input).asInstanceOf[Int]
+    TextFunctions.chunkText(t.asInstanceOf[UTF8String].toString, size, overlap)
+      .zipWithIndex.map { case (c, i) =>
+        InternalRow(i, UTF8String.fromString(c))
+      }
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ChunkTextGen =
+    copy(child = c(0), sizeExpr = c(1), overlapExpr = c(2))
+}
+
+object GraftExpressions {
+  import org.apache.spark.sql.GraftBridge
+
+  /** Column surface for the native cosine. */
+  def cosineSimNative(a: Column, b: Column): Column =
+    GraftBridge.column(
+      CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Register SQL functions: `cosine_sim(a, b)` and
+    * `chunk_text(text, size, overlap)`. */
+  def register(spark: SparkSession): Unit = {
+    GraftBridge.register(spark, "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)))
+    GraftBridge.register(spark, "chunk_text",
+      exprs => ChunkTextGen(exprs(0), exprs(1), exprs(2)))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.plans.GraftExpressions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native Catalyst expressions: bit-equality with the HOF forms and the
+  * SQL generator surface. */
+class ExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("native cosine_sim is bit-identical to the HOF cosine") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va")).filter(col("ia") < 40)
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb")).filter(col("ib") >= 40 && col("ib") < 80)
+    val both = a.crossJoin(b).select(
+      VectorFunctions.cosine("va", "vb").as("hof"),
+      GraftExpressions.cosineSimNative(col("va"), col("vb")).as("native"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)),
+      "native codegen cosine must be bit-equal to HOF cosine")
+  }
+
+  test("native cosine participates in whole-stage codegen") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val df = e.select(GraftExpressions.cosineSimNative(col("embedding"), col("embedding")).as("c"))
+    // the "*(n)" prefix marks a WholeStageCodegen stage containing the projection
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("cosine_sim"),
+      s"plan lacks codegen span:\n$plan")
+    assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("chunk_text generator works via SQL LATERAL VIEW") {
+    GraftExpressions.register(spark)
+    Tables(spark, "/root/testdata/sf0.001", "documents").limit(50).createOrReplaceTempView("docs_g")
+    val out = spark.sql(
+      """SELECT doc_id, chunk_id, chunk
+        |FROM docs_g LATERAL VIEW chunk_text(text, 120, 12) t AS chunk_id, chunk""".stripMargin)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("chunk").length <= 120))
+    // generator output matches the UDF chunker exactly
+    val viaUdf = Tables(spark, "/root/testdata/sf0.001", "documents").limit(50)
+      .select(col("doc_id"), posexplode(TextFunctions.chunkTextUdf(col("text"), lit(120), lit(12))))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val viaGen = rows.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaGen == viaUdf)
+  }
+
+  test("registered cosine_sim SQL function resolves and computes") {
+    GraftExpressions.register(spark)
+    Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(10).createOrReplaceTempView("emb_g")
+    val r = spark.sql("SELECT cosine_sim(embedding, embedding) AS c FROM emb_g").collect()
+    assert(r.forall(x => math.abs(x.getDouble(0) - 1.0) < 1e-12))
+  }
+}
