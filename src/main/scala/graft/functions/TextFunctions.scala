@@ -103,6 +103,27 @@ object TextFunctions {
     udf((text: String, size: Int, overlap: Int) =>
       if (text == null) Array.empty[String] else chunkText(text, size, overlap).toArray)
 
+  /** Distinct word n-gram shingles, single pass (the SQL-expressible
+    * `transform(sequence(...), i -> array_join(slice(ws, i, n)))` form
+    * re-evaluates the tokenizer inside the lambda — O(tokens²) per doc;
+    * this UDF is the O(tokens) equivalent, output-identical). */
+  def shingles(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.length < n) return Array.empty
+    val seen = collection.mutable.LinkedHashSet.empty[String]
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen += sb.result()
+      i += 1
+    }
+    seen.toArray
+  }
+  val shinglesUdf: UserDefinedFunction = udf(shingles _)
+
   // ------------------------------------------------------------ HTML / URL
 
   /** HTML → text (reference bs4_extractor, crawl_web.py:14-23): drop

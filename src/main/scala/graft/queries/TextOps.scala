@@ -90,7 +90,8 @@ object TextOps {
     // uniform fan-out; sizes side is doc-count-sized (broadcastable).
     "q21_ngram_jaccard" -> ((s, dir) => {
       val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3))).as("s"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.alias("a"); val b = sh.alias("b")
       val shared = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -109,7 +110,8 @@ object TextOps {
     // blowup), 4 bands × 4 rows, bucket-join for candidates.
     "q22_minhash_lsh" -> ((s, dir) => {
       val hm = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3))).as("s"))
         .select(col("doc_id"), expr(hmExpr).as("hm"))
       val mhCols = (0 until 16).map(i =>
         min((lit(permA(i)) * col("hm") + lit(permB(i))) % lit(P)).as(s"mh$i"))

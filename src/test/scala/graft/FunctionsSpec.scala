@@ -1,0 +1,99 @@
+package graft
+
+import graft.functions.{Reliability, TextFunctions}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Scalar-function and IO-edge coverage: urljoin RFC cases, sanitize,
+  * html strip, canonical hash, contact cleaner, quarantine split,
+  * JSON array read (S1) / JSON write round-trip (S2). */
+class FunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("urljoin handles RFC-3986 relative reference cases") {
+    val base = "https://kttv.gov.vn/a/b/c.html"
+    assert(TextFunctions.urljoin(base, "d.html") == "https://kttv.gov.vn/a/b/d.html")
+    assert(TextFunctions.urljoin(base, "/root.html") == "https://kttv.gov.vn/root.html")
+    assert(TextFunctions.urljoin(base, "../up.html") == "https://kttv.gov.vn/a/up.html")
+    assert(TextFunctions.urljoin(base, "https://other.example/x") == "https://other.example/x")
+    assert(TextFunctions.urljoin(base, "//cdn.example/y") == "https://cdn.example/y")
+    assert(TextFunctions.urljoin(base, "") == base)
+  }
+
+  test("sanitizeName mirrors the reference's object naming (F6)") {
+    assert(TextFunctions.sanitizeName("https://kttv.gov.vn/upload/x/report.pdf", ".json")
+      == "kttv.gov.vn_upload_x_report.json")
+    assert(TextFunctions.sanitizeName("https://kttv.gov.vn/tin-tuc", "_chunked.json")
+      == "kttv.gov.vn_tin-tuc_chunked.json")
+  }
+
+  test("htmlToText strips tags/scripts and decodes entities (F1/F2)") {
+    val html = "<html><head><style>p{color:red}</style><script>var x=1;</script></head>" +
+      "<body><h1>Du b&aacute;o</h1><p>M&#39;ua &amp; gi&oacute;</p>\n\n\n<p>to</p></body></html>"
+    val txt = TextFunctions.htmlToText(html)
+    assert(!txt.contains("<"))
+    assert(!txt.contains("var x"))
+    assert(!txt.contains("color:red"))
+    assert(txt.contains("M'ua & gi"))
+    assert(!txt.contains("\n\n\n"))
+  }
+
+  test("canonicalHash is stable under struct field order by construction (F4)") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 1)).toDF("x", "y")
+    val h = df.select(TextFunctions.canonicalHash(col("x"), col("y")).as("h")).collect()
+    assert(h(0).getString(0) == h(1).getString(0))
+    assert(h(0).getString(0).matches("[0-9a-f]{64}"))
+  }
+
+  test("cleanContact strips email/phone/footer (F10 deterministic form)") {
+    import spark.implicits._
+    val dirty = "Du bao thoi tiet ngay mai troi nang.\n" +
+      "Lien he: Mr X, email info@kttv.gov.vn, hotline +84 24 3835 5555"
+    val out = Seq(dirty).toDF("t")
+      .select(TextFunctions.cleanContact(col("t")).as("c")).head.getString(0)
+    assert(out.contains("Du bao thoi tiet"))
+    assert(!out.contains("info@kttv.gov.vn"))
+    assert(!out.toLowerCase.contains("lien he"))
+  }
+
+  test("quarantine split isolates bad rows without failing the job (A4)") {
+    import spark.implicits._
+    val df = Seq("https://ok.example/a", "https://ok.example/b", "::not a url::", "https://ok.example/c")
+      .toDF("url")
+    val risky = Reliability.tryUdf { s =>
+      val u = new java.net.URI(s)
+      if (u.getHost == null) throw new IllegalArgumentException(s"no host in $s")
+      u.getHost
+    }
+    val (clean, quarantined) = Reliability.applyWithQuarantine(df, col("url"), risky, "host")
+    assert(clean.count() == 3)
+    assert(clean.select("host").distinct().head.getString(0) == "ok.example")
+    val bad = quarantined.collect()
+    assert(bad.length == 1)
+    assert(bad.head.getAs[String]("error").nonEmpty)
+  }
+
+  test("JSON array object read (S1) and JSON write round-trip (S2)") {
+    val dir = Files.createTempDirectory("graft-json")
+    // reference-style bronze object: one JSON *array* per crawl root
+    Files.write(dir.resolve("root1.json"),
+      """[{"page_content": "doc one", "metadata": {"source": "u1"}},
+        | {"page_content": "doc two", "metadata": {}}]""".stripMargin.getBytes)
+    val arr = spark.read.option("multiLine", true)
+      .schema("page_content STRING, metadata MAP<STRING,STRING>")
+      .json(dir.resolve("root1.json").toString)
+    assert(arr.count() == 2)
+    assert(arr.filter(col("page_content") === "doc one").count() == 1)
+    // write side: df.write.json + read back (upload_json equivalent)
+    val out = dir.resolve("out").toString
+    arr.write.mode("overwrite").json(out)
+    assert(spark.read.schema(arr.schema).json(out).count() == 2)
+  }
+}
