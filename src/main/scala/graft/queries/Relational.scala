@@ -230,6 +230,35 @@ object Relational {
         .na.fill(0L)
     }),
 
+    // As-of join (temporal enrichment a training-data pipeline needs;
+    // prompt-class custom operator): for each purchase, the latest strictly-
+    // earlier click by the same user. Implemented the scalable way — ONE
+    // union + window pass (O(n log n) sort within user partitions) instead
+    // of an O(clicks×purchases) inequality join. Same-ts clicks are
+    // excluded by ordering purchases (ord 0) before clicks (ord 1).
+    "q36_asof_join" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("ord").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("ord", when(col("event_type") === "click", 1).otherwise(0))
+        .withColumn("last_click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("last_click_id"))
+    }),
+
+    // Exact interpolated percentiles per group (distribution stats for
+    // quality filtering at scale; approx_percentile is the sketch form).
+    "q37_percentiles" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+    }),
+
     // Tumbling window (6h) keyed by epoch-aligned bucket start — batch twin
     // of the Structured Streaming path in graft.streaming.EventsStream.
     "q31_tumbling_window" -> ((s, dir) => {
@@ -376,6 +405,20 @@ object Relational {
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q36_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  (SELECT c.event_id FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts < p.ts
+        |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+
+    "q37_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q31_tumbling_window" ->
       """SELECT CAST(floor(floor(epoch(ts)) / 21600) * 21600 AS BIGINT) AS bucket_start_epoch,
