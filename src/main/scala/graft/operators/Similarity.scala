@@ -82,6 +82,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long"))
   }
 
+  /** IVF (inverted-file) approximate top-k: corpus is pre-partitioned by
+    * nearest centroid; a query probes only its own centroid's partition
+    * (`nprobe=1` here; raise by unioning more centroid partitions). At
+    * 100 TB this turns a full-corpus scan per query into a 1/|centroids|
+    * partition scan — the standard ANN recall/cost trade.
+    *
+    * centroids: (centroid_id: Long, cvec: Array[Float]) — small,
+    * broadcast. Returns the same shape as [[topKWindow]]. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def assign(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("casim").desc, col("centroid_id").asc)
+      df.crossJoin(broadcast(centroids))
+        .withColumn("casim", graft.plans.GraftExpressions.cosineSimNative(col(vecCol), col("cvec")))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .drop("casim", "_rk", "cvec")
+    }
+    val corpusAssigned = assign(corpus, "cv", "neighbor_id")
+    val queriesAssigned = assign(queries, "qv", "query_id")
+    // probe: join query to its centroid's corpus partition only
+    val cands = corpusAssigned.join(broadcast(queriesAssigned), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", graft.plans.GraftExpressions.cosineSimNative(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long"))
+  }
+
   /** Sequential left-to-right double dot product — bit-identical to the
     * `aggregate(zip_with(...))` HOF and DuckDB's list_sum/list_transform. */
   private def dot(a: Array[Float], b: Array[Float]): Double = {

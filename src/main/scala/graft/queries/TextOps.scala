@@ -168,6 +168,29 @@ object TextOps {
           length(col("chunk")).cast("long").as("chunk_len"))
     }),
 
+    // End-to-end training-data corpus filter: quality score + language
+    // gate + fingerprint dedup composed into one declarative pipeline —
+    // the flagship "LLM data pipeline" shape (filter early, dedup on a
+    // uniform hash key, keep lineage columns).
+    "q38_corpus_filter" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
+        .withColumn("n_stop", expr(
+          "CAST(size(filter(toks, w -> w IN ('the','a','an','of','and','to','in'))) AS BIGINT)"))
+        .withColumn("quality_score", expr(
+          """0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+            | + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+            | + 0.2 * least((CAST(aggregate(toks, 0, (acc, w) -> acc + length(w)) AS DOUBLE) / n_tokens) / 10.0, 1.0)""".stripMargin))
+        .withColumn("fingerprint",
+          sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256))
+        .filter(col("quality_score") >= 0.55)
+      // dedup: keep the lowest doc_id per fingerprint (deterministic)
+      val keep = scored.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("doc_id"))
+      scored.join(keep, Seq("fingerprint", "doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
+    }),
+
     // Multimodal plumbing (training-data op): text treated as an opaque
     // binary payload + typed metadata (byte length, digest). The real
     // decode step for image/audio is stubbed (no codec libs in this
@@ -278,6 +301,24 @@ object TextOps {
           |FROM (SELECT doc_id, text,
           |        unnest(generate_series(0, greatest(length(text) - 51, 0), 450)) AS start
           |      FROM documents) t""".stripMargin,
+
+      "q38_corpus_filter" ->
+        s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+           |b AS (SELECT doc_id, lang,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_filter(toks, w -> w IN ('the','a','an','of','and','to','in'))) AS BIGINT) AS n_stop,
+           |  CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS tot,
+           |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+           |  FROM t),
+           |scored AS (SELECT doc_id, lang, n_tokens, fingerprint,
+           |  0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           |   + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+           |   + 0.2 * least((CAST(tot AS DOUBLE) / n_tokens) / 10.0, 1.0) AS quality_score
+           |  FROM b),
+           |f AS (SELECT * FROM scored WHERE quality_score >= 0.55),
+           |keep AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM f GROUP BY fingerprint)
+           |SELECT f.doc_id, f.lang, f.n_tokens, f.quality_score
+           |FROM f JOIN keep ON f.fingerprint = keep.fingerprint AND f.doc_id = keep.doc_id""".stripMargin,
 
       "q32_binary_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -27,6 +27,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ivfTopK probes only the query's centroid partition") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val ivf = Similarity.ivfTopK(q, c, cents, 5).collect()
+    assert(ivf.nonEmpty)
+    // every query got at most k ranked hits, ranks contiguous from 1
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // IVF hits are a subset of the full corpus ordering semantics:
+    // each hit's cosine must be <= the exact top-1 cosine for that query
+    val exact = Similarity.topKWindow(q, c, 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    ivf.foreach(r => assert(r.getDouble(2) <= exact(r.getLong(0)) + 1e-12))
+  }
+
   test("hashEmbed is deterministic, fixed-dim, L2-normalized") {
     val v1 = VectorFunctions.hashEmbed("the quick brown fox", 64)
     val v2 = VectorFunctions.hashEmbed("the quick brown fox", 64)
