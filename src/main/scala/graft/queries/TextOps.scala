@@ -308,7 +308,7 @@ object TextOps {
            |  CAST(len(toks) AS BIGINT) AS n_tokens,
            |  CAST(len(list_filter(toks, w -> w IN ('the','a','an','of','and','to','in'))) AS BIGINT) AS n_stop,
            |  CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS tot,
-           |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+           |  sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
            |  FROM t),
            |scored AS (SELECT doc_id, lang, n_tokens, fingerprint,
            |  0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
