@@ -20,12 +20,14 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** events.parquet stores TIMESTAMP(NANOS) which Spark's TimestampType
-    * (micros) cannot read directly; read nanos as long and convert. The
-    * truncation ns→us matches DuckDB's microsecond timestamps in spirit;
-    * oracle comparisons only use second/day granularity. */
+    * (micros) cannot read directly; read nanos as long and convert with
+    * integral division (`div`): `/` is double division and ns epochs
+    * (~1.7e18) exceed double's 53-bit mantissa, putting ~1.6% of rows
+    * 1 µs off. `div` truncates toward zero exactly like DuckDB's
+    * ns→µs cast, so µs-granularity oracles (q39) compare bit-exact. */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

@@ -40,12 +40,17 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  /** Ragged inputs yield NULL (zip_with null-pads the shorter array, which
+    * nulls the whole dot/aggregate in the HOF form) — so the expression is
+    * nullable even over non-nullable children. */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) return null
     var dot = 0.0; var i = 0
-    while (i < n) { dot += x(i).toDouble * y(i).toDouble; i += 1 }
+    while (i < x.length) { dot += x(i).toDouble * y(i).toDouble; i += 1 }
     var na = 0.0; i = 0
     while (i < x.length) { na += x(i).toDouble * x(i).toDouble; i += 1 }
     var nb = 0.0; i = 0
@@ -58,16 +63,20 @@ case class CosineSim(left: Expression, right: Expression)
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       s"""
          |float[] $x = $a.toFloatArray();
          |float[] $y = $b.toFloatArray();
-         |int $n = Math.min($x.length, $y.length);
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $dot += (double)$x[$i] * (double)$y[$i]; }
-         |for (int $i = 0; $i < $x.length; $i++) { $na += (double)$x[$i] * (double)$x[$i]; }
-         |for (int $i = 0; $i < $y.length; $i++) { $nb += (double)$y[$i] * (double)$y[$i]; }
-         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |if ($x.length != $y.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $x.length; $i++) {
+         |    $dot += (double)$x[$i] * (double)$y[$i];
+         |    $na += (double)$x[$i] * (double)$x[$i];
+         |    $nb += (double)$y[$i] * (double)$y[$i];
+         |  }
+         |  ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -259,6 +259,18 @@ object Relational {
           count(lit(1)).as("n"))
     }),
 
+    // Microsecond-granularity per-user timestamp extremes. Exists to pin
+    // the ns→µs conversion in Tables.events to integral division: with the
+    // old double-division form ~1.6% of rows land 1 µs off and this query
+    // fails the oracle compare (second-granularity queries can't see it).
+    "q39_user_ts_extremes" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("n"))
+    }),
+
     // Tumbling window (6h) keyed by epoch-aligned bucket start — batch twin
     // of the Structured Streaming path in graft.streaming.EventsStream.
     "q31_tumbling_window" -> ((s, dir) => {
@@ -423,6 +435,11 @@ object Relational {
     "q31_tumbling_window" ->
       """SELECT CAST(floor(floor(epoch(ts)) / 21600) * 21600 AS BIGINT) AS bucket_start_epoch,
         |  event_type, COUNT(*) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q39_user_ts_extremes" ->
+      """SELECT user_id, MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id""".stripMargin
   )
 }

