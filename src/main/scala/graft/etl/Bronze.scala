@@ -45,28 +45,50 @@ object Bronze {
 
   /** Full BFS crawl to `depth` (crawl_web.py:103-160 recursion as an
     * iterative driver loop of distributed jobs). `fetchPage` maps a URL
-    * batch to (url, page_content, metadata, links) — injected IO edge. */
+    * batch to (url, page_content, metadata, links) — injected IO edge.
+    *
+    * Every round's `pages` / `frontier` / `visited` is persisted and
+    * materialized before the next round reads it: without that, each
+    * round's action re-evaluates the full lineage of all prior rounds —
+    * O(depth²) re-invocations of `fetchPage`, and with a real non-
+    * idempotent HTTP fetch the visited set could diverge mid-crawl
+    * (reference fetches each URL once, crawl_web.py:114-122). The
+    * returned frame unions the cached round batches, so downstream
+    * actions re-read cache, not the network; land it promptly. */
   def crawl(spark: SparkSession, roots: DataFrame, depth: Int,
             fetchPage: DataFrame => DataFrame): DataFrame = {
-    var visited = roots.select(col("url"))
-    var frontier = roots.select(col("url"))
+    var visited = roots.select(col("url")).persist()
+    var frontier = visited
     var acc: DataFrame = null
     var d = 0
-    while (d <= depth && !frontier.isEmpty) {
-      val pages = cleanLinks(fetchPage(frontier))
+    while (d <= depth && frontier.count() > 0) {
+      val pages = cleanLinks(fetchPage(frontier)).persist()
+      pages.count() // materialize: fetchPage runs exactly once per URL
       acc = if (acc == null) pages else acc.unionByName(pages)
-      frontier = expandFrontier(pages, visited)
-      visited = visited.union(frontier).distinct()
+      val next = expandFrontier(pages, visited).persist()
+      next.count()
+      val grown = visited.union(next).distinct().persist()
+      grown.count()
+      if (frontier ne visited) frontier.unpersist()
+      visited.unpersist()
+      visited = grown
+      frontier = next
       d += 1
     }
-    dedupByContent(acc)
+    if (frontier ne visited) frontier.unpersist()
+    visited.unpersist()
+    if (acc == null) roots.select(col("url")).limit(0) else dedupByContent(acc)
   }
 
-  /** Date-partitioned landing write (bronze.py:53,91): append-by-partition
-    * with dynamic overwrite semantics for idempotent re-runs (§2.8). */
+  /** Date-partitioned landing write (bronze.py:53,91): dynamic partition
+    * overwrite — re-running a day replaces exactly that day's partition
+    * and leaves the rest of history untouched, matching the reference's
+    * idempotent per-key bronze writes (bronze.py:91) (§2.8). */
   def land(df: DataFrame, path: String): Unit =
     df.withColumn("crawl_date", date_format(current_date(), "yyyy-MM-dd"))
-      .write.mode("append").partitionBy("crawl_date").parquet(path)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("crawl_date").parquet(path)
 
   /** Read the bronze table (all dates or one date partition — partition
     * pruning makes the single-date read O(day), not O(history)). */

@@ -43,28 +43,43 @@ object EventsStream {
   case class SessState(lastTs: Long, sessionId: Long, n: Long, startTs: Long)
 
   /** Gap-based (30 min) session assignment via flatMapGroupsWithState —
-    * the streaming twin of q28_sessionize. Emits a session when a gap
-    * closes it; `flushAll` (test mode) emits the open session too. */
-  def sessionize(events: Dataset[Evt], gapSec: Long = 1800L): Dataset[SessionAgg] = {
+    * the streaming twin of q28_sessionize. A session is emitted when a
+    * later event closes it (gap exceeded) or when the event-time
+    * watermark passes its end (event-time timeout) — so an idle user's
+    * final session is flushed and per-user state lives only until
+    * watermark + gap, instead of unboundedly for the stream's lifetime. */
+  def sessionize(events: Dataset[Evt], gapSec: Long = 1800L,
+                 watermarkDelay: String = "10 minutes"): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionAgg](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Evt], state: GroupState[SessState]) =>
-          // events within a micro-batch arrive unordered — sort by (ts, id)
-          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L, 0L))
-          var out = List.empty[SessionAgg]
-          for (e <- evs) {
-            val t = e.ts.getTime / 1000
-            if (st.n == 0L) st = SessState(t, 1L, 1L, t)
-            else if (t - st.lastTs > gapSec) {
-              out ::= SessionAgg(user, st.sessionId, st.n, st.lastTs - st.startTs)
-              st = SessState(t, st.sessionId + 1, 1L, t)
-            } else st = st.copy(lastTs = t, n = st.n + 1)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionAgg(user, st.sessionId, st.n, st.lastTs - st.startTs))
+          } else {
+            // events within a micro-batch arrive unordered — sort by (ts, id)
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L, 0L))
+            var out = List.empty[SessionAgg]
+            for (e <- evs) {
+              val t = e.ts.getTime / 1000
+              if (st.n == 0L) st = SessState(t, 1L, 1L, t)
+              else if (t - st.lastTs > gapSec) {
+                out ::= SessionAgg(user, st.sessionId, st.n, st.lastTs - st.startTs)
+                st = SessState(t, st.sessionId + 1, 1L, t)
+              } else st = st.copy(lastTs = t, n = st.n + 1)
+            }
+            state.update(st)
+            // flush when the watermark passes session end (clamped forward:
+            // the API rejects timestamps at/behind the current watermark)
+            state.setTimeoutTimestamp(
+              math.max(st.lastTs * 1000L + gapSec * 1000L, state.getCurrentWatermarkMs() + 1L))
+            out.reverseIterator
           }
-          state.update(st)
-          out.reverseIterator
       }
   }
 

@@ -25,10 +25,16 @@ class BucketingSpec extends AnyFunSuite {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+    // explicit per-run locations: the shared session's default warehouse may
+    // hold a stale li_b/ dir from a previous JVM (LOCATION_ALREADY_EXISTS)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
     Tables(spark, dir, "lineitem").write.mode("overwrite")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_b").saveAsTable("li_b")
     Tables(spark, dir, "orders").write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_b")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/ord_b").saveAsTable("ord_b")
 
     val joined = spark.table("li_b")
       .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))

@@ -109,6 +109,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(silverPath).count() == n1)
   }
 
+  test("crawl fetches each url exactly once across a depth-2 crawl") {
+    import spark.implicits._
+    val fetches = spark.sparkContext.longAccumulator("fetches")
+    // static 4-node link graph: a -> {b,c}, b -> {d}, c -> {d,a}, d -> {}
+    val graph = Map(
+      "https://s/a" -> Seq("/b", "/c"),
+      "https://s/b" -> Seq("/d"),
+      "https://s/c" -> Seq("/d", "/a"),
+      "https://s/d" -> Seq.empty[String])
+    val fetchUdf = udf((url: String) => { fetches.add(1L); graph.getOrElse(url, Seq.empty) })
+    val fetchPage = (f: DataFrame) => f
+      .withColumn("links", fetchUdf(col("url")))
+      .withColumn("page_content", concat(lit("content of "), col("url")))
+    val out = Bronze.crawl(spark, Seq("https://s/a").toDF("url"), 2, fetchPage)
+    assert(out.select("url").collect().map(_.getString(0)).toSet ==
+      Set("https://s/a", "https://s/b", "https://s/c", "https://s/d"))
+    // without per-round persist+materialize, each round's action replays
+    // prior rounds' lineage and this exceeds 4 (reference semantics:
+    // crawl_web.py:114-122 fetches each url once)
+    assert(fetches.value == 4L, s"expected 4 fetches, got ${fetches.value}")
+  }
+
+  test("land is idempotent: re-running the same day leaves counts stable") {
+    val path = s"$tmp/bronze-idem"
+    val df = Bronze.dedupByContent(fixtureBronze)
+    Bronze.land(df, path)
+    val n1 = spark.read.parquet(path).count()
+    Bronze.land(df, path) // same-day re-run: dynamic overwrite, not append
+    assert(spark.read.parquet(path).count() == n1)
+  }
+
   test("binary raw-asset mode reads via binaryFile source (A.5)") {
     val dir = Files.createTempDirectory("graft-bin")
     Files.write(dir.resolve("a.html"), "<html><body>hi</body></html>".getBytes)

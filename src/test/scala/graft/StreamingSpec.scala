@@ -58,4 +58,28 @@ class StreamingSpec extends AnyFunSuite {
     val users = missing.map(_.head)
     assert(users.size == missing.size, "at most one open session per user")
   }
+
+  test("event-time timeout flushes an idle user's open session") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Evt]
+    val sessions = EventsStream.sessionize(ms.toDS(), gapSec = 60L, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("flush_test").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    try {
+      ms.addData(EventsStream.Evt(1L, ts(100), 1L), EventsStream.Evt(2L, ts(130), 1L))
+      q.processAllAvailable()
+      assert(spark.table("flush_test").isEmpty) // session still open, nothing emitted
+      // user 2's events advance the watermark past user 1's session end
+      // (130 + 60); the next batch evaluates timeouts against it
+      ms.addData(EventsStream.Evt(3L, ts(1000), 2L))
+      q.processAllAvailable()
+      ms.addData(EventsStream.Evt(4L, ts(1001), 2L))
+      q.processAllAvailable()
+      val flushed = spark.table("flush_test").as[EventsStream.SessionAgg].collect()
+      assert(flushed.exists(r => r.user_id == 1L && r.n_events == 2L && r.duration_sec == 30L),
+        s"idle user's session not flushed: ${flushed.mkString(", ")}")
+    } finally q.stop()
+  }
 }
