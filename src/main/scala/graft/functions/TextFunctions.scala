@@ -127,18 +127,61 @@ object TextFunctions {
   // ------------------------------------------------------------ HTML / URL
 
   /** HTML → text (reference bs4_extractor, crawl_web.py:14-23): drop
-    * script/style subtrees, strip tags, decode common entities, collapse
-    * blank runs. Pure-JVM (no jsoup in this classpath). */
+    * comments/CDATA and script/style subtrees (including unclosed ones,
+    * which swallow to end-of-document exactly as an HTML parser treats
+    * raw-text elements), strip tags, decode named + numeric character
+    * references, collapse blank runs. Pure-JVM (no jsoup in this
+    * classpath); adversarial-input parity cases in FunctionsSpec. */
   def htmlToText(html: String): String = {
     if (html == null) return null
-    val noScript = html.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+    val noMeta = html
+      .replaceAll("(?s)<!--.*?-->", " ")
+      .replaceAll("(?s)<!\\[CDATA\\[.*?\\]\\]>", " ")
+    val noScript = noMeta
+      .replaceAll("(?is)<(script|style)[^>]*>.*?</\\1\\s*>", " ")
+      .replaceAll("(?is)<(script|style)[^>]*>.*$", " ") // unclosed raw-text element
     val noTags = noScript.replaceAll("(?s)<[^>]*>", " ")
-    val decoded = noTags
-      .replace("&nbsp;", " ").replace("&amp;", "&").replace("&lt;", "<")
-      .replace("&gt;", ">").replace("&quot;", "\"").replace("&#39;", "'")
-    normalizeWs(decoded)
+    normalizeWs(decodeEntities(noTags))
   }
   val htmlToTextUdf: UserDefinedFunction = udf(htmlToText _)
+
+  private val NamedEntities: Map[String, String] = Map(
+    "nbsp" -> " ", "amp" -> "&", "lt" -> "<", "gt" -> ">",
+    "quot" -> "\"", "apos" -> "'",
+    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+    "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”",
+    "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    "deg" -> "°", "middot" -> "·", "bull" -> "•",
+    "laquo" -> "«", "raquo" -> "»",
+    "times" -> "×", "divide" -> "÷",
+    "aacute" -> "á", "agrave" -> "à", "acirc" -> "â",
+    "eacute" -> "é", "egrave" -> "è", "ecirc" -> "ê",
+    "iacute" -> "í", "oacute" -> "ó", "ocirc" -> "ô",
+    "uacute" -> "ú", "ccedil" -> "ç",
+    "auml" -> "ä", "ouml" -> "ö", "uuml" -> "ü",
+    "szlig" -> "ß")
+
+  private val EntityRe = "&(#[xX]?[0-9A-Fa-f]+|[A-Za-z][A-Za-z0-9]{1,30});".r
+
+  /** Decode named and numeric (`&#65;` / `&#x2019;`) character references
+    * in a single left-to-right pass — so `&amp;lt;` yields the literal
+    * text `&lt;` (parser parity), not `<`. Unknown or out-of-range
+    * references are left verbatim. */
+  def decodeEntities(s: String): String =
+    if (s == null) null
+    else EntityRe.replaceAllIn(s, m => {
+      val e = m.group(1)
+      val repl =
+        try {
+          if (e.startsWith("#x") || e.startsWith("#X"))
+            new String(Character.toChars(Integer.parseInt(e.substring(2), 16)))
+          else if (e.startsWith("#"))
+            new String(Character.toChars(Integer.parseInt(e.substring(1))))
+          else NamedEntities.getOrElse(e, m.matched)
+        } catch { case _: Exception => m.matched }
+      java.util.regex.Matcher.quoteReplacement(repl)
+    })
 
   /** Whitespace normalization (reference crawl_web.py:23). */
   def normalizeWs(s: String): String =

@@ -44,6 +44,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!txt.contains("\n\n\n"))
   }
 
+  test("htmlToText survives adversarial HTML: unclosed raw-text, CDATA, comments, numeric entities") {
+    // unclosed <script> swallows to end-of-document (parser raw-text rule)
+    val unclosed = TextFunctions.htmlToText("<p>keep</p><script>var leak = 'secret'")
+    assert(unclosed == "keep", s"got '$unclosed'")
+    // nested style inside script text is dropped with the script subtree
+    val nested = TextFunctions.htmlToText(
+      "<p>a</p><script>document.write('<style>x{}</style>')</script><p>b</p>")
+    assert(nested == "a b")
+    // comments may contain '>' and tags — removed before tag-stripping
+    val comment = TextFunctions.htmlToText("<p>x</p><!-- <p>not me> --><p>y</p>")
+    assert(comment == "x y")
+    // CDATA content is dropped
+    assert(TextFunctions.htmlToText("<p>x</p><![CDATA[ <raw> ]]><p>y</p>") == "x y")
+    // numeric entities: decimal and hex (U+2019 right single quote)
+    assert(TextFunctions.htmlToText("it&#x2019;s &#65;") == "it’s A")
+    // named accented entities
+    assert(TextFunctions.htmlToText("Du b&aacute;o gi&oacute;") == "Du báo gió")
+    // double-escaped entity stays text, parser parity
+    assert(TextFunctions.decodeEntities("&amp;lt;b&amp;gt;") == "&lt;b&gt;")
+    // unknown entity left verbatim
+    assert(TextFunctions.decodeEntities("&bogus123;") == "&bogus123;")
+    // unclosed ordinary tag at EOF doesn't eat preceding text
+    assert(TextFunctions.htmlToText("<p>tail</p><a href=") == "tail <a href=")
+  }
+
   test("canonicalHash is stable under struct field order by construction (F4)") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 1)).toDF("x", "y")
