@@ -84,6 +84,99 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** All multiprobe-LSH table keys of an embedding in one codegen'd pass
+  * (the q40 hot path): `tables` keys of `bits` sign bits each, planes
+  * derived from the deterministic integer hash
+  * `((((p*131071 + d*8191) % 524287) * mult) % 1000003) % 1000`,
+  * centered to (-0.5, 0.5). The HOF formulation evaluates
+  * tables×bits interpreted `aggregate` lambdas per row (48×64
+  * element-lambda calls); this expression is one fused loop over the
+  * same arithmetic in the same per-plane sequential accumulation order,
+  * so keys are bit-identical to the HOF form and the DuckDB oracle
+  * (asserted in ExpressionsSpec + tools/check.py q40).
+  *
+  * Semantics parity with the HOF form for ragged input: a vector
+  * shorter than 64 dims makes `element_at` null, nulling every plane
+  * sum, so every sign test fails → all keys 0. */
+case class LshKeys(child: Expression, tables: Int, bits: Int, mult: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_keys expects array<float>, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_keys"
+
+  /** plane matrix [tables*bits][64], precomputed once per query */
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(tables * bits) { p =>
+      Array.tabulate(64) { i =>
+        val d = i + 1
+        val h = ((p.toLong * 131071L + d.toLong * 8191L) % 524287L) * mult % 1000003L % 1000L
+        (h.toDouble - 499.5) / 1000.0
+      }
+    }
+
+  private def keysOf(v: Array[Float]): Array[Long] = {
+    val keys = new Array[Long](tables)
+    if (v.length >= 64) {
+      var t = 0
+      while (t < tables) {
+        var key = 0L
+        var b = 0
+        while (b < bits) {
+          val pl = planes(t * bits + b)
+          var acc = 0.0
+          var d = 0
+          while (d < 64) { acc += pl(d) * v(d).toDouble; d += 1 }
+          if (acc >= 0.0) key |= (1L << b)
+          b += 1
+        }
+        keys(t) = key
+        t += 1
+      }
+    }
+    keys
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(keysOf(a.asInstanceOf[ArrayData].toFloatArray()))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("v"); val keys = ctx.freshName("keys")
+      val t = ctx.freshName("t"); val b = ctx.freshName("b")
+      val d = ctx.freshName("d"); val acc = ctx.freshName("acc")
+      val key = ctx.freshName("key"); val pl = ctx.freshName("pl")
+      s"""
+         |float[] $v = $a.toFloatArray();
+         |long[] $keys = new long[$tables];
+         |if ($v.length >= 64) {
+         |  for (int $t = 0; $t < $tables; $t++) {
+         |    long $key = 0L;
+         |    for (int $b = 0; $b < $bits; $b++) {
+         |      double[] $pl = $planesRef[$t * $bits + $b];
+         |      double $acc = 0.0;
+         |      for (int $d = 0; $d < 64; $d++) { $acc += $pl[$d] * (double)$v[$d]; }
+         |      if ($acc >= 0.0) { $key |= (1L << $b); }
+         |    }
+         |    $keys[$t] = $key;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshKeys = copy(child = c)
+}
+
 /** `chunk_text(text, size, overlap)` as a row Generator (1-to-N), usable
   * from SQL via LATERAL VIEW / table-generating select. Emits
   * (chunk_id int, chunk string). */
@@ -117,6 +210,10 @@ object GraftExpressions {
   def cosineSimNative(a: Column, b: Column): Column =
     GraftBridge.column(
       CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column surface for the fused LSH key computation. */
+  def lshKeys(embedding: Column, tables: Int, bits: Int, mult: Long): Column =
+    GraftBridge.column(LshKeys(GraftBridge.expression(embedding), tables, bits, mult))
 
   /** Register SQL functions: `cosine_sim(a, b)` and
     * `chunk_text(text, size, overlap)`. */

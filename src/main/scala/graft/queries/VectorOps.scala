@@ -24,17 +24,20 @@ object VectorOps {
   // and scaled to (-0.5, 0.5) — an LCG-style mix so the 48 planes are
   // mutually uncorrelated (exact integer arithmetic in both engines; the
   // product is forced to BIGINT so neither engine overflows 32-bit).
-  private[queries] val LshTables = 8
-  private[queries] val LshBits = 6
+  private[graft] val LshTables = 8
+  private[graft] val LshBits = 6
+  private[graft] val LshMult = 69621L
   /** probe the exact key plus each Hamming-1 neighbor */
-  private[queries] val LshProbeFlips: Seq[Long] = 0L +: (0 until LshBits).map(b => 1L << b)
+  private[graft] val LshProbeFlips: Seq[Long] = 0L +: (0 until LshBits).map(b => 1L << b)
 
-  private def lshPlaneDot(p: Int): String =
+  private[graft] def lshPlaneDot(p: Int): String =
     s"""aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
-       | (acc, d) -> acc + ((CAST(CAST(($p * 131071 + d * 8191) % 524287 AS BIGINT) * 69621 % 1000003 % 1000 AS DOUBLE) - 499.5) / 1000.0)
+       | (acc, d) -> acc + ((CAST(CAST(($p * 131071 + d * 8191) % 524287 AS BIGINT) * $LshMult % 1000003 % 1000 AS DOUBLE) - 499.5) / 1000.0)
        |   * CAST(element_at(embedding, d) AS DOUBLE))""".stripMargin
 
-  private def lshKeyCols: Seq[org.apache.spark.sql.Column] =
+  /** HOF formulation of the table keys — the documented arithmetic and
+    * the equality-test twin of the fused native LshKeys expression. */
+  private[graft] def lshKeyCols: Seq[org.apache.spark.sql.Column] =
     (0 until LshTables).map { t =>
       (0 until LshBits).map(b =>
         when(expr(lshPlaneDot(t * LshBits + b)) >= 0.0, lit(1L << b)).otherwise(lit(0L)))
@@ -43,7 +46,7 @@ object VectorOps {
 
   private def duckLshPlaneDot(p: Int): String =
     s"""list_sum(list_transform(generate_series(1, 64),
-       | d -> ((CAST(CAST(($p * 131071 + d * 8191) % 524287 AS BIGINT) * 69621 % 1000003 % 1000 AS DOUBLE) - 499.5) / 1000.0)
+       | d -> ((CAST(CAST(($p * 131071 + d * 8191) % 524287 AS BIGINT) * $LshMult % 1000003 % 1000 AS DOUBLE) - 499.5) / 1000.0)
        |   * CAST(embedding[d] AS DOUBLE)))""".stripMargin
 
   private def duckLshKey(t: Int): String =
@@ -101,8 +104,9 @@ object VectorOps {
     // that are shifts of each other — fine for one table, useless for 8).
     "q40_lsh_neardup" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val keyed = e.select(col("vec_id") +: col("embedding") +: lshKeyCols: _*)
-      val idx = keyed.select(col("vec_id"), posexplode(array((0 until LshTables).map(t => col(s"k$t")): _*)))
+      val idx = e.select(col("vec_id"),
+          posexplode(graft.plans.GraftExpressions.lshKeys(
+            col("embedding"), LshTables, LshBits, LshMult)))
         .select(col("vec_id"), col("pos").as("tbl"), col("col").as("k"))
       val probe = idx
         .select(col("vec_id"), col("tbl"), col("k"),

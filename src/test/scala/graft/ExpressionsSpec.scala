@@ -27,6 +27,32 @@ class ExpressionsSpec extends AnyFunSuite {
       "native codegen cosine must be bit-equal to HOF cosine")
   }
 
+  test("native cosine_sim returns NULL on ragged lengths (zip_with parity)") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f)), (Array(1f, 2f), Array(1f, 2f)))
+      .toDF("va", "vb")
+    val rows = df.select(
+      GraftExpressions.cosineSimNative(col("va"), col("vb")).as("native"),
+      VectorFunctions.cosineHof("va", "vb").as("hof")).collect()
+    // ragged pair: both forms NULL
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    // equal-length pair: both defined and equal
+    assert(!rows(1).isNullAt(0) && rows(1).getDouble(0) == rows(1).getDouble(1))
+  }
+
+  test("native lsh_keys matches the HOF sign-bit keys bit-for-bit") {
+    import graft.queries.VectorOps
+    val e = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val hof = e.select(col("vec_id") +: VectorOps.lshKeyCols: _*).collect()
+      .map(r => r.getLong(0) -> (1 to VectorOps.LshTables).map(r.getLong)).toMap
+    val nat = e.select(col("vec_id"),
+        GraftExpressions.lshKeys(col("embedding"),
+          VectorOps.LshTables, VectorOps.LshBits, VectorOps.LshMult).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(nat.keySet == hof.keySet && nat.nonEmpty)
+    hof.foreach { case (id, ks) => assert(nat(id) == ks, s"keys differ for vec $id") }
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val df = e.select(GraftExpressions.cosineSimNative(col("embedding"), col("embedding")).as("c"))
