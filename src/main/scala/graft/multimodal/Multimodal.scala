@@ -35,9 +35,22 @@ object Multimodal {
         xxhash64(col("path")).as("asset_id"),
         when(col("path").endsWith(".png") || col("path").endsWith(".jpg"), "image")
           .when(col("path").endsWith(".html"), "html")
+          .when(col("path").endsWith(".pdf"), "pdf")
           .otherwise("binary").as("modality"),
         col("content"),
         map(lit("path"), col("path"), lit("length"), col("length").cast("string")).as("meta"))
+
+  /** Modality-dispatched text extraction (reference crawl_web.py:127-138:
+    * text/html → bs4 extractor, application/pdf → PDF loader): html goes
+    * through the entity-decoding tag stripper, pdf through the pure-JVM
+    * content-stream extractor (F8), anything else is read as UTF-8. */
+  def extractText(assets: DataFrame): DataFrame = {
+    import graft.functions.{PdfText, TextFunctions}
+    assets.withColumn("text",
+      when(col("modality") === "html", TextFunctions.htmlToTextUdf(col("content").cast("string")))
+        .when(col("modality") === "pdf", PdfText.pdfToTextUdf(col("content")))
+        .otherwise(col("content").cast("string")))
+  }
 
   /** STUB decoder: recognizes PNG / JPEG magic bytes and reads the real
     * dimensions from the header when present (PNG IHDR); everything a

@@ -23,12 +23,20 @@ class MultimodalSpec extends AnyFunSuite {
     sig ++ ihdrLen ++ ihdrTag ++ be(w) ++ be(h) ++ Array[Byte](8, 6, 0, 0, 0)
   }
 
+  /** tiny single-object PDF with one plain content stream. */
+  private def pdfBytes(text: String): Array[Byte] = {
+    val stream = s"BT /F1 12 Tf 72 720 Td ($text) Tj ET"
+    (s"%PDF-1.4\n1 0 obj << /Length ${stream.length} >>\nstream\n" + stream +
+      "\nendstream\nendobj\n%%EOF").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
   private lazy val assetDir: String = {
     val dir = Files.createTempDirectory("graft-mm")
     Files.write(dir.resolve("a.png"), pngBytes(640, 480))
     Files.write(dir.resolve("b.png"), pngBytes(32, 32))
     Files.write(dir.resolve("c.jpg"), Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte))
     Files.write(dir.resolve("page.html"), "<html><body>x</body></html>".getBytes)
+    Files.write(dir.resolve("doc.pdf"), pdfBytes("Bao cao thuy van"))
     dir.toString
   }
 
@@ -37,7 +45,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(assets.schema.fieldNames.toSeq == Seq("asset_id", "modality", "content", "meta"))
     val byModality = assets.groupBy("modality").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(byModality == Map("image" -> 3L, "html" -> 1L))
+    assert(byModality == Map("image" -> 3L, "html" -> 1L, "pdf" -> 1L))
+  }
+
+  test("extractText dispatches html and pdf payloads to their extractors") {
+    val texts = Multimodal.extractText(Multimodal.readAssets(spark, assetDir))
+      .filter(col("modality").isin("html", "pdf"))
+      .select(col("modality"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(texts("html") == "x")
+    assert(texts("pdf") == "Bao cao thuy van")
   }
 
   test("decodeStub reads real PNG dimensions, flags JPEG, rejects garbage") {
@@ -50,7 +67,7 @@ class MultimodalSpec extends AnyFunSuite {
   test("extractFeatures: partition-wise batched, fixed-dim, deterministic") {
     val assets = Multimodal.readAssets(spark, assetDir).repartition(3)
     val feats = Multimodal.extractFeatures(spark, assets, dim = 16, batchSize = 2).collect()
-    assert(feats.length == 4)
+    assert(feats.length == 5)
     assert(feats.forall(_.feature.length == 16))
     val png = feats.filter(_.format == "png")
     assert(png.map(f => (f.width, f.height)).toSet == Set((640, 480), (32, 32)))

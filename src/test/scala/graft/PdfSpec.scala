@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.PdfText
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** F8 PDF text extraction on hand-built fixtures: a plain content
+  * stream and a FlateDecode one, exercising Tj / TJ-with-kerning /
+  * quote operators, escapes, octal and hex strings. */
+class PdfSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private val content =
+    """BT
+      |/F1 12 Tf 72 720 Td (Hello \(PDF\) world) Tj
+      |0 -14 Td [(kerned) -250 (words) 20 (glued)] TJ
+      |0 -14 Td (line\nbreak \101\102C) Tj
+      |(quoted tail) '
+      |ET""".stripMargin
+
+  private def wrap(stream: Array[Byte], flate: Boolean): Array[Byte] = {
+    val filter = if (flate) " /Filter /FlateDecode" else ""
+    val head = s"%PDF-1.4\n1 0 obj << /Length ${stream.length}$filter >>\nstream\n"
+      .getBytes(ISO_8859_1)
+    val tail = "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF"
+      .getBytes(ISO_8859_1)
+    head ++ stream ++ tail
+  }
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val buf = new Array[Byte](8192)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def checkText(txt: String): Unit = {
+    assert(txt.contains("Hello (PDF) world"), txt)
+    assert(txt.contains("kerned wordsglued"), txt) // -250 em -> space, +20 -> none
+    assert(txt.contains("line\nbreak ABC"), txt)   // \n escape + octal \101\102
+    assert(txt.contains("quoted tail"), txt)
+  }
+
+  test("extracts text from a plain content stream") {
+    checkText(PdfText.extract(wrap(content.getBytes(ISO_8859_1), flate = false)))
+  }
+
+  test("extracts text from a FlateDecode content stream") {
+    checkText(PdfText.extract(wrap(deflate(content.getBytes(ISO_8859_1)), flate = true)))
+  }
+
+  test("hex strings decode; malformed input never throws") {
+    val hex = "BT <48656C6C6F> Tj ET".getBytes(ISO_8859_1)
+    assert(PdfText.extract(wrap(hex, flate = false)).contains("Hello"))
+    assert(PdfText.extract("not a pdf at all".getBytes(ISO_8859_1)) == "")
+    assert(PdfText.extract(Array[Byte](37, 80, 68, 70, 115, 116, 114, 101, 97, 109)) == "")
+    assert(PdfText.extract(null) == null)
+    // corrupt flate data -> recover nothing, no exception
+    val bad = wrap("garbage-not-zlib".getBytes(ISO_8859_1), flate = true)
+    assert(PdfText.extract(bad) == "")
+  }
+
+  test("pdfToTextUdf extracts over a binary column") {
+    import spark.implicits._
+    val pdf = wrap(content.getBytes(ISO_8859_1), flate = false)
+    val df = Seq(Tuple1(pdf)).toDF("content")
+      .select(PdfText.pdfToTextUdf(col("content")).as("text"))
+    checkText(df.head.getString(0))
+  }
+}
