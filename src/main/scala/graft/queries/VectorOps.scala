@@ -112,11 +112,13 @@ object VectorOps {
         .select(col("vec_id"), col("tbl"), col("k"),
           explode(array(LshProbeFlips.map(lit(_)): _*)).as("f"))
         .select(col("vec_id"), col("tbl"), col("k").bitwiseXOR(col("f")).as("pk"))
+      // probe only from the smaller id: pair (a,b) with Hamming≤1 keys is
+      // still found (a's probe set hits b's exact key iff distance ≤ 1),
+      // and each match surfaces once per table instead of twice
       val x = idx.alias("x"); val y = probe.alias("y")
       val cand = x.join(y, col("x.tbl") === col("y.tbl") && col("x.k") === col("y.pk")
-          && col("x.vec_id") =!= col("y.vec_id"))
-        .select(least(col("x.vec_id"), col("y.vec_id")).as("id_a"),
-          greatest(col("x.vec_id"), col("y.vec_id")).as("id_b"))
+          && col("y.vec_id") < col("x.vec_id"))
+        .select(col("y.vec_id").as("id_a"), col("x.vec_id").as("id_b"))
         .distinct()
       cand
         .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
@@ -189,10 +191,9 @@ object VectorOps {
          |  SELECT vec_id, tbl, xor(k, ff.f) AS pk
          |  FROM idx CROSS JOIN (SELECT unnest([$flips]) AS f) ff),
          |cand AS (
-         |  SELECT DISTINCT least(i.vec_id, p.vec_id) AS id_a,
-         |    greatest(i.vec_id, p.vec_id) AS id_b
+         |  SELECT DISTINCT p.vec_id AS id_a, i.vec_id AS id_b
          |  FROM idx i JOIN probe p
-         |    ON i.tbl = p.tbl AND i.k = p.pk AND i.vec_id <> p.vec_id)
+         |    ON i.tbl = p.tbl AND i.k = p.pk AND p.vec_id < i.vec_id)
          |SELECT id_a, id_b, ${duckCosineExpr("ea.embedding", "eb.embedding")} AS cosine
          |FROM cand
          |JOIN embeddings ea ON ea.vec_id = id_a
