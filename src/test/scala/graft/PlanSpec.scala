@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits (builder mandate: ".explain the plan and iterate
+  * until it's the plan you'd want"). Each assertion pins a scale
+  * property that silent regressions would otherwise erode: pushdown
+  * reaching the parquet scan, column pruning, broadcast dimension joins,
+  * native expressions in the codegen path, and single-scan subtrees.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    val qe = df.queryExecution
+    org.apache.spark.sql.execution.ExplainMode.fromString("formatted") match {
+      case m => qe.explainString(m)
+    }
+  }
+
+  test("q01 pushes the shipdate filter into the parquet scan and prunes columns") {
+    val f = formatted(SparkEntry.queries("q01_pricing_summary")(spark, dir))
+    assert(f.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), f)
+    // pruned read schema: no orderkey/partkey/suppkey columns
+    val read = f.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"), read)
+  }
+
+  test("q02 reads only the projected columns") {
+    val f = formatted(SparkEntry.queries("q02_filter_contains")(spark, dir))
+    val read = f.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text"))
+    assert(!read.contains("source"), s"unpruned scan: $read")
+  }
+
+  test("q06 star join broadcasts both dimensions (no shuffle of the fact side)") {
+    val p = planOf("q06_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dimension join degraded to SMJ:\n$p")
+  }
+
+  test("q24 kNN inner loop uses the native codegen'd cosine") {
+    val p = planOf("q24_knn_brute")
+    assert(p.contains("cosine_sim"), p)
+  }
+
+  test("q40 computes LSH keys via the fused native expression, once per row") {
+    val p = planOf("q40_lsh_neardup")
+    assert(p.contains("lsh_keys"), p)
+    assert(!p.contains("aggregate(sequence(1, 64)"),
+      "q40 must not fall back to interpreted HOF plane dots")
+  }
+
+  test("q38 corpus filter scans documents once (window dedup, no self-join)") {
+    val p = planOf("q38_corpus_filter")
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(scans == 1, s"expected a single documents scan, got $scans:\n$p")
+  }
+
+  test("q21 self-join keys are document-frequency capped") {
+    val p = planOf("q21_ngram_jaccard")
+    // the DF cap window precedes the join: its filter survives in the plan
+    assert(p.contains("1000"), p)
+    assert(!p.contains("BroadcastExchange IdentityBroadcastMode"),
+      "no forced broadcast of doc-sized frames")
+  }
+
+  test("whole-stage codegen covers the hot aggregation path of q01") {
+    // AQE shows codegen spans only in the final (post-execution) plan
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert(p.contains("*(1)") && p.contains("*(2) HashAggregate"), p)
+  }
+}
