@@ -271,6 +271,16 @@ object Relational {
           count(lit(1)).as("n"))
     }),
 
+    // Skew-salted two-phase aggregation (builder mandate: "salting for
+    // skew"): the 5 hot event_type keys are spread over 16 salt buckets
+    // before the final re-aggregation, so no single reducer sees a whole
+    // hot key. Decimal sums make the result identical to the plain
+    // GROUP BY oracle regardless of merge order.
+    "q41_salted_agg" -> ((s, dir) => {
+      graft.operators.Salting.saltedCountSum(
+        Tables(s, dir, "events"), Seq("event_type"), "event_id", "value")
+    }),
+
     // Tumbling window (6h) keyed by epoch-aligned bucket start — batch twin
     // of the Structured Streaming path in graft.streaming.EventsStream.
     "q31_tumbling_window" -> ((s, dir) => {
@@ -440,6 +450,10 @@ object Relational {
     "q39_user_ts_extremes" ->
       """SELECT user_id, MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
         |  COUNT(*) AS n
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q41_salted_agg" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS total
+         |FROM events GROUP BY event_type""".stripMargin
   )
 }
