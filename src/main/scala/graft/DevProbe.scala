@@ -18,6 +18,13 @@ object DevProbe {
       val n = SparkEntry.queries(name)(spark, dir).count()
       println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
     }
+    if (sys.env.contains("SPARK_GRAFT_PLAN")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      println(df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => Seq("Exchange", "Join", "Window", "HashAggregate", "Scan", "Sort ", "Generate")
+          .exists(l.contains)).mkString("\n"))
+    }
     spark.stop()
   }
 }

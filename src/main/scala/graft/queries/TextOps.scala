@@ -91,27 +91,25 @@ object TextOps {
     // stop-shingle would otherwise dominate the whole shuffle; docs
     // sharing only ultra-common shingles aren't meaningful near-dups
     // anyway (standard stop-shingle removal; the cap is far above any DF
-    // in the test data, so the oracle result is unchanged). The DF count
-    // is a window over the same key the self-join shuffles on, so the
-    // partitioning is computed once and reused. Sizes come from the
-    // uncapped shingle set (exact Jaccard denominators) and join without
-    // hints — AQE picks broadcast only while the doc count allows it.
+    // in the test data, so the oracle result is unchanged).
     "q21_ngram_jaccard" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // The per-doc shingle count (Jaccard denominator, over UNCAPPED
+      // shingles) is just size() of the UDF array, taken before the
+      // explode — no aggregate, no join-back; the grouped pair keys carry
+      // na/nb directly. The DF cap is a window on the self-join key
+      // itself (s), so the join reuses that one shuffle's partitioning.
       val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3))).as("s"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val capped = sh
+        .withColumn("arr", graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3)))
+        .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
+          explode(col("arr")).as("s"))
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
         .filter(col("df") <= 1000).drop("df")
-      val a = capped.alias("a"); val b = capped.alias("b")
-      val shared = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val a = sh.alias("a"); val b = sh.alias("b")
+      a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
         .agg(count(lit(1)).as("shared"))
-      shared
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
         .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (na + nb - shared)"))
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
