@@ -80,6 +80,37 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaGen == viaUdf)
   }
 
+  test("GraftSparkExtensions injects the SQL functions at session build") {
+    import org.apache.spark.sql.SparkSession
+    // force a fresh SparkSession (same SparkContext) so the extensions
+    // configured at build time actually apply
+    val prev = spark
+    // in-JVM we must use the programmatic builder hook (the
+    // spark.sql.extensions conf is read only when the SparkContext is
+    // built, i.e. on a fresh JVM / real cluster); same injector class
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.plans.GraftSparkExtensions())
+        .config("spark.ui.enabled", "false").getOrCreate()
+      Tables(s2, "/root/testdata/sf0.001", "embeddings").limit(5).createOrReplaceTempView("emb_x")
+      val r = s2.sql(
+        """SELECT cosine_sim(embedding, embedding) AS c,
+          |       lsh_keys(embedding, 8, 6, 69621) AS ks
+          |FROM emb_x""".stripMargin).collect()
+      assert(r.nonEmpty)
+      assert(r.forall(x => math.abs(x.getDouble(0) - 1.0) < 1e-12))
+      assert(r.forall(_.getSeq[Long](1).length == 8))
+      Tables(s2, "/root/testdata/sf0.001", "documents").limit(5).createOrReplaceTempView("docs_x")
+      val chunks = s2.sql(
+        "SELECT chunk FROM docs_x LATERAL VIEW chunk_text(text, 200, 20) t AS chunk_id, chunk")
+        .collect()
+      assert(chunks.nonEmpty && chunks.forall(_.getString(0).length <= 200))
+    } finally {
+      SparkSession.setActiveSession(prev); SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("registered cosine_sim SQL function resolves and computes") {
     GraftExpressions.register(spark)
     Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(10).createOrReplaceTempView("emb_g")
