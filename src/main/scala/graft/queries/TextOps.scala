@@ -214,6 +214,25 @@ object TextOps {
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
     }),
 
+    // Winnowing fingerprints (training-data op: rolling-hash document
+    // fingerprinting, Schleimer et al. "local algorithms for document
+    // fingerprinting"): hash every word 4-gram in order, slide a window
+    // of 4 over the hash sequence keeping each window's minimum, emit
+    // the distinct minima. Shared minima between docs localize copied
+    // passages — the position-robust complement to the whole-doc hash
+    // (q20). Pure HOF arithmetic on both engines, bit-exact.
+    "q42_winnow_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .filter(expr("size(toks) >= 7")) // >= 4 grams -> >= 1 window
+        .withColumn("hs", expr(
+          s"""transform(sequence(1, size(toks) - 3),
+             | i -> CAST(conv(substr(sha2(array_join(slice(toks, i, 4), ' '), 256), 1, 15), 16, 10) AS BIGINT) % 2147483647)""".stripMargin))
+        .withColumn("fp", explode(expr(
+          "array_distinct(transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4))))")))
+        .select(col("doc_id"), col("fp"))
+    }),
+
     // Multimodal plumbing (training-data op): text treated as an opaque
     // binary payload + typed metadata (byte length, digest). The real
     // decode step for image/audio is stubbed (no codec libs in this
@@ -273,6 +292,18 @@ object TextOps {
         """SELECT doc_id,
           |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
           |FROM documents""".stripMargin,
+
+      "q42_winnow_fingerprint" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |           WHERE len($toksSql) >= 7),
+           |h AS (SELECT doc_id,
+           |  list_transform(generate_series(1, len(toks) - 3),
+           |    i -> CAST(('0x' || substr(sha256(array_to_string(list_slice(toks, i, i + 3), ' ')), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           |  FROM t)
+           |SELECT doc_id,
+           |  unnest(list_distinct(list_transform(generate_series(1, len(hs) - 3),
+           |    j -> list_aggregate(list_slice(hs, j, j + 3), 'min')))) AS fp
+           |FROM h""".stripMargin,
 
       "q21_ngram_jaccard" ->
         s"""WITH sh AS (
