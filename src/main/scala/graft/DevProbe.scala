@@ -20,7 +20,7 @@ object DevProbe {
     }
     if (sys.env.contains("SPARK_GRAFT_PLAN")) {
       val df = SparkEntry.queries(name)(spark, dir)
-      df.collect()
+      df.count() // finalize the AQE plan without collecting rows driver-side
       println(df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => Seq("Exchange", "Join", "Window", "HashAggregate", "Scan", "Sort ", "Generate")
           .exists(l.contains)).mkString("\n"))

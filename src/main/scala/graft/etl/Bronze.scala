@@ -77,7 +77,11 @@ object Bronze {
     }
     if (frontier ne visited) frontier.unpersist()
     visited.unpersist()
-    if (acc == null) roots.select(col("url")).limit(0) else dedupByContent(acc)
+    // empty crawl: derive the page schema from fetchPage on an empty
+    // frontier so callers see the same columns as a non-empty crawl
+    if (acc == null)
+      dedupByContent(cleanLinks(fetchPage(roots.select(col("url")).limit(0))))
+    else dedupByContent(acc)
   }
 
   /** Date-partitioned landing write (bronze.py:53,91): dynamic partition

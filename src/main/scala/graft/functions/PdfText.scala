@@ -58,7 +58,10 @@ object PdfText {
               }
             }
           }
-          idx = s.indexOf("stream", end)
+          // skip the whole "endstream" token: searching from `end` would
+          // re-match the "stream" inside it and mis-bound every later
+          // stream in a multi-stream (i.e. any multi-page) document
+          idx = s.indexOf("stream", end + "endstream".length)
         } else idx = -1
       } catch { case _: Exception => idx = s.indexOf("stream", idx + 6) }
     }
@@ -66,8 +69,8 @@ object PdfText {
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(data)
       val buf = new Array[Byte](8192)
       val out = new java.io.ByteArrayOutputStream()
@@ -76,9 +79,9 @@ object PdfText {
         if (n > 0) out.write(buf, 0, n)
         else if (n == 0 && !inf.finished()) return Some(out.toByteArray) // truncated
       }
-      inf.end()
       Some(out.toByteArray)
     } catch { case _: Exception => None }
+    finally inf.end() // release native zlib memory even on early return
   }
 
   /** Walk one content stream, emitting the arguments of text-show

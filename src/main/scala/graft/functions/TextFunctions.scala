@@ -134,16 +134,46 @@ object TextFunctions {
     * classpath); adversarial-input parity cases in FunctionsSpec. */
   def htmlToText(html: String): String = {
     if (html == null) return null
-    val noMeta = html
-      .replaceAll("(?s)<!--.*?-->", " ")
-      .replaceAll("(?s)<!\\[CDATA\\[.*?\\]\\]>", " ")
-    val noScript = noMeta
-      .replaceAll("(?is)<(script|style)[^>]*>.*?</\\1\\s*>", " ")
-      .replaceAll("(?is)<(script|style)[^>]*>.*$", " ") // unclosed raw-text element
-    val noTags = noScript.replaceAll("(?s)<[^>]*>", " ")
+    val noTags = stripRawRegions(html).replaceAll("(?s)<[^>]*>", " ")
     normalizeWs(decodeEntities(noTags))
   }
   val htmlToTextUdf: UserDefinedFunction = udf(htmlToText _)
+
+  private val RawOpenRe = java.util.regex.Pattern.compile(
+    "<!--|<!\\[CDATA\\[|<(script|style)[^>]*>", java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  /** Remove comments, CDATA sections and script/style subtrees in ONE
+    * document-order pass — whichever construct opens first owns the text
+    * up to its own terminator, exactly as an HTML parser tokenizes. (A
+    * sequence of independent regex passes gets this wrong: a `<!--`
+    * inside a script string would pair with a later real `-->` and
+    * delete legitimate text between them.) An unterminated construct
+    * swallows to end-of-document (the parser's raw-text rule). */
+  private def stripRawRegions(s: String): String = {
+    val m = RawOpenRe.matcher(s)
+    val sb = new java.lang.StringBuilder
+    var pos = 0
+    while (pos < s.length && m.find(pos)) {
+      sb.append(s, pos, m.start).append(' ')
+      val tok = m.group()
+      val endTok =
+        if (tok == "<!--") "-->"
+        else if (tok.startsWith("<![CDATA[")) "]]>"
+        else "</" + m.group(1).toLowerCase // script|style close tag
+      if (endTok.startsWith("</")) {
+        val close = java.util.regex.Pattern
+          .compile(java.util.regex.Pattern.quote(endTok) + "\\s*>",
+            java.util.regex.Pattern.CASE_INSENSITIVE)
+          .matcher(s)
+        pos = if (close.find(m.end())) close.end() else s.length
+      } else {
+        val e = s.indexOf(endTok, m.end())
+        pos = if (e < 0) s.length else e + endTok.length
+      }
+    }
+    if (pos < s.length) sb.append(s, pos, s.length)
+    sb.toString
+  }
 
   private val NamedEntities: Map[String, String] = Map(
     "nbsp" -> " ", "amp" -> "&", "lt" -> "<", "gt" -> ">",

@@ -95,9 +95,10 @@ case class CosineSim(left: Expression, right: Expression)
   * so keys are bit-identical to the HOF form and the DuckDB oracle
   * (asserted in ExpressionsSpec + tools/check.py q40).
   *
-  * Semantics parity with the HOF form for ragged input: a vector
-  * shorter than 64 dims makes `element_at` null, nulling every plane
-  * sum, so every sign test fails → all keys 0. */
+  * Semantics parity with the HOF form for degenerate input: a vector
+  * shorter than 64 dims (or with a null element among them) makes
+  * `element_at` null, nulling every plane sum, so every sign test
+  * fails → all keys 0. */
 case class LshKeys(child: Expression, tables: Int, bits: Int, mult: Long)
     extends UnaryExpression {
 
@@ -124,28 +125,32 @@ case class LshKeys(child: Expression, tables: Int, bits: Int, mult: Long)
 
   private def keysOf(v: Array[Float]): Array[Long] = {
     val keys = new Array[Long](tables)
-    if (v.length >= 64) {
-      var t = 0
-      while (t < tables) {
-        var key = 0L
-        var b = 0
-        while (b < bits) {
-          val pl = planes(t * bits + b)
-          var acc = 0.0
-          var d = 0
-          while (d < 64) { acc += pl(d) * v(d).toDouble; d += 1 }
-          if (acc >= 0.0) key |= (1L << b)
-          b += 1
-        }
-        keys(t) = key
-        t += 1
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        val pl = planes(t * bits + b)
+        var acc = 0.0
+        var d = 0
+        while (d < 64) { acc += pl(d) * v(d).toDouble; d += 1 }
+        if (acc >= 0.0) key |= (1L << b)
+        b += 1
       }
+      keys(t) = key
+      t += 1
     }
     keys
   }
 
-  override def nullSafeEval(a: Any): Any =
-    new GenericArrayData(keysOf(a.asInstanceOf[ArrayData].toFloatArray()))
+  override def nullSafeEval(a: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]
+    // HOF parity: a short array OR a null element among the first 64 dims
+    // nulls every plane sum, failing every sign test -> all keys 0
+    val usable = ad.numElements() >= 64 && !(0 until 64).exists(ad.isNullAt)
+    if (!usable) new GenericArrayData(new Array[Long](tables))
+    else new GenericArrayData(keysOf(Array.tabulate(64)(ad.getFloat)))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
@@ -154,10 +159,18 @@ case class LshKeys(child: Expression, tables: Int, bits: Int, mult: Long)
       val t = ctx.freshName("t"); val b = ctx.freshName("b")
       val d = ctx.freshName("d"); val acc = ctx.freshName("acc")
       val key = ctx.freshName("key"); val pl = ctx.freshName("pl")
+      val usable = ctx.freshName("usable")
       s"""
-         |float[] $v = $a.toFloatArray();
          |long[] $keys = new long[$tables];
-         |if ($v.length >= 64) {
+         |boolean $usable = $a.numElements() >= 64;
+         |if ($usable) {
+         |  for (int $d = 0; $d < 64; $d++) {
+         |    if ($a.isNullAt($d)) { $usable = false; break; }
+         |  }
+         |}
+         |if ($usable) {
+         |  float[] $v = new float[64];
+         |  for (int $d = 0; $d < 64; $d++) { $v[$d] = $a.getFloat($d); }
          |  for (int $t = 0; $t < $tables; $t++) {
          |    long $key = 0L;
          |    for (int $b = 0; $b < $bits; $b++) {
@@ -215,11 +228,17 @@ object GraftExpressions {
   def lshKeys(embedding: Column, tables: Int, bits: Int, mult: Long): Column =
     GraftBridge.column(LshKeys(GraftBridge.expression(embedding), tables, bits, mult))
 
-  /** Register SQL functions: `cosine_sim(a, b)` and
-    * `chunk_text(text, size, overlap)`. */
+  /** Register SQL functions: `cosine_sim(a, b)`,
+    * `chunk_text(text, size, overlap)` and
+    * `lsh_keys(embedding, tables, bits, mult)` — the session-local
+    * equivalent of [[GraftSparkExtensions]]. */
   def register(spark: SparkSession): Unit = {
     GraftBridge.register(spark, "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)))
     GraftBridge.register(spark, "chunk_text",
       exprs => ChunkTextGen(exprs(0), exprs(1), exprs(2)))
+    GraftBridge.register(spark, "lsh_keys", exprs => LshKeys(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].intValue(),
+      exprs(3).eval().asInstanceOf[Number].longValue()))
   }
 }

@@ -57,8 +57,13 @@ object EventsStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Evt], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
+            // flush the open session but KEEP a closed marker (n = 0)
+            // carrying the session counter: removing state entirely would
+            // restart the next session at id 1, colliding with the
+            // already-emitted keys. The marker is 4 longs per user and
+            // registers no further timeout, so state stays bounded.
             val st = state.get
-            state.remove()
+            state.update(st.copy(n = 0L))
             Iterator.single(SessionAgg(user, st.sessionId, st.n, st.lastTs - st.startTs))
           } else {
             // events within a micro-batch arrive unordered — sort by (ts, id)
@@ -67,7 +72,9 @@ object EventsStream {
             var out = List.empty[SessionAgg]
             for (e <- evs) {
               val t = e.ts.getTime / 1000
-              if (st.n == 0L) st = SessState(t, 1L, 1L, t)
+              // n == 0: no open session (fresh user OR post-flush marker) —
+              // continue the counter, never reuse an emitted session_id
+              if (st.n == 0L) st = SessState(t, st.sessionId + 1, 1L, t)
               else if (t - st.lastTs > gapSec) {
                 out ::= SessionAgg(user, st.sessionId, st.n, st.lastTs - st.startTs)
                 st = SessState(t, st.sessionId + 1, 1L, t)

@@ -53,6 +53,18 @@ class ExpressionsSpec extends AnyFunSuite {
     hof.foreach { case (id, ks) => assert(nat(id) == ks, s"keys differ for vec $id") }
   }
 
+  test("lsh_keys degenerate inputs (short array, null element) yield all-zero keys") {
+    import spark.implicits._
+    val short = Seq(Tuple1(Array.fill(10)(1f))).toDF("embedding")
+      .select(GraftExpressions.lshKeys(col("embedding"), 8, 6, 69621L).as("ks"))
+    assert(short.head.getSeq[Long](0) == Seq.fill(8)(0L))
+    // null element among the first 64 dims -> HOF plane sums null -> keys 0
+    val withNull = spark.sql(
+      "SELECT transform(sequence(1, 64), i -> IF(i = 5, CAST(NULL AS FLOAT), CAST(1.0 AS FLOAT))) AS embedding")
+      .select(GraftExpressions.lshKeys(col("embedding"), 8, 6, 69621L).as("ks"))
+    assert(withNull.head.getSeq[Long](0) == Seq.fill(8)(0L))
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val df = e.select(GraftExpressions.cosineSimNative(col("embedding"), col("embedding")).as("c"))

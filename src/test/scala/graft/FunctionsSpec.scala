@@ -67,6 +67,12 @@ class FunctionsSpec extends AnyFunSuite {
     assert(TextFunctions.decodeEntities("&bogus123;") == "&bogus123;")
     // unclosed ordinary tag at EOF doesn't eat preceding text
     assert(TextFunctions.htmlToText("<p>tail</p><a href=") == "tail <a href=")
+    // a comment opener INSIDE script text must not pair with a later real
+    // comment close and delete the text between them (document-order rule)
+    assert(TextFunctions.htmlToText(
+      "<p>A</p><script>x=\"<!--\"</script><p>B</p><!-- c -->") == "A B")
+    // and a script opener inside a comment belongs to the comment
+    assert(TextFunctions.htmlToText("<!-- <script> --><p>C</p>") == "C")
   }
 
   test("canonicalHash is stable under struct field order by construction (F4)") {

@@ -57,6 +57,24 @@ class PdfSpec extends AnyFunSuite {
     checkText(PdfText.extract(wrap(deflate(content.getBytes(ISO_8859_1)), flate = true)))
   }
 
+  test("extracts text from every stream of a multi-stream (multi-page) PDF") {
+    def obj(n: Int, stream: Array[Byte], flate: Boolean): Array[Byte] = {
+      val filter = if (flate) " /Filter /FlateDecode" else ""
+      (s"$n 0 obj << /Length ${stream.length}$filter >>\nstream\n").getBytes(ISO_8859_1) ++
+        stream ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1)
+    }
+    val page1 = deflate("BT (page one text) Tj ET".getBytes(ISO_8859_1))
+    val page2 = deflate("BT (page two text) Tj ET".getBytes(ISO_8859_1))
+    val page3 = "BT (page three text) Tj ET".getBytes(ISO_8859_1)
+    val pdf = "%PDF-1.4\n".getBytes(ISO_8859_1) ++
+      obj(1, page1, flate = true) ++ obj(2, page2, flate = true) ++
+      obj(3, page3, flate = false) ++ "%%EOF".getBytes(ISO_8859_1)
+    val txt = PdfText.extract(pdf)
+    assert(txt.contains("page one text"), txt)
+    assert(txt.contains("page two text"), txt)   // lost if stream bounds re-match "endstream"
+    assert(txt.contains("page three text"), txt)
+  }
+
   test("hex strings decode; malformed input never throws") {
     val hex = "BT <48656C6C6F> Tj ET".getBytes(ISO_8859_1)
     assert(PdfText.extract(wrap(hex, flate = false)).contains("Hello"))

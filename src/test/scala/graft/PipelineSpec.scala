@@ -131,6 +131,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(fetches.value == 4L, s"expected 4 fetches, got ${fetches.value}")
   }
 
+  test("crawl over empty roots returns an empty frame with the page schema") {
+    import spark.implicits._
+    val fetchPage = (f: DataFrame) => f
+      .withColumn("links", array().cast("array<string>"))
+      .withColumn("page_content", lit("x"))
+    val out = Bronze.crawl(spark, Seq.empty[String].toDF("url"), 2, fetchPage)
+    assert(out.isEmpty)
+    assert(out.columns.toSet == Set("url", "links", "page_content", "content_hash"))
+  }
+
   test("land is idempotent: re-running the same day leaves counts stable") {
     val path = s"$tmp/bronze-idem"
     val df = Bronze.dedupByContent(fixtureBronze)

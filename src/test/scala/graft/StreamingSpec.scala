@@ -78,8 +78,22 @@ class StreamingSpec extends AnyFunSuite {
       ms.addData(EventsStream.Evt(4L, ts(1001), 2L))
       q.processAllAvailable()
       val flushed = spark.table("flush_test").as[EventsStream.SessionAgg].collect()
-      assert(flushed.exists(r => r.user_id == 1L && r.n_events == 2L && r.duration_sec == 30L),
+      assert(flushed.exists(r => r.user_id == 1L && r.session_id == 1L
+          && r.n_events == 2L && r.duration_sec == 30L),
         s"idle user's session not flushed: ${flushed.mkString(", ")}")
+      // user 1 returns after the flush: the next session must CONTINUE the
+      // counter (id 2), not restart at 1 and collide with the emitted key
+      ms.addData(EventsStream.Evt(5L, ts(2000), 1L), EventsStream.Evt(6L, ts(2010), 1L))
+      q.processAllAvailable()
+      ms.addData(EventsStream.Evt(7L, ts(5000), 2L))
+      q.processAllAvailable()
+      ms.addData(EventsStream.Evt(8L, ts(5001), 2L))
+      q.processAllAvailable()
+      val all = spark.table("flush_test").as[EventsStream.SessionAgg].collect()
+      assert(all.exists(r => r.user_id == 1L && r.session_id == 2L && r.n_events == 2L),
+        s"post-flush session must get id 2: ${all.mkString(", ")}")
+      val keys = all.map(r => (r.user_id, r.session_id))
+      assert(keys.distinct.length == keys.length, s"duplicate session keys: ${all.mkString(", ")}")
     } finally q.stop()
   }
 }
