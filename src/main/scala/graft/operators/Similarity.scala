@@ -38,7 +38,13 @@ object Similarity {
   /** Map-side top-k: each partition keeps a bounded worst-first heap per
     * query, so only |partitions|·|queries|·k candidate rows shuffle. The
     * dot/norm accumulation is sequential IEEE double, identical to the
-    * HOF expression in [[topKWindow]]. */
+    * HOF expression in [[topKWindow]].
+    *
+    * Scale bound: the query side is collected and broadcast — memory is
+    * O(|queries|·dim) on driver and executors, NOT corpus-sized. That is
+    * the operator's contract (a query batch against a huge corpus, the
+    * reference's retrieval shape); for query sets too large to broadcast,
+    * use the bucketed pair join (q40's LSH form) instead. */
   def topKPartitioned(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
     val qs: Array[(Long, Array[Float])] = queries
