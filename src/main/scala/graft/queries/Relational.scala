@@ -259,6 +259,27 @@ object Relational {
           count(lit(1)).as("n"))
     }),
 
+    // Full grouping-sets cube (q12 covers the rollup hierarchy; cube adds
+    // the cross-hierarchy subtotal combinations).
+    "q43_cube" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+    }),
+
+    // RANGE-frame window (value-based, not row-based): per event, the sum
+    // of the same user's values in the trailing hour. Distinct from the
+    // ROWS frames of q29 — peers at the same timestamp are all included.
+    "q44_range_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+        .rangeBetween(-3600L, 0L)
+      Tables(s, dir, "events")
+        .withColumn("es", unix_timestamp(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(30, 6))).over(w).cast("double").as("hour_sum"))
+    }),
+
     // Microsecond-granularity per-user timestamp extremes. Exists to pin
     // the ns→µs conversion in Tables.events to integral division: with the
     // old double-division form ~1.6% of rows land 1 µs off and this query
@@ -454,6 +475,18 @@ object Relational {
 
     "q41_salted_agg" ->
       s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS total
-         |FROM events GROUP BY event_type""".stripMargin
+         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q43_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q44_range_window" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+        |FROM events""".stripMargin
   )
 }
