@@ -128,6 +128,20 @@ object VectorOps {
         .select(col("id_a"), col("id_b"), col("cosine"))
     }),
 
+    // IVF approximate top-k end-to-end (the retrieval path composing
+    // q35's assignment): corpus and queries assigned to their max-cosine
+    // centroid, each query probing ONLY its centroid's partition
+    // (nprobe=1) — a 1/|centroids| scan per query at scale.
+    "q45_ivf_topk" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Similarity.ivfTopK(q, c, cents, 5)
+    }),
+
     // IVF cluster assignment (ANN scale path): centroids = vec_id 0..7;
     // every vector is assigned to its max-cosine centroid (deterministic
     // tiebreak). A query then probes only its centroid's partition.
@@ -200,6 +214,29 @@ object VectorOps {
          |JOIN embeddings eb ON eb.vec_id = id_b
          |WHERE ${duckCosineExpr("ea.embedding", "eb.embedding")} > 0.45""".stripMargin
     },
+
+    "q45_ivf_topk" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |               FROM embeddings WHERE vec_id < 8),
+         |ca AS (SELECT neighbor_id, cv, centroid_id FROM (
+         |  SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCosineExpr("e.embedding", "cvec")} DESC, centroid_id ASC) AS rk
+         |  FROM embeddings e CROSS JOIN cents c) t WHERE rk = 1),
+         |qa AS (SELECT query_id, qv, centroid_id FROM (
+         |  SELECT e.vec_id AS query_id, e.embedding AS qv, c.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCosineExpr("e.embedding", "cvec")} DESC, centroid_id ASC) AS rk
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id % 50 = 0) t WHERE rk = 1),
+         |cand AS (
+         |  SELECT qa.query_id, ca.neighbor_id, ${duckCosineExpr("qa.qv", "ca.cv")} AS cosine
+         |  FROM ca JOIN qa USING (centroid_id)
+         |  WHERE qa.query_id <> ca.neighbor_id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+         |  FROM cand) r WHERE rank <= 5""".stripMargin,
 
     "q35_ivf_assign" ->
       s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
