@@ -214,6 +214,30 @@ object TextOps {
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
     }),
 
+    // TF-IDF top terms per document (corpus-statistics op): term
+    // frequency × inverse document frequency, scored as tf · N/df — the
+    // linear idf variant, deliberately transcendental-free so the score
+    // is exact integer-ratio double arithmetic on both engines (ln()
+    // differs by ulps between libm and the JVM). Top 3 terms per doc,
+    // deterministic tiebreak.
+    "q46_tfidf_topterms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toksExpr)).as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val df = words.groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = Tables(s, dir, "documents").select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("word").asc)
+      tf.join(df, "word").crossJoin(nDocs)
+        .withColumn("score", expr("CAST(tf AS DOUBLE) * n_docs / df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"), col("score"),
+          col("rk").cast("long").as("rk"))
+    }),
+
     // Winnowing fingerprints (training-data op: rolling-hash document
     // fingerprinting, Schleimer et al. "local algorithms for document
     // fingerprinting"): hash every word 4-gram in order, slide a window
@@ -292,6 +316,21 @@ object TextOps {
         """SELECT doc_id,
           |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
           |FROM documents""".stripMargin,
+
+      "q46_tfidf_topterms" ->
+        s"""WITH words AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+           |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+           |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+           |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+           |    CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+           |  FROM tf JOIN df USING (word) CROSS JOIN n)
+           |SELECT doc_id, word, tf, df, score, rk FROM (
+           |  SELECT doc_id, word, tf, df, score,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+           |      ORDER BY score DESC, word ASC) AS BIGINT) AS rk
+           |  FROM scored) t WHERE rk <= 3""".stripMargin,
 
       "q42_winnow_fingerprint" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
