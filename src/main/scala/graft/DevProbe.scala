@@ -20,7 +20,10 @@ object DevProbe {
     }
     if (sys.env.contains("SPARK_GRAFT_PLAN")) {
       val df = SparkEntry.queries(name)(spark, dir)
-      df.count() // finalize the AQE plan without collecting rows driver-side
+      // executes df's OWN QueryExecution (count() would build a separate
+      // aggregated one, leaving this AQE plan unfinalized) while keeping
+      // rows executor-side
+      df.foreach(_ => ())
       println(df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => Seq("Exchange", "Join", "Window", "HashAggregate", "Scan", "Sort ", "Generate")
           .exists(l.contains)).mkString("\n"))

@@ -139,8 +139,15 @@ object TextFunctions {
   }
   val htmlToTextUdf: UserDefinedFunction = udf(htmlToText _)
 
+  // CDATA deliberately case-sensitive (the HTML tokenizer requires the
+  // exact token `<![CDATA[`; `<![cdata[` is a bogus comment the tag-strip
+  // pass removes); script/style tag names are case-insensitive
   private val RawOpenRe = java.util.regex.Pattern.compile(
-    "<!--|<!\\[CDATA\\[|<(script|style)[^>]*>", java.util.regex.Pattern.CASE_INSENSITIVE)
+    "<!--|<!\\[CDATA\\[|(?i)<(script|style)[^>]*>")
+  private val RawCloseRes: Map[String, java.util.regex.Pattern] =
+    Seq("script", "style").map(t =>
+      t -> java.util.regex.Pattern.compile("</" + t + "\\s*>",
+        java.util.regex.Pattern.CASE_INSENSITIVE)).toMap
 
   /** Remove comments, CDATA sections and script/style subtrees in ONE
     * document-order pass — whichever construct opens first owns the text
@@ -156,20 +163,17 @@ object TextFunctions {
     while (pos < s.length && m.find(pos)) {
       sb.append(s, pos, m.start).append(' ')
       val tok = m.group()
-      val endTok =
-        if (tok == "<!--") "-->"
-        else if (tok.startsWith("<![CDATA[")) "]]>"
-        else "</" + m.group(1).toLowerCase // script|style close tag
-      if (endTok.startsWith("</")) {
-        val close = java.util.regex.Pattern
-          .compile(java.util.regex.Pattern.quote(endTok) + "\\s*>",
-            java.util.regex.Pattern.CASE_INSENSITIVE)
-          .matcher(s)
-        pos = if (close.find(m.end())) close.end() else s.length
-      } else {
-        val e = s.indexOf(endTok, m.end())
-        pos = if (e < 0) s.length else e + endTok.length
-      }
+      pos =
+        if (tok == "<!--") {
+          val e = s.indexOf("-->", m.end())
+          if (e < 0) s.length else e + 3
+        } else if (tok == "<![CDATA[") {
+          val e = s.indexOf("]]>", m.end())
+          if (e < 0) s.length else e + 3
+        } else {
+          val close = RawCloseRes(m.group(1).toLowerCase).matcher(s)
+          if (close.find(m.end())) close.end() else s.length
+        }
     }
     if (pos < s.length) sb.append(s, pos, s.length)
     sb.toString

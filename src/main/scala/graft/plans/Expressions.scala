@@ -228,6 +228,26 @@ object GraftExpressions {
   def lshKeys(embedding: Column, tables: Int, bits: Int, mult: Long): Column =
     GraftBridge.column(LshKeys(GraftBridge.expression(embedding), tables, bits, mult))
 
+  /** Constant-integer argument of a SQL function: fails analysis with a
+    * clear message instead of an internal eval error when the argument
+    * is a column or non-numeric literal. */
+  private[plans] def litLong(e: Expression, fn: String, arg: String): Long = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: $arg must be a constant integer, got expression ${e.sql}")
+    e.eval() match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a constant integer, got $other")
+    }
+  }
+
+  private[plans] def lshKeysFromSql(exprs: Seq[Expression]): LshKeys =
+    LshKeys(exprs(0),
+      litLong(exprs(1), "lsh_keys", "tables").toInt,
+      litLong(exprs(2), "lsh_keys", "bits").toInt,
+      litLong(exprs(3), "lsh_keys", "mult"))
+
   /** Register SQL functions: `cosine_sim(a, b)`,
     * `chunk_text(text, size, overlap)` and
     * `lsh_keys(embedding, tables, bits, mult)` — the session-local
@@ -236,9 +256,6 @@ object GraftExpressions {
     GraftBridge.register(spark, "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)))
     GraftBridge.register(spark, "chunk_text",
       exprs => ChunkTextGen(exprs(0), exprs(1), exprs(2)))
-    GraftBridge.register(spark, "lsh_keys", exprs => LshKeys(exprs(0),
-      exprs(1).eval().asInstanceOf[Number].intValue(),
-      exprs(2).eval().asInstanceOf[Number].intValue(),
-      exprs(3).eval().asInstanceOf[Number].longValue()))
+    GraftBridge.register(spark, "lsh_keys", lshKeysFromSql)
   }
 }

@@ -34,9 +34,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => ChunkTextGen(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((FunctionIdentifier("lsh_keys"),
       info("lsh_keys", "lsh_keys(embedding, tables, bits, mult) - multiprobe LSH table keys"),
-      (exprs: Seq[Expression]) => LshKeys(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue(),
-        exprs(3).eval().asInstanceOf[Number].longValue())))
+      (exprs: Seq[Expression]) => GraftExpressions.lshKeysFromSql(exprs)))
   }
 }

@@ -45,9 +45,17 @@ object EventsStream {
   /** Gap-based (30 min) session assignment via flatMapGroupsWithState —
     * the streaming twin of q28_sessionize. A session is emitted when a
     * later event closes it (gap exceeded) or when the event-time
-    * watermark passes its end (event-time timeout) — so an idle user's
-    * final session is flushed and per-user state lives only until
-    * watermark + gap, instead of unboundedly for the stream's lifetime. */
+    * watermark passes its end (event-time timeout), so an idle user's
+    * final session is always flushed.
+    *
+    * State bound: open-session state (events being accumulated) lives
+    * only until watermark + gap; after the timeout flush a 4-long
+    * closed marker per distinct user remains, carrying the session
+    * counter so a returning user's next session continues the numbering
+    * (batch-q28 parity) instead of colliding with emitted keys. Total
+    * state is therefore O(distinct users), never O(events); a
+    * deployment that prefers strict eviction over stable numbering can
+    * derive session ids from session start time instead. */
   def sessionize(events: Dataset[Evt], gapSec: Long = 1800L,
                  watermarkDelay: String = "10 minutes"): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._

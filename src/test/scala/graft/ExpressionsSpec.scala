@@ -65,6 +65,15 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(withNull.head.getSeq[Long](0) == Seq.fill(8)(0L))
   }
 
+  test("lsh_keys SQL form rejects non-constant config arguments with a clear error") {
+    GraftExpressions.register(spark)
+    Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(3).createOrReplaceTempView("emb_e")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT lsh_keys(embedding, vec_id, 6, 69621) FROM emb_e").collect()
+    }
+    assert(ex.getMessage.contains("must be a constant integer"), ex.getMessage)
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val df = e.select(GraftExpressions.cosineSimNative(col("embedding"), col("embedding")).as("c"))

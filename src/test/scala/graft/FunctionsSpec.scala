@@ -73,6 +73,11 @@ class FunctionsSpec extends AnyFunSuite {
       "<p>A</p><script>x=\"<!--\"</script><p>B</p><!-- c -->") == "A B")
     // and a script opener inside a comment belongs to the comment
     assert(TextFunctions.htmlToText("<!-- <script> --><p>C</p>") == "C")
+    // lowercase CDATA is NOT a CDATA section (tokenizer is case-sensitive
+    // there) — it's a bogus comment the tag-strip removes; must not throw
+    assert(TextFunctions.htmlToText("<p>x</p><![cdata[ raw ]]><p>y</p>") == "x y")
+    // mixed-case script tags still strip as raw text
+    assert(TextFunctions.htmlToText("<p>a</p><SCRIPT>var z=1</ScRiPt><p>b</p>") == "a b")
   }
 
   test("canonicalHash is stable under struct field order by construction (F4)") {
