@@ -36,6 +36,14 @@ object EventsStream {
       .select(unix_timestamp(col("w.start")).as("bucket_start_epoch"),
         col("event_type"), col("n"))
 
+  /** Streaming exact dedup (A1's unbounded form): drop replayed events by
+    * id, keeping state only within the watermark horizon — at-least-once
+    * sources (kafka replays, file redelivery) become effectively-once
+    * without unbounded state. */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- stateful sessionization (mapGroupsWithState) ---------------------
 
   case class Evt(event_id: Long, ts: java.sql.Timestamp, user_id: Long)

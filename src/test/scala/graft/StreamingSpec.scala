@@ -59,6 +59,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(users.size == missing.size, "at most one open session per user")
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val df = ms.toDS().toDF("event_id", "ts", "user_id")
+    val q = EventsStream.dedupStream(df).writeStream
+      .outputMode("append").format("memory").queryName("dedup_test").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    try {
+      ms.addData((1L, ts(100), 1L), (2L, ts(110), 1L))
+      q.processAllAvailable()
+      // replay event 1 in a later micro-batch (at-least-once delivery)
+      ms.addData((1L, ts(100), 1L), (3L, ts(120), 2L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"expected deduped ids, got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("event-time timeout flushes an idle user's open session") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
