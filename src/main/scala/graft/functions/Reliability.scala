@@ -23,7 +23,13 @@ object Reliability {
     }
 
   /** Apply a wrapped function and split: (clean rows with `outCol`,
-    * quarantined rows with `errorCol`). */
+    * quarantined rows with `errorCol`).
+    *
+    * Both returned frames share the `applied` subtree, so acting on each
+    * re-evaluates the wrapped UDF over all rows. For an expensive or
+    * side-effecting `f`, persist or land `applied`'s parent first (the
+    * bronze pattern: land, then split the landed table) — the split
+    * itself is two cheap filters either way. */
   def applyWithQuarantine(df: DataFrame, in: Column, wrapped: UserDefinedFunction,
                           outCol: String, errorCol: String = "error"): (DataFrame, DataFrame) = {
     val applied = df.withColumn("_r", wrapped(in))
