@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Proves the config-driven extension path on a fresh JVM: builds the
+  * session with `spark.sql.extensions=graft.plans.GraftSparkExtensions`
+  * (no programmatic hook, exactly how a cluster would enable it) and
+  * drives each injected SQL function. Exits non-zero on any failure. */
+object ExtensionsProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(5)
+      .createOrReplaceTempView("emb_p")
+    Tables(spark, "/root/testdata/sf0.001", "documents").limit(5)
+      .createOrReplaceTempView("docs_p")
+    val r = spark.sql(
+      """SELECT cosine_sim(embedding, embedding) AS c,
+        |       lsh_keys(embedding, 8, 6, 69621) AS ks
+        |FROM emb_p""".stripMargin).collect()
+    require(r.nonEmpty && r.forall(x => math.abs(x.getDouble(0) - 1.0) < 1e-12), "cosine_sim")
+    require(r.forall(_.getSeq[Long](1).length == 8), "lsh_keys")
+    val chunks = spark.sql(
+      "SELECT chunk FROM docs_p LATERAL VIEW chunk_text(text, 200, 20) t AS chunk_id, chunk")
+      .collect()
+    require(chunks.nonEmpty && chunks.forall(_.getString(0).length <= 200), "chunk_text")
+    println(s"extensions-probe OK: ${r.length} vectors, ${chunks.length} chunks")
+    spark.stop()
+  }
+}
