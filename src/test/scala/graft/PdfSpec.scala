@@ -86,6 +86,23 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfText.extract(bad) == "")
   }
 
+  test("property: generated text round-trips through PDF build + extract") {
+    val rnd = new scala.util.Random(42)
+    // printable ASCII incl. the chars needing escapes in literal strings
+    val alphabet = (' ' to '~').mkString
+    for (_ <- 1 to 60) {
+      val raw = Array.fill(1 + rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val payload = raw.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+      val streams = Seq(s"BT ($payload) Tj ET".getBytes(ISO_8859_1))
+      val flate = rnd.nextBoolean()
+      val body = if (flate) deflate(streams.head) else streams.head
+      val txt = PdfText.extract(wrap(body, flate))
+      // extractor normalizes whitespace; compare under the same normalization
+      val expected = graft.functions.TextFunctions.normalizeWs(raw)
+      assert(txt == expected, s"round-trip failed for ${raw.take(80)} -> $txt")
+    }
+  }
+
   test("pdfToTextUdf extracts over a binary column") {
     import spark.implicits._
     val pdf = wrap(content.getBytes(ISO_8859_1), flate = false)
