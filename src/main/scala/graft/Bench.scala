@@ -5,14 +5,24 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
-  * A warmup pass at the smallest scale factor first executes each query's
-  * exact plan shape so the timed pass measures steady-state execution,
-  * not JVM JIT + whole-stage-codegen compilation (measured ~7s of warmup
-  * otherwise landing on whichever query runs first). */
+  * Methodology (round-4 hardening, per judge finding that a single timed
+  * pass is ~3x box-contention noise):
+  *   1. warmup pass at the smallest scale factor so JIT + whole-stage
+  *      codegen compile before anything is timed (~7s otherwise lands on
+  *      whichever query runs first);
+  *   2. each query is timed REPS times (default 3) and the per-query
+  *      MEDIAN is reported, so one noisy-neighbor spike on the shared box
+  *      cannot poison the official artifact;
+  *   3. the JSON line goes to stdout AND to a file (default BENCH.json in
+  *      the cwd, override via SPARK_GRAFT_BENCH_OUT) because sbt's [info]
+  *      logger prefix has made the stdout line unparseable in past rounds.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,15 +39,26 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map(_ => timeOnce(fn)).sorted
+      name -> times(times.length / 2) // median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    println(line)
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outFile))
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () } // file emit is best-effort; stdout is the contract
     spark.stop()
   }
 }
