@@ -129,13 +129,13 @@ object TextFunctions {
   /** HTML → text (reference bs4_extractor, crawl_web.py:14-23): drop
     * comments/CDATA and script/style subtrees (including unclosed ones,
     * which swallow to end-of-document exactly as an HTML parser treats
-    * raw-text elements), strip tags, decode named + numeric character
-    * references, collapse blank runs. Pure-JVM (no jsoup in this
-    * classpath); adversarial-input parity cases in FunctionsSpec. */
+    * raw-text elements), strip tags with a quote-aware tokenizer, decode
+    * named + numeric character references, collapse blank runs. Pure-JVM
+    * (no jsoup in this classpath); adversarial-input parity cases in
+    * FunctionsSpec. */
   def htmlToText(html: String): String = {
     if (html == null) return null
-    val noTags = stripRawRegions(html).replaceAll("(?s)<[^>]*>", " ")
-    normalizeWs(decodeEntities(noTags))
+    normalizeWs(decodeEntities(stripTags(stripRawRegions(html))))
   }
   val htmlToTextUdf: UserDefinedFunction = udf(htmlToText _)
 
@@ -177,6 +177,64 @@ object TextFunctions {
     }
     if (pos < s.length) sb.append(s, pos, s.length)
     sb.toString
+  }
+
+  /** Quote-aware tag stripper (HTML5 tokenizer rules, simplified to what
+    * tag REMOVAL needs — replaces the former `<[^>]*>` regex, which
+    * terminated at the first `>` and so leaked `b">` from
+    * `<a title="a>b">`):
+    *  - `<` opens a tag only before an ASCII letter or `/`; before `!` or
+    *    `?` it opens a bogus comment (consumed to the next `>`, quotes
+    *    ignored — doctypes land here; real comments/CDATA were already
+    *    removed by [[stripRawRegions]]); any other `<` is literal text;
+    *  - inside a tag, `"`/`'` opens a quoted attribute value only when it
+    *    follows `=` (plus optional whitespace) — a `>` inside the quoted
+    *    value does not end the tag; a stray quote elsewhere (or inside an
+    *    unquoted value) is an ordinary character, per the spec's
+    *    attribute-name / unquoted-value states;
+    *  - EOF inside a tag or quoted value discards the partial tag
+    *    (HTML5 "EOF in tag" rule), so `<div class="x` at EOF leaks
+    *    nothing. Each removed tag leaves one space, as before. */
+  private[functions] def stripTags(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c != '<' || i + 1 >= n) { sb.append(c); i += 1 }
+      else {
+        val d = s.charAt(i + 1)
+        if ((d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') || d == '/') {
+          i = skipTag(s, i + 1); sb.append(' ')
+        } else if (d == '!' || d == '?') {
+          val e = s.indexOf('>', i + 2)
+          i = if (e < 0) n else e + 1
+          sb.append(' ')
+        } else { sb.append(c); i += 1 }
+      }
+    }
+    sb.toString
+  }
+
+  /** Consume a tag starting just after its `<`; return the index after the
+    * closing `>`, or end-of-string for an unterminated tag. */
+  private def skipTag(s: String, from: Int): Int = {
+    val n = s.length
+    var i = from
+    var afterEq = false // a quote opens a value only in this state
+    while (i < n) {
+      s.charAt(i) match {
+        case '>' => return i + 1
+        case '=' => afterEq = true; i += 1
+        case q @ ('"' | '\'') if afterEq =>
+          val e = s.indexOf(q, i + 1)
+          if (e < 0) return n
+          i = e + 1; afterEq = false
+        case ' ' | '\t' | '\n' | '\r' | '\f' => i += 1 // `= "v"` stays armed
+        case _ => afterEq = false; i += 1
+      }
+    }
+    n
   }
 
   private val NamedEntities: Map[String, String] = Map(

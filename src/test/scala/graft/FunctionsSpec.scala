@@ -65,8 +65,9 @@ class FunctionsSpec extends AnyFunSuite {
     assert(TextFunctions.decodeEntities("&amp;lt;b&amp;gt;") == "&lt;b&gt;")
     // unknown entity left verbatim
     assert(TextFunctions.decodeEntities("&bogus123;") == "&bogus123;")
-    // unclosed ordinary tag at EOF doesn't eat preceding text
-    assert(TextFunctions.htmlToText("<p>tail</p><a href=") == "tail <a href=")
+    // unclosed ordinary tag at EOF: the partial tag is discarded (HTML5
+    // "EOF in tag" rule) but never eats preceding text
+    assert(TextFunctions.htmlToText("<p>tail</p><a href=") == "tail")
     // a comment opener INSIDE script text must not pair with a later real
     // comment close and delete the text between them (document-order rule)
     assert(TextFunctions.htmlToText(
@@ -78,6 +79,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(TextFunctions.htmlToText("<p>x</p><![cdata[ raw ]]><p>y</p>") == "x y")
     // mixed-case script tags still strip as raw text
     assert(TextFunctions.htmlToText("<p>a</p><SCRIPT>var z=1</ScRiPt><p>b</p>") == "a b")
+  }
+
+  test("htmlToText is quote-aware: '>' in attribute values, EOF in tag, bare '<' (F1)") {
+    // '>' inside a double-quoted attribute value must not end the tag
+    assert(TextFunctions.htmlToText("""<a title="a>b">text</a>""") == "text")
+    // ... or a single-quoted one, including with spaces around '='
+    assert(TextFunctions.htmlToText("<a href = 'x>y'>link</a>") == "link")
+    // EOF inside a quoted value: partial tag discarded, nothing leaks
+    assert(TextFunctions.htmlToText("""<p>tail</p><div class="x""") == "tail")
+    // a quote NOT after '=' is an ordinary character (attribute-name
+    // state), so the tag still ends at the first '>'
+    assert(TextFunctions.htmlToText("""<div "a>b">x""") == "b\">x")
+    // '>' in an UNquoted attribute value ends the tag (spec behavior)
+    assert(TextFunctions.htmlToText("<a href=x>y</a>") == "y")
+    // '<' not followed by a letter, '/', '!' or '?' is literal text, not
+    // a tag opener (the old regex ate "< 5 >")
+    assert(TextFunctions.htmlToText("x < 5 > 3") == "x < 5 > 3")
+    // self-closing and end-tag forms still strip
+    assert(TextFunctions.htmlToText("a<br/>b</ bogus>c") == "a b c")
+    // doctype is a bogus-comment consume-to-'>'
+    assert(TextFunctions.htmlToText("<!DOCTYPE html><p>d</p>") == "d")
   }
 
   test("canonicalHash is stable under struct field order by construction (F4)") {
