@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   *
   * Images/audio/video are opaque `binary` columns + typed metadata. The
   * Spark-side plumbing — schema, partition-wise batch iteration, UDF
-  * signatures — is real and tested; the actual codec work is STUBBED
-  * (no image/audio libraries in this container): `decodeStub` parses
-  * magic bytes + PNG/JPEG header fields deterministically and fakes the
-  * rest, exactly where a Pandas-UDF/JNI decoder would plug in at scale.
+  * signatures — is real and tested. Image decode is REAL (`decodeImage`
+  * uses the JDK's own `javax.imageio` codecs, headless); the feature
+  * vector is still a deterministic content-hash stand-in for a vision
+  * encoder, and audio/video demuxing stays stubbed (no codec libraries
+  * in this container) — exactly where a Pandas-UDF/JNI decoder would
+  * plug in at scale.
   */
 object Multimodal {
 
@@ -52,21 +54,27 @@ object Multimodal {
         .otherwise(col("content").cast("string")))
   }
 
-  /** STUB decoder: recognizes PNG / JPEG magic bytes and reads the real
-    * dimensions from the header when present (PNG IHDR); everything a
-    * real codec would produce beyond that is deterministic fake. */
-  def decodeStub(bytes: Array[Byte]): (String, Int, Int) = {
-    if (bytes == null || bytes.length < 8) return ("empty", 0, 0)
-    val isPng = bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' &&
-      bytes(2) == 'N' && bytes(3) == 'G'
-    val isJpeg = bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8
-    if (isPng && bytes.length >= 24) {
-      def be(i: Int) = ((bytes(i) & 0xFF) << 24) | ((bytes(i + 1) & 0xFF) << 16) |
-        ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)
-      ("png", be(16), be(20)) // IHDR width/height
-    } else if (isPng) ("png", 0, 0)
-    else if (isJpeg) ("jpeg", -1, -1) // full JPEG header walk = real codec territory
-    else ("unknown", 0, 0)
+  /** Real image decode via the JDK's own codecs (`javax.imageio`,
+    * headless — PNG/JPEG/GIF/BMP/TIFF ship with the JDK): the matching
+    * reader supplies the format name and header dimensions WITHOUT a full
+    * pixel decode (`getWidth(0)` parses only the header), so this stays
+    * cheap enough for the per-batch executor path. Returns
+    * ("empty",0,0) for null/blank bytes, ("unknown",0,0) when no
+    * installed reader claims the bytes, and (fmt,0,0) for bytes a reader
+    * claims but whose header is truncated/corrupt. */
+  def decodeImage(bytes: Array[Byte]): (String, Int, Int) = {
+    if (bytes == null || bytes.isEmpty) return ("empty", 0, 0)
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return ("unknown", 0, 0)
+      val r = readers.next()
+      try {
+        r.setInput(iis, true, true)
+        try (r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0))
+        catch { case _: Exception => (r.getFormatName.toLowerCase, 0, 0) }
+      } finally r.dispose()
+    } finally iis.close()
   }
 
   /** Partition-wise feature extraction: iterate assets in bounded batches
@@ -82,7 +90,7 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // a real decoder would amortize model/codec setup per batch here
           batch.iterator.map { case (id, modality, bytes) =>
-            val (fmt, w, h) = decodeStub(bytes)
+            val (fmt, w, h) = decodeImage(bytes)
             val feat = new Array[Float](dim)
             if (bytes != null) {
               var i = 0

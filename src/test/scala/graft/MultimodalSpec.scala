@@ -6,21 +6,22 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
-/** Multimodal plumbing: binaryFile ingest, stub decode, partition-wise
-  * feature extraction, frame-offset explode. */
+/** Multimodal plumbing: binaryFile ingest, real ImageIO decode,
+  * partition-wise feature extraction, frame-offset explode. */
 class MultimodalSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false").getOrCreate()
 
-  /** minimal valid 3x2 PNG header (signature + IHDR length/type + dims). */
-  private def pngBytes(w: Int, h: Int): Array[Byte] = {
-    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
-    val ihdrLen = Array[Byte](0, 0, 0, 13)
-    val ihdrTag = "IHDR".getBytes
-    def be(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
-    sig ++ ihdrLen ++ ihdrTag ++ be(w) ++ be(h) ++ Array[Byte](8, 6, 0, 0, 0)
+  /** REAL encoded image bytes (deterministic pixels) via the JDK's own
+    * encoders — what a crawler would actually land in the binary column. */
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
   }
 
   /** tiny single-object PDF with one plain content stream. */
@@ -32,9 +33,9 @@ class MultimodalSpec extends AnyFunSuite {
 
   private lazy val assetDir: String = {
     val dir = Files.createTempDirectory("graft-mm")
-    Files.write(dir.resolve("a.png"), pngBytes(640, 480))
-    Files.write(dir.resolve("b.png"), pngBytes(32, 32))
-    Files.write(dir.resolve("c.jpg"), Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte))
+    Files.write(dir.resolve("a.png"), imageBytes("png", 640, 480))
+    Files.write(dir.resolve("b.png"), imageBytes("png", 32, 32))
+    Files.write(dir.resolve("c.jpg"), imageBytes("jpg", 20, 10))
     Files.write(dir.resolve("page.html"), "<html><body>x</body></html>".getBytes)
     Files.write(dir.resolve("doc.pdf"), pdfBytes("Bao cao thuy van"))
     dir.toString
@@ -57,11 +58,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(texts("pdf") == "Bao cao thuy van")
   }
 
-  test("decodeStub reads real PNG dimensions, flags JPEG, rejects garbage") {
-    assert(Multimodal.decodeStub(pngBytes(640, 480)) == ("png", 640, 480))
-    assert(Multimodal.decodeStub(Array[Byte](0xFF.toByte, 0xD8.toByte, 0, 0, 0, 0, 0, 0)) == ("jpeg", -1, -1))
-    assert(Multimodal.decodeStub("not an image at all".getBytes) == ("unknown", 0, 0))
-    assert(Multimodal.decodeStub(null) == ("empty", 0, 0))
+  test("decodeImage decodes real PNG and JPEG bytes with correct dimensions") {
+    assert(Multimodal.decodeImage(imageBytes("png", 640, 480)) == ("png", 640, 480))
+    assert(Multimodal.decodeImage(imageBytes("jpg", 31, 17)) == ("jpeg", 31, 17))
+    assert(Multimodal.decodeImage("not an image at all".getBytes) == ("unknown", 0, 0))
+    assert(Multimodal.decodeImage(null) == ("empty", 0, 0))
+    // claimed-but-truncated: JPEG magic with no SOF header → (jpeg, 0, 0)
+    assert(Multimodal.decodeImage(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)) == ("jpeg", 0, 0))
   }
 
   test("extractFeatures: partition-wise batched, fixed-dim, deterministic") {
@@ -71,6 +74,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(_.feature.length == 16))
     val png = feats.filter(_.format == "png")
     assert(png.map(f => (f.width, f.height)).toSet == Set((640, 480), (32, 32)))
+    val jpeg = feats.filter(_.format == "jpeg")
+    assert(jpeg.map(f => (f.width, f.height)).toSet == Set((20, 10)))
     // determinism: rerun produces identical features
     val again = Multimodal.extractFeatures(spark, assets, dim = 16, batchSize = 2).collect()
     assert(feats.sortBy(_.asset_id).zip(again.sortBy(_.asset_id))
