@@ -25,17 +25,23 @@ object Reliability {
   /** Apply a wrapped function and split: (clean rows with `outCol`,
     * quarantined rows with `errorCol`).
     *
-    * Both returned frames share the `applied` subtree, so acting on each
-    * re-evaluates the wrapped UDF over all rows. For an expensive or
-    * side-effecting `f`, persist or land `applied`'s parent first (the
-    * bronze pattern: land, then split the landed table) — the split
-    * itself is two cheap filters either way. */
+    * Both returned frames share the `applied` subtree. With
+    * `persist = true` (the safe default for an expensive or
+    * side-effecting `f`) the applied frame is cached before the split,
+    * so the wrapped UDF runs once per row no matter how many of the two
+    * streams are acted on — the caller should `unpersist()` either
+    * returned frame's `queryExecution` input when done, or simply let it
+    * age out. With `persist = false` the split is pure lineage: each
+    * stream's action re-evaluates the UDF over all rows (the bronze
+    * land-then-split pattern makes that harmless). */
   def applyWithQuarantine(df: DataFrame, in: Column, wrapped: UserDefinedFunction,
-                          outCol: String, errorCol: String = "error"): (DataFrame, DataFrame) = {
-    val applied = df.withColumn("_r", wrapped(in))
+                          outCol: String, errorCol: String = "error",
+                          persist: Boolean = true): (DataFrame, DataFrame) = {
+    val applied0 = df.withColumn("_r", wrapped(in))
       .withColumn(outCol, col("_r._1"))
       .withColumn(errorCol, col("_r._2"))
       .drop("_r")
+    val applied = if (persist) applied0.persist() else applied0
     (applied.filter(col(errorCol).isNull).drop(errorCol),
       applied.filter(col(errorCol).isNotNull))
   }

@@ -138,6 +138,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bad.head.getAs[String]("error").nonEmpty)
   }
 
+  test("quarantine persist=true evaluates the wrapped UDF once per row (A4)") {
+    import spark.implicits._
+    val calls = spark.sparkContext.longAccumulator("quarantine-udf-calls")
+    val df = Seq("a", "b", "::bad::", "c").toDF("url").repartition(2)
+    val risky = Reliability.tryUdf { s =>
+      calls.add(1)
+      if (s.contains("bad")) throw new IllegalArgumentException("bad input")
+      s.toUpperCase
+    }
+    val (clean, quarantined) =
+      Reliability.applyWithQuarantine(df, col("url"), risky, "up")
+    assert(clean.count() == 3)
+    assert(quarantined.count() == 1)
+    // both streams acted on, yet the cached applied frame ran the UDF
+    // exactly once per input row (8 would mean double evaluation)
+    assert(calls.value == 4, s"UDF ran ${calls.value} times")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("JSON array object read (S1) and JSON write round-trip (S2)") {
     val dir = Files.createTempDirectory("graft-json")
     // reference-style bronze object: one JSON *array* per crawl root
