@@ -89,25 +89,31 @@ object Similarity {
   }
 
   /** IVF (inverted-file) approximate top-k: corpus is pre-partitioned by
-    * nearest centroid; a query probes only its own centroid's partition
-    * (`nprobe=1` here; raise by unioning more centroid partitions). At
-    * 100 TB this turns a full-corpus scan per query into a 1/|centroids|
-    * partition scan — the standard ANN recall/cost trade.
+    * nearest centroid; a query probes its `nprobe` nearest centroids'
+    * partitions (the standard ANN recall/cost knob — each +1 adds one
+    * more 1/|centroids| corpus slice per query). At 100 TB this turns a
+    * full-corpus scan per query into an nprobe/|centroids| partition
+    * scan. Recall monotonicity in nprobe is asserted in SimilaritySpec.
     *
     * centroids: (centroid_id: Long, cvec: Array[Float]) — small,
-    * broadcast. Returns the same shape as [[topKWindow]]. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    * broadcast (use [[kmeansCentroids]] to train them). Returns the same
+    * shape as [[topKWindow]]. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int,
+              nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def assign(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    def assign(df: DataFrame, vecCol: String, idCol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("casim").desc, col("centroid_id").asc)
       df.crossJoin(broadcast(centroids))
         .withColumn("casim", graft.plans.GraftExpressions.cosineSimNative(col(vecCol), col("cvec")))
         .withColumn("_rk", row_number().over(w))
-        .filter(col("_rk") === 1)
+        .filter(col("_rk") <= keep)
         .drop("casim", "_rk", "cvec")
     }
-    val corpusAssigned = assign(corpus, "cv", "neighbor_id")
-    val queriesAssigned = assign(queries, "qv", "query_id")
+    // each corpus vector lives in exactly ONE partition; a query probes
+    // nprobe of them, so (query, neighbor) candidates are already unique
+    val corpusAssigned = assign(corpus, "cv", "neighbor_id", 1)
+    val queriesAssigned = assign(queries, "qv", "query_id", nprobe)
     // probe: join query to its centroid's corpus partition only
     val cands = corpusAssigned.join(broadcast(queriesAssigned), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -117,6 +123,51 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long"))
+  }
+
+  /** Spherical k-means centroid training for the IVF family: deterministic
+    * Lloyd iterations (no RNG — seeds are the `k` lowest-id vectors,
+    * renumbered 0..k-1; ties in assignment break by centroid_id asc).
+    *
+    * Scale shape: the heavy steps — nearest-centroid assignment
+    * (crossJoin against the BROADCAST k×dim centroid table) and the
+    * per-dimension mean (posexplode + two-level groupBy, map-side
+    * partial aggregation) — are fully distributed; only the k×dim
+    * centroid matrix itself is collected per iteration to re-broadcast,
+    * which also truncates the iterative lineage (the MLlib pattern). An
+    * empty cluster keeps its previous centroid. Float means drift by
+    * partition-order ulps run-to-run, so downstream assertions should be
+    * about recall/objective, not bit equality.
+    *
+    * vectors: (idCol: Long, vecCol: Array[Float]). Returns
+    * (centroid_id: Long 0..k-1, cvec: Array[Float]). */
+  def kmeansCentroids(spark: SparkSession, vectors: DataFrame, k: Int, iters: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && iters >= 0, s"bad kmeans config ($k,$iters)")
+    var cents: Array[(Long, Array[Float])] = vectors
+      .orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol), col(vecCol)).as[(Long, Array[Float])].collect()
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    for (_ <- 1 to iters) {
+      val cdf = cents.toSeq.toDF("centroid_id", "cvec")
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("casim").desc, col("centroid_id").asc)
+      val assigned = vectors.select(col(idCol), col(vecCol))
+        .crossJoin(broadcast(cdf))
+        .withColumn("casim", graft.plans.GraftExpressions.cosineSimNative(col(vecCol), col("cvec")))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)))
+        .groupBy(col("centroid_id"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))")
+          .as("cvec"))
+        .as[(Long, Array[Float])].collect().toMap
+      cents = cents.map { case (cid, v) => (cid, means.getOrElse(cid, v)) }
+    }
+    cents.toSeq.toDF("centroid_id", "cvec")
   }
 
   /** Sequential left-to-right double dot product — bit-identical to the

@@ -142,6 +142,21 @@ object VectorOps {
       Similarity.ivfTopK(q, c, cents, 5)
     }),
 
+    // Production IVF end-to-end: spherical-k-means-trained centroids
+    // (deterministic Lloyd seeds, k=8, 3 iterations) + nprobe=2 probing.
+    // No DuckDB oracle — iterative float means are not bit-stable across
+    // engines — so the driver records a rows-only check; recall vs the
+    // exact q24 top-k (and monotonicity in nprobe) is asserted in
+    // SimilaritySpec instead.
+    "q47_ivf_kmeans_topk" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val cents = Similarity.kmeansCentroids(s, e, k = 8, iters = 3)
+      Similarity.ivfTopK(q, c, cents, 5, nprobe = 2)
+    }),
+
     // IVF cluster assignment (ANN scale path): centroids = vec_id 0..7;
     // every vector is assigned to its max-cosine centroid (deterministic
     // tiebreak). A query then probes only its centroid's partition.
