@@ -1,7 +1,7 @@
 package graft.etl
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Silver layer — chunking (reference dags/silver.py +
@@ -34,4 +34,19 @@ object Silver {
     * INSERT OVERWRITE). */
   def refresh(silver: DataFrame, path: String): Unit =
     silver.write.mode("overwrite").parquet(path)
+
+  /** Incremental refresh — the 100 TB path (SURVEY §4.1 flags the
+    * reference's full refresh as the complexity dodge: at scale the
+    * winning plan is changed-partition-only chunking). Reads ONE bronze
+    * crawl_date partition (partition-pruned scan, O(day) not O(history))
+    * and dynamically overwrites ONLY the matching silver partition —
+    * every other day's files are untouched (PipelineSpec asserts file
+    * identity), same mechanism as `Bronze.land`. */
+  def refreshPartition(spark: SparkSession, bronzePath: String, silverPath: String,
+                       date: String, size: Int = ChunkSize, overlap: Int = ChunkOverlap): Unit =
+    chunk(Bronze.read(spark, bronzePath, Some(date)), size, overlap)
+      .withColumn("crawl_date", lit(date))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("crawl_date").parquet(silverPath)
 }

@@ -144,10 +144,55 @@ class PipelineSpec extends AnyFunSuite {
   test("land is idempotent: re-running the same day leaves counts stable") {
     val path = s"$tmp/bronze-idem"
     val df = Bronze.dedupByContent(fixtureBronze)
+    // seed an OLDER partition first — a regression to static overwrite
+    // (dropped partitionOverwriteMode) would silently delete it on land
+    df.withColumn("crawl_date", lit("2020-01-01"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("crawl_date").parquet(path)
+    val nOld = spark.read.parquet(path).filter(col("crawl_date") === "2020-01-01").count()
+    assert(nOld > 0)
     Bronze.land(df, path)
     val n1 = spark.read.parquet(path).count()
     Bronze.land(df, path) // same-day re-run: dynamic overwrite, not append
     assert(spark.read.parquet(path).count() == n1)
+    // the older partition survived both landings
+    assert(spark.read.parquet(path).filter(col("crawl_date") === "2020-01-01").count() == nOld)
+  }
+
+  test("silver: refreshPartition re-chunks one day without touching the other's files") {
+    val bronzePath = s"$tmp/bronze-incr"; val silverPath = s"$tmp/silver-incr"
+    val day1 = "2025-04-01"; val day2 = "2025-04-02"
+    def landOn(date: String, df: DataFrame): Unit =
+      df.withColumn("crawl_date", lit(date))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("crawl_date").parquet(bronzePath)
+    val base = Bronze.dedupByContent(fixtureBronze)
+    landOn(day1, base.limit(3))
+    landOn(day2, base)
+    Silver.refreshPartition(spark, bronzePath, silverPath, day1)
+    Silver.refreshPartition(spark, bronzePath, silverPath, day2)
+    def snapshot(day: String): Set[(String, Long, Long)] = {
+      val d = new java.io.File(s"$silverPath/crawl_date=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified, f.length)).toSet
+    }
+    val day1Before = snapshot(day1)
+    assert(day1Before.nonEmpty)
+    val day1Rows = spark.read.parquet(silverPath)
+      .filter(col("crawl_date") === day1).count()
+    // change day2's bronze, then re-chunk ONLY day2
+    landOn(day2, base.limit(5))
+    Silver.refreshPartition(spark, bronzePath, silverPath, day2)
+    // day1's parquet files are bit-for-bit the same ones (Spark part-file
+    // names are per-write UUIDs, so identical names == not rewritten)
+    assert(snapshot(day1) == day1Before, "day1 silver files were rewritten")
+    assert(spark.read.parquet(silverPath)
+      .filter(col("crawl_date") === day1).count() == day1Rows)
+    // day2 reflects the NEW bronze (5 docs, all short -> one chunk each
+    // except the long pdf doc which fans out)
+    val day2Rows = spark.read.parquet(silverPath).filter(col("crawl_date") === day2)
+    assert(day2Rows.count() ==
+      Silver.chunk(base.limit(5)).count(), "day2 not re-chunked from new bronze")
   }
 
   test("binary raw-asset mode reads via binaryFile source (A.5)") {
