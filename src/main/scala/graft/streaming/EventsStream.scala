@@ -44,6 +44,32 @@ object EventsStream {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream inner join (§2.7's last streaming shape):
+    * each purchase matches the same user's clicks in the preceding
+    * `boundSec` seconds. The watermark plus the time-range predicate let
+    * the state store evict click rows older than
+    * `watermark - boundSec` and purchase rows older than the watermark,
+    * so state is O(events within the horizon), never O(stream). The
+    * same expression runs unchanged as a batch query (watermarks are
+    * no-ops in batch) — StreamingSpec asserts stream ≡ batch on the
+    * shared fixture and containment of the q36 as-of click. */
+  def clickPurchaseJoin(events: DataFrame, boundSec: Long = 1800L,
+                        watermarkDelay: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    purchases.join(clicks,
+      col("click_user") === col("user_id") &&
+        col("click_ts") < col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $boundSec SECONDS"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   // ---- stateful sessionization (mapGroupsWithState) ---------------------
 
   case class Evt(event_id: Long, ts: java.sql.Timestamp, user_id: Long)

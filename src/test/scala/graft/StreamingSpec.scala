@@ -59,6 +59,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(users.size == missing.size, "at most one open session per user")
   }
 
+  test("stream-stream click-purchase join equals its batch twin, contains q36's as-of click") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val streamed = EventsStream.runToMemory(
+      EventsStream.clickPurchaseJoin(EventsStream.source(spark, stagedDir)),
+      "sspairs", OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    // identical expression in batch mode (watermarks are batch no-ops)
+    val batch = EventsStream.clickPurchaseJoin(Tables(spark, sfDir, "events"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, "stream-stream join must equal its batch twin")
+    // consistency with the q36 as-of join: whenever a purchase matched ANY
+    // click in the window, the as-of (latest preceding) click is the
+    // closest one, so it must be among the matches
+    val joinedByPurchase = streamed.groupBy(_.head).map { case (p, rows) =>
+      p -> rows.map(_(2)) }
+    graft.queries.Relational.queries("q36_asof_join")(spark, sfDir).collect()
+      .filter(r => !r.isNullAt(2))
+      .foreach { r =>
+        joinedByPurchase.get(r.getLong(0)).foreach { clicks =>
+          assert(clicks.contains(r.getLong(2)),
+            s"purchase ${r.getLong(0)} joined clicks $clicks miss as-of click ${r.getLong(2)}")
+        }
+      }
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
