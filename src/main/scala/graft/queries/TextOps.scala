@@ -31,6 +31,48 @@ object TextOps {
   /** 60-bit shingle hash reduced mod P */
   private val hmExpr = "CAST(conv(substr(sha2(s, 256), 1, 15), 16, 10) AS BIGINT) % 2147483647"
 
+  /** Hot-key caps shared by q21/q22/q48 AND their oracle SQL (q48 mirrors
+    * the bucket cap oracle-side). Tuning rule: a key at the cap admits
+    * cap² join rows, so set cap ≈ sqrt(tolerable rows per hot key) —
+    * 1000 bounds any one shingle/bucket to 10⁶ rows, a single task's
+    * work at 100 TB. TextOpsSpec asserts ≥10× headroom at oracle scale
+    * (max shingle DF is 7 at sf0.01) so a test-data refresh cannot
+    * silently turn the cap into an oracle mismatch. */
+  private[graft] val ShingleDfCap = 1000L
+  private[graft] val BucketCap = 1000
+
+  /** The 16 permutation min-hashes in ONE aggregation pass over
+    * (doc_id, s) shingle rows — no row blowup, no signature self-join. */
+  private[graft] def minhashSig(sh: DataFrame): DataFrame = {
+    val hm = sh.select(col("doc_id"), expr(hmExpr).as("hm"))
+    val mhCols = (0 until 16).map(i =>
+      min((lit(permA(i)) * col("hm") + lit(permB(i))) % lit(P)).as(s"mh$i"))
+    hm.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  /** Band a 16-minhash signature into `bands` bands of 16/`bands` rows
+    * and emit capped candidate pairs: collecting each bucket's members
+    * and exploding its pairs evaluates the signature subtree ONCE (a
+    * bucket self-join would compute the 16-agg pipeline twice), and
+    * buckets over [[BucketCap]] members are non-discriminative
+    * collisions dropped before the quadratic expansion. */
+  private[graft] def lshCandidatePairs(sig: DataFrame, bands: Int): DataFrame = {
+    val rows = 16 / bands
+    val bandStructs = (0 until bands).map(bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws(",", (0 until rows).map(j => col(s"mh${bnd * rows + j}")): _*).as("bucket")))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, BucketCap))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b ->
+          |    struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text quality scoring (training-data op): length/stopword/word-shape
     // signals combined into one score. All-double arithmetic written
@@ -84,14 +126,18 @@ object TextOps {
           sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256).as("fingerprint"))
     }),
 
-    // Near-dup by n-gram Jaccard (training-data op): distinct word
-    // 3-gram shingles, shared-shingle self-join, |A∩B|/|A∪B| ≥ 0.5.
-    // Scale posture: the join key is capped at a shingle document
-    // frequency of 1000 — a shingle in k docs makes k² join rows, so one
-    // stop-shingle would otherwise dominate the whole shuffle; docs
-    // sharing only ultra-common shingles aren't meaningful near-dups
-    // anyway (standard stop-shingle removal; the cap is far above any DF
-    // in the test data, so the oracle result is unchanged).
+    // Near-dup by n-gram Jaccard — the EXACT VERIFIER (the q25 role in
+    // the q25/q40 pattern): distinct word 3-gram shingles,
+    // shared-shingle self-join, |A∩B|/|A∪B| ≥ 0.5. The production
+    // routing at 100× is q48 (MinHash-bucketed candidates + exact
+    // Jaccard on candidates only — no shingle self-join at all);
+    // TextOpsSpec asserts q48 ≡ q21 at sf0.01. Scale posture here: the
+    // join key is capped at shingle document frequency ShingleDfCap — a
+    // shingle in k docs makes k² join rows, so one stop-shingle would
+    // otherwise dominate the whole shuffle; docs sharing only
+    // ultra-common shingles aren't meaningful near-dups anyway (standard
+    // stop-shingle removal; TextOpsSpec pins ≥10× cap headroom in the
+    // oracle data, so the oracle result is unchanged).
     "q21_ngram_jaccard" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // The per-doc shingle count (Jaccard denominator, over UNCAPPED
@@ -104,7 +150,7 @@ object TextOps {
         .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
           explode(col("arr")).as("s"))
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-        .filter(col("df") <= 1000).drop("df")
+        .filter(col("df") <= ShingleDfCap).drop("df")
       val a = sh.alias("a"); val b = sh.alias("b")
       a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -116,36 +162,44 @@ object TextOps {
     }),
 
     // MinHash + LSH candidate pairs (training-data op): 16 permutation
-    // min-hashes computed in ONE pass (16 conditional aggs — no row
-    // blowup), 4 bands × 4 rows, then group-by-bucket pair expansion:
-    // collecting each bucket's members and emitting its pairs evaluates
-    // the signature subtree ONCE (a bucket self-join computes the whole
-    // 16-agg pipeline twice) and the bucket list is bounded by the cap
-    // below. Buckets over 1000 members are non-discriminative collisions
-    // and are dropped before the quadratic expansion (the cap is far
-    // above any bucket size in the test data, so the oracle result is
-    // unchanged; the same guard a production dedup would want).
+    // min-hashes in one pass ([[minhashSig]]), 4 bands × 4 rows, capped
+    // group-by-bucket pair expansion ([[lshCandidatePairs]]). The 4×4
+    // banding is the high-precision/recall-for-J≳0.8 point of the
+    // 16-perm budget; q48 rebands the same signatures 8×2 when recall
+    // down to J=0.5 matters.
     "q22_minhash_lsh" -> ((s, dir) => {
-      val hm = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3))).as("s"))
-        .select(col("doc_id"), expr(hmExpr).as("hm"))
-      val mhCols = (0 until 16).map(i =>
-        min((lit(permA(i)) * col("hm") + lit(permB(i))) % lit(P)).as(s"mh$i"))
-      val sig = hm.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-      val bandStructs = (0 until 4).map(bnd =>
-        struct(lit(bnd).as("band"),
-          concat_ws(",", (0 until 4).map(j => col(s"mh${bnd * 4 + j}")): _*).as("bucket")))
-      sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-        .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-        .agg(collect_list(col("doc_id")).as("ids"))
-        .filter(size(col("ids")).between(2, 1000))
-        .select(explode(expr(
-          """flatten(transform(ids, (a, i) ->
-            |  transform(slice(ids, i + 2, size(ids)), b ->
-            |    struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))""".stripMargin)).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
-        .distinct()
+      lshCandidatePairs(minhashSig(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3))).as("s"))),
+        bands = 4)
+    }),
+
+    // PRODUCTION n-gram near-dup (the q25→q40 pattern applied to q21):
+    // candidate pairs from MinHash-LSH — same 16 one-pass minhashes as
+    // q22, banded 8×2 for recall (a J=0.9 pair slips a 4×4 banding with
+    // p≈1.4e-3, and q22's banding does miss one J=0.989 pair in this
+    // very corpus; 8×2 drops the miss rate to ~2e-6) — then EXACT
+    // Jaccard computed ONLY on candidates via array_intersect of the
+    // per-doc shingle arrays. No shingle self-join ever happens:
+    // candidates cost O(Σ bucket²) under BucketCap (mirrored in the
+    // oracle SQL), verification costs O(candidates × avg shingles).
+    // TextOpsSpec asserts this equals the exact q21 at sf0.01.
+    "q48_neardup_pipeline" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("arr", graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3)))
+      val cand = lshCandidatePairs(
+        minhashSig(docs.select(col("doc_id"), explode(col("arr")).as("s"))),
+        bands = 8)
+      val sh = docs.select(col("doc_id"), col("arr"))
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")), "doc_b")
+        .withColumn("shared", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+        .withColumn("jaccard",
+          expr("CAST(shared AS DOUBLE) / (size(arr_a) + size(arr_b) - shared)"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
     }),
 
     // SimHash (training-data op): 16-bit signature; per-bit signed vote
@@ -374,6 +428,34 @@ object TextOps {
            |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            |FROM bands x JOIN bands y
            |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin,
+
+      "q48_neardup_pipeline" ->
+        s"""WITH sha AS (SELECT doc_id, $shinglesSql AS arr FROM documents),
+           |e AS (SELECT doc_id, unnest(arr) AS s FROM sha),
+           |h AS (SELECT doc_id, $hmSql AS hm FROM e),
+           |mh AS (
+           |  SELECT doc_id, i,
+           |    MIN(((i + 1) * 1299721 * hm + ((i + 1) * 15485863) % 2147483647) % 2147483647) AS mh
+           |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) perms
+           |  GROUP BY 1, 2),
+           |bands AS (
+           |  SELECT doc_id, i // 2 AS band, string_agg(mh, ',' ORDER BY i) AS bucket
+           |  FROM mh GROUP BY 1, 2),
+           |bsize AS (SELECT band, bucket, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+           |  JOIN bsize bs ON bs.band = x.band AND bs.bucket = x.bucket AND bs.n <= $BucketCap)
+           |SELECT doc_a, doc_b,
+           |  CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT) AS shared,
+           |  CAST(len(list_intersect(sa.arr, sb.arr)) AS DOUBLE)
+           |    / (len(sa.arr) + len(sb.arr) - len(list_intersect(sa.arr, sb.arr))) AS jaccard
+           |FROM cand
+           |JOIN sha sa ON sa.doc_id = doc_a
+           |JOIN sha sb ON sb.doc_id = doc_b
+           |WHERE CAST(len(list_intersect(sa.arr, sb.arr)) AS DOUBLE)
+           |    / (len(sa.arr) + len(sb.arr) - len(list_intersect(sa.arr, sb.arr))) >= 0.5""".stripMargin,
 
       "q23_simhash" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS s FROM documents),

@@ -75,6 +75,17 @@ class PlanSpec extends AnyFunSuite {
       "no forced broadcast of doc-sized frames")
   }
 
+  test("q48 candidates come from bucket grouping — no shingle self-join, no cartesian") {
+    val p = planOf("q48_neardup_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly the two id-equi-joins that attach shingle arrays to the
+    // candidate pairs; a shingle self-join (q21's shape) would add a
+    // third join keyed on the shingle string
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") || l.contains("BroadcastHashJoin"))
+    assert(joins == 2, s"expected 2 joins (candidate->arrays), got $joins:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path of q01") {
     // AQE shows codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)

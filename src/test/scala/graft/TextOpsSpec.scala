@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.TextOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup-family scale guards: the hot-key caps must keep real headroom
+  * in the oracle data (so a data refresh can't silently turn a cap into
+  * an oracle mismatch), and the production near-dup routing (q48) must
+  * reproduce its exact verifier (q21) — the q25/q40 pattern applied to
+  * the Jaccard family. */
+class TextOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("hot-key caps keep >=10x headroom in the oracle data") {
+    val sh = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3))).as("s"))
+    val maxDf = sh.groupBy(col("s")).count().agg(max(col("count"))).head.getLong(0)
+    assert(maxDf * 10 <= TextOps.ShingleDfCap,
+      s"max shingle DF $maxDf eats the q21 cap ${TextOps.ShingleDfCap}'s headroom")
+
+    val sig = TextOps.minhashSig(sh)
+    def maxBucket(bands: Int): Long = {
+      val rows = 16 / bands
+      val bandStructs = (0 until bands).map(bnd =>
+        struct(lit(bnd).as("band"),
+          concat_ws(",", (0 until rows).map(j => col(s"mh${bnd * rows + j}")): _*).as("bucket")))
+      sig.select(explode(array(bandStructs: _*)).as("bb"))
+        .groupBy(col("bb")).count().agg(max(col("count"))).head.getLong(0)
+    }
+    val m4 = maxBucket(4); val m8 = maxBucket(8)
+    assert(m4 * 10 <= TextOps.BucketCap,
+      s"max 4x4 bucket $m4 eats the q22 cap ${TextOps.BucketCap}'s headroom")
+    assert(m8 * 10 <= TextOps.BucketCap,
+      s"max 8x2 bucket $m8 eats the q48 cap ${TextOps.BucketCap}'s headroom")
+  }
+
+  test("q48 production near-dup equals the exact q21 verifier at sf0.01") {
+    val exact = SparkEntry.queries("q21_ngram_jaccard")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val prod = SparkEntry.queries("q48_neardup_pipeline")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty)
+    assert(prod == exact,
+      s"missing: ${exact -- prod}; spurious: ${prod -- exact}")
+  }
+}
