@@ -4,7 +4,8 @@ import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -95,10 +96,13 @@ case class CosineSim(left: Expression, right: Expression)
   * so keys are bit-identical to the HOF form and the DuckDB oracle
   * (asserted in ExpressionsSpec + tools/check.py q40).
   *
-  * Semantics parity with the HOF form for degenerate input: a vector
-  * shorter than 64 dims (or with a null element among them) makes
-  * `element_at` null, nulling every plane sum, so every sign test
-  * fails → all keys 0. */
+  * Semantics parity with the HOF form for degenerate input: a NULL
+  * embedding, a vector shorter than 64 dims, or a null element among
+  * the first 64 all make `element_at` null, nulling every plane sum,
+  * so every sign test fails → all keys 0. The expression is therefore
+  * NON-nullable (a plain UnaryExpression would return NULL for NULL
+  * input, silently diverging from the HOF twin — ExpressionsSpec pins
+  * the null row). */
 case class LshKeys(child: Expression, tables: Int, bits: Int, mult: Long)
     extends UnaryExpression {
 
@@ -143,7 +147,11 @@ case class LshKeys(child: Expression, tables: Int, bits: Int, mult: Long)
     keys
   }
 
-  override def nullSafeEval(a: Any): Any = {
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) return new GenericArrayData(new Array[Long](tables))
     val ad = a.asInstanceOf[ArrayData]
     // HOF parity: a short array OR a null element among the first 64 dims
     // nulls every plane sum, failing every sign test -> all keys 0
@@ -154,37 +162,42 @@ case class LshKeys(child: Expression, tables: Int, bits: Int, mult: Long)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
-    nullSafeCodeGen(ctx, ev, a => {
-      val v = ctx.freshName("v"); val keys = ctx.freshName("keys")
-      val t = ctx.freshName("t"); val b = ctx.freshName("b")
-      val d = ctx.freshName("d"); val acc = ctx.freshName("acc")
-      val key = ctx.freshName("key"); val pl = ctx.freshName("pl")
-      val usable = ctx.freshName("usable")
-      s"""
+    val childGen = child.genCode(ctx)
+    val a = childGen.value
+    val v = ctx.freshName("v"); val keys = ctx.freshName("keys")
+    val t = ctx.freshName("t"); val b = ctx.freshName("b")
+    val d = ctx.freshName("d"); val acc = ctx.freshName("acc")
+    val key = ctx.freshName("key"); val pl = ctx.freshName("pl")
+    val usable = ctx.freshName("usable")
+    ev.copy(code =
+      code"""
+         |${childGen.code}
          |long[] $keys = new long[$tables];
-         |boolean $usable = $a.numElements() >= 64;
-         |if ($usable) {
-         |  for (int $d = 0; $d < 64; $d++) {
-         |    if ($a.isNullAt($d)) { $usable = false; break; }
-         |  }
-         |}
-         |if ($usable) {
-         |  float[] $v = new float[64];
-         |  for (int $d = 0; $d < 64; $d++) { $v[$d] = $a.getFloat($d); }
-         |  for (int $t = 0; $t < $tables; $t++) {
-         |    long $key = 0L;
-         |    for (int $b = 0; $b < $bits; $b++) {
-         |      double[] $pl = $planesRef[$t * $bits + $b];
-         |      double $acc = 0.0;
-         |      for (int $d = 0; $d < 64; $d++) { $acc += $pl[$d] * (double)$v[$d]; }
-         |      if ($acc >= 0.0) { $key |= (1L << $b); }
+         |if (!${childGen.isNull}) {
+         |  boolean $usable = $a.numElements() >= 64;
+         |  if ($usable) {
+         |    for (int $d = 0; $d < 64; $d++) {
+         |      if ($a.isNullAt($d)) { $usable = false; break; }
          |    }
-         |    $keys[$t] = $key;
+         |  }
+         |  if ($usable) {
+         |    float[] $v = new float[64];
+         |    for (int $d = 0; $d < 64; $d++) { $v[$d] = $a.getFloat($d); }
+         |    for (int $t = 0; $t < $tables; $t++) {
+         |      long $key = 0L;
+         |      for (int $b = 0; $b < $bits; $b++) {
+         |        double[] $pl = $planesRef[$t * $bits + $b];
+         |        double $acc = 0.0;
+         |        for (int $d = 0; $d < 64; $d++) { $acc += $pl[$d] * (double)$v[$d]; }
+         |        if ($acc >= 0.0) { $key |= (1L << $b); }
+         |      }
+         |      $keys[$t] = $key;
+         |    }
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
-       """.stripMargin
-    })
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(c: Expression): LshKeys = copy(child = c)

@@ -63,6 +63,19 @@ class ExpressionsSpec extends AnyFunSuite {
       "SELECT transform(sequence(1, 64), i -> IF(i = 5, CAST(NULL AS FLOAT), CAST(1.0 AS FLOAT))) AS embedding")
       .select(GraftExpressions.lshKeys(col("embedding"), 8, 6, 69621L).as("ks"))
     assert(withNull.head.getSeq[Long](0) == Seq.fill(8)(0L))
+    // a NULL embedding itself: HOF's element_at(NULL, d) nulls every plane
+    // sum -> all-zero keys; the native expression must match, NOT return
+    // NULL (UnaryExpression's default null propagation would) — both the
+    // interpreted eval and the codegen path
+    val nullEmb = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS embedding")
+    val natNull = nullEmb
+      .select(GraftExpressions.lshKeys(col("embedding"), 8, 6, 69621L).as("ks"))
+    assert(!natNull.head.isNullAt(0), "lsh_keys(NULL) must not be NULL")
+    assert(natNull.head.getSeq[Long](0) == Seq.fill(8)(0L))
+    import graft.queries.VectorOps
+    val hofNull = nullEmb.select(VectorOps.lshKeyCols: _*).head
+    assert((0 until 8).map(hofNull.getLong) == Seq.fill(8)(0L),
+      "HOF twin changed its NULL semantics")
   }
 
   test("lsh_keys SQL form rejects non-constant config arguments with a clear error") {
