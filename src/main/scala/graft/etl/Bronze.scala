@@ -84,6 +84,51 @@ object Bronze {
     else dedupByContent(acc)
   }
 
+  /** Bounded-cache crawl for long-lived sessions: like [[crawl]], but
+    * each BFS round's page batch is LANDED to `path` as soon as it is
+    * fetched — into a (crawl_date, crawl_round) partition via dynamic
+    * overwrite, so a re-run of the same day+round is idempotent and
+    * never clobbers other rounds — and then its cache is released. Where
+    * [[crawl]]'s returned union pins every round's pages in executor
+    * cache until session end (O(total crawl)), here cache peaks at ONE
+    * round's pages + the visited set. Dedup is per-round (the visited
+    * set already prevents refetching a URL; cross-URL duplicate content
+    * across rounds is deduped downstream, e.g. `dedupByContent` at read).
+    * Returns the number of landed pages.
+    *
+    * The frontier/visited sets are EAGER `localCheckpoint`s, not
+    * persists: a lineage-carrying cached frontier gets invalidated when
+    * the round that produced it is unpersisted, silently re-invoking
+    * `fetchPage` on replay (observed: +2 duplicate fetches on a 4-page
+    * crawl with the persist form). Checkpointing truncates the lineage
+    * to the materialized blocks — O(|URLs|), reclaimed by the context
+    * cleaner — so releasing a round's page cache can never re-fetch. */
+  def crawlAndLand(spark: SparkSession, roots: DataFrame, depth: Int,
+                   fetchPage: DataFrame => DataFrame, path: String): Long = {
+    var visited = roots.select(col("url")).localCheckpoint()
+    var frontier = visited
+    var total = 0L
+    var d = 0
+    while (d <= depth && frontier.count() > 0) {
+      val pages = cleanLinks(fetchPage(frontier)).persist()
+      pages.count() // materialize: fetchPage runs exactly once per URL
+      val batch = dedupByContent(pages)
+        .withColumn("crawl_date", date_format(current_date(), "yyyy-MM-dd"))
+        .withColumn("crawl_round", lit(d))
+      batch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("crawl_date", "crawl_round").parquet(path)
+      total += batch.count() // reads the round cache, not the network
+      val next = expandFrontier(pages, visited).localCheckpoint()
+      val grown = visited.union(next).distinct().localCheckpoint()
+      pages.unpersist() // landed + lineage truncated: safe to release
+      visited = grown
+      frontier = next
+      d += 1
+    }
+    total
+  }
+
   /** Date-partitioned landing write (bronze.py:53,91): dynamic partition
     * overwrite — re-running a day replaces exactly that day's partition
     * and leaves the rest of history untouched, matching the reference's

@@ -26,8 +26,12 @@ class OracleSqlSpec extends AnyFunSuite {
   }
 
   test("non-oracle queries are the documented rows-only exceptions") {
+    // q33: recursive chunker is not SQL-expressible (7 ScalaCheck
+    // properties instead); q47: iterative k-means float means aren't
+    // bit-stable across engines (recall + monotonicity spec'd in
+    // SimilaritySpec instead)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly.subsetOf(Set("q33_chunk_recursive")),
+    assert(rowsOnly.subsetOf(Set("q33_chunk_recursive", "q47_ivf_kmeans_topk")),
       s"queries without an oracle (driver downgrades to rows-only): $rowsOnly")
   }
 }

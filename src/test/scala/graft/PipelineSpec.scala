@@ -131,6 +131,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(fetches.value == 4L, s"expected 4 fetches, got ${fetches.value}")
   }
 
+  test("crawlAndLand lands every round, fetches once, and releases all caches") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val fetches = spark.sparkContext.longAccumulator("land-fetches")
+    val graph = Map(
+      "https://s/a" -> Seq("/b", "/c"),
+      "https://s/b" -> Seq("/d"),
+      "https://s/c" -> Seq("/d", "/a"),
+      "https://s/d" -> Seq.empty[String])
+    val fetchUdf = udf((url: String) => { fetches.add(1L); graph.getOrElse(url, Seq.empty) })
+    val fetchPage = (f: DataFrame) => f
+      .withColumn("links", fetchUdf(col("url")))
+      .withColumn("page_content", concat(lit("content of "), col("url")))
+    val path = s"$tmp/bronze-rounds"
+    val n = Bronze.crawlAndLand(spark, Seq("https://s/a").toDF("url"), 2, fetchPage, path)
+    val landed = spark.read.parquet(path)
+    assert(landed.select("url").distinct().count() == 4)
+    assert(n == 4L)
+    assert(fetches.value == 4L, s"expected 4 fetches, got ${fetches.value}")
+    // rounds are separate idempotent partitions
+    assert(landed.select("crawl_round").distinct().count() == 3)
+    // unlike crawl(), no round cache survives the call
+    assert(spark.sharedState.cacheManager.isEmpty, "crawlAndLand leaked cached frames")
+  }
+
   test("crawl over empty roots returns an empty frame with the page schema") {
     import spark.implicits._
     val fetchPage = (f: DataFrame) => f
