@@ -230,6 +230,19 @@ object Relational {
         .na.fill(0L)
     }),
 
+    // Batch twin of the streaming clickPurchaseJoin (§2.7 stream-stream
+    // join): the identical join expression runs in both execution modes
+    // (watermarks are batch no-ops) — StreamingSpec asserts stream ≡
+    // batch, and this entry anchors the batch side to the DuckDB oracle.
+    // Timestamps are emitted as epoch MICROS so both engines compare the
+    // same integers (events.parquet is ns; both sides truncate to µs).
+    "q49_click_purchase_window" -> ((s, dir) => {
+      graft.streaming.EventsStream.clickPurchaseJoin(Tables(s, dir, "events"))
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          unix_micros(col("click_ts")).as("click_us"))
+    }),
+
     // As-of join (temporal enrichment a training-data pipeline needs;
     // prompt-class custom operator): for each purchase, the latest strictly-
     // earlier click by the same user. Implemented the scalable way — ONE
@@ -448,6 +461,15 @@ object Relational {
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q49_click_purchase_window" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+        |  epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) < epoch_us(p.ts)
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000""".stripMargin,
 
     "q36_asof_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
