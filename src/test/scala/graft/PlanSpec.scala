@@ -86,6 +86,13 @@ class PlanSpec extends AnyFunSuite {
     assert(joins == 2, s"expected 2 joins (candidate->arrays), got $joins:\n$p")
   }
 
+  test("q49 stream-join batch twin joins on the user equi-key, not a cartesian") {
+    val p = planOf("q49_click_purchase_window")
+    // the time-range predicates ride the user_id equi-join; an inequality-
+    // only plan would degrade to a nested-loop cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the hot aggregation path of q01") {
     // AQE shows codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
