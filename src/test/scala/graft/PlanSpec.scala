@@ -80,7 +80,8 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // exactly the two id-equi-joins that attach shingle arrays to the
     // candidate pairs; a shingle self-join (q21's shape) would add a
-    // third join keyed on the shingle string
+    // third join keyed on the shingle string, and the rejected semi-join
+    // variant (see the q48 comment) would add LeftSemi joins
     val joins = p.linesIterator.count(l =>
       l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") || l.contains("BroadcastHashJoin"))
     assert(joins == 2, s"expected 2 joins (candidate->arrays), got $joins:\n$p")
