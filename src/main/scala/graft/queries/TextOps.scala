@@ -30,6 +30,10 @@ object TextOps {
        |ELSE array() END""".stripMargin
   /** 60-bit shingle hash reduced mod P */
   private val hmExpr = "CAST(conv(substr(sha2(s, 256), 1, 15), 16, 10) AS BIGINT) % 2147483647"
+  /** the full 60-bit hash, un-reduced (q50's simhash votes: every one of
+    * its 32 signature bits must carry signal — the mod-P form pins bit
+    * 31 to zero) */
+  private val hm60Expr = "CAST(conv(substr(sha2(s, 256), 1, 15), 16, 10) AS BIGINT)"
 
   /** Hot-key caps shared by q21/q22/q48 AND their oracle SQL (q48 mirrors
     * the bucket cap oracle-side). Tuning rule: a key at the cap admits
@@ -50,19 +54,15 @@ object TextOps {
     hm.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
   }
 
-  /** Band a 16-minhash signature into `bands` bands of 16/`bands` rows
-    * and emit capped candidate pairs: collecting each bucket's members
-    * and exploding its pairs evaluates the signature subtree ONCE (a
-    * bucket self-join would compute the 16-agg pipeline twice), and
-    * buckets over [[BucketCap]] members are non-discriminative
-    * collisions dropped before the quadratic expansion. */
-  private[graft] def lshCandidatePairs(sig: DataFrame, bands: Int): DataFrame = {
-    val rows = 16 / bands
-    val bandStructs = (0 until bands).map(bnd =>
-      struct(lit(bnd).as("band"),
-        concat_ws(",", (0 until rows).map(j => col(s"mh${bnd * rows + j}")): _*).as("bucket")))
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  /** Capped bucket-join pair expansion over (doc_id, band, bucket) rows:
+    * collecting each bucket's members and exploding its pairs evaluates
+    * the signature subtree ONCE (a bucket self-join would compute the
+    * signature pipeline twice), and buckets over [[BucketCap]] members
+    * are non-discriminative collisions dropped before the quadratic
+    * expansion. */
+  private[graft] def bucketPairs(banded: DataFrame): DataFrame =
+    banded
+      .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, BucketCap))
       .select(explode(expr(
@@ -71,6 +71,32 @@ object TextOps {
           |    struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+
+  /** Band a 16-minhash signature into `bands` bands of 16/`bands` rows
+    * and emit capped candidate pairs via [[bucketPairs]]. */
+  private[graft] def lshCandidatePairs(sig: DataFrame, bands: Int): DataFrame = {
+    val rows = 16 / bands
+    val bandStructs = (0 until bands).map(bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws(",", (0 until rows).map(j => col(s"mh${bnd * rows + j}")): _*).as("bucket")))
+    bucketPairs(
+      sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+  }
+
+  /** `bits`-bit SimHash signature in ONE aggregation pass: per-bit signed
+    * votes over `hashExpr` token hashes (q23 uses the mod-P 31-bit hash
+    * its oracle pins; q50 uses the full 60-bit hash so all 32 signature
+    * bits carry signal). */
+  private[graft] def simhashSig(docs: DataFrame, bits: Int, hashExpr: String): DataFrame = {
+    val h = docs.select(col("doc_id"), explode(expr(toksExpr)).as("s"))
+      .select(col("doc_id"), expr(hashExpr).as("h"))
+    val voteCols = (0 until bits).map(b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"v$b"))
+    val votes = h.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val simhash = (0 until bits).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    votes.select(col("doc_id"), simhash.as("simhash"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -211,17 +237,32 @@ object TextOps {
     }),
 
     // SimHash (training-data op): 16-bit signature; per-bit signed vote
-    // over token hashes, again one-pass conditional aggregation.
-    "q23_simhash" -> ((s, dir) => {
-      val h = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(expr(toksExpr)).as("s"))
-        .select(col("doc_id"), expr(hmExpr).as("h"))
-      val voteCols = (0 until 16).map(b =>
-        sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"v$b"))
-      val votes = h.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-      val simhash = (0 until 16).map(b =>
-        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-      votes.select(col("doc_id"), simhash.as("simhash"))
+    // over token hashes, one-pass conditional aggregation ([[simhashSig]]).
+    "q23_simhash" -> ((s, dir) =>
+      simhashSig(Tables(s, dir, "documents"), bits = 16, hashExpr = hmExpr)),
+
+    // SimHash near-dup PAIR JOIN (completes the q23 family to the classic
+    // near-dup pipeline shape): 32-bit signatures over the full 60-bit
+    // token hashes, banded 4 × 8 bits. PIGEONHOLE GUARANTEE: a pair
+    // within Hamming distance 3 differs in at most 3 bands, so it shares
+    // at least one whole band key — banding recall at the ≤3 threshold
+    // is EXACT, not probabilistic (TextOpsSpec asserts banded ≡ brute
+    // force at sf0.01). Candidate cost is O(Σ bucket²) under BucketCap
+    // (mirrored in the oracle SQL); production widens to 64-bit
+    // signatures + 4×16 banding, same guarantee, far sparser buckets.
+    "q50_simhash_neardup" -> ((s, dir) => {
+      val sig = simhashSig(Tables(s, dir, "documents"), bits = 32, hashExpr = hm60Expr)
+      val banded = sig.select(col("doc_id"), explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"CAST(shiftright(simhash, ${8 * b}) & 255 AS STRING)").as("bucket"))): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val cand = bucketPairs(banded)
+      val sa = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      val sb = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
 
     // Fixed-stride chunking (oracle-able form of T1; the separator-aware
@@ -476,6 +517,34 @@ object TextOps {
            |SELECT doc_id,
            |  CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
            |FROM votes GROUP BY doc_id""".stripMargin,
+
+      "q50_simhash_neardup" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS s FROM documents),
+           |h AS (SELECT doc_id, CAST(('0x' || substr(sha256(s), 1, 15)) AS BIGINT) AS h FROM tok),
+           |votes AS (
+           |  SELECT doc_id, b,
+           |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bits
+           |  GROUP BY 1, 2),
+           |sig AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+           |  FROM votes GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id, b.band, (simhash >> (8 * b.band)) & 255 AS k
+           |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+           |bsize AS (SELECT band, k, COUNT(*) AS n FROM banded GROUP BY 1, 2),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM banded x JOIN banded y
+           |    ON x.band = y.band AND x.k = y.k AND x.doc_id < y.doc_id
+           |  JOIN bsize bs ON bs.band = x.band AND bs.k = x.k AND bs.n <= $BucketCap)
+           |SELECT doc_a, doc_b,
+           |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+           |FROM cand
+           |JOIN sig sa ON sa.doc_id = doc_a
+           |JOIN sig sb ON sb.doc_id = doc_b
+           |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""".stripMargin,
 
       "q26_chunk_fixed" ->
         """SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,

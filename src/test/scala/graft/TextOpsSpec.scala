@@ -43,6 +43,28 @@ class TextOpsSpec extends AnyFunSuite {
       s"max 8x2 bucket $m8 eats the q48 cap ${TextOps.BucketCap}'s headroom")
   }
 
+  test("q50 simhash banding has EXACT recall at Hamming<=3 (pigeonhole vs brute force)") {
+    import org.apache.spark.sql.functions.expr
+    val sig = SparkEntry.queries("q23_simhash")(spark, dir) // 16-bit twin sanity
+    assert(sig.count() == 500)
+    val banded = SparkEntry.queries("q50_simhash_neardup")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    // brute force over the same 32-bit signatures (crossJoin is fine at
+    // oracle scale; q50's banding is the production form)
+    val s32 = TextOps.simhashSig(Tables(spark, dir, "documents"), 32,
+      "CAST(conv(substr(sha2(s, 256), 1, 15), 16, 10) AS BIGINT)")
+    val a = s32.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = s32.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .collect().map(_.toSeq).toSet
+    assert(brute.nonEmpty)
+    assert(banded == brute,
+      s"pigeonhole violated — missing: ${(brute -- banded).take(5)}; spurious: ${(banded -- brute).take(5)}")
+  }
+
   test("q48 production near-dup equals the exact q21 verifier at sf0.01") {
     val exact = SparkEntry.queries("q21_ngram_jaccard")(spark, dir)
       .collect().map(_.toSeq).toSet
