@@ -44,6 +44,12 @@ object TextOps {
     * silently turn the cap into an oracle mismatch. */
   private[graft] val ShingleDfCap = 1000L
   private[graft] val BucketCap = 1000
+  /** q50's tighter cap: simhash buckets skew far beyond minhash buckets
+    * (shared vocabulary ⇒ shared sign pattern), and the pair expansion
+    * materializes C(cap,2) structs per bucket row. 200 keeps sf0.01's
+    * max bucket (126) under the cap — the TextOpsSpec banded≡brute
+    * equality test is the loud guard if a data refresh saturates it. */
+  private[graft] val SimhashBucketCap = 200
 
   /** The 16 permutation min-hashes in ONE aggregation pass over
     * (doc_id, s) shingle rows — no row blowup, no signature self-join. */
@@ -246,23 +252,38 @@ object TextOps {
     // token hashes, banded 4 × 8 bits. PIGEONHOLE GUARANTEE: a pair
     // within Hamming distance 3 differs in at most 3 bands, so it shares
     // at least one whole band key — banding recall at the ≤3 threshold
-    // is EXACT, not probabilistic (TextOpsSpec asserts banded ≡ brute
-    // force at sf0.01). Candidate cost is O(Σ bucket²) under BucketCap
-    // (mirrored in the oracle SQL); production widens to 64-bit
-    // signatures + 4×16 banding, same guarantee, far sparser buckets.
+    // is EXACT below the bucket cap (TextOpsSpec asserts banded ≡ brute
+    // force at sf0.01; a saturated bucket dropped by the cap is the
+    // standard stop-bucket trade, loudly caught by that spec on a data
+    // refresh). Plan shape: the signature is carried THROUGH the bucket
+    // expansion (collect_list of (doc_id, simhash) structs), so the
+    // 32-agg vote pipeline runs ONCE and the query has ZERO joins — the
+    // join-back form evaluated it three times and was 15× slower. The
+    // cap is 200 (mirrored in the oracle SQL): simhash buckets skew far
+    // more than minhash buckets (similar vocab ⇒ same sign pattern), and
+    // C(cap,2) structs materialize per bucket row. Production widens to
+    // 64-bit signatures + 4×16 banding — same guarantee, sparser buckets.
     "q50_simhash_neardup" -> ((s, dir) => {
       val sig = simhashSig(Tables(s, dir, "documents"), bits = 32, hashExpr = hm60Expr)
-      val banded = sig.select(col("doc_id"), explode(array((0 until 4).map(b =>
+      sig.select(explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
-            expr(s"CAST(shiftright(simhash, ${8 * b}) & 255 AS STRING)").as("bucket"))): _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      val cand = bucketPairs(banded)
-      val sa = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-      val sb = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-      cand.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+            expr(s"shiftright(simhash, ${8 * b}) & 255").as("bucket"),
+            col("doc_id"), col("simhash"))): _*)).as("bb"))
+        .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+          col("bb.doc_id").as("doc_id"), col("bb.simhash").as("simhash"))
+        .groupBy(col("band"), col("bucket"))
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
+        .filter(size(col("ids")).between(2, SimhashBucketCap))
+        .select(explode(expr(
+          """flatten(transform(ids, (a, i) ->
+            |  transform(slice(ids, i + 2, size(ids)), b -> struct(
+            |    least(a.doc_id, b.doc_id) AS doc_a,
+            |    greatest(a.doc_id, b.doc_id) AS doc_b,
+            |    CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming))))""".stripMargin))
+          .as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
         .filter(col("hamming") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .distinct()
     }),
 
     // Fixed-stride chunking (oracle-able form of T1; the separator-aware
@@ -538,7 +559,7 @@ object TextOps {
            |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            |  FROM banded x JOIN banded y
            |    ON x.band = y.band AND x.k = y.k AND x.doc_id < y.doc_id
-           |  JOIN bsize bs ON bs.band = x.band AND bs.k = x.k AND bs.n <= $BucketCap)
+           |  JOIN bsize bs ON bs.band = x.band AND bs.k = x.k AND bs.n <= $SimhashBucketCap)
            |SELECT doc_a, doc_b,
            |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
            |FROM cand
