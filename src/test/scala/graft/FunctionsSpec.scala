@@ -102,6 +102,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(TextFunctions.htmlToText("<!DOCTYPE html><p>d</p>") == "d")
   }
 
+  test("htmlToText fuzz: tag soup never throws, clean text passes through (F1)") {
+    val rnd = new scala.util.Random(4242)
+    // 1. adversarial tag-soup fragments in random order: total function
+    val frags = Array("<", ">", "\"", "'", "=", "/", "!", "&", "&amp;",
+      "<div", """<div a="x>y">""", "</div>", "<script>", "</script>",
+      "<!--", "-->", "<![CDATA[", "]]>", "text", " ", "\n", "&#65;",
+      "&bogus;", "ph", "<a href='", "<p>", "<?pi", "<!DOCTYPE")
+    for (_ <- 0 until 2000) {
+      val s = (0 until rnd.nextInt(30)).map(_ => frags(rnd.nextInt(frags.length))).mkString
+      assert(TextFunctions.htmlToText(s) != null) // and never throws
+    }
+    // 2. markup-free text survives untouched (modulo whitespace collapse)
+    for (_ <- 0 until 300) {
+      val words = (1 to 1 + rnd.nextInt(6))
+        .map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString).mkString(" ")
+      assert(TextFunctions.htmlToText(words) == TextFunctions.normalizeWs(words))
+    }
+    // 3. wrapping clean text in tags with adversarial attribute values
+    //    yields exactly the inner text
+    val attrs = Seq("a>b", "x", "a'b", "<c>", "")
+    for (_ <- 0 until 300) {
+      val words = (1 to 1 + rnd.nextInt(6))
+        .map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString).mkString(" ")
+      val html = s"""<div title="${attrs(rnd.nextInt(attrs.length))}"><p>$words</p></div>"""
+      assert(TextFunctions.htmlToText(html) == words, html)
+    }
+  }
+
   test("canonicalHash is stable under struct field order by construction (F4)") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 1)).toDF("x", "y")
