@@ -105,6 +105,31 @@ object TextOps {
     votes.select(col("doc_id"), simhash.as("simhash"))
   }
 
+  private def q48NearDup(s: SparkSession, dir: String): DataFrame = {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("arr", graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3)))
+      val cand = lshCandidatePairs(
+        minhashSig(docs.select(col("doc_id"), explode(col("arr")).as("s"))),
+        bands = 8)
+      // The two attaches re-shingle the corpus at map time (the arr
+      // projection is evaluated per join side). The tempting "semi-join
+      // candidate ids first, re-shingle only survivors" variant instead
+      // DUPLICATES the whole candidate-generation subtree (cand feeds
+      // both the semi-join filter and the pair join; DataFrame reuse is
+      // plan duplication, not sharing) — measured 2.1 s vs 1.6 s here at
+      // sf0.1. Re-shingling is unshuffled, codegen-fused map work that
+      // scales linearly; keep it.
+      val sh = docs.select(col("doc_id"), col("arr"))
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")), "doc_b")
+        .withColumn("shared", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+        .withColumn("jaccard",
+          expr("CAST(shared AS DOUBLE) / (size(arr_a) + size(arr_b) - shared)"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text quality scoring (training-data op): length/stopword/word-shape
     // signals combined into one score. All-double arithmetic written
@@ -217,30 +242,17 @@ object TextOps {
     // candidates cost O(Σ bucket²) under BucketCap (mirrored in the
     // oracle SQL), verification costs O(candidates × avg shingles).
     // TextOpsSpec asserts this equals the exact q21 at sf0.01.
-    "q48_neardup_pipeline" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-        .withColumn("arr", graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3)))
-      val cand = lshCandidatePairs(
-        minhashSig(docs.select(col("doc_id"), explode(col("arr")).as("s"))),
-        bands = 8)
-      // The two attaches re-shingle the corpus at map time (the arr
-      // projection is evaluated per join side). The tempting "semi-join
-      // candidate ids first, re-shingle only survivors" variant instead
-      // DUPLICATES the whole candidate-generation subtree (cand feeds
-      // both the semi-join filter and the pair join; DataFrame reuse is
-      // plan duplication, not sharing) — measured 2.1 s vs 1.6 s here at
-      // sf0.1. Re-shingling is unshuffled, codegen-fused map work that
-      // scales linearly; keep it.
-      val sh = docs.select(col("doc_id"), col("arr"))
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")), "doc_b")
-        .withColumn("shared", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
-        .withColumn("jaccard",
-          expr("CAST(shared AS DOUBLE) / (size(arr_a) + size(arr_b) - shared)"))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
-    }),
+    "q48_neardup_pipeline" -> (q48NearDup(_, _)),
+
+    // Dedup CLUSTERS — the step a production pipeline runs after pair
+    // generation (keep one representative per duplicate group): q48's
+    // near-dup pairs grouped into connected components by distributed
+    // min-label propagation (operators.Components); cluster_id = the
+    // component's min doc_id, i.e. the doc the dedup keeps. Oracle:
+    // recursive-CTE transitive closure over the same pair SQL.
+    "q51_neardup_clusters" -> ((s, dir) =>
+      graft.operators.Components.connectedComponents(
+        q48NearDup(s, dir).select(col("doc_a"), col("doc_b")))),
 
     // SimHash (training-data op): 16-bit signature; per-bit signed vote
     // over token hashes, one-pass conditional aggregation ([[simhashSig]]).
@@ -402,6 +414,34 @@ object TextOps {
          |     i -> array_to_string(list_slice($toksSql, i, i + 2), ' ')))
          |ELSE [] END""".stripMargin
     val hmSql = "CAST(('0x' || substr(sha256(s), 1, 15)) AS BIGINT) % 2147483647"
+    val q48Sql =
+      s"""WITH sha AS (SELECT doc_id, $shinglesSql AS arr FROM documents),
+           |e AS (SELECT doc_id, unnest(arr) AS s FROM sha),
+           |h AS (SELECT doc_id, $hmSql AS hm FROM e),
+           |mh AS (
+           |  SELECT doc_id, i,
+           |    MIN(((i + 1) * 1299721 * hm + ((i + 1) * 15485863) % 2147483647) % 2147483647) AS mh
+           |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) perms
+           |  GROUP BY 1, 2),
+           |bands AS (
+           |  SELECT doc_id, i // 2 AS band, string_agg(mh, ',' ORDER BY i) AS bucket
+           |  FROM mh GROUP BY 1, 2),
+           |bsize AS (SELECT band, bucket, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+           |  JOIN bsize bs ON bs.band = x.band AND bs.bucket = x.bucket AND bs.n <= $BucketCap)
+           |SELECT doc_a, doc_b,
+           |  CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT) AS shared,
+           |  CAST(len(list_intersect(sa.arr, sb.arr)) AS DOUBLE)
+           |    / (len(sa.arr) + len(sb.arr) - len(list_intersect(sa.arr, sb.arr))) AS jaccard
+           |FROM cand
+           |JOIN sha sa ON sa.doc_id = doc_a
+           |JOIN sha sb ON sb.doc_id = doc_b
+           |WHERE CAST(len(list_intersect(sa.arr, sb.arr)) AS DOUBLE)
+           |    / (len(sa.arr) + len(sb.arr) - len(list_intersect(sa.arr, sb.arr))) >= 0.5""".stripMargin
+
     Map(
       "q17_quality_score" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -499,33 +539,25 @@ object TextOps {
            |FROM bands x JOIN bands y
            |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin,
 
-      "q48_neardup_pipeline" ->
-        s"""WITH sha AS (SELECT doc_id, $shinglesSql AS arr FROM documents),
-           |e AS (SELECT doc_id, unnest(arr) AS s FROM sha),
-           |h AS (SELECT doc_id, $hmSql AS hm FROM e),
-           |mh AS (
-           |  SELECT doc_id, i,
-           |    MIN(((i + 1) * 1299721 * hm + ((i + 1) * 15485863) % 2147483647) % 2147483647) AS mh
-           |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) perms
-           |  GROUP BY 1, 2),
-           |bands AS (
-           |  SELECT doc_id, i // 2 AS band, string_agg(mh, ',' ORDER BY i) AS bucket
-           |  FROM mh GROUP BY 1, 2),
-           |bsize AS (SELECT band, bucket, COUNT(*) AS n FROM bands GROUP BY 1, 2),
-           |cand AS (
-           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |  FROM bands x JOIN bands y
-           |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-           |  JOIN bsize bs ON bs.band = x.band AND bs.bucket = x.bucket AND bs.n <= $BucketCap)
-           |SELECT doc_a, doc_b,
-           |  CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT) AS shared,
-           |  CAST(len(list_intersect(sa.arr, sb.arr)) AS DOUBLE)
-           |    / (len(sa.arr) + len(sb.arr) - len(list_intersect(sa.arr, sb.arr))) AS jaccard
-           |FROM cand
-           |JOIN sha sa ON sa.doc_id = doc_a
-           |JOIN sha sb ON sb.doc_id = doc_b
-           |WHERE CAST(len(list_intersect(sa.arr, sb.arr)) AS DOUBLE)
-           |    / (len(sa.arr) + len(sb.arr) - len(list_intersect(sa.arr, sb.arr))) >= 0.5""".stripMargin,
+      "q48_neardup_pipeline" -> q48Sql,
+
+      // transitive closure over q48's pair graph: exact connected
+      // components at oracle scale (components are tiny), the engine's
+      // distributed min-label propagation must reproduce them
+      "q51_neardup_clusters" ->
+        s"""WITH pairs AS (
+           |$q48Sql),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+           |reach AS (
+           |  WITH RECURSIVE r(a, b) AS (
+           |    SELECT doc_id, doc_id FROM nodes
+           |    UNION
+           |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+           |  SELECT * FROM r)
+           |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a""".stripMargin,
 
       "q23_simhash" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS s FROM documents),
