@@ -98,6 +98,29 @@ object Similarity {
     * centroids: (centroid_id: Long, cvec: Array[Float]) — small,
     * broadcast (use [[kmeansCentroids]] to train them). Returns the same
     * shape as [[topKWindow]]. */
+  /** Nearest-centroid assignment by a map-side-combinable aggregation:
+    * `min(struct(-casim, centroid_id, payload…))` picks the
+    * (max-cosine, min-centroid_id) winner per id with PARTIAL
+    * aggregation — each input partition emits one packed row per id,
+    * instead of the window form's full n×k sort-shuffle. Identical
+    * results to the window (same sim doubles, same tiebreak; the struct
+    * order never reaches the payload fields because centroid_id is
+    * unique per id). Use for CORPUS-sized sides; the window form stays
+    * for small query sides needing top-nprobe. `carry` columns ride
+    * along inside the packed struct. */
+  def nearestCentroid(df: DataFrame, centroids: DataFrame, vecCol: String,
+                      idCol: String, carry: Seq[String] = Nil): DataFrame = {
+    val packed = struct(
+      (col("casim") * lit(-1.0)).as("neg_sim") +: col("centroid_id").as("cid") +:
+        col("casim").as("sim") +: carry.map(col): _*)
+    df.crossJoin(broadcast(centroids))
+      .withColumn("casim", graft.plans.GraftExpressions.cosineSimNative(col(vecCol), col("cvec")))
+      .groupBy(col(idCol))
+      .agg(min(packed).as("_w"))
+      .select(col(idCol) +: col("_w.cid").as("centroid_id") +: col("_w.sim").as("casim") +:
+        carry.map(c => col(s"_w.$c").as(c)): _*)
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int,
               nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -110,9 +133,11 @@ object Similarity {
         .filter(col("_rk") <= keep)
         .drop("casim", "_rk", "cvec")
     }
-    // each corpus vector lives in exactly ONE partition; a query probes
-    // nprobe of them, so (query, neighbor) candidates are already unique
-    val corpusAssigned = assign(corpus, "cv", "neighbor_id", 1)
+    // each corpus vector lives in exactly ONE partition (agg-min, scales
+    // with partial aggregation); a query probes nprobe of them (window,
+    // query side is small), so (query, neighbor) candidates are unique
+    val corpusAssigned = nearestCentroid(corpus, centroids, "cv", "neighbor_id", Seq("cv"))
+      .drop("casim")
     val queriesAssigned = assign(queries, "qv", "query_id", nprobe)
     // probe: join query to its centroid's corpus partition only
     val cands = corpusAssigned.join(broadcast(queriesAssigned), Seq("centroid_id"))
@@ -151,13 +176,8 @@ object Similarity {
       .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
     for (_ <- 1 to iters) {
       val cdf = cents.toSeq.toDF("centroid_id", "cvec")
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("casim").desc, col("centroid_id").asc)
-      val assigned = vectors.select(col(idCol), col(vecCol))
-        .crossJoin(broadcast(cdf))
-        .withColumn("casim", graft.plans.GraftExpressions.cosineSimNative(col(vecCol), col("cvec")))
-        .withColumn("_rk", row_number().over(w))
-        .filter(col("_rk") === 1)
+      val assigned = nearestCentroid(
+        vectors.select(col(idCol), col(vecCol)), cdf, vecCol, idCol, Seq(vecCol))
       val means = assigned
         .select(col("centroid_id"), posexplode(col(vecCol)))
         .groupBy(col("centroid_id"), col("pos")).agg(avg(col("col")).as("m"))

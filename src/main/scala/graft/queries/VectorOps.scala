@@ -159,19 +159,18 @@ object VectorOps {
 
     // IVF cluster assignment (ANN scale path): centroids = vec_id 0..7;
     // every vector is assigned to its max-cosine centroid (deterministic
-    // tiebreak). A query then probes only its centroid's partition.
+    // tiebreak) via the map-side-combinable agg-min form — one partial
+    // aggregation instead of a full n×k window sort-shuffle (results
+    // identical; the oracle pins them). A query then probes only its
+    // centroid's partition.
     "q35_ivf_assign" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cosine").desc, col("centroid_id").asc)
-      e.select(col("vec_id"), col("embedding"), col("label"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cosine", cosine("embedding", "cvec"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("centroid_id"), col("cosine"), col("label"))
+      Similarity.nearestCentroid(
+          e.select(col("vec_id"), col("embedding"), col("label")),
+          cents, "embedding", "vec_id", Seq("label"))
+        .select(col("vec_id"), col("centroid_id"), col("casim").as("cosine"), col("label"))
     })
   )
 

@@ -87,6 +87,13 @@ class PlanSpec extends AnyFunSuite {
     assert(joins == 2, s"expected 2 joins (candidate->arrays), got $joins:\n$p")
   }
 
+  test("q35 centroid assignment uses map-side partial aggregation, not a window sort") {
+    val p = planOf("q35_ivf_assign")
+    assert(!p.contains("Window"), s"assignment degraded to the n×k window sort:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"no map-side combine in assignment:\n$p")
+  }
+
   test("q49 stream-join batch twin joins on the user equi-key, not a cartesian") {
     val p = planOf("q49_click_purchase_window")
     // the time-range predicates ride the user_id equi-join; an inequality-
