@@ -4,7 +4,6 @@ import graft.Tables
 import graft.functions.VectorFunctions._
 import graft.operators.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector/similarity operator demos over the `embeddings` table
