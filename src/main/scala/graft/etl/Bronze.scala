@@ -105,6 +105,12 @@ object Bronze {
     * cleaner — so releasing a round's page cache can never re-fetch. */
   def crawlAndLand(spark: SparkSession, roots: DataFrame, depth: Int,
                    fetchPage: DataFrame => DataFrame, path: String): Long = {
+    // ONE crawl = ONE crawl_date, captured on the driver before the loop:
+    // evaluating current_date() inside each round's write would scatter a
+    // midnight-crossing crawl across two date partitions, and a same-day
+    // re-run would then never overwrite the pre-midnight rounds (breaking
+    // the idempotency contract above).
+    val crawlDate = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
     var visited = roots.select(col("url")).localCheckpoint()
     var frontier = visited
     var total = 0L
@@ -113,7 +119,7 @@ object Bronze {
       val pages = cleanLinks(fetchPage(frontier)).persist()
       pages.count() // materialize: fetchPage runs exactly once per URL
       val batch = dedupByContent(pages)
-        .withColumn("crawl_date", date_format(current_date(), "yyyy-MM-dd"))
+        .withColumn("crawl_date", lit(crawlDate))
         .withColumn("crawl_round", lit(d))
       batch.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -103,23 +103,36 @@ object Similarity {
     * (max-cosine, min-centroid_id) winner per id with PARTIAL
     * aggregation — each input partition emits one packed row per id,
     * instead of the window form's full n×k sort-shuffle. Identical
-    * results to the window (same sim doubles, same tiebreak; the struct
-    * order never reaches the payload fields because centroid_id is
-    * unique per id). Use for CORPUS-sized sides; the window form stays
-    * for small query sides needing top-nprobe. `carry` columns ride
-    * along inside the packed struct. */
+    * results to the window form (same sim doubles, same tiebreak; the
+    * struct order never reaches the payload fields because centroid_id
+    * is unique per id) because BOTH forms see the NaN-guarded
+    * similarity: cosine of a zero-norm vector (hashEmbed of empty text
+    * is all-zeros) is NaN, which Spark orders LARGEST — unguarded, the
+    * window form would pick a NaN centroid while min(struct(-sim,…))
+    * would skip it. [[guardedSim]] maps NaN → -Infinity so a NaN
+    * centroid never beats a real one in either form. Use this for
+    * CORPUS-sized sides; the window form stays for small query sides
+    * needing top-nprobe. `carry` columns ride along inside the packed
+    * struct. */
   def nearestCentroid(df: DataFrame, centroids: DataFrame, vecCol: String,
                       idCol: String, carry: Seq[String] = Nil): DataFrame = {
     val packed = struct(
       (col("casim") * lit(-1.0)).as("neg_sim") +: col("centroid_id").as("cid") +:
         col("casim").as("sim") +: carry.map(col): _*)
     df.crossJoin(broadcast(centroids))
-      .withColumn("casim", graft.plans.GraftExpressions.cosineSimNative(col(vecCol), col("cvec")))
+      .withColumn("casim", guardedSim(col(vecCol), col("cvec")))
       .groupBy(col(idCol))
       .agg(min(packed).as("_w"))
       .select(col(idCol) +: col("_w.cid").as("centroid_id") +: col("_w.sim").as("casim") +:
         carry.map(c => col(s"_w.$c").as(c)): _*)
   }
+
+  /** Cosine similarity with NaN (zero-norm input) mapped to -Infinity,
+    * so "most similar" rankings never prefer a degenerate vector
+    * regardless of whether the ranking is a window sort (NaN sorts
+    * first under desc) or a min-struct agg (NaN sorts last). */
+  private def guardedSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    nanvl(graft.plans.GraftExpressions.cosineSimNative(a, b), lit(Double.NegativeInfinity))
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int,
               nprobe: Int = 1): DataFrame = {
@@ -128,7 +141,7 @@ object Similarity {
     def assign(df: DataFrame, vecCol: String, idCol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("casim").desc, col("centroid_id").asc)
       df.crossJoin(broadcast(centroids))
-        .withColumn("casim", graft.plans.GraftExpressions.cosineSimNative(col(vecCol), col("cvec")))
+        .withColumn("casim", guardedSim(col(vecCol), col("cvec")))
         .withColumn("_rk", row_number().over(w))
         .filter(col("_rk") <= keep)
         .drop("casim", "_rk", "cvec")
