@@ -110,7 +110,7 @@ object Bronze {
     // midnight-crossing crawl across two date partitions, and a same-day
     // re-run would then never overwrite the pre-midnight rounds (breaking
     // the idempotency contract above).
-    val crawlDate = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
+    val crawlDate = utcToday()
     var visited = roots.select(col("url")).localCheckpoint()
     var frontier = visited
     var total = 0L
@@ -135,12 +135,22 @@ object Bronze {
     total
   }
 
+  /** The single source of the landing partition date: driver-side UTC.
+    * Both landing paths ([[crawlAndLand]] and [[land]]) MUST use this —
+    * `current_date()` is session-timezone-dependent, so mixing it with a
+    * UTC stamp can put the same wall-clock write into two different
+    * `crawl_date` partitions, and `read(path, date)` callers would miss
+    * data across the two. */
+  private[etl] def utcToday(): String =
+    java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
+
   /** Date-partitioned landing write (bronze.py:53,91): dynamic partition
     * overwrite — re-running a day replaces exactly that day's partition
     * and leaves the rest of history untouched, matching the reference's
-    * idempotent per-key bronze writes (bronze.py:91) (§2.8). */
+    * idempotent per-key bronze writes (bronze.py:91) (§2.8). Stamps the
+    * same driver-side UTC date as [[crawlAndLand]] (see [[utcToday]]). */
   def land(df: DataFrame, path: String): Unit =
-    df.withColumn("crawl_date", date_format(current_date(), "yyyy-MM-dd"))
+    df.withColumn("crawl_date", lit(utcToday()))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("crawl_date").parquet(path)

@@ -3,15 +3,14 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
 
 /** Approximate/exact nearest-neighbor search over an embedding column
   * (reference capability A8 — the Milvus vector store's retrieval surface,
   * dags/utils/seed_milvus.py:7-25).
   *
   * Two equivalent implementations of brute-force top-k:
-  *  - [[topKWindow]]: declarative — broadcast the query side, cosine via
-  *    higher-order functions, `row_number` window. Catalyst/codegen
+  *  - [[topKWindow]]: declarative — broadcast the query side, NaN-guarded
+  *    codegen'd cosine, `row_number` window. Catalyst/codegen
   *    handles everything; the window shuffles |corpus|×|queries| rows.
   *  - [[topKPartitioned]]: the 100 TB path — per-partition bounded heaps
   *    (map-side top-k) reduce the shuffle to |partitions|×|queries|×k
@@ -27,7 +26,7 @@ object Similarity {
   def topKWindow(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val sims = corpus.crossJoin(broadcast(queries))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine("qv", "cv"))
+      .withColumn("cosine", guardedSim(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     sims.withColumn("rank", row_number().over(w))
@@ -65,7 +64,10 @@ object Similarity {
           while (qi < qarr.length) {
             val (qid, qv) = qarr(qi)
             if (qid != nid) {
-              val c = dot(qv, cv) / (qnorm(qi) * cn)
+              val raw = dot(qv, cv) / (qnorm(qi) * cn)
+              // same NaN guard as guardedSim: a zero-norm vector must
+              // never beat a real candidate in the heap comparison
+              val c = if (raw.isNaN) Double.NegativeInfinity else raw
               val h = heaps(qi)
               if (h.size < k) h.enqueue((c, nid))
               else {
@@ -153,9 +155,12 @@ object Similarity {
       .drop("casim")
     val queriesAssigned = assign(queries, "qv", "query_id", nprobe)
     // probe: join query to its centroid's corpus partition only
+    // guardedSim here too: an unguarded NaN cosine (zero-norm corpus
+    // vector) orders largest under desc, ranking the degenerate vector
+    // top-1 for every query probing its partition
     val cands = corpusAssigned.join(broadcast(queriesAssigned), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", graft.plans.GraftExpressions.cosineSimNative(col("qv"), col("cv")))
+      .withColumn("cosine", guardedSim(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w))

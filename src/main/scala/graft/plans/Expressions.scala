@@ -85,6 +85,66 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Dot product over two float-array columns with whole-stage codegen —
+  * the pair-scoring kernel of the norm-precomputed cosine form:
+  * `cosine(a,b) = dot(a,b) / (norm_a * norm_b)` where the norms are
+  * computed ONCE per row instead of once per pair. For an O(n²) pair
+  * join (q25) that cuts per-pair flops 3× versus [[CosineSim]] while
+  * staying bit-identical: the norm accumulation is the same sequential
+  * IEEE-double sum whether it runs per-row or per-pair, and the final
+  * `dot / (sqrt(ssa) * sqrt(ssb))` is the same double expression tree
+  * the DuckDB oracle evaluates (asserted in ExpressionsSpec).
+  *
+  * Ragged inputs yield NULL, matching `zip_with` null-padding semantics
+  * in the HOF form (same contract as [[CosineSim]]). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects two array<float> args, got ${left.dataType}, ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    if (x.length != y.length) return null
+    var dot = 0.0; var i = 0
+    while (i < x.length) { dot += x(i).toDouble * y(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
+      s"""
+         |float[] $x = $a.toFloatArray();
+         |float[] $y = $b.toFloatArray();
+         |if ($x.length != $y.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $x.length; $i++) {
+         |    $dot += (double)$x[$i] * (double)$y[$i];
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
 /** All multiprobe-LSH table keys of an embedding in one codegen'd pass
   * (the q40 hot path): `tables` keys of `bits` sign bits each, planes
   * derived from the deterministic integer hash
@@ -237,6 +297,11 @@ object GraftExpressions {
     GraftBridge.column(
       CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Column surface for the native dot product. */
+  def dotNative(a: Column, b: Column): Column =
+    GraftBridge.column(
+      DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Column surface for the fused LSH key computation. */
   def lshKeys(embedding: Column, tables: Int, bits: Int, mult: Long): Column =
     GraftBridge.column(LshKeys(GraftBridge.expression(embedding), tables, bits, mult))
@@ -267,6 +332,7 @@ object GraftExpressions {
     * equivalent of [[GraftSparkExtensions]]. */
   def register(spark: SparkSession): Unit = {
     GraftBridge.register(spark, "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)))
+    GraftBridge.register(spark, "dot_product", exprs => DotProduct(exprs(0), exprs(1)))
     GraftBridge.register(spark, "chunk_text",
       exprs => ChunkTextGen(exprs(0), exprs(1), exprs(2)))
     GraftBridge.register(spark, "lsh_keys", lshKeysFromSql)

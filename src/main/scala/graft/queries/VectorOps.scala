@@ -67,13 +67,20 @@ object VectorOps {
     // Embedding near-duplicate pairs: all pairs with cosine > 0.45
     // (the data's max pair sim is ~0.51; planted structure sits above
     // the 0.999-quantile 0.38). At scale the crossJoin is replaced by
-    // LSH-bucketed candidates (q34) — this is the exact verifier.
+    // LSH-bucketed candidates (q40) — this is the exact verifier.
+    // Norms are precomputed ONCE per row (O(n·d)) so the O(n²) pair
+    // loop computes only the codegen'd dot product — 3× fewer flops
+    // per pair, bit-identical to the per-pair form: sqrt(sumsq) is the
+    // same sequential accumulation wherever it runs, and the final
+    // dot/(na*nb) is the oracle's exact expression tree.
     "q25_embedding_neardup" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        .withColumn("nrm", sqrt(expr(graft.functions.VectorFunctions.sumsqExpr("embedding"))))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("cosine", cosine("va", "vb"))
+        .withColumn("cosine",
+          graft.plans.GraftExpressions.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("cosine") > 0.45)
         .select(col("id_a"), col("id_b"), col("cosine"))
     }),

@@ -27,6 +27,31 @@ class ExpressionsSpec extends AnyFunSuite {
       "native codegen cosine must be bit-equal to HOF cosine")
   }
 
+  test("norm-precomputed dot_product cosine is bit-identical to cosine_sim (q25 form)") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .withColumn("nrm", sqrt(expr(VectorFunctions.sumsqExpr("embedding"))))
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"), col("nrm").as("na"))
+      .filter(col("ia") < 40)
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"), col("nrm").as("nb"))
+      .filter(col("ib") >= 40 && col("ib") < 80)
+    val rows = a.crossJoin(b).select(
+      (GraftExpressions.dotNative(col("va"), col("vb")) / (col("na") * col("nb"))).as("split"),
+      GraftExpressions.cosineSimNative(col("va"), col("vb")).as("fused"),
+      VectorFunctions.cosineHof("va", "vb").as("hof")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(0) == r.getDouble(1) && r.getDouble(1) == r.getDouble(2)),
+      "per-row-norm cosine must be bit-equal to the fused and HOF forms")
+  }
+
+  test("native dot_product returns NULL on ragged lengths (zip_with parity)") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f)), (Array(3f, 4f), Array(5f, 6f)))
+      .toDF("va", "vb")
+    val rows = df.select(GraftExpressions.dotNative(col("va"), col("vb")).as("d")).collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getDouble(0) == 39.0)
+  }
+
   test("native cosine_sim returns NULL on ragged lengths (zip_with parity)") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f)), (Array(1f, 2f), Array(1f, 2f)))

@@ -121,6 +121,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2 >= 0.35, s"nprobe=2 recall $r2 below target")
   }
 
+  test("zero-norm vectors never win: top-k, IVF scoring, centroid assignment") {
+    import spark.implicits._
+    // hashEmbed of empty text is all-zeros -> cosine against it is NaN;
+    // unguarded, NaN sorts LARGEST under desc (window forms) so the
+    // degenerate vector would rank top-1. The guard maps NaN -> -Inf.
+    val dim = 8
+    def unit(i: Int): Array[Float] = Array.tabulate(dim)(d => if (d == i % dim) 1f else 0f)
+    val corpus = ((0L to 5L).map(i => (i, unit(i.toInt))) :+ (99L, Array.fill(dim)(0f)))
+      .toDF("neighbor_id", "cv")
+    val queries = Seq((1000L, unit(0))).toDF("query_id", "qv")
+
+    val win = Similarity.topKWindow(queries, corpus, 3).collect()
+    assert(win.nonEmpty && !win.exists(_.getLong(1) == 99L),
+      s"zero vector ranked in topKWindow: ${win.mkString(",")}")
+    val part = Similarity.topKPartitioned(spark, queries, corpus.repartition(3), 3)
+      .collect()
+    assert(part.map(_.toSeq).toSet == win.map(_.toSeq).toSet,
+      "guarded topKPartitioned diverged from topKWindow")
+
+    // centroid table containing an all-zeros centroid: no vector may
+    // prefer it (agg-min form) and ivfTopK must not surface id 99
+    val cents = ((0L to 2L).map(i => (i, unit(i.toInt))) :+ (3L, Array.fill(dim)(0f)))
+      .toDF("centroid_id", "cvec")
+    val assigned = Similarity.nearestCentroid(
+      corpus.filter(col("neighbor_id") =!= 99L), cents, "cv", "neighbor_id").collect()
+    assert(assigned.forall(_.getLong(1) != 3L),
+      s"zero centroid won assignment: ${assigned.mkString(",")}")
+    val ivf = Similarity.ivfTopK(queries, corpus, cents, 3).collect()
+    assert(ivf.nonEmpty && !ivf.exists(_.getLong(1) == 99L),
+      s"zero vector ranked in ivfTopK: ${ivf.mkString(",")}")
+  }
+
   test("approx_count_distinct is the scale form of A5 (sanity, not oracle)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val exact = docs.select(countDistinct(sha2(col("text"), 256))).head.getLong(0)
