@@ -34,12 +34,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.TextOps.queries ++
-      graft.queries.VectorOps.queries
+      graft.queries.VectorOps.queries ++
+      graft.queries.TrainingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.TextOps.oracle ++
-      graft.queries.VectorOps.oracle
+      graft.queries.VectorOps.oracle ++
+      graft.queries.TrainingOps.oracle
 }

@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the reference's own surface
+  * (builder mandate: the ops a 100 TB LLM-corpus pipeline needs as
+  * first-class components): benchmark decontamination, deterministic
+  * stratified sampling, embedding quantization, and token-budget
+  * sharding. Every query here is DuckDB-oracle-backed.
+  *
+  * Shared idioms (established by TextOps and pinned by its oracles):
+  *  - tokens = whitespace split with empties dropped;
+  *  - strings are joined/hashed identically on both engines; hash keys
+  *    are the first 15 hex chars of sha256 parsed as a 60-bit BIGINT
+  *    (`conv(substr(sha2(s,256),1,15),16,10)` ≡ DuckDB
+  *    `('0x'||substr(sha256(s),1,15))::bigint`).
+  */
+object TrainingOps {
+
+  private val toksExpr = "filter(split(text, ' '), w -> w <> '')"
+  private val toksSql = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+  /** Contamination n-gram width — 13 is the de-facto standard for
+    * benchmark decontamination of web-scale corpora (GPT-3 appendix C /
+    * The Pile / Llama reports all use 13-gram overlap). */
+  private val NgramW = 13
+
+  /** Spark: all 13-grams of `toks` as space-joined strings. Guarded:
+    * Spark's `sequence(1, 0)` yields [1, 0] (descending), so a short
+    * document must short-circuit to an empty array explicitly. */
+  private val ngramsExpr =
+    s"""CASE WHEN size(toks) >= $NgramW
+       | THEN transform(sequence(1, size(toks) - ${NgramW - 1}),
+       |   i -> concat_ws(' ', slice(toks, i, $NgramW)))
+       | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+
+  /** DuckDB twin (generate_series with stop < start is already empty;
+    * the slice bound is inclusive, so [i : i+12] is 13 elements). */
+  private val ngramsSql =
+    s"list_transform(generate_series(1, len(tk) - ${NgramW - 1}), i -> array_to_string(tk[i:i+${NgramW - 1}], ' '))"
+
+  private def hash60(c: String): Column =
+    expr(s"CAST(conv(substr(sha2($c, 256), 1, 15), 16, 10) AS BIGINT)")
+  private def hash60Sql(c: String): String =
+    s"('0x'||substr(sha256($c),1,15))::bigint"
+
+  /** Deterministic per-language keep-rates for q53 (percent). Hash-based
+    * sampling, not `rand()`: reproducible across runs/retries/engines,
+    * which is what makes a 100 TB sample auditable. */
+  private val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 50, "zh" -> 25, "es" -> 40, "de" -> 30, "fr" -> 20)
+  private val SampleDefaultRate = 10
+
+  /** q55 token budget per training shard (tokens, not docs — shards get
+    * near-equal compute cost regardless of document length skew). */
+  private val ShardBudget = 4000L
+  /** Bucket width for the two-level cumulative sum (see q55 notes). */
+  private val ShardBucket = 100L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark decontamination: which training docs share a 13-gram
+    // with the held-out benchmark set (doc_id % 20 == 0)? Candidates
+    // join on the 60-bit hash of the n-gram — an 8-byte shuffle key
+    // instead of a ~90-byte string — and the benchmark side (tiny vs a
+    // 100 TB corpus) is broadcast, so the train side never shuffles.
+    // Per-doc dedup of n-grams bounds the join's fan-out.
+    "q52_decontaminate" -> ((s, dir) => {
+      def grams(df: DataFrame): DataFrame = df
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), explode(expr(ngramsExpr)).as("g"))
+        .select(col("doc_id"), hash60("g").as("h"))
+        .distinct()
+      val docs = Tables(s, dir, "documents")
+      val bench = grams(docs.filter(col("doc_id") % 20 === 0))
+        .select(col("doc_id").as("bench_id"), col("h"))
+      val train = grams(docs.filter(col("doc_id") % 20 =!= 0))
+      train.join(broadcast(bench), Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_shared_13grams"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+    }),
+
+    // Deterministic stratified sampling: per-language keep-rates applied
+    // via a content-independent hash of the doc id — the same doc is
+    // kept or dropped on every run, every engine, every retry (rand()
+    // cannot give that). Pure narrow scan: no shuffle at any scale.
+    "q53_stratified_sample" -> ((s, dir) => {
+      val rate = SampleRates.foldRight(lit(SampleDefaultRate)) {
+        case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      Tables(s, dir, "documents")
+        .withColumn("rate", rate)
+        .filter(hash60("CAST(doc_id AS STRING)") % 100 < col("rate"))
+        .select(col("doc_id"), col("lang"), col("rate").cast("long").as("keep_pct"))
+    }),
+
+    // Embedding int8 quantization (affine, per-vector min/max): 4x
+    // smaller vectors for ANN candidate generation; the (qmin, qmax)
+    // pair is the exact dequantization key. Arithmetic is the same
+    // double expression tree on both engines, so the oracle compares
+    // exact ints. Flat vectors (max == min) quantize to all-zeros. The
+    // codes are emitted CSV-joined: the engines' array-column renderings
+    // differ in the compare harness, their string join does not.
+    "q54_embed_quantize" -> ((s, dir) => {
+      Tables(s, dir, "embeddings")
+        .withColumn("mn", expr("CAST(array_min(embedding) AS DOUBLE)"))
+        .withColumn("mx", expr("CAST(array_max(embedding) AS DOUBLE)"))
+        .select(col("vec_id"), col("mn").as("qmin"), col("mx").as("qmax"),
+          expr("""concat_ws(',', CASE WHEN mx = mn THEN transform(embedding, x -> 0)
+                 | ELSE transform(embedding,
+                 |   x -> CAST(round((CAST(x AS DOUBLE) - mn) / ((mx - mn) / 255.0)) AS INT))
+                 | END)""".stripMargin).as("qvec_csv"))
+    }),
+
+    // Token-budget training shards: pack docs (in doc_id order) into
+    // shards of ~4000 tokens via a cumulative sum. The naive form is a
+    // GLOBAL unpartitioned window — every row through one task, the
+    // textbook scale-killer. This is the two-level form: a windowed
+    // cumsum WITHIN each doc_id bucket (parallel over buckets) plus a
+    // bucket-offset prefix sum over the tiny one-row-per-bucket frame,
+    // broadcast back. Identical result (integer sums associate), and
+    // the only single-task step handles |buckets| rows, not |docs|.
+    "q55_token_shards" -> ((s, dir) => {
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"CAST(size($toksExpr) AS BIGINT)").as("n_tokens"),
+          (col("doc_id") / ShardBucket).cast("long").as("bucket"))
+      val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = t.withColumn("local_before", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      val wBucket = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = t.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bt"))
+        .withColumn("offset", coalesce(sum(col("bt")).over(wBucket), lit(0L)))
+        .select(col("bucket"), col("offset"))
+      local.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("cum_before", col("offset") + col("local_before"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr(s"CAST(floor(cum_before / $ShardBudget.0) AS BIGINT)").as("shard_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q52_decontaminate" -> {
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, ${hash60Sql("g")} AS h
+         |  FROM toks, unnest($ngramsSql) AS u(g)),
+         |bench AS (SELECT doc_id AS bench_id, h FROM grams WHERE doc_id % 20 = 0),
+         |train AS (SELECT doc_id, h FROM grams WHERE doc_id % 20 <> 0)
+         |SELECT train.doc_id AS doc_id,
+         |  CAST(count(DISTINCT train.h) AS BIGINT) AS n_shared_13grams,
+         |  CAST(count(DISTINCT bench.bench_id) AS BIGINT) AS n_bench_docs
+         |FROM train JOIN bench USING (h)
+         |GROUP BY train.doc_id""".stripMargin
+    },
+
+    "q53_stratified_sample" -> {
+      val rateSql = SampleRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }
+        .mkString("CASE lang ", " ", s" ELSE $SampleDefaultRate END")
+      s"""SELECT doc_id, lang, CAST($rateSql AS BIGINT) AS keep_pct
+         |FROM documents
+         |WHERE ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 < $rateSql""".stripMargin
+    },
+
+    "q54_embed_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |  CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings)
+        |SELECT vec_id, mn AS qmin, mx AS qmax,
+        |  array_to_string(CASE WHEN mx = mn THEN list_transform(embedding, x -> 0)
+        |  ELSE list_transform(embedding,
+        |    x -> CAST(round((CAST(x AS DOUBLE) - mn) / ((mx - mn) / 255.0)) AS INT))
+        |  END, ',') AS qvec_csv
+        |FROM m""".stripMargin,
+
+    "q55_token_shards" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  CAST(floor(cum_before / $ShardBudget.0) AS BIGINT) AS shard_id
+         |FROM c""".stripMargin
+  )
+}

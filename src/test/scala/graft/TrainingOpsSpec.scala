@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the training-pipeline ops (q52-q55) that the DuckDB
+  * hash-compare can't express: semantic ground truth for contamination,
+  * determinism of the sample, the quantization error bound, and the
+  * two-level cumsum's equivalence to the naive global window. */
+class TrainingOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q52: every flagged doc really shares a verbatim 13-gram with a benchmark doc") {
+    val flagged = SparkEntry.queries("q52_decontaminate")(spark, dir).collect()
+    assert(flagged.nonEmpty, "decontamination found nothing at sf0.01 (expected planted dups)")
+    val texts = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(id: Long): Set[String] = {
+      val t = texts(id).split(" ").filter(_.nonEmpty)
+      if (t.length < 13) Set.empty else t.sliding(13).map(_.mkString(" ")).toSet
+    }
+    val benchGrams = texts.keys.filter(_ % 20 == 0).flatMap(grams).toSet
+    flagged.foreach { r =>
+      val id = r.getLong(0)
+      val shared = grams(id) & benchGrams
+      assert(id % 20 != 0, s"benchmark doc $id flagged as train")
+      assert(shared.nonEmpty, s"doc $id flagged but shares no verbatim 13-gram")
+      assert(shared.size == r.getLong(1),
+        s"doc $id: reported ${r.getLong(1)} shared grams, ground truth ${shared.size}")
+    }
+  }
+
+  test("q53: hash sampling is deterministic and stratification tracks the configured rates") {
+    val a = SparkEntry.queries("q53_stratified_sample")(spark, dir).collect()
+    val b = SparkEntry.queries("q53_stratified_sample")(spark, dir).collect()
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet, "re-run changed the sample")
+    val totals = Tables(spark, dir, "documents").groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length }
+    kept.foreach { case (lang, n) =>
+      val pct = a.find(_.getString(1) == lang).get.getLong(2).toDouble
+      val expected = totals(lang) * pct / 100.0
+      // binomial-ish tolerance on a few hundred docs per stratum
+      assert(math.abs(n - expected) <= 3.5 * math.sqrt(expected + 1),
+        s"$lang: kept $n, expected ~$expected at $pct%")
+    }
+  }
+
+  test("q54: dequantized values reconstruct originals within half a quantization step") {
+    val rows = SparkEntry.queries("q54_embed_quantize")(spark, dir)
+      .join(Tables(spark, dir, "embeddings"), Seq("vec_id"))
+      .select(col("qmin"), col("qmax"), col("qvec_csv"), col("embedding")).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+      val codes = r.getString(2).split(",").map(_.toInt)
+      val orig = r.getSeq[Float](3)
+      assert(codes.length == orig.length)
+      assert(codes.forall(c => c >= 0 && c <= 255), "code outside int8 range")
+      val scale = (mx - mn) / 255.0
+      if (scale > 0) codes.zip(orig).foreach { case (c, o) =>
+        assert(math.abs((mn + c * scale) - o) <= scale / 2 + 1e-12,
+          s"dequant error beyond half-step: code $c orig $o mn $mn mx $mx")
+      }
+    }
+  }
+
+  test("q55: two-level cumsum sharding equals the naive global window exactly") {
+    val got = SparkEntry.queries("q55_token_shards")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)").as("n"))
+    val wGlobal = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val naive = toks
+      .withColumn("cb", coalesce(sum(col("n")).over(wGlobal), lit(0L)))
+      .select(col("doc_id"), col("n"),
+        expr("CAST(floor(cb / 4000.0) AS BIGINT)").as("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == naive.toSeq)
+    // shard ids are contiguous from 0 and each shard's tokens stay within
+    // budget + one document (greedy packing bound)
+    val shards = got.groupBy(_._3)
+    assert(shards.keys.toSeq.sorted == (0L until shards.size).toSeq)
+    val maxDoc = got.map(_._2).max
+    shards.foreach { case (sid, docs) =>
+      assert(docs.map(_._2).sum <= 4000L + maxDoc, s"shard $sid overpacked")
+    }
+  }
+}
