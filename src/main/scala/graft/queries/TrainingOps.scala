@@ -66,15 +66,18 @@ object TrainingOps {
     // join on the 60-bit hash of the n-gram — an 8-byte shuffle key
     // instead of a ~90-byte string — and the benchmark side (tiny vs a
     // 100 TB corpus) is broadcast, so the train side never shuffles.
-    // Per-doc dedup of n-grams bounds the join's fan-out.
+    // The benchmark side is deduped per doc (bounds the broadcast); the
+    // train side is deliberately NOT pre-deduped — countDistinct after
+    // the join dedups anyway, and a pre-join distinct would shuffle
+    // EVERY train n-gram, while the broadcast join passes only the
+    // contaminated handful to the distinct-aggregate.
     "q52_decontaminate" -> ((s, dir) => {
       def grams(df: DataFrame): DataFrame = df
         .withColumn("toks", expr(toksExpr))
         .select(col("doc_id"), explode(expr(ngramsExpr)).as("g"))
         .select(col("doc_id"), hash60("g").as("h"))
-        .distinct()
       val docs = Tables(s, dir, "documents")
-      val bench = grams(docs.filter(col("doc_id") % 20 === 0))
+      val bench = grams(docs.filter(col("doc_id") % 20 === 0)).distinct()
         .select(col("doc_id").as("bench_id"), col("h"))
       val train = grams(docs.filter(col("doc_id") % 20 =!= 0))
       train.join(broadcast(bench), Seq("h"))

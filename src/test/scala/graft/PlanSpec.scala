@@ -94,6 +94,38 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side combine in assignment:\n$p")
   }
 
+  test("q52 broadcasts the benchmark n-grams and never shuffles raw train n-grams") {
+    val p = planOf("q52_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"contamination join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"train n-grams degraded to SMJ shuffle:\n$p")
+    // the train side must flow Generate -> join with NO Exchange between:
+    // a pre-join distinct would shuffle every n-gram of the corpus. The
+    // only exchanges sit above the join (tiny distinct-aggregate) and
+    // under the broadcast build (benchmark side).
+    val joinIdx = p.linesIterator.indexWhere(_.contains("BroadcastHashJoin"))
+    val streamSide = p.linesIterator.toSeq.drop(joinIdx + 1)
+      .takeWhile(l => !l.contains("BroadcastExchange"))
+      .filter(_.contains("Generate explode"))
+    assert(streamSide.nonEmpty, s"stream side lost its Generate:\n$p")
+  }
+
+  test("q55 keeps the global cumsum out of a corpus-sized single partition") {
+    val p = planOf("q55_token_shards")
+    // exactly one SinglePartition exchange, and it must sit above the
+    // per-bucket aggregate (|buckets| rows), not the documents scan
+    val lines = p.linesIterator.toSeq
+    val single = lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+    assert(single.length == 1, s"expected one tiny offset exchange, got ${single.length}:\n$p")
+    val below = lines.drop(single.head._2 + 1)
+      .takeWhile(l => !l.contains("Exchange SinglePartition"))
+    assert(below.exists(_.contains("HashAggregate")),
+      s"SinglePartition exchange not fed by the bucket aggregate:\n$p")
+    // per-bucket window is partitioned (parallel), and the offsets come
+    // back via broadcast, not a shuffle join
+    assert(p.contains("windowspecdefinition(bucket"), p)
+    assert(p.contains("BroadcastHashJoin"), s"offset join not broadcast:\n$p")
+  }
+
   test("q49 stream-join batch twin joins on the user equi-key, not a cartesian") {
     val p = planOf("q49_click_purchase_window")
     // the time-range predicates ride the user_id equi-join; an inequality-
