@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   * Images/audio/video are opaque `binary` columns + typed metadata. The
   * Spark-side plumbing — schema, partition-wise batch iteration, UDF
   * signatures — is real and tested. Image decode is REAL (`decodeImage`
-  * uses the JDK's own `javax.imageio` codecs, headless); the feature
-  * vector is still a deterministic content-hash stand-in for a vision
-  * encoder, and audio/video demuxing stays stubbed (no codec libraries
-  * in this container) — exactly where a Pandas-UDF/JNI decoder would
-  * plug in at scale.
+  * uses the JDK's own `javax.imageio` codecs, headless), and WAV/RIFF
+  * audio demux is REAL (`decodeWav`/`wavRmsWindows` parse the container
+  * and compute PCM16 energy features with no codec library). The image
+  * feature vector is still a deterministic content-hash stand-in for a
+  * vision encoder, and compressed audio (mp3/aac) + video demuxing stay
+  * stubbed (no codec libraries in this container) — exactly where a
+  * Pandas-UDF/JNI decoder would plug in at scale.
   */
 object Multimodal {
 
@@ -36,6 +38,7 @@ object Multimodal {
       .select(
         xxhash64(col("path")).as("asset_id"),
         when(col("path").endsWith(".png") || col("path").endsWith(".jpg"), "image")
+          .when(col("path").endsWith(".wav"), "audio")
           .when(col("path").endsWith(".html"), "html")
           .when(col("path").endsWith(".pdf"), "pdf")
           .otherwise("binary").as("modality"),
@@ -104,6 +107,108 @@ object Multimodal {
           }
         }
       }
+  }
+
+  case class WavMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                     nFrames: Long, durationMs: Long)
+
+  /** REAL audio header demux for WAV/RIFF PCM — a container format simple
+    * enough to parse without codec libraries (unlike mp3/aac, which stay
+    * stubbed). Walks the RIFF chunk list (chunks are not guaranteed to be
+    * fmt-then-data; LIST/INFO chunks may intervene), reads the `fmt `
+    * parameters, and sizes frames from the `data` chunk. Returns None for
+    * bytes that are not a well-formed RIFF/WAVE header. */
+  def decodeWav(bytes: Array[Byte]): Option[WavMeta] = {
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes == null || bytes.length < 44) return None
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var rate = 0; var ch = 0; var bps = 0; var dataLen = -1L
+    while (off + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
+      val id = tag(off); val sz = le32(off + 4)
+      if (id == "fmt " && off + 24 <= bytes.length) {
+        ch = le16(off + 10); rate = le32(off + 12).toInt; bps = le16(off + 22)
+      } else if (id == "data") {
+        // data bytes may be truncated in a partial fetch; frame count uses
+        // the bytes actually present, not the declared size
+        dataLen = math.min(sz, (bytes.length - off - 8).toLong)
+      }
+      // a corrupt size (declared beyond the buffer) ends the walk instead
+      // of wrapping the Int and looping; chunks are 2-byte aligned
+      if (sz > bytes.length.toLong) off = bytes.length
+      else off += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (rate <= 0 || ch <= 0 || bps <= 0 || dataLen < 0) None
+    else {
+      val frameBytes = ch * (bps / 8)
+      if (frameBytes <= 0) None
+      else {
+        val n = dataLen / frameBytes
+        Some(WavMeta(rate, ch, bps, n, n * 1000L / rate))
+      }
+    }
+  }
+
+  /** PCM16 feature extraction: mono-mixed RMS energy per fixed window of
+    * frames — the real batch shape of an audio encoder front-end (energy/
+    * VAD features), computed executor-side from the raw bytes. Empty for
+    * non-PCM16 or unparseable input. */
+  def wavRmsWindows(bytes: Array[Byte], windowFrames: Int = 1024): Array[Float] =
+    decodeWav(bytes) match {
+      case Some(m) if m.bitsPerSample == 16 && m.nFrames > 0 =>
+        // locate the data chunk again (cheap header walk)
+        def le32(o: Int): Long =
+          (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+            ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+        var off = 12; var dataOff = -1
+        while (off + 8 <= bytes.length && dataOff < 0) {
+          val id = new String(bytes, off, 4, "US-ASCII"); val sz = le32(off + 4)
+          if (id == "data") dataOff = off + 8
+          else if (sz > bytes.length.toLong) off = bytes.length
+          else off += 8 + sz.toInt + (sz.toInt & 1)
+        }
+        if (dataOff < 0) return Array.empty
+        val frameBytes = m.channels * 2
+        val out = Array.newBuilder[Float]
+        var f = 0L
+        while (f < m.nFrames) {
+          val end = math.min(f + windowFrames, m.nFrames)
+          var acc = 0.0; var i = f
+          while (i < end) {
+            var c = 0; var mix = 0.0
+            while (c < m.channels) {
+              val o = dataOff + (i * frameBytes).toInt + c * 2
+              val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
+              mix += s / 32768.0; c += 1
+            }
+            mix /= m.channels
+            acc += mix * mix; i += 1
+          }
+          out += math.sqrt(acc / (end - f)).toFloat
+          f = end
+        }
+        out.result()
+      case _ => Array.empty
+    }
+
+  /** Audio features over an asset frame: WAV headers demuxed for real,
+    * RMS-energy windows from the PCM samples. Columns are NULL/empty for
+    * non-WAV content (same dispatch posture as [[extractText]]). */
+  def extractAudioFeatures(spark: SparkSession, assets: DataFrame,
+                           windowFrames: Int = 1024): DataFrame = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("content")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val meta = decodeWav(bytes)
+        (id, meta.map(_.sampleRate), meta.map(_.channels), meta.map(_.bitsPerSample),
+          meta.map(_.nFrames), meta.map(_.durationMs), wavRmsWindows(bytes, windowFrames))
+      }
+      .toDF("asset_id", "sample_rate", "channels", "bits_per_sample",
+        "n_frames", "duration_ms", "rms_windows")
   }
 
   /** Frame-sampling plan for video assets (STUB: emits the byte offsets a

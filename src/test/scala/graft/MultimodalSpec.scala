@@ -82,6 +82,67 @@ class MultimodalSpec extends AnyFunSuite {
       .forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
 
+  test("decodeWav demuxes a real RIFF/PCM16 header; RMS windows track signal energy") {
+    // synthesize a canonical 1-second 440 Hz sine, 16-bit mono @ 8 kHz,
+    // with a LIST chunk BEFORE data to exercise the chunk walk
+    def wav(rate: Int, channels: Int, frames: Int, amp: Double): Array[Byte] = {
+      val dataLen = frames * channels * 2
+      val listBody = "INFOtest".getBytes("US-ASCII")
+      val bb = java.nio.ByteBuffer.allocate(44 + 8 + listBody.length + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + 8 + listBody.length + dataLen)
+      bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(rate)
+      bb.putInt(rate * channels * 2); bb.putShort((channels * 2).toShort); bb.putShort(16)
+      bb.put("LIST".getBytes); bb.putInt(listBody.length); bb.put(listBody)
+      bb.put("data".getBytes); bb.putInt(dataLen)
+      for (i <- 0 until frames; _ <- 0 until channels)
+        bb.putShort((amp * 32767 * math.sin(2 * math.Pi * 440 * i / rate)).toShort)
+      bb.array()
+    }
+    val mono = wav(8000, 1, 8000, 0.5)
+    val m = Multimodal.decodeWav(mono).get
+    assert(m == Multimodal.WavMeta(8000, 1, 16, 8000L, 1000L))
+    val rms = Multimodal.wavRmsWindows(mono, windowFrames = 1024)
+    assert(rms.length == 8) // ceil(8000/1024)
+    // sine RMS = amp/sqrt(2) ~= 0.3536 in every full window
+    rms.take(7).foreach(r => assert(math.abs(r - 0.5 / math.sqrt(2)) < 0.01, r.toString))
+    // stereo frames count once per frame, not per sample
+    val stereo = wav(16000, 2, 1600, 0.25)
+    val s = Multimodal.decodeWav(stereo).get
+    assert(s.channels == 2 && s.nFrames == 1600L && s.durationMs == 100L)
+    // non-audio bytes and truncated data are rejected or clamped, not thrown
+    assert(Multimodal.decodeWav("not a wav at all".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+    // 12 RIFF + 24 fmt + 16 LIST + 8 data-header = 60, so taking 160
+    // bytes leaves 100 PCM bytes = 50 frames
+    val t = Multimodal.decodeWav(mono.take(160))
+    assert(t.exists(_.nFrames == 50L), s"truncated data should clamp frames: $t")
+  }
+
+  test("extractAudioFeatures: distributed WAV demux with NULLs for non-audio") {
+    import spark.implicits._
+    def wavBytes: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 200).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + 200); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(1000)
+      bb.putInt(2000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(200)
+      for (_ <- 0 until 100) bb.putShort(16384)
+      bb.array()
+    }
+    val assets = Seq((1L, wavBytes), (2L, "plain text".getBytes))
+      .toDF("asset_id", "content")
+    val feats = Multimodal.extractAudioFeatures(spark, assets, windowFrames = 50)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(feats(1L).getInt(1) == 1000 && feats(1L).getLong(4) == 100L)
+    assert(feats(1L).getSeq[Float](6).length == 2)
+    assert(feats(1L).getSeq[Float](6).forall(v => math.abs(v - 0.5) < 0.01))
+    assert(feats(2L).isNullAt(1) && feats(2L).getSeq[Float](6).isEmpty)
+  }
+
   test("sampleFrameOffsets explodes 1-to-N with correct offsets") {
     val assets = Multimodal.readAssets(spark, assetDir)
     val frames = Multimodal.sampleFrameOffsets(assets, everyNBytes = 10L)
