@@ -54,6 +54,11 @@ object TrainingOps {
     Seq("en" -> 50, "zh" -> 25, "es" -> 40, "de" -> 30, "fr" -> 20)
   private val SampleDefaultRate = 10
 
+  /** q57 PII patterns — plain character classes with identical semantics
+    * in Java regex (Spark) and RE2 (DuckDB). */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val DigitsRe = "[0-9]{7,}"
+
   /** q55 token budget per training shard (tokens, not docs — shards get
     * near-equal compute cost regardless of document length skew). */
   private val ShardBudget = 4000L
@@ -118,6 +123,64 @@ object TrainingOps {
                  | END)""".stripMargin).as("qvec_csv"))
     }),
 
+    // Repetition-ratio quality filter (the Gopher-rules shape): a doc
+    // whose word 2-grams repeat heavily is boilerplate/spam. Duplicate
+    // fractions come from array_distinct counts — one narrow projection,
+    // no shuffle, trivially parallel at any scale.
+    "q56_repetition_filter" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("grams", expr(
+          """CASE WHEN size(toks) >= 2
+            | THEN transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))
+            | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .select(col("doc_id"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_words"),
+          expr("""CASE WHEN size(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+                 | ELSE 1.0 - CAST(size(array_distinct(toks)) AS DOUBLE) / CAST(size(toks) AS DOUBLE)
+                 | END""".stripMargin).as("dup_word_frac"),
+          expr("""CASE WHEN size(grams) = 0 THEN CAST(0.0 AS DOUBLE)
+                 | ELSE 1.0 - CAST(size(array_distinct(grams)) AS DOUBLE) / CAST(size(grams) AS DOUBLE)
+                 | END""".stripMargin).as("dup_2gram_frac"))
+        .withColumn("keep", col("dup_2gram_frac") < 0.2)
+    }),
+
+    // PII scrubbing: emails and long digit runs replaced by typed
+    // placeholders; emits match counts and the scrubbed-content hash
+    // (not the text — the result stays narrow however big the doc).
+    // Patterns are plain character classes, identical semantics in
+    // Java regex (Spark) and RE2 (DuckDB). Pure map, no shuffle.
+    "q57_pii_scrub" -> ((s, dir) => {
+      import TrainingOps.{EmailRe => email, DigitsRe => digits}
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(digits), lit(0))).cast("long").as("n_digit_runs"),
+          sha2(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+            digits, "<NUM>"), 256).as("scrubbed_hash"))
+    }),
+
+    // Domain-mix rebalancing: downsample every source to the size of the
+    // smallest one (uniform target mix) with the same reproducible
+    // doc-id-hash sampling as q53. The per-source counts are a tiny
+    // aggregate broadcast back over the corpus — the full-size side is
+    // never shuffled. The hash is uniform, so kept-counts concentrate
+    // tightly around min_count (binomial), but sampling stays one
+    // deterministic pass: no exact-count reservoir bottleneck.
+    "q58_mix_rebalance" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val minCount = counts.agg(min(col("n_src")).as("min_n"))
+      val rates = counts.crossJoin(minCount)
+        .select(col("source"), col("n_src"),
+          (col("min_n").cast("double") / col("n_src").cast("double")).as("rate"))
+      docs.join(broadcast(rates), Seq("source"))
+        .filter(hash60("CAST(doc_id AS STRING)") % 1000000 < col("rate") * 1000000)
+        .groupBy(col("source"), col("n_src"))
+        .agg(count(lit(1)).as("n_kept"))
+        .select(col("source"), col("n_src"), col("n_kept"))
+    }),
+
     // Token-budget training shards: pack docs (in doc_id order) into
     // shards of ~4000 tokens via a cumulative sum. The naive form is a
     // GLOBAL unpartitioned window — every row through one task, the
@@ -180,6 +243,43 @@ object TrainingOps {
         |    x -> CAST(round((CAST(x AS DOUBLE) - mn) / ((mx - mn) / 255.0)) AS INT))
         |  END, ',') AS qvec_csv
         |FROM m""".stripMargin,
+
+    "q56_repetition_filter" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id, tk,
+         |  list_transform(generate_series(1, len(tk) - 1), i -> array_to_string(tk[i:i+1], ' ')) AS gr
+         |  FROM t),
+         |f AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  CASE WHEN len(tk) = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) END AS dup_word_frac,
+         |  CASE WHEN len(gr) = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE 1.0 - CAST(len(list_distinct(gr)) AS DOUBLE) / CAST(len(gr) AS DOUBLE) END AS dup_2gram_frac
+         |  FROM g)
+         |SELECT doc_id, n_words, dup_word_frac, dup_2gram_frac,
+         |  dup_2gram_frac < 0.2 AS keep
+         |FROM f""".stripMargin,
+
+    "q57_pii_scrub" -> {
+      val email = EmailRe; val digits = DigitsRe
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$digits')) AS BIGINT) AS n_digit_runs,
+         |  sha256(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+         |    '$digits', '<NUM>', 'g')) AS scrubbed_hash
+         |FROM documents""".stripMargin
+    },
+
+    "q58_mix_rebalance" ->
+      s"""WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+         |                FROM documents GROUP BY source),
+         |mn AS (SELECT min(n_src) AS min_n FROM counts),
+         |rates AS (SELECT source, n_src,
+         |  CAST(min_n AS DOUBLE) / CAST(n_src AS DOUBLE) AS rate FROM counts, mn),
+         |kept AS (SELECT d.source, r.n_src FROM documents d JOIN rates r USING (source)
+         |  WHERE ${hash60Sql("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.rate * 1000000)
+         |SELECT source, n_src, CAST(count(*) AS BIGINT) AS n_kept
+         |FROM kept GROUP BY source, n_src""".stripMargin,
 
     "q55_token_shards" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),

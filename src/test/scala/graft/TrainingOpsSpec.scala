@@ -74,6 +74,57 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q56: duplicate fractions match a direct Scala recount on every doc") {
+    val got = SparkEntry.queries("q56_repetition_filter")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val texts = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+    assert(got.size == texts.length)
+    texts.foreach { tr =>
+      val toks = tr.getString(1).split(" ").filter(_.nonEmpty).toSeq
+      val grams = if (toks.length < 2) Seq.empty else toks.sliding(2).map(_.mkString(" ")).toSeq
+      def frac(xs: Seq[String]): Double =
+        if (xs.isEmpty) 0.0 else 1.0 - xs.distinct.length.toDouble / xs.length
+      val r = got(tr.getLong(0))
+      assert(r.getLong(1) == toks.length)
+      assert(math.abs(r.getDouble(2) - frac(toks)) < 1e-12)
+      assert(math.abs(r.getDouble(3) - frac(grams)) < 1e-12)
+      assert(r.getBoolean(4) == (r.getDouble(3) < 0.2))
+    }
+  }
+
+  test("q57 patterns: emails and digit runs are replaced, counts line up") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jo.doe+spam@mail.example.org or call 5551234567 now"),
+      (2L, "two mails: a@b.co x@y.io; short num 123456 stays"),
+      (3L, "no pii here")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(graft.queries.TrainingOps.EmailRe), lit(0)))
+        .as("n_emails"),
+      regexp_replace(regexp_replace(col("text"), graft.queries.TrainingOps.EmailRe, "<EMAIL>"),
+        graft.queries.TrainingOps.DigitsRe, "<NUM>").as("scrubbed"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 1)
+    assert(out(1L).getString(2) == "reach me at <EMAIL> or call <NUM> now")
+    assert(out(2L).getInt(1) == 2)
+    assert(out(2L).getString(2) == "two mails: <EMAIL> <EMAIL>; short num 123456 stays")
+    assert(out(3L).getString(2) == "no pii here")
+  }
+
+  test("q58: every source is downsampled to ~min-source size, reproducibly") {
+    val a = SparkEntry.queries("q58_mix_rebalance")(spark, dir).collect()
+    val b = SparkEntry.queries("q58_mix_rebalance")(spark, dir).collect()
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+    val minSrc = a.map(_.getLong(1)).min
+    a.foreach { r =>
+      val (src, nSrc, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      if (nSrc == minSrc) assert(kept == nSrc, s"$src: rate-1.0 source must keep all")
+      else assert(math.abs(kept - minSrc) <= 3.5 * math.sqrt(minSrc.toDouble),
+        s"$src: kept $kept, target $minSrc")
+    }
+  }
+
   test("q55: two-level cumsum sharding equals the naive global window exactly") {
     val got = SparkEntry.queries("q55_token_shards")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
