@@ -19,10 +19,14 @@ object ExtensionsProbe {
       .createOrReplaceTempView("docs_p")
     val r = spark.sql(
       """SELECT cosine_sim(embedding, embedding) AS c,
-        |       lsh_keys(embedding, 8, 6, 69621) AS ks
+        |       lsh_keys(embedding, 8, 6, 69621) AS ks,
+        |       dot_product(embedding, embedding) AS d
         |FROM emb_p""".stripMargin).collect()
     require(r.nonEmpty && r.forall(x => math.abs(x.getDouble(0) - 1.0) < 1e-12), "cosine_sim")
     require(r.forall(_.getSeq[Long](1).length == 8), "lsh_keys")
+    // hashEmbed vectors are L2-normalized in double then stored as float,
+    // so the self-dot (squared norm) is 1 only to float precision
+    require(r.forall(x => math.abs(x.getDouble(2) - 1.0) < 1e-6), "dot_product")
     val chunks = spark.sql(
       "SELECT chunk FROM docs_p LATERAL VIEW chunk_text(text, 200, 20) t AS chunk_id, chunk")
       .collect()

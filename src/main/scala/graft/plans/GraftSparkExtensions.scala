@@ -14,6 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * Injected SQL functions:
   *  - `cosine_sim(a, b)` — codegen'd cosine over two array<float>
+  *  - `dot_product(a, b)` — codegen'd dot product (pair kernel of the
+  *    norm-precomputed cosine form)
   *  - `chunk_text(text, size, overlap)` — recursive chunker Generator
   *    (LATERAL VIEW / table-generating select)
   *  - `lsh_keys(embedding, tables, bits, mult)` — fused multiprobe-LSH
@@ -29,6 +31,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float arrays"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("chunk_text"),
       info("chunk_text", "chunk_text(text, size, overlap) - recursive chunk generator"),
       (exprs: Seq[Expression]) => ChunkTextGen(exprs(0), exprs(1), exprs(2))))
