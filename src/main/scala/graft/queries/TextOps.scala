@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private val P = 2147483647L // 2^31 - 1, Mersenne prime for perm hashes
-  private def permA(i: Int): Long = (i + 1).toLong * 1299721L
-  private def permB(i: Int): Long = ((i + 1).toLong * 15485863L) % P
+  private[graft] val P = 2147483647L // 2^31 - 1, Mersenne prime for perm hashes
+  private[graft] def permA(i: Int): Long = (i + 1).toLong * 1299721L
+  private[graft] def permB(i: Int): Long = ((i + 1).toLong * 15485863L) % P
 
   /** non-empty whitespace tokens */
   private val toksExpr = "filter(split(text, ' '), w -> w <> '')"
@@ -29,7 +29,7 @@ object TextOps {
        |     i -> array_join(slice($toksExpr, i, 3), ' ')))
        |ELSE array() END""".stripMargin
   /** 60-bit shingle hash reduced mod P */
-  private val hmExpr = "CAST(conv(substr(sha2(s, 256), 1, 15), 16, 10) AS BIGINT) % 2147483647"
+  private[graft] val hmExpr = "CAST(conv(substr(sha2(s, 256), 1, 15), 16, 10) AS BIGINT) % 2147483647"
   /** the full 60-bit hash, un-reduced (q50's simhash votes: every one of
     * its 32 signature bits must carry signal — the mod-P form pins bit
     * 31 to zero) */

@@ -65,6 +65,28 @@ class TextOpsSpec extends AnyFunSuite {
       s"pigeonhole violated — missing: ${(brute -- banded).take(5)}; spurious: ${(banded -- brute).take(5)}")
   }
 
+  test("MinHashAggregator (typed UDAF) is bit-equal to the 16-column min form") {
+    import graft.functions.MinHashAggregator
+    val sh = Tables(spark, dir, "documents").limit(100)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3))).as("s"))
+    val colForm = TextOps.minhashSig(sh).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
+    val hm = sh.select(col("doc_id"), expr(TextOps.hmExpr).as("hm"))
+    val udafForm = hm.groupBy(col("doc_id"))
+      .agg(MinHashAggregator.udafColumn(col("hm")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(colForm.nonEmpty && colForm.keySet == udafForm.keySet)
+    colForm.foreach { case (id, sig) =>
+      assert(udafForm(id) == sig, s"doc $id: $sig vs ${udafForm(id)}")
+    }
+    // the merge path (map-side partial) must agree across partitionings
+    val repart = hm.repartition(7).groupBy(col("doc_id"))
+      .agg(MinHashAggregator.udafColumn(col("hm")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(repart == udafForm)
+  }
+
   test("q48 production near-dup equals the exact q21 verifier at sf0.01") {
     val exact = SparkEntry.queries("q21_ngram_jaccard")(spark, dir)
       .collect().map(_.toSeq).toSet
