@@ -25,6 +25,25 @@ class StreamingSpec extends AnyFunSuite {
     dir
   }
 
+  test("incrementalIngest processes only new files per run; re-runs are no-ops") {
+    val src = Files.createTempDirectory("graft-incr-src").toString
+    val dest = Files.createTempDirectory("graft-incr-dest").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-incr-ckpt").toString
+    val events = Tables(spark, sfDir, "events").limit(60).cache()
+    // day 1 lands 40 events
+    events.limit(40).write.mode("append").parquet(src)
+    EventsStream.incrementalIngest(spark, src, dest, ckpt)
+    assert(spark.read.parquet(dest).count() == 40)
+    // re-run with nothing new: no-op (exactly-once over files)
+    EventsStream.incrementalIngest(spark, src, dest, ckpt)
+    assert(spark.read.parquet(dest).count() == 40)
+    // day 2 lands 20 more in a new file; only those are processed
+    events.orderBy(col("event_id").desc).limit(20).write.mode("append").parquet(src)
+    EventsStream.incrementalIngest(spark, src, dest, ckpt)
+    assert(spark.read.parquet(dest).count() == 60)
+    events.unpersist()
+  }
+
   test("streaming tumbling counts equal the batch q31 result") {
     val streamed = EventsStream.runToMemory(
       EventsStream.tumblingCounts(EventsStream.source(spark, stagedDir)), "tumbling")
