@@ -130,23 +130,28 @@ object TextOps {
         .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
   }
 
+  /** The q17 quality signals as a reusable frame (shared by q17 and the
+    * q59 survivor selection so the score arithmetic cannot drift). */
+  private[graft] def qualityFrame(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
+      .withColumn("n_stop", expr(
+        "CAST(size(filter(toks, w -> w IN ('the','a','an','of','and','to','in'))) AS BIGINT)"))
+      .withColumn("total_tok_chars", expr("CAST(aggregate(toks, 0, (acc, w) -> acc + length(w)) AS BIGINT)"))
+      .withColumn("stop_ratio", expr("CAST(n_stop AS DOUBLE) / n_tokens"))
+      .withColumn("avg_token_len", expr("CAST(total_tok_chars AS DOUBLE) / n_tokens"))
+      .withColumn("quality_score", expr(
+        """0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+          | + 0.4 * (1.0 - stop_ratio)
+          | + 0.2 * least(avg_token_len / 10.0, 1.0)""".stripMargin))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text quality scoring (training-data op): length/stopword/word-shape
     // signals combined into one score. All-double arithmetic written
     // identically on the oracle side.
     "q17_quality_score" -> ((s, dir) => {
-      Tables(s, dir, "documents")
-        .withColumn("toks", expr(toksExpr))
-        .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
-        .withColumn("n_stop", expr(
-          "CAST(size(filter(toks, w -> w IN ('the','a','an','of','and','to','in'))) AS BIGINT)"))
-        .withColumn("total_tok_chars", expr("CAST(aggregate(toks, 0, (acc, w) -> acc + length(w)) AS BIGINT)"))
-        .withColumn("stop_ratio", expr("CAST(n_stop AS DOUBLE) / n_tokens"))
-        .withColumn("avg_token_len", expr("CAST(total_tok_chars AS DOUBLE) / n_tokens"))
-        .withColumn("quality_score", expr(
-          """0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-            | + 0.4 * (1.0 - stop_ratio)
-            | + 0.2 * least(avg_token_len / 10.0, 1.0)""".stripMargin))
+      qualityFrame(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
           col("avg_token_len"), col("quality_score"))
     }),
@@ -253,6 +258,26 @@ object TextOps {
     "q51_neardup_clusters" -> ((s, dir) =>
       graft.operators.Components.connectedComponents(
         q48NearDup(s, dir).select(col("doc_a"), col("doc_b")))),
+
+    // The dedup endgame (composes q48 -> q51 -> q17): for every near-dup
+    // cluster keep the single highest-quality member. Survivor selection
+    // is the established argmax-per-key agg-min (map-side combinable),
+    // with the tiny cluster labeling broadcast into the quality frame —
+    // the corpus-sized side never shuffles. Ties break to the lowest
+    // doc_id, so the choice is fully deterministic.
+    "q59_dedup_survivors" -> ((s, dir) => {
+      val clusters = graft.operators.Components.connectedComponents(
+        q48NearDup(s, dir).select(col("doc_a"), col("doc_b")))
+      val quality = qualityFrame(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("quality_score"))
+      val packed = struct((col("quality_score") * lit(-1.0)).as("nq"),
+        col("doc_id").as("d"), col("quality_score").as("q"))
+      quality.join(broadcast(clusters), Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(min(packed).as("w"), count(lit(1)).as("n_members"))
+        .select(col("cluster_id"), col("w.d").as("survivor_id"),
+          col("w.q").as("best_quality"), col("n_members"))
+    }),
 
     // SimHash (training-data op): 16-bit signature; per-bit signed vote
     // over token hashes, one-pass conditional aggregation ([[simhashSig]]).
@@ -558,6 +583,42 @@ object TextOps {
            |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
            |  SELECT * FROM r)
            |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a""".stripMargin,
+
+      "q59_dedup_survivors" ->
+        s"""WITH pairs AS (
+           |$q48Sql),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+           |reach AS (
+           |  WITH RECURSIVE r(a, b) AS (
+           |    SELECT doc_id, doc_id FROM nodes
+           |    UNION
+           |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+           |  SELECT * FROM r),
+           |clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+           |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |b AS (SELECT doc_id,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_filter(toks, w -> w IN ('the','a','an','of','and','to','in'))) AS BIGINT) AS n_stop,
+           |  CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS total_tok_chars
+           |  FROM t),
+           |qual AS (SELECT doc_id,
+           |  0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           |   + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+           |   + 0.2 * least((CAST(total_tok_chars AS DOUBLE) / n_tokens) / 10.0, 1.0) AS quality_score
+           |  FROM b),
+           |m AS (SELECT c.cluster_id, c.doc_id, q.quality_score
+           |      FROM clusters c JOIN qual q USING (doc_id)),
+           |r2 AS (SELECT cluster_id, doc_id, quality_score,
+           |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+           |    ORDER BY quality_score DESC, doc_id ASC) AS rk,
+           |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+           |  FROM m)
+           |SELECT cluster_id, doc_id AS survivor_id, quality_score AS best_quality,
+           |  CAST(n_members AS BIGINT) AS n_members
+           |FROM r2 WHERE rk = 1""".stripMargin,
 
       "q23_simhash" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS s FROM documents),
