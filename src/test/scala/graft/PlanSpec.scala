@@ -109,6 +109,13 @@ class PlanSpec extends AnyFunSuite {
     assert(streamSide.nonEmpty, s"stream side lost its Generate:\n$p")
   }
 
+  test("q53 sampling scan reads only doc_id and lang (no text bytes)") {
+    val f = formatted(SparkEntry.queries("q53_stratified_sample")(spark, dir))
+    val read = f.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("lang"), read)
+    assert(!read.contains("text"), s"sampling pays for text it never uses: $read")
+  }
+
   test("q55 keeps the global cumsum out of a corpus-sized single partition") {
     val p = planOf("q55_token_shards")
     // exactly one SinglePartition exchange, and it must sit above the
