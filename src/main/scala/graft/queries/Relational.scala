@@ -234,6 +234,24 @@ object Relational {
     // join): the identical join expression runs in both execution modes
     // (watermarks are batch no-ops) — StreamingSpec asserts stream ≡
     // batch, and this entry anchors the batch side to the DuckDB oracle.
+    // Retention cohorts (the classic activity matrix): users grouped by
+    // first-event week, counted distinct per (cohort, activity) week.
+    // Weeks ride as their Monday's 'yyyy-MM-dd' string (date_trunc(week)
+    // is Monday-based in both engines), so min() and the cross-engine
+    // compare are plain lexicographic. Scale shape: two user_id shuffles
+    // (first-event agg + distinct) that AQE can co-partition with the
+    // join, then a tiny (cohort x week) aggregate.
+    "q60_retention_cohorts" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"),
+          date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("w"))
+      val first = e.groupBy(col("user_id")).agg(min(col("w")).as("cohort_week"))
+      val active = e.distinct().withColumnRenamed("w", "activity_week")
+      active.join(first, Seq("user_id"))
+        .groupBy(col("cohort_week"), col("activity_week"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Timestamps are emitted as epoch MICROS so both engines compare the
     // same integers (events.parquet is ns; both sides truncate to µs).
     "q49_click_purchase_window" -> ((s, dir) => {
@@ -461,6 +479,16 @@ object Relational {
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q60_retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+        |  strftime(date_trunc('week', ts), '%Y-%m-%d') AS w FROM events),
+        |f AS (SELECT user_id, min(w) AS cohort_week FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, w AS activity_week FROM e)
+        |SELECT cohort_week, activity_week,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY cohort_week, activity_week""".stripMargin,
 
     "q49_click_purchase_window" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
