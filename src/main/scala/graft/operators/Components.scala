@@ -36,15 +36,16 @@ object Components {
     while (!converged) {
       val nbrMin = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels
+      // carry the old label through the step so convergence is a filter
+      // over the materialized round, not an extra old⨝new shuffle join
+      val stepped = labels
         .join(nbrMin, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      val changes = next.alias("n").join(labels.alias("o"), "doc_id")
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      labels = next
+      val changes = stepped.filter(col("cluster_id") =!= col("old_label")).count()
+      labels = stepped.select(col("doc_id"), col("cluster_id"))
       converged = changes == 0
     }
     labels
