@@ -234,6 +234,22 @@ object Relational {
     // join): the identical join expression runs in both execution modes
     // (watermarks are batch no-ops) — StreamingSpec asserts stream ≡
     // batch, and this entry anchors the batch side to the DuckDB oracle.
+    // Semi-structured JSON column (the reference's metadata maps,
+    // bronze.py:20-24, as Spark reads them at scale): schema-driven
+    // from_json — typed, codegen-friendly, and column-prunable — not
+    // per-field get_json_object re-parses. Aggregates the extracted
+    // field per event type.
+    "q61_props_json" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("p.k")).as("sum_k"),
+          min(col("p.k")).as("min_k"),
+          max(col("p.k")).as("max_k"))
+    }),
+
     // Retention cohorts (the classic activity matrix): users grouped by
     // first-event week, counted distinct per (cohort, activity) week.
     // Weeks ride as their Monday's 'yyyy-MM-dd' string (date_trunc(week)
@@ -479,6 +495,14 @@ object Relational {
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q61_props_json" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q60_retention_cohorts" ->
       """WITH e AS (SELECT user_id,
