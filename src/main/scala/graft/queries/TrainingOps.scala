@@ -181,6 +181,24 @@ object TrainingOps {
         .select(col("source"), col("n_src"), col("n_kept"))
     }),
 
+    // Rare-token ratio (novelty/noise signal): the fraction of a doc's
+    // distinct tokens that appear in NO other document. High values flag
+    // gibberish/OCR noise; low values flag boilerplate. Two aggregations
+    // keyed on the token (uniform shuffle; per-doc dedup bounds hot-token
+    // fanout before the join) — all-integer counts, so the oracle
+    // compares exact doubles.
+    "q62_rare_tokens" -> ((s, dir) => {
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("w"))
+      val dfreq = t.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
+      t.join(dfreq, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_tokens"),
+          count(when(col("dfreq") === 1, 1)).as("n_unique_tokens"))
+        .withColumn("rare_frac",
+          expr("CAST(n_unique_tokens AS DOUBLE) / n_distinct_tokens"))
+    }),
+
     // Token-budget training shards: pack docs (in doc_id order) into
     // shards of ~4000 tokens via a cumulative sum. The naive form is a
     // GLOBAL unpartitioned window — every row through one task, the
@@ -280,6 +298,16 @@ object TrainingOps {
          |  WHERE ${hash60Sql("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.rate * 1000000)
          |SELECT source, n_src, CAST(count(*) AS BIGINT) AS n_kept
          |FROM kept GROUP BY source, n_src""".stripMargin,
+
+    "q62_rare_tokens" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS w FROM documents),
+         |d AS (SELECT w, CAST(count(*) AS BIGINT) AS dfreq FROM t GROUP BY w)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         |  CAST(count(CASE WHEN dfreq = 1 THEN 1 END) AS BIGINT) AS n_unique_tokens,
+         |  CAST(count(CASE WHEN dfreq = 1 THEN 1 END) AS DOUBLE) / count(*) AS rare_frac
+         |FROM t JOIN d USING (w)
+         |GROUP BY doc_id""".stripMargin,
 
     "q55_token_shards" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
