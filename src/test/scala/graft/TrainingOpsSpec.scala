@@ -125,6 +125,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q62: rare-token fractions match a direct Scala recount") {
+    val got = SparkEntry.queries("q62_rare_tokens")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val perDoc = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).distinct.toSet)
+      .toMap
+    val dfreq = perDoc.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    assert(got.size == perDoc.count(_._2.nonEmpty))
+    perDoc.filter(_._2.nonEmpty).foreach { case (id, toks) =>
+      val unique = toks.count(dfreq(_) == 1)
+      val r = got(id)
+      assert(r.getLong(1) == toks.size, s"doc $id distinct-token count")
+      assert(r.getLong(2) == unique, s"doc $id unique-token count")
+      assert(r.getDouble(3) == unique.toDouble / toks.size, s"doc $id fraction")
+    }
+  }
+
   test("q55: two-level cumsum sharding equals the naive global window exactly") {
     val got = SparkEntry.queries("q55_token_shards")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
