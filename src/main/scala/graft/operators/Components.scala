@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   * near-dup graphs (dup clusters are dense quasi-cliques, diameter 1-2).
   * Labels and edges are eager localCheckpoints so per-iteration lineage
   * stays flat (no exponential replay) and the loop exits on a converged
-  * change-count. At extreme scale swap the rule for large-star/
-  * small-star (same join shape, O(log n) rounds on pathological
-  * chains); the operator contract is unchanged. */
+  * change-count. For graphs whose components may be chain-shaped (large
+  * diameter), [[connectedComponentsStar]] is the O(log n)-rounds
+  * variant with the identical output contract. */
 object Components {
 
   /** pairs: (doc_a, doc_b) undirected edges. Returns (doc_id,
@@ -49,5 +49,73 @@ object Components {
       converged = changes == 0
     }
     labels
+  }
+
+  /** The extreme-scale variant: alternating large-star/small-star
+    * rewiring (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014). Where min-label propagation needs O(component
+    * diameter) rounds — pathological on chain-shaped components — the
+    * star operations contract every component to a star around its
+    * minimum node in O(log n) rounds, each round the same join+agg
+    * shuffle shape as one propagation step:
+    *
+    *  - large-star(a): every STRICTLY LARGER neighbor of `a` is rewired
+    *    to m(a) = min({a} ∪ N(a)) — and `a` keeps an edge to m(a), so
+    *    connectivity is preserved while tall trees flatten;
+    *  - small-star(a): every smaller-or-equal neighbor (and `a`) is
+    *    rewired to m⁻(a) = min of that closed smaller-neighborhood.
+    *
+    * Convergence: the edge set stabilizes as (node → component-min)
+    * star edges; labels read directly off it. Identical output contract
+    * to [[connectedComponents]] (ComponentsSpec asserts equality on
+    * chains, cliques, and random graphs). */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+    val init = canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .localCheckpoint()
+    val nodes = init.select(col("u").as("doc_id"))
+      .union(init.select(col("v").as("doc_id"))).distinct().localCheckpoint()
+
+    // rewire(a, b ∈ keep(a)) -> (b, m); `a` itself rides along so the
+    // min edge (a, m) survives each operation
+    def star(e: DataFrame, largerOnly: Boolean): DataFrame = {
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val scoped = if (largerOnly) adj else adj.filter(col("b") < col("a"))
+      val m = scoped.groupBy(col("a"))
+        .agg(least(min(col("b")), col("a")).as("m"))
+      val rewired = scoped.join(m, Seq("a"))
+        .filter(if (largerOnly) col("b") > col("a") else lit(true))
+        .select(col("b").as("u"), col("m").as("v"))
+      val selfEdge = m.select(col("a").as("u"), col("m").as("v"))
+      canon(rewired.union(selfEdge))
+    }
+
+    var edges = init
+    var converged = edges.isEmpty
+    var guard = 0
+    while (!converged) {
+      guard += 1
+      require(guard <= 64, "large-star/small-star failed to converge")
+      val next = star(star(edges, largerOnly = true), largerOnly = false)
+        .localCheckpoint()
+      // stable iff the canonical edge sets match exactly
+      val delta = next.union(edges).except(next.intersect(edges))
+      converged = delta.isEmpty
+      edges = next
+    }
+    // stars: canon orders (u, v) with u < v, so u IS the component min
+    // and v the member pointing at it; roots have no v-side row and
+    // self-label. min() is defensive should a transient double edge
+    // survive (the equality spec would catch a real one).
+    nodes.join(
+        edges.groupBy(col("v")).agg(min(col("u")).as("root"))
+          .select(col("v").as("doc_id"), col("root")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 }
