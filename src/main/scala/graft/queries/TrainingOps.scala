@@ -181,6 +181,42 @@ object TrainingOps {
         .select(col("source"), col("n_src"), col("n_kept"))
     }),
 
+    // Inverted index (the retrieval artifact corpus tooling builds):
+    // token -> sorted posting list of containing docs, for tokens in at
+    // least 5 docs; postings capped at the first 20 ids so OUTPUT width
+    // is bounded however hot the token. The collect_list buffer itself
+    // still sees every id pre-slice — the oracle-parity tradeoff; at
+    // extreme scale swap in a bounded min-k aggregation (the
+    // MinHashAggregator buffer pattern) and drop the oracle to
+    // rows-only. Emitted CSV-joined for the cross-engine compare;
+    // ordering made deterministic by sorting before the slice.
+    "q63_inverted_index" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("w"))
+        .groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("dfreq"),
+          expr("concat_ws(',', slice(array_sort(collect_list(doc_id)), 1, 20))")
+            .as("postings_csv"))
+        .filter(col("dfreq") >= 5)
+    }),
+
+    // Exactly-k-per-group deterministic sample: the k docs per source
+    // with the smallest doc-id hash — reproducible like q53, but with a
+    // HARD count guarantee per group (rate sampling only hits the
+    // target in expectation). One window over the source partitioning;
+    // ties cannot occur (the hash is injective on distinct doc_ids at
+    // 60 bits) but doc_id breaks them deterministically anyway.
+    "q64_topk_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          hash60("CAST(doc_id AS STRING)").as("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+    }),
+
     // Rare-token ratio (novelty/noise signal): the fraction of a doc's
     // distinct tokens that appear in NO other document. High values flag
     // gibberish/OCR noise; low values flag boilerplate. Two aggregations
@@ -298,6 +334,22 @@ object TrainingOps {
          |  WHERE ${hash60Sql("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.rate * 1000000)
          |SELECT source, n_src, CAST(count(*) AS BIGINT) AS n_kept
          |FROM kept GROUP BY source, n_src""".stripMargin,
+
+    "q63_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS w FROM documents)
+         |SELECT w,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS dfreq,
+         |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_csv
+         |FROM t GROUP BY w
+         |HAVING count(DISTINCT doc_id) >= 5""".stripMargin,
+
+    "q64_topk_sample" ->
+      s"""SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ${hash60Sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS BIGINT) AS rk
+         |  FROM documents) t
+         |WHERE rk <= 10""".stripMargin,
 
     "q62_rare_tokens" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS w FROM documents),
