@@ -211,6 +211,32 @@ object Relational {
           (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_sec"))
     }),
 
+    // Session funnel (composes q28's gap-rule sessionization): of the
+    // sessions containing a click, how many convert to a purchase in the
+    // SAME session? Session flags are per-(user, session) max-aggregates
+    // (map-side combinable); the funnel itself is one tiny global row.
+    "q65_session_funnel" -> ((s, dir) => {
+      val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      Tables(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          max(when(col("event_type") === "click", 1L).otherwise(0L)).as("has_click"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("has_purchase"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("has_click")).as("n_click_sessions"),
+          sum(when(col("has_click") === 1L && col("has_purchase") === 1L, 1L)
+            .otherwise(0L)).as("n_converted"))
+        .withColumn("click_to_purchase_rate",
+          expr("CAST(n_converted AS DOUBLE) / n_click_sessions"))
+    }),
+
     // Running total per user (window frame aggregation); summed in decimal
     // for cross-engine determinism.
     "q29_running_total" -> ((s, dir) => {
@@ -479,6 +505,31 @@ object Relational {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_sec
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+
+    "q65_session_funnel" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sessions AS (
+        |  SELECT user_id, event_type,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(has_click) AS BIGINT) AS n_click_sessions,
+        |  CAST(SUM(CASE WHEN has_click = 1 AND has_purchase = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  CAST(SUM(CASE WHEN has_click = 1 AND has_purchase = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / SUM(has_click) AS click_to_purchase_rate
+        |FROM per_session""".stripMargin,
 
     "q29_running_total" ->
       """SELECT user_id, event_id,

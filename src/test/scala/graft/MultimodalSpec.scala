@@ -121,6 +121,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(t.exists(_.nFrames == 50L), s"truncated data should clamp frames: $t")
   }
 
+  test("decodeWav/wavRmsWindows never throw on arbitrary or mutated bytes") {
+    import org.scalacheck.{Gen, Prop}
+    // random bytes, truncations of a valid header, and RIFF-prefixed
+    // garbage (declared sizes lying about the buffer) must all return
+    // cleanly — a binary parser on a 100 TB asset lake sees every one
+    val valid = {
+      val bb = java.nio.ByteBuffer.allocate(60).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(52); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000)
+      bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(8)
+      bb.putLong(0x1234567890abcdefL)
+      bb.array()
+    }
+    val gens = Gen.oneOf(
+      Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue)),
+      Gen.choose(0, valid.length).map(valid.take),
+      Gen.zip(Gen.choose(0, valid.length - 1), Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map { case (i, b) => val m = valid.clone(); m(i) = b; m })
+    val prop = Prop.forAll(gens) { bytes =>
+      Multimodal.decodeWav(bytes) // Option or None, never a throw
+      Multimodal.wavRmsWindows(bytes).length >= 0
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("extractAudioFeatures: distributed WAV demux with NULLs for non-audio") {
     import spark.implicits._
     def wavBytes: Array[Byte] = {
