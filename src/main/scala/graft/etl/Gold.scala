@@ -53,4 +53,29 @@ object Gold {
       .select(col("rank"), col("pk"), col("text"), col("cosine"))
       .orderBy(col("rank"))
   }
+
+  /** The scale form of [[search]]: IVF retrieval against k-means-trained
+    * centroids, probing `nprobe` partitions per query instead of the full
+    * corpus (the Milvus IVF_FLAT index class the reference's collection
+    * would use at volume — seed_milvus.py:7-25). Same output shape as
+    * [[search]]; recall is governed by (centroids, nprobe), asserted in
+    * PipelineSpec on the shared fixture. */
+  def searchIvf(spark: SparkSession, goldPath: String, queryText: String, k: Int,
+                centroids: Int = 8, nprobe: Int = 2, iters: Int = 3,
+                dim: Int = VectorDim): DataFrame = {
+    val corpus = spark.read.parquet(goldPath)
+      .select(xxhash64(col("pk")).as("neighbor_id"),
+        col("pk"), col("text"), col("vector").as("cv"))
+    val cents = Similarity.kmeansCentroids(spark,
+      corpus.select(col("neighbor_id"), col("cv")),
+      k = centroids, iters = iters, idCol = "neighbor_id", vecCol = "cv")
+    val q = spark.range(1).select(
+      lit(-1L).as("query_id"),
+      VectorFunctions.hashEmbedUdf(lit(queryText), lit(dim)).as("qv"))
+    val hits = Similarity.ivfTopK(q,
+      corpus.select(col("neighbor_id"), col("cv")), cents, k, nprobe)
+    hits.join(corpus, "neighbor_id")
+      .select(col("rank"), col("pk"), col("text"), col("cosine"))
+      .orderBy(col("rank"))
+  }
 }

@@ -103,6 +103,15 @@ class PipelineSpec extends AnyFunSuite {
     val hits = Gold.search(spark, goldPath, "Canh bao lu quet", 3).collect()
     assert(hits.length == 3)
     assert(hits.head.getAs[String]("text") == "Canh bao lu quet") // exact text is top hit
+    // the IVF scale form must surface the same exact-match top hit
+    // (recall of the true nearest neighbor on this tiny fixture), and
+    // probing ALL centroid partitions degenerates to brute force
+    val ivfHits = Gold.searchIvf(spark, goldPath, "Canh bao lu quet", 3,
+      centroids = 2, nprobe = 1, iters = 1).collect()
+    assert(ivfHits.nonEmpty && ivfHits.head.getAs[String]("text") == "Canh bao lu quet")
+    val ivfAll = Gold.searchIvf(spark, goldPath, "Canh bao lu quet", 3,
+      centroids = 2, nprobe = 2, iters = 1).collect()
+    assert(ivfAll.map(_.getAs[String]("pk")).toSeq == hits.map(_.getAs[String]("pk")).toSeq)
     // idempotent full refresh: run again, count stable (S8 semantics)
     val n1 = spark.read.parquet(silverPath).count()
     Silver.refresh(Silver.chunk(bronze), silverPath)
