@@ -181,6 +181,23 @@ object TrainingOps {
         .select(col("source"), col("n_src"), col("n_kept"))
     }),
 
+    // Dataset "data card" cells (the observability table a corpus
+    // release ships): per (lang, source) — docs, exact char totals and
+    // means, and the exact-duplicate count inside the cell. One
+    // grouped aggregation with map-side partials; every number is
+    // integer-exact or an exact integer division cast to double, so
+    // the oracle compare is exact.
+    "q66_data_card" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(sha2(col("text"), 256)).as("n_unique_texts"))
+        .withColumn("mean_chars", expr("CAST(total_chars AS DOUBLE) / n_docs"))
+        .withColumn("n_exact_dups", expr("n_docs - n_unique_texts"))
+    }),
+
     // Inverted index (the retrieval artifact corpus tooling builds):
     // token -> sorted posting list of containing docs, for tokens in at
     // least 5 docs; postings capped at the first 20 ids so OUTPUT width
@@ -334,6 +351,15 @@ object TrainingOps {
          |  WHERE ${hash60Sql("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.rate * 1000000)
          |SELECT source, n_src, CAST(count(*) AS BIGINT) AS n_kept
          |FROM kept GROUP BY source, n_src""".stripMargin,
+
+    "q66_data_card" ->
+      """SELECT lang, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique_texts,
+        |  CAST(SUM(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+        |  CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT) AS n_exact_dups
+        |FROM documents GROUP BY lang, source""".stripMargin,
 
     "q63_inverted_index" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS w FROM documents)
