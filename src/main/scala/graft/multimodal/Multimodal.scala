@@ -126,21 +126,23 @@ object Multimodal {
     def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
     if (bytes == null || bytes.length < 44) return None
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
+    // the offset walks in LONG: near-2GB arrays with a chunk size close
+    // to the buffer length would overflow an Int offset negative and
+    // index out of bounds — the never-throw contract forbids that
+    var off = 12L
     var rate = 0; var ch = 0; var bps = 0; var dataLen = -1L
     while (off + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
-      val id = tag(off); val sz = le32(off + 4)
+      val o = off.toInt
+      val id = tag(o); val sz = le32(o + 4)
       if (id == "fmt " && off + 24 <= bytes.length) {
-        ch = le16(off + 10); rate = le32(off + 12).toInt; bps = le16(off + 22)
+        ch = le16(o + 10); rate = le32(o + 12).toInt; bps = le16(o + 22)
       } else if (id == "data") {
         // data bytes may be truncated in a partial fetch; frame count uses
         // the bytes actually present, not the declared size
-        dataLen = math.min(sz, (bytes.length - off - 8).toLong)
+        dataLen = math.min(sz, bytes.length - off - 8)
       }
-      // a corrupt size (declared beyond the buffer) ends the walk instead
-      // of wrapping the Int and looping; chunks are 2-byte aligned
-      if (sz > bytes.length.toLong) off = bytes.length
-      else off += 8 + sz.toInt + (sz.toInt & 1)
+      // chunks are 2-byte aligned; Long arithmetic cannot wrap (sz < 2^32)
+      off += 8L + sz + (sz & 1L)
     }
     if (rate <= 0 || ch <= 0 || bps <= 0 || dataLen < 0) None
     else {
@@ -164,12 +166,13 @@ object Multimodal {
         def le32(o: Int): Long =
           (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
             ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
-        var off = 12; var dataOff = -1
+        // Long offsets for the same overflow reason as decodeWav
+        var off = 12L; var dataOff = -1
         while (off + 8 <= bytes.length && dataOff < 0) {
-          val id = new String(bytes, off, 4, "US-ASCII"); val sz = le32(off + 4)
-          if (id == "data") dataOff = off + 8
-          else if (sz > bytes.length.toLong) off = bytes.length
-          else off += 8 + sz.toInt + (sz.toInt & 1)
+          val o = off.toInt
+          val id = new String(bytes, o, 4, "US-ASCII"); val sz = le32(o + 4)
+          if (id == "data") dataOff = o + 8
+          else off += 8L + sz + (sz & 1L)
         }
         if (dataOff < 0) return Array.empty
         val frameBytes = m.channels * 2

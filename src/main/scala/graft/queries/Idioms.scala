@@ -1,0 +1,37 @@
+package graft.queries
+
+/** The cross-engine oracle idioms shared by every query family — ONE
+  * definition so the Spark expression and its DuckDB twin cannot drift
+  * between files (TextOps, TrainingOps and their specs all build on
+  * these):
+  *
+  *  - tokens = whitespace split with empties dropped;
+  *  - 60-bit string hash = first 15 hex chars of sha256 parsed as a
+  *    BIGINT — bit-identical across engines (pinned by every hash-keyed
+  *    oracle since q20);
+  *  - word n-grams = space-joined sliding windows, guarded on the Spark
+  *    side because `sequence(1, 0)` yields [1, 0] (descending) where
+  *    DuckDB's generate_series is empty.
+  */
+private[graft] object Idioms {
+
+  val toksExpr = "filter(split(text, ' '), w -> w <> '')"
+  val toksSql = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+  def hash60Expr(c: String): String =
+    s"CAST(conv(substr(sha2($c, 256), 1, 15), 16, 10) AS BIGINT)"
+  def hash60Sql(c: String): String =
+    s"('0x'||substr(sha256($c),1,15))::bigint"
+
+  /** Spark: all `n`-grams of the token-array column `toksCol`. */
+  def ngramsExpr(toksCol: String, n: Int): String =
+    s"""CASE WHEN size($toksCol) >= $n
+       | THEN transform(sequence(1, size($toksCol) - ${n - 1}),
+       |   i -> concat_ws(' ', slice($toksCol, i, $n)))
+       | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+
+  /** DuckDB twin over the token-list column `tkCol` (slice bound is
+    * inclusive, so [i : i+n-1] is n elements). */
+  def ngramsSql(tkCol: String, n: Int): String =
+    s"list_transform(generate_series(1, len($tkCol) - ${n - 1}), i -> array_to_string($tkCol[i:i+${n - 1}], ' '))"
+}

@@ -212,9 +212,11 @@ object Relational {
     }),
 
     // Session funnel (composes q28's gap-rule sessionization): of the
-    // sessions containing a click, how many convert to a purchase in the
-    // SAME session? Session flags are per-(user, session) max-aggregates
-    // (map-side combinable); the funnel itself is one tiny global row.
+    // sessions containing a click, how many convert — a purchase AT OR
+    // AFTER the session's first click (a purchase that precedes every
+    // click is not a conversion THROUGH the click). Session flags are
+    // per-(user, session) conditional min/max aggregates (map-side
+    // combinable); the funnel itself is one tiny global row.
     "q65_session_funnel" -> ((s, dir) => {
       val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
       Tables(s, dir, "events")
@@ -226,12 +228,15 @@ object Relational {
           wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("session_id"))
         .agg(
-          max(when(col("event_type") === "click", 1L).otherwise(0L)).as("has_click"),
-          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("has_purchase"))
+          // epoch MICROS, the engine-portable event-time granularity
+          // (events.parquet is ns; both engines truncate identically)
+          min(when(col("event_type") === "click", unix_micros(col("ts")))).as("first_click_us"),
+          max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("last_purchase_us"))
         .agg(
           count(lit(1)).as("n_sessions"),
-          sum(col("has_click")).as("n_click_sessions"),
-          sum(when(col("has_click") === 1L && col("has_purchase") === 1L, 1L)
+          sum(when(col("first_click_us").isNotNull, 1L).otherwise(0L)).as("n_click_sessions"),
+          sum(when(col("first_click_us").isNotNull &&
+              col("last_purchase_us") >= col("first_click_us"), 1L)
             .otherwise(0L)).as("n_converted"))
         .withColumn("click_to_purchase_rate",
           expr("CAST(n_converted AS DOUBLE) / n_click_sessions"))
@@ -515,20 +520,22 @@ object Relational {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
         |sessions AS (
-        |  SELECT user_id, event_type,
+        |  SELECT user_id, event_type, ts,
         |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged),
         |per_session AS (
         |  SELECT user_id, session_id,
-        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
-        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+        |    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click_us,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase_us
         |  FROM sessions GROUP BY user_id, session_id)
         |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
-        |  CAST(SUM(has_click) AS BIGINT) AS n_click_sessions,
-        |  CAST(SUM(CASE WHEN has_click = 1 AND has_purchase = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
-        |  CAST(SUM(CASE WHEN has_click = 1 AND has_purchase = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / SUM(has_click) AS click_to_purchase_rate
+        |  CAST(SUM(CASE WHEN first_click_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_sessions,
+        |  CAST(SUM(CASE WHEN first_click_us IS NOT NULL AND last_purchase_us >= first_click_us
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  CAST(SUM(CASE WHEN first_click_us IS NOT NULL AND last_purchase_us >= first_click_us
+        |    THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / SUM(CASE WHEN first_click_us IS NOT NULL THEN 1 ELSE 0 END) AS click_to_purchase_rate
         |FROM per_session""".stripMargin,
 
     "q29_running_total" ->
@@ -550,7 +557,7 @@ object Relational {
     "q61_props_json" ->
       """SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,
-        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,

@@ -21,7 +21,7 @@ object TextOps {
   private[graft] def permB(i: Int): Long = ((i + 1).toLong * 15485863L) % P
 
   /** non-empty whitespace tokens */
-  private val toksExpr = "filter(split(text, ' '), w -> w <> '')"
+  private[graft] val toksExpr = Idioms.toksExpr
   /** distinct word 3-gram shingles (guarded: <3 tokens → empty) */
   private val shinglesExpr =
     s"""CASE WHEN size($toksExpr) >= 3
@@ -29,11 +29,11 @@ object TextOps {
        |     i -> array_join(slice($toksExpr, i, 3), ' ')))
        |ELSE array() END""".stripMargin
   /** 60-bit shingle hash reduced mod P */
-  private[graft] val hmExpr = "CAST(conv(substr(sha2(s, 256), 1, 15), 16, 10) AS BIGINT) % 2147483647"
+  private[graft] val hmExpr = Idioms.hash60Expr("s") + " % 2147483647"
   /** the full 60-bit hash, un-reduced (q50's simhash votes: every one of
     * its 32 signature bits must carry signal — the mod-P form pins bit
     * 31 to zero) */
-  private val hm60Expr = "CAST(conv(substr(sha2(s, 256), 1, 15), 16, 10) AS BIGINT)"
+  private val hm60Expr = Idioms.hash60Expr("s")
 
   /** Hot-key caps shared by q21/q22/q48 AND their oracle SQL (q48 mirrors
     * the bucket cap oracle-side). Tuning rule: a key at the cap admits
@@ -432,7 +432,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = {
-    val toksSql = "list_filter(string_split(text, ' '), w -> w <> '')"
+    val toksSql = Idioms.toksSql
     val shinglesSql =
       s"""CASE WHEN len($toksSql) >= 3
          |THEN list_distinct(list_transform(generate_series(1, len($toksSql) - 2),

@@ -20,32 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object TrainingOps {
 
-  private val toksExpr = "filter(split(text, ' '), w -> w <> '')"
-  private val toksSql = "list_filter(string_split(text, ' '), w -> w <> '')"
+  private val toksExpr = Idioms.toksExpr
+  private val toksSql = Idioms.toksSql
 
   /** Contamination n-gram width — 13 is the de-facto standard for
     * benchmark decontamination of web-scale corpora (GPT-3 appendix C /
     * The Pile / Llama reports all use 13-gram overlap). */
   private val NgramW = 13
 
-  /** Spark: all 13-grams of `toks` as space-joined strings. Guarded:
-    * Spark's `sequence(1, 0)` yields [1, 0] (descending), so a short
-    * document must short-circuit to an empty array explicitly. */
-  private val ngramsExpr =
-    s"""CASE WHEN size(toks) >= $NgramW
-       | THEN transform(sequence(1, size(toks) - ${NgramW - 1}),
-       |   i -> concat_ws(' ', slice(toks, i, $NgramW)))
-       | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+  private val ngramsExpr = Idioms.ngramsExpr("toks", NgramW)
+  private val ngramsSql = Idioms.ngramsSql("tk", NgramW)
 
-  /** DuckDB twin (generate_series with stop < start is already empty;
-    * the slice bound is inclusive, so [i : i+12] is 13 elements). */
-  private val ngramsSql =
-    s"list_transform(generate_series(1, len(tk) - ${NgramW - 1}), i -> array_to_string(tk[i:i+${NgramW - 1}], ' '))"
-
-  private def hash60(c: String): Column =
-    expr(s"CAST(conv(substr(sha2($c, 256), 1, 15), 16, 10) AS BIGINT)")
-  private def hash60Sql(c: String): String =
-    s"('0x'||substr(sha256($c),1,15))::bigint"
+  private def hash60(c: String): Column = expr(Idioms.hash60Expr(c))
+  private def hash60Sql(c: String): String = Idioms.hash60Sql(c)
 
   /** Deterministic per-language keep-rates for q53 (percent). Hash-based
     * sampling, not `rand()`: reproducible across runs/retries/engines,
@@ -130,10 +117,7 @@ object TrainingOps {
     "q56_repetition_filter" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .withColumn("toks", expr(toksExpr))
-        .withColumn("grams", expr(
-          """CASE WHEN size(toks) >= 2
-            | THEN transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))
-            | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .withColumn("grams", expr(Idioms.ngramsExpr("toks", 2)))
         .select(col("doc_id"),
           expr("CAST(size(toks) AS BIGINT)").as("n_words"),
           expr("""CASE WHEN size(toks) = 0 THEN CAST(0.0 AS DOUBLE)
