@@ -80,6 +80,38 @@ object Multimodal {
     } finally iis.close()
   }
 
+  /** REAL image resize via the JDK's own raster pipeline (headless
+    * `BufferedImage` + bilinear `Graphics2D` draw, PNG re-encode) — the
+    * preprocessing step a vision encoder front-end needs, runnable
+    * executor-side with no native codec. Returns None when the bytes
+    * don't decode or the target is degenerate. */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    if (bytes == null || bytes.isEmpty || w <= 0 || h <= 0) return None
+    val src =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (src == null) return None
+    val dst = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", out)
+    Some(out.toByteArray)
+  }
+
+  /** Distributed resize over an asset frame: (asset_id, resized PNG or
+    * NULL) — the batch shape of an image-preprocessing stage. */
+  def resizeAssets(spark: SparkSession, assets: DataFrame, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("content")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) => (id, resizeImage(bytes, w, h).orNull) }
+      .toDF("asset_id", "resized")
+  }
+
   /** Partition-wise feature extraction: iterate assets in bounded batches
     * (the reference's batch-100 pattern, seed_milvus.py:78-86, done
     * executor-side), decode, and emit a fixed-dim feature vector (hash of

@@ -82,6 +82,26 @@ class MultimodalSpec extends AnyFunSuite {
       .forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
 
+  test("resizeImage produces a real decodable PNG at the target dimensions") {
+    import spark.implicits._
+    val resized = Multimodal.resizeImage(imageBytes("png", 640, 480), 64, 48)
+    assert(resized.isDefined)
+    assert(Multimodal.decodeImage(resized.get) == ("png", 64, 48))
+    // jpeg input resizes too; garbage and degenerate targets return None
+    val fromJpg = Multimodal.resizeImage(imageBytes("jpg", 31, 17), 8, 8)
+    assert(fromJpg.isDefined && Multimodal.decodeImage(fromJpg.get) == ("png", 8, 8))
+    assert(Multimodal.resizeImage("junk".getBytes, 8, 8).isEmpty)
+    assert(Multimodal.resizeImage(imageBytes("png", 10, 10), 0, 8).isEmpty)
+    assert(Multimodal.resizeImage(null, 8, 8).isEmpty)
+    // distributed form: NULL column for undecodable content
+    val df = Seq((1L, imageBytes("png", 20, 20)), (2L, "nope".getBytes))
+      .toDF("asset_id", "content")
+    val rows = Multimodal.resizeAssets(spark, df, 5, 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(Multimodal.decodeImage(rows(1L).getAs[Array[Byte]](1)) == ("png", 5, 5))
+    assert(rows(2L).isNullAt(1))
+  }
+
   test("decodeWav demuxes a real RIFF/PCM16 header; RMS windows track signal energy") {
     // synthesize a canonical 1-second 440 Hz sine, 16-bit mono @ 8 kHz,
     // with a LIST chunk BEFORE data to exercise the chunk walk
