@@ -83,24 +83,37 @@ object Multimodal {
   /** REAL image resize via the JDK's own raster pipeline (headless
     * `BufferedImage` + bilinear `Graphics2D` draw, PNG re-encode) — the
     * preprocessing step a vision encoder front-end needs, runnable
-    * executor-side with no native codec. Returns None when the bytes
-    * don't decode or the target is degenerate. */
+    * executor-side with no native codec. Transparency is FLATTENED ONTO
+    * WHITE (the conventional preprocessing matte; the RGB output has no
+    * alpha channel). The decode reads through a memory-cached image
+    * stream — the default ImageIO cache would spill each in-memory byte
+    * array to a temp FILE, per asset, on the executor hot path. Returns
+    * None when the bytes don't decode, the target is degenerate, or the
+    * PNG encode fails. */
   def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
     if (bytes == null || bytes.isEmpty || w <= 0 || h <= 0) return None
     val src =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      try javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
       catch { case _: Exception => null }
     if (src == null) return None
     val dst = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val g = dst.createGraphics()
     try {
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, w, h)
       g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
         java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
       g.drawImage(src, 0, 0, w, h, null)
     } finally g.dispose()
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(dst, "png", out)
-    Some(out.toByteArray)
+    // guarded like the decode path: a missing/failing PNG writer degrades
+    // to None, never an executor-killing exception or an empty payload
+    val wrote =
+      try javax.imageio.ImageIO.write(dst, "png", out)
+      catch { case _: Exception => false }
+    if (wrote && out.size() > 0) Some(out.toByteArray) else None
   }
 
   /** Distributed resize over an asset frame: (asset_id, resized PNG or

@@ -93,6 +93,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizeImage("junk".getBytes, 8, 8).isEmpty)
     assert(Multimodal.resizeImage(imageBytes("png", 10, 10), 0, 8).isEmpty)
     assert(Multimodal.resizeImage(null, 8, 8).isEmpty)
+    // transparency flattens onto WHITE, not the zero-init black matte
+    val argb = {
+      val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out) // fully transparent
+      out.toByteArray
+    }
+    val flat = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.resizeImage(argb, 4, 4).get))
+    assert((flat.getRGB(2, 2) & 0xffffff) == 0xffffff, "transparent pixels must matte to white")
     // distributed form: NULL column for undecodable content
     val df = Seq((1L, imageBytes("png", 20, 20)), (2L, "nope".getBytes))
       .toDF("asset_id", "content")
