@@ -15,7 +15,13 @@ import org.apache.spark.sql.SparkSession
   *      cannot poison the official artifact;
   *   3. the JSON line goes to stdout AND to a file (default BENCH.json in
   *      the cwd, override via SPARK_GRAFT_BENCH_OUT) because sbt's [info]
-  *      logger prefix has made the stdout line unparseable in past rounds.
+  *      logger prefix has made the stdout line unparseable in past rounds;
+  *   4. per-query seconds are rounded to 3 decimals (the 9-significant-digit
+  *      doubles made the line ~4.5 KB, which overflowed the driver's stdout
+  *      tail window mid-line in round 6), the line is printed BEFORE the
+  *      closing log flush as well as last, and the log level is held at
+  *      ERROR during the timed region so WARN spam cannot push it out of
+  *      the tail window.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,20 +51,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    spark.sparkContext.setLogLevel("ERROR") // WARN spam must not dilute the stdout tail
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map(_ => timeOnce(fn)).sorted
       name -> times(times.length / 2) // median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    // Emit the line FIRST and LAST around the teardown: whichever end of the
+    // driver's stdout window survives, a complete copy of the line is in it.
     println(line)
+    Console.out.flush()
     try {
       val w = new java.io.PrintWriter(new java.io.File(outFile))
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () } // file emit is best-effort; stdout is the contract
     spark.stop()
+    println(line)
+    Console.out.flush()
   }
 }
