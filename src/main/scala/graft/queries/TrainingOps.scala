@@ -52,6 +52,10 @@ object TrainingOps {
   /** Bucket width for the two-level cumulative sum (see q55 notes). */
   private val ShardBucket = 100L
 
+  /** q63 posting-list cap: bounds both output width AND the aggregation
+    * buffer (MinKLongsAggregator holds at most this many longs). */
+  private[graft] val PostingsK = 20
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: which training docs share a 13-gram
     // with the held-out benchmark set (doc_id % 20 == 0)? Candidates
@@ -184,29 +188,35 @@ object TrainingOps {
 
     // Inverted index (the retrieval artifact corpus tooling builds):
     // token -> sorted posting list of containing docs, for tokens in at
-    // least 5 docs; postings capped at the first 20 ids so OUTPUT width
-    // is bounded however hot the token. The collect_list buffer itself
-    // still sees every id pre-slice — the oracle-parity tradeoff; at
-    // extreme scale swap in a bounded min-k aggregation (the
-    // MinHashAggregator buffer pattern) and drop the oracle to
-    // rows-only. Emitted CSV-joined for the cross-engine compare;
-    // ordering made deterministic by sorting before the slice.
+    // least 5 docs; postings are the 20 SMALLEST doc_ids via a bounded
+    // min-k typed Aggregator (MinKLongsAggregator) whose buffer holds at
+    // most 20 longs however hot the token — the collect_list-then-slice
+    // form buffers every posting of a stop-word token and OOMs at scale.
+    // merge is ≤k-into-≤k, so map-side partial aggregation still applies
+    // and the shuffle carries one ≤20 array per (token, partition).
+    // Output is identical to slice(array_sort(collect_list),1,20)
+    // (TrainingOpsSpec pins the equality); emitted CSV-joined for the
+    // cross-engine compare.
     "q63_inverted_index" -> ((s, dir) => {
+      val minK = udaf(graft.functions.MinKLongsAggregator(PostingsK))
       Tables(s, dir, "documents")
         .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("w"))
         .groupBy(col("w"))
         .agg(countDistinct(col("doc_id")).as("dfreq"),
-          expr("concat_ws(',', slice(array_sort(collect_list(doc_id)), 1, 20))")
-            .as("postings_csv"))
+          minK(col("doc_id")).as("postings"))
         .filter(col("dfreq") >= 5)
+        .select(col("w"), col("dfreq"),
+          expr("concat_ws(',', postings)").as("postings_csv"))
     }),
 
     // Exactly-k-per-group deterministic sample: the k docs per source
     // with the smallest doc-id hash — reproducible like q53, but with a
     // HARD count guarantee per group (rate sampling only hits the
     // target in expectation). One window over the source partitioning;
-    // ties cannot occur (the hash is injective on distinct doc_ids at
-    // 60 bits) but doc_id breaks them deterministically anyway.
+    // hash collisions between distinct doc_ids are improbable at 60
+    // bits but possible — they are broken deterministically by the
+    // doc_id tiebreak in the ordering, so the result is reproducible
+    // regardless.
     "q64_topk_sample" -> ((s, dir) => {
       val w = Window.partitionBy(col("source"))
         .orderBy(col("h").asc, col("doc_id").asc)

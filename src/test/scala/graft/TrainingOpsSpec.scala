@@ -143,6 +143,39 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q63: bounded min-k postings equal slice(array_sort(collect_list),1,k) on every token") {
+    // The production path (MinKLongsAggregator, ≤20-long buffer) must be
+    // row-for-row identical to the unbounded collect_list form it replaced.
+    val toksExpr = "filter(split(text, ' '), w -> w <> '')"
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("w"))
+    val unbounded = base.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("dfreq"),
+        expr("concat_ws(',', slice(array_sort(collect_list(doc_id)), 1, 20))").as("postings_csv"))
+      .filter(col("dfreq") >= 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    val bounded = SparkEntry.queries("q63_inverted_index")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(bounded.nonEmpty && bounded.toSeq == unbounded.toSeq)
+  }
+
+  test("MinKLongsAggregator: reduce/merge keep the k smallest sorted, duplicates included") {
+    val agg = graft.functions.MinKLongsAggregator(5)
+    // fold a hot group one element at a time — buffer must never exceed k
+    val vals = Seq(9L, 3L, 7L, 3L, 100L, 1L, 50L, 2L, 8L, 4L)
+    val buf = vals.foldLeft(agg.zero) { (b, v) =>
+      val nb = agg.reduce(b, v); assert(nb.length <= 5); nb
+    }
+    assert(buf.toSeq == Seq(1L, 2L, 3L, 3L, 4L), "duplicates kept, sorted ascending")
+    // arbitrary merge order agrees with a single sorted pass
+    val (l, r) = vals.splitAt(4)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.toSeq == vals.sorted.take(5))
+    // fewer than k inputs: everything kept
+    assert(agg.reduce(agg.reduce(agg.zero, 6L), 5L).toSeq == Seq(5L, 6L))
+  }
+
   test("q55: two-level cumsum sharding equals the naive global window exactly") {
     val got = SparkEntry.queries("q55_token_shards")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
