@@ -178,9 +178,19 @@ object Similarity {
     * partial aggregation) — are fully distributed; only the k×dim
     * centroid matrix itself is collected per iteration to re-broadcast,
     * which also truncates the iterative lineage (the MLlib pattern). An
-    * empty cluster keeps its previous centroid. Float means drift by
-    * partition-order ulps run-to-run, so downstream assertions should be
-    * about recall/objective, not bit equality.
+    * empty cluster keeps its previous centroid.
+    *
+    * The per-dimension mean is EXACT and engine-portable: each component
+    * is floored to integer micro-units (floor(x·1e6) — floor, not round,
+    * because the engines disagree on rounding mode at exact halves),
+    * summed in integer arithmetic (associative, so partition order
+    * cannot change the result), and divided once as
+    * float((sum/count)/1e6) — both divisions correctly-rounded IEEE
+    * doubles of identical integers. The trained centroids are therefore
+    * BIT-IDENTICAL run-to-run and across Spark/DuckDB, which is what
+    * lets q47's full 3-iteration chain be oracle-checked as a DuckDB
+    * CTE. Exactness holds while Σ|x|·1e6 per (cluster, dim) < 2^53 —
+    * ~9e9 unit-scale rows per cluster, far beyond any real shard.
     *
     * vectors: (idCol: Long, vecCol: Array[Float]). Returns
     * (centroid_id: Long 0..k-1, cvec: Array[Float]). */
@@ -198,9 +208,13 @@ object Similarity {
         vectors.select(col(idCol), col(vecCol)), cdf, vecCol, idCol, Seq(vecCol))
       val means = assigned
         .select(col("centroid_id"), posexplode(col(vecCol)))
-        .groupBy(col("centroid_id"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(sum(floor(col("col").cast("double") * lit(1000000.0))).as("sm"),
+          count(lit(1)).as("cnt"))
+        .withColumn("m",
+          (col("sm").cast("double") / col("cnt").cast("double") / lit(1000000.0)).cast("float"))
         .groupBy(col("centroid_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
           .as("cvec"))
         .as[(Long, Array[Float])].collect().toMap
       cents = cents.map { case (cid, v) => (cid, means.getOrElse(cid, v)) }

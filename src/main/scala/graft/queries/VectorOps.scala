@@ -26,6 +26,15 @@ object VectorOps {
   private[graft] val LshTables = 8
   private[graft] val LshBits = 6
   private[graft] val LshMult = 69621L
+
+  /** q25's audit-slice bound: the exact all-pairs verifier runs over
+    * vectors with `vec_id < Q25Cap` only, so its pair cost is a CONSTANT
+    * O(Q25Cap²) at any corpus scale instead of O(n²). At sf0.01 every
+    * vec_id is below the cap, so the slice equals the full table and the
+    * oracle still verifies the complete pair set; the unbounded exact
+    * check lives in SimilaritySpec (q40-recalls-q25), and the production
+    * near-dup path at full scale is q40. */
+  private[graft] val Q25Cap = 2000L
   /** probe the exact key plus each Hamming-1 neighbor */
   private[graft] val LshProbeFlips: Seq[Long] = 0L +: (0 until LshBits).map(b => 1L << b)
 
@@ -66,19 +75,24 @@ object VectorOps {
 
     // Embedding near-duplicate pairs: all pairs with cosine > 0.45
     // (the data's max pair sim is ~0.51; planted structure sits above
-    // the 0.999-quantile 0.38). At scale the crossJoin is replaced by
-    // LSH-bucketed candidates (q40) — this is the exact verifier.
-    // Norms are precomputed ONCE per row (O(n·d)) so the O(n²) pair
-    // loop computes only the codegen'd dot product — 3× fewer flops
-    // per pair, bit-identical to the per-pair form: sqrt(sumsq) is the
-    // same sequential accumulation wherever it runs, and the final
-    // dot/(na*nb) is the oracle's exact expression tree.
+    // the 0.999-quantile 0.38). This is the exact VERIFIER, bounded to
+    // the `vec_id < Q25Cap` audit slice so it survives any corpus scale
+    // (pair cost is a constant O(Q25Cap²)); the production full-corpus
+    // path is q40's LSH-bucketed join. The bounded side is BROADCAST, so
+    // the plan is a nested-loop stream over a ≤Q25Cap-row build side —
+    // no cartesian shuffle of n² partition pairs. Norms are precomputed
+    // ONCE per row (O(n·d)) so the pair loop computes only the codegen'd
+    // dot product — 3× fewer flops per pair, bit-identical to the
+    // per-pair form: sqrt(sumsq) is the same sequential accumulation
+    // wherever it runs, and the final dot/(na*nb) is the oracle's exact
+    // expression tree.
     "q25_embedding_neardup" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < Q25Cap)
         .withColumn("nrm", sqrt(expr(graft.functions.VectorFunctions.sumsqExpr("embedding"))))
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
         .withColumn("cosine",
           graft.plans.GraftExpressions.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("cosine") > 0.45)
@@ -150,10 +164,12 @@ object VectorOps {
 
     // Production IVF end-to-end: spherical-k-means-trained centroids
     // (deterministic Lloyd seeds, k=8, 3 iterations) + nprobe=2 probing.
-    // No DuckDB oracle — iterative float means are not bit-stable across
-    // engines — so the driver records a rows-only check; recall vs the
-    // exact q24 top-k (and monotonicity in nprobe) is asserted in
-    // SimilaritySpec instead.
+    // The Lloyd mean is exact integer-micro-unit arithmetic (see
+    // kmeansCentroids), so the trained centroids — and therefore every
+    // downstream cosine and rank — are bit-identical across engines, and
+    // the whole 3-iteration chain is oracle-checked as a DuckDB CTE.
+    // Recall vs the exact q24 top-k (and monotonicity in nprobe) is
+    // asserted in SimilaritySpec.
     "q47_ivf_kmeans_topk" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 50 === 0)
@@ -195,8 +211,8 @@ object VectorOps {
          |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q25_embedding_neardup" ->
-      s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
-         |b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+      s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings WHERE vec_id < $Q25Cap),
+         |b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings WHERE vec_id < $Q25Cap)
          |SELECT id_a, id_b, ${duckCosineExpr("va", "vb")} AS cosine
          |FROM a CROSS JOIN b
          |WHERE id_a < id_b AND ${duckCosineExpr("va", "vb")} > 0.45""".stripMargin,
@@ -257,6 +273,61 @@ object VectorOps {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
          |  FROM cand) r WHERE rank <= 5""".stripMargin,
+
+    // The trained-IVF oracle replays kmeansCentroids' exact arithmetic:
+    // seeds = 8 lowest-id vectors renumbered 0..7, then per iteration
+    // (assign by max-cosine with centroid_id-asc tiebreak) -> (mean in
+    // floored integer micro-units, divided once to FLOAT) -> (empty
+    // cluster keeps its previous centroid), three times; then corpus
+    // assignment (rk=1), query probing (rk<=2 = nprobe 2), and top-5.
+    // Every intermediate is bit-identical to the Spark side (see the
+    // kmeansCentroids scaladoc for the exactness argument).
+    "q47_ivf_kmeans_topk" -> {
+      def iterCtes(i: Int): String = {
+        val prev = s"c${i - 1}"
+        s"""a$i AS (
+           |  SELECT vec_id, embedding, centroid_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.centroid_id,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCosineExpr("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rk
+           |    FROM embeddings e CROSS JOIN $prev c) t WHERE rk = 1),
+           |m$i AS (
+           |  SELECT centroid_id, d AS pos,
+           |    CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+           |      / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS FLOAT) AS m
+           |  FROM a$i CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) dd
+           |  GROUP BY centroid_id, d),
+           |l$i AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m$i GROUP BY centroid_id),
+           |c$i AS (SELECT p.centroid_id, COALESCE(l$i.cvec, p.cvec) AS cvec
+           |        FROM c${i - 1} p LEFT JOIN l$i ON p.centroid_id = l$i.centroid_id)""".stripMargin
+      }
+      s"""WITH c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS centroid_id,
+         |         embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)),
+         |${iterCtes(1)},
+         |${iterCtes(2)},
+         |${iterCtes(3)},
+         |ca AS (SELECT neighbor_id, cv, centroid_id FROM (
+         |  SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCosineExpr("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rk
+         |  FROM embeddings e CROSS JOIN c3 c) t WHERE rk = 1),
+         |qa AS (SELECT query_id, qv, centroid_id FROM (
+         |  SELECT e.vec_id AS query_id, e.embedding AS qv, c.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCosineExpr("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rk
+         |  FROM embeddings e CROSS JOIN c3 c WHERE e.vec_id % 50 = 0) t WHERE rk <= 2),
+         |cand AS (
+         |  SELECT qa.query_id, ca.neighbor_id, ${duckCosineExpr("qa.qv", "ca.cv")} AS cosine
+         |  FROM ca JOIN qa USING (centroid_id)
+         |  WHERE qa.query_id <> ca.neighbor_id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+         |  FROM cand) r WHERE rank <= 5""".stripMargin
+    },
 
     "q35_ivf_assign" ->
       s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec

@@ -133,6 +133,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"offset join not broadcast:\n$p")
   }
 
+  test("q25 exact verifier is slice-bounded: cap pushed to the scan, no cartesian shuffle") {
+    val f = formatted(SparkEntry.queries("q25_embedding_neardup")(spark, dir))
+    // the Q25Cap bound must reach the parquet scan — it is what makes the
+    // exact verifier constant-cost at any corpus scale
+    assert(f.contains("LessThan(vec_id,2000)"), f)
+    // pair enumeration streams over a broadcast bounded side; a
+    // CartesianProduct (n² partition-pair shuffle) is the scale killer
+    val p = planOf("q25_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q49 stream-join batch twin joins on the user equi-key, not a cartesian") {
     val p = planOf("q49_click_purchase_window")
     // the time-range predicates ride the user_id equi-join; an inequality-
