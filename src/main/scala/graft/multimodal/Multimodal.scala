@@ -13,9 +13,10 @@ import org.apache.spark.sql.types._
   * signatures — is real and tested. Image decode is REAL (`decodeImage`
   * uses the JDK's own `javax.imageio` codecs, headless), and WAV/RIFF
   * audio demux is REAL (`decodeWav`/`wavRmsWindows` parse the container
-  * and compute PCM16 energy features with no codec library). The image
-  * feature vector is still a deterministic content-hash stand-in for a
-  * vision encoder, and compressed audio (mp3/aac) + video demuxing stay
+  * and compute PCM16 energy features with no codec library), and the
+  * image feature vector is a REAL mean-pooled raster descriptor
+  * (`imageDescriptor` — resolution-invariant color layout over the
+  * decoded pixels). Compressed audio (mp3/aac) + video demuxing stay
   * stubbed (no codec libraries in this container) — exactly where a
   * Pandas-UDF/JNI decoder would plug in at scale.
   */
@@ -125,11 +126,70 @@ object Multimodal {
       .toDF("asset_id", "resized")
   }
 
+  /** REAL image feature vector: a mean-pooled G×G×RGB descriptor over
+    * the decoded raster — the classic color-layout signature a vision
+    * encoder front-end computes. The raster is partitioned into a G×G
+    * grid (G = ⌊√(dim/3)⌋, so dim=48 → 4×4 cells) by integer index
+    * scaling (cell = y·G/h — every pixel lands in exactly one cell at
+    * ANY resolution, which is what makes the descriptor resolution-
+    * invariant); each cell emits its mean R,G,B in [0,1]. Transparency
+    * is flattened onto white, the same matte as [[resizeImage]], so a
+    * decode→resize→re-encode round trip maps to a near-identical
+    * descriptor (cosine ≈ 1, asserted in MultimodalSpec) while distinct
+    * content diverges. Returns None when the bytes don't decode. */
+  def imageDescriptor(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (bytes == null || bytes.isEmpty || dim < 3) return None
+    val img =
+      try javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val g = math.max(1, math.sqrt(dim / 3.0).toInt)
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](g * g * 3)
+    val counts = new Array[Long](g * g)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      val cy = y * g / h
+      var x = 0
+      while (x < w) {
+        val cx = x * g / w
+        val argb = row(x)
+        val a = ((argb >>> 24) & 0xff) / 255.0
+        val matte = 1.0 - a // white matte contribution
+        val ci = (cy * g + cx) * 3
+        sums(ci) += (((argb >> 16) & 0xff) / 255.0) * a + matte
+        sums(ci + 1) += (((argb >> 8) & 0xff) / 255.0) * a + matte
+        sums(ci + 2) += ((argb & 0xff) / 255.0) * a + matte
+        counts(cy * g + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val feat = new Array[Float](dim)
+    var c = 0
+    while (c < g * g) {
+      if (counts(c) > 0) {
+        feat(c * 3) = (sums(c * 3) / counts(c)).toFloat
+        feat(c * 3 + 1) = (sums(c * 3 + 1) / counts(c)).toFloat
+        feat(c * 3 + 2) = (sums(c * 3 + 2) / counts(c)).toFloat
+      }
+      c += 1
+    }
+    Some(feat)
+  }
+
   /** Partition-wise feature extraction: iterate assets in bounded batches
     * (the reference's batch-100 pattern, seed_milvus.py:78-86, done
-    * executor-side), decode, and emit a fixed-dim feature vector (hash of
-    * content bytes — the stub stand-in for a vision/audio encoder). */
-  def extractFeatures(spark: SparkSession, assets: DataFrame, dim: Int = 16,
+    * executor-side) and emit a fixed-dim feature vector. Images get the
+    * REAL mean-pooled raster descriptor ([[imageDescriptor]]); payloads
+    * that don't decode as a raster fall back to a deterministic byte-
+    * histogram content signature (exact-content matching only — a
+    * mp3/aac/video encoder would replace it, no codec libs here). */
+  def extractFeatures(spark: SparkSession, assets: DataFrame, dim: Int = 48,
                       batchSize: Int = 100): Dataset[AssetFeatures] = {
     import spark.implicits._
     assets.select(col("asset_id"), col("modality"), col("content"))
@@ -139,13 +199,16 @@ object Multimodal {
           // a real decoder would amortize model/codec setup per batch here
           batch.iterator.map { case (id, modality, bytes) =>
             val (fmt, w, h) = decodeImage(bytes)
-            val feat = new Array[Float](dim)
-            if (bytes != null) {
-              var i = 0
-              while (i < bytes.length) {
-                feat(math.floorMod(java.lang.Byte.hashCode(bytes(i)) * 31 + i, dim)) += 1f
-                i += 1
+            val feat = imageDescriptor(bytes, dim).getOrElse {
+              val f = new Array[Float](dim)
+              if (bytes != null) {
+                var i = 0
+                while (i < bytes.length) {
+                  f(math.floorMod(java.lang.Byte.hashCode(bytes(i)) * 31 + i, dim)) += 1f
+                  i += 1
+                }
               }
+              f
             }
             AssetFeatures(id, modality, if (bytes == null) 0L else bytes.length.toLong,
               fmt, w, h, feat)

@@ -82,6 +82,48 @@ class MultimodalSpec extends AnyFunSuite {
       .forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
 
+  test("imageDescriptor: resize/re-encode invariant, distinct content diverges") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val original = imageBytes("png", 640, 480)
+    val descO = Multimodal.imageDescriptor(original, 48).get
+    assert(descO.length == 48 && descO.forall(v => v >= 0f && v <= 1f))
+    // the SAME image through a bilinear resize + PNG re-encode must map to
+    // a near-identical descriptor — the near-dup-via-features contract
+    val resized = Multimodal.resizeImage(original, 320, 240).get
+    val descR = Multimodal.imageDescriptor(resized, 48).get
+    assert(cos(descO, descR) > 0.995, s"resize broke invariance: ${cos(descO, descR)}")
+    // jpeg re-encode of the same pixels stays near-identical too
+    val descJ = Multimodal.imageDescriptor(imageBytes("jpg", 640, 480), 48).get
+    assert(cos(descO, descJ) > 0.99, s"jpeg re-encode: ${cos(descO, descJ)}")
+    // DISTINCT content (vertical vs horizontal gradient) scores clearly
+    // lower than any same-content variant
+    val other = {
+      val img = new java.awt.image.BufferedImage(640, 480, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 640; y <- 0 until 480)
+        img.setRGB(x, y, ((y * 255 / 479) << 16) | ((255 - x * 255 / 639) << 8))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos); baos.toByteArray
+    }
+    val descX = Multimodal.imageDescriptor(other, 48).get
+    assert(cos(descO, descX) < 0.97, s"distinct images too similar: ${cos(descO, descX)}")
+    assert(cos(descO, descX) < cos(descO, descR) - 0.02)
+    // undecodable bytes have no descriptor (extractFeatures falls back)
+    assert(Multimodal.imageDescriptor("junk".getBytes, 48).isEmpty)
+    assert(Multimodal.imageDescriptor(null, 48).isEmpty)
+    // transparency mattes to white like resizeImage: a fully transparent
+    // png reads as an all-white (all-ones) descriptor
+    val argb = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+    }
+    assert(Multimodal.imageDescriptor(argb, 48).get.forall(v => math.abs(v - 1f) < 1e-6))
+  }
+
   test("resizeImage produces a real decodable PNG at the target dimensions") {
     import spark.implicits._
     val resized = Multimodal.resizeImage(imageBytes("png", 640, 480), 64, 48)
