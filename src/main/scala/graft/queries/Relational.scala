@@ -242,6 +242,14 @@ object Relational {
           expr("CAST(n_converted AS DOUBLE) / n_click_sessions"))
     }),
 
+    // k-step ordered funnel (generalizes q65 to any step list): sessions
+    // completing view -> click -> purchase as an ordered subsequence,
+    // greedy-earliest position matching (see operators.Funnel). One row
+    // per step; the streaming twin is EventsStream.funnelDepths.
+    "q67_funnel_k3" -> ((s, dir) =>
+      graft.operators.Funnel.kStepFunnel(
+        Tables(s, dir, "events"), Seq("view", "click", "purchase"))),
+
     // Running total per user (window frame aggregation); summed in decimal
     // for cross-engine determinism.
     "q29_running_total" -> ((s, dir) => {
@@ -537,6 +545,38 @@ object Relational {
         |    THEN 1 ELSE 0 END) AS DOUBLE)
         |    / SUM(CASE WHEN first_click_us IS NOT NULL THEN 1 ELSE 0 END) AS click_to_purchase_rate
         |FROM per_session""".stripMargin,
+
+    "q67_funnel_k3" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sessions AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, session_id, event_type,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts ASC, event_id ASC) AS BIGINT) AS r
+        |  FROM sessions),
+        |r1 AS (SELECT user_id, session_id, MIN(r) AS t FROM sess
+        |       WHERE event_type = 'view' GROUP BY user_id, session_id),
+        |r2 AS (SELECT s.user_id, s.session_id, MIN(s.r) AS t FROM sess s
+        |       JOIN r1 ON s.user_id = r1.user_id AND s.session_id = r1.session_id
+        |       WHERE s.event_type = 'click' AND s.r > r1.t GROUP BY s.user_id, s.session_id),
+        |r3 AS (SELECT s.user_id, s.session_id, MIN(s.r) AS t FROM sess s
+        |       JOIN r2 ON s.user_id = r2.user_id AND s.session_id = r2.session_id
+        |       WHERE s.event_type = 'purchase' AND s.r > r2.t GROUP BY s.user_id, s.session_id)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM r1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM r2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM r3""".stripMargin,
 
     "q29_running_total" ->
       """SELECT user_id, event_id,

@@ -154,6 +154,59 @@ object EventsStream {
       }
   }
 
+  case class FEvt(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
+  case class FunnelAgg(user_id: Long, session_id: Long, depth: Long)
+  case class FunnelState(lastTs: Long, sessionId: Long, n: Long, depth: Long)
+
+  /** Streaming k-step funnel — the stateful twin of
+    * `Funnel.sessionDepths` (q67's per-session surface): the same
+    * gap-rule session machine as [[sessionize]] with the greedy step
+    * matcher fused in (events scanned in (event-time µs, event_id)
+    * order; an event advances the funnel iff its type is the next
+    * unmatched step — identical to the batch side's strictly-after
+    * position join). Emits (user, session, depth 0..k) when a session
+    * closes; same state bound as sessionize (O(distinct users)). */
+  def funnelDepths(events: Dataset[FEvt], steps: Seq[String], gapSec: Long = 1800L,
+                   watermarkDelay: String = "10 minutes"): Dataset[FunnelAgg] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val k = steps.length
+    // full µs precision: Timestamp.getTime is ms-truncated and would
+    // mis-order same-ms events vs the batch (ts, event_id) sort
+    def evUs(e: FEvt): Long = e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAgg](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[FEvt], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // flush + closed marker carrying the session counter, exactly
+            // like sessionize — see that scaladoc for the state argument
+            val st = state.get
+            state.update(st.copy(n = 0L, depth = 0L))
+            Iterator.single(FunnelAgg(user, st.sessionId, st.depth))
+          } else {
+            val evs = it.toSeq.sortBy(e => (evUs(e), e.event_id))
+            var st = state.getOption.getOrElse(FunnelState(Long.MinValue, 0L, 0L, 0L))
+            var out = List.empty[FunnelAgg]
+            for (e <- evs) {
+              val t = evUs(e) / 1000000L // gap rule is on whole seconds (q28 parity)
+              if (st.n == 0L) st = FunnelState(t, st.sessionId + 1, 1L, 0L)
+              else if (t - st.lastTs > gapSec) {
+                out ::= FunnelAgg(user, st.sessionId, st.depth)
+                st = FunnelState(t, st.sessionId + 1, 1L, 0L)
+              } else st = st.copy(lastTs = t, n = st.n + 1)
+              if (st.depth < k && e.event_type == steps(st.depth.toInt))
+                st = st.copy(depth = st.depth + 1)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastTs * 1000L + gapSec * 1000L, state.getCurrentWatermarkMs() + 1L))
+            out.reverseIterator
+          }
+      }
+  }
+
   /** Drain a streaming DataFrame synchronously into a memory table and
     * return the result (test/driver harness helper). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {

@@ -78,6 +78,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(users.size == missing.size, "at most one open session per user")
   }
 
+  test("streaming k-step funnel equals batch Funnel.sessionDepths on closed sessions") {
+    import spark.implicits._
+    val steps = Seq("view", "click", "purchase")
+    val evts = spark.readStream.schema(EventsStream.eventSchema).parquet(stagedDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[EventsStream.FEvt]
+    val q = EventsStream.funnelDepths(evts, steps).writeStream.outputMode("append")
+      .format("memory").queryName("funnel").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("funnel").collect().map(_.toSeq).toSet
+    // batch twin surface: every session with its depth, 0 included
+    val events = Tables(spark, sfDir, "events")
+    val all = graft.operators.Funnel.sessionized(events)
+      .select(col("user_id"), col("session_id")).distinct()
+    val batch = all.join(
+        graft.operators.Funnel.sessionDepths(events, steps),
+        Seq("user_id", "session_id"), "left")
+      .na.fill(0L, Seq("depth")).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.exists(_(2).asInstanceOf[Long] >= 2L), "fixture should convert somewhere")
+    assert(streamed.subsetOf(batch), "closed streaming funnel sessions must match batch depths")
+    // append mode: at most the final (still-open) session per user missing
+    val missing = batch -- streamed
+    assert(missing.map(_.head).size == missing.size, "at most one open session per user")
+  }
+
+  test("Funnel greedy position matching is exact on a crafted sequence") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // one user, one session. Order: click(1) view(2) purchase(3) click(4).
+    // view->click->purchase: view@2, click@4 after it, but no purchase
+    // after position 4 -> depth 2, NOT 3 (the purchase@3 precedes the
+    // matched click — ordered subsequence, not per-type min/max).
+    val events = Seq(
+      (1L, ts(10), 7L, "click", 0.0, "{}"),
+      (2L, ts(20), 7L, "view", 0.0, "{}"),
+      (3L, ts(30), 7L, "purchase", 0.0, "{}"),
+      (4L, ts(40), 7L, "click", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val steps = Seq("view", "click", "purchase")
+    val depths = graft.operators.Funnel.sessionDepths(events, steps).collect()
+    assert(depths.length == 1 && depths.head.getAs[Long]("depth") == 2L, depths.mkString)
+    val summary = graft.operators.Funnel.kStepFunnel(events, steps).collect()
+      .map(r => r.getAs[Long]("step") -> r.getAs[Long]("n_sessions")).toMap
+    assert(summary == Map(1L -> 1L, 2L -> 1L, 3L -> 0L), summary.toString)
+    // repeated step types need strictly-later positions: click,click at
+    // distinct times completes [click, click]; a single click does not
+    val twice = Seq(
+      (1L, ts(10), 8L, "click", 0.0, "{}"),
+      (2L, ts(20), 8L, "click", 0.0, "{}"),
+      (3L, ts(10), 9L, "click", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d2 = graft.operators.Funnel.sessionDepths(twice, Seq("click", "click")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("depth")).toMap
+    assert(d2 == Map(8L -> 2L, 9L -> 1L), d2.toString)
+  }
+
   test("stream-stream click-purchase join equals its batch twin, contains q36's as-of click") {
     import org.apache.spark.sql.streaming.OutputMode
     val streamed = EventsStream.runToMemory(
