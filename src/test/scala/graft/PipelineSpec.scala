@@ -76,6 +76,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(shortChunks == 1)
   }
 
+  test("golden chunk cardinality: exact counts at size 5000 / overlap 500") {
+    import graft.functions.TextFunctions.{chunkText, chunkWithCarry}
+    // deterministic ~1M-char document shaped like the reference's largest
+    // crawled asset (the 997,725-char PDF text in
+    // minio/data/bronze/crawl_web/2024-12-12/): seeded sentence/paragraph
+    // structure so the separator hierarchy ("\n\n" then "\n" then " ")
+    // is exercised the way real prose is. java.util.Random's algorithm is
+    // specified, so the doc — and therefore every count below — is a
+    // cross-platform constant.
+    val rnd = new java.util.Random(42)
+    val words = Vector("mekong", "delta", "flood", "gauge", "rain", "station",
+      "forecast", "discharge", "level", "basin", "monsoon", "alluvial")
+    val sb = new StringBuilder
+    while (sb.length < 997725) {
+      val sentences = 3 + rnd.nextInt(5)
+      for (s <- 0 until sentences) {
+        val n = 6 + rnd.nextInt(12)
+        for (w <- 0 until n) {
+          sb.append(words(rnd.nextInt(words.length)))
+          if (w < n - 1) sb.append(' ')
+        }
+        sb.append('.')
+        if (s < sentences - 1) sb.append(if (rnd.nextInt(4) == 0) "\n" else " ")
+      }
+      sb.append("\n\n")
+    }
+    val doc = sb.toString.substring(0, 997725)
+    assert(doc.length == 997725)
+
+    // EXACT pinned cardinalities — any drift in the packer/carry logic
+    // that changes how many chunks a corpus fans out into shows up here,
+    // where the >=-style invariant tests would stay silent.
+    val big = chunkText(doc, 5000, 500)
+    assert(big.length == 221, s"~1M-char doc: got ${big.length} chunks")
+    val medium = chunkText(doc.substring(0, 14000), 5000, 500)
+    assert(medium.length == 3, s"14k-char doc: got ${medium.length} chunks")
+    val short = chunkText(doc.substring(0, 4999), 5000, 500)
+    assert(short.length == 1, s"short doc: got ${short.length} chunks")
+
+    // and the structural invariants still hold at the 1M scale: bounded
+    // length, exact reconstruction through the carry prefixes
+    assert(big.forall(c => c.nonEmpty && c.length <= 5000))
+    val rebuilt = chunkWithCarry(doc, 5000, 500).map { case (c, k) => c.substring(k) }.mkString
+    assert(rebuilt == doc, "carry-stripped concatenation must reproduce the input")
+  }
+
   test("gold: metadata defaults, uuid pks, normalized vectors, round-trip") {
     val silver = Silver.chunk(Bronze.dedupByContent(fixtureBronze))
     val gold = Gold.build(silver)
