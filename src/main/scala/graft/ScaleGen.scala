@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-trend data generator: writes an N× replica of a scale-factor
+  * directory's documents/embeddings/events tables (the tables the heavy
+  * query set touches) so SCALE.md can measure how the heavy queries
+  * behave at 10× data — converting the "at 100 TB this ..." design
+  * comments into observed trend lines.
+  *
+  * Replication must NOT manufacture cross-replica near-duplicates —
+  * naive copies would make every document 10 exact twins and every LSH
+  * bucket 10× deeper, turning a 10× volume test into a 100× pathology
+  * test of a different data distribution. Each replica is therefore
+  * transformed by a structure-preserving, replica-specific bijection:
+  *
+  *  - documents: every token gets a replica-unique prefix — token
+  *    counts, intra-replica shingle overlaps, DF distributions and
+  *    simhash pair structure are preserved exactly; shingle sets across
+  *    replicas are disjoint.
+  *  - embeddings: a replica-specific signed permutation of the
+  *    dimensions (odd multiplier mod the dim count ⇒ bijection; hashed
+  *    sign flips) — an orthogonal transform, so every intra-replica
+  *    cosine is preserved EXACTLY while cross-replica similarity is
+  *    that of unrelated vectors.
+  *  - events: ids and user_ids shifted per replica — 10× users at the
+  *    same per-user event density, the shape a 10× day actually has.
+  *
+  * Replica 0 is the identity (the original rows survive verbatim).
+  *
+  * Usage: ScaleGen <srcSfDir> <outDir> <factor>
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val IdStride = 10000000L
+
+    val docs = Tables(spark, srcDir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)]
+    val docsOut = (0 until factor).map { i =>
+      if (i == 0) docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      else docs.map { case (id, text, lang, source, _) =>
+        val t = if (text == null) null
+          else text.split("\\s+").filter(_.nonEmpty).map(w => s"z${i}x$w").mkString(" ")
+        (id + i * IdStride, t, lang, source, if (t == null) 0L else t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    }.reduce(_.union(_))
+    docsOut.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val embs = Tables(spark, srcDir, "embeddings")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)]
+    val embsOut = (0 until factor).map { i =>
+      if (i == 0) embs.toDF("vec_id", "embedding", "label")
+      else embs.map { case (id, v, label) =>
+        val d = v.length
+        val a = 2 * i + 1 // odd ⇒ coprime with the (power-of-two) dim count
+        val out = new Array[Float](d)
+        var j = 0
+        while (j < d) {
+          val p = math.floorMod(a * j + i, d)
+          val h = (j * 2654435761L + i * 40503L) >>> 7
+          out(p) = if ((h & 1L) == 0L) v(j) else -v(j)
+          j += 1
+        }
+        (id + i * IdStride, out, label)
+      }.toDF("vec_id", "embedding", "label")
+    }.reduce(_.union(_))
+    embsOut.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val events = Tables(spark, srcDir, "events")
+    val eventsOut = (0 until factor).map { i =>
+      events.select(
+        (col("event_id") + lit(i * 1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i * IdStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.union(_))
+    eventsOut.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    println(s"[scalegen] wrote ${factor}x documents/embeddings/events from $srcDir to $outDir")
+    spark.stop()
+  }
+}

@@ -27,7 +27,14 @@ object Tables {
     * ns→µs cast, so µs-granularity oracles (q39) compare bit-exact. */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    // the driver's testdata stores TIMESTAMP(NANOS) (read as long above);
+    // re-landed copies (ScaleGen replicas, incremental-ingest output) are
+    // already µs TimestampType and need no conversion
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
   }
 }
