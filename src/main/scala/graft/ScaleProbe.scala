@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SCALE.md evidence runner for the LSH sizing claim: times
+  * `VectorOps.lshNearDupPairs` at a given bit width on a given scale
+  * directory (median of 3, same protocol as Bench) and reports the
+  * candidate-pair recall against the exact verifier computed over the
+  * `vec_id < 2000` audit slice (q25's bound — the slice is the identity
+  * replica in ScaleGen output, so exact ground truth is available at
+  * any replication factor).
+  *
+  * Usage: ScaleProbe <sfDir> <bits> [tables]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val (sfDir, bits, tables) = args match {
+      case Array(d, b) => (d, b.toInt, graft.queries.VectorOps.LshTables)
+      case Array(d, b, t) => (d, b.toInt, t.toInt)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def pairs = graft.queries.VectorOps.lshNearDupPairs(
+      Tables(spark, sfDir, "embeddings"), tables, bits, 0.45)
+
+    pairs.count() // warmup: JIT + codegen before timing
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      pairs.count()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+
+    // recall on the exact-ground-truth slice
+    val slice = pairs.filter(col("id_a") < 2000 && col("id_b") < 2000)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.queries.VectorOps.queries("q25_embedding_neardup")(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0 else (exact & slice).size.toDouble / exact.size
+
+    println(f"""{"probe":"lsh_neardup","sf":"$sfDir","bits":$bits,"tables":$tables,"median_sec":${times(1)}%.3f,"pairs_slice":${slice.size},"exact_slice":${exact.size},"recall":$recall%.3f}""")
+    spark.stop()
+  }
+}

@@ -62,6 +62,38 @@ object VectorOps {
       s"CASE WHEN ${duckLshPlaneDot(t * LshBits + b)} >= 0.0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
 
+  /** The q40 pipeline with its build-time sizing parameters exposed:
+    * `tables`×`bits` multiprobe LSH (exact key + Hamming-1 probes) →
+    * distinct candidate pairs → exact codegen'd cosine confirm at
+    * `thresh`. The oracle-checked q40 pins (8, 6); a deployment sizes
+    * `bits` to its corpus and spends `tables` to buy recall back. */
+  private[graft] def lshNearDupPairs(e: DataFrame, tables: Int, bits: Int,
+                                     thresh: Double): DataFrame = {
+    val flips: Seq[Long] = 0L +: (0 until bits).map(b => 1L << b)
+    val idx = e.select(col("vec_id"),
+        posexplode(graft.plans.GraftExpressions.lshKeys(
+          col("embedding"), tables, bits, LshMult)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("k"))
+    val probe = idx
+      .select(col("vec_id"), col("tbl"), col("k"),
+        explode(array(flips.map(lit(_)): _*)).as("f"))
+      .select(col("vec_id"), col("tbl"), col("k").bitwiseXOR(col("f")).as("pk"))
+    // probe only from the smaller id: pair (a,b) with Hamming≤1 keys is
+    // still found (a's probe set hits b's exact key iff distance ≤ 1),
+    // and each match surfaces once per table instead of twice
+    val x = idx.alias("x"); val y = probe.alias("y")
+    val cand = x.join(y, col("x.tbl") === col("y.tbl") && col("x.k") === col("y.pk")
+        && col("y.vec_id") < col("x.vec_id"))
+      .select(col("y.vec_id").as("id_a"), col("x.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .withColumn("cosine", cosine("va", "vb"))
+      .filter(col("cosine") > thresh)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 per query vector (A8). Query side =
     // vec_id % 50 == 0 (broadcast); exact, deterministic tiebreak.
@@ -122,31 +154,14 @@ object VectorOps {
     // contain every exact q25 pair (SimilaritySpec recall test). The
     // planes use a well-mixed integer hash (the q34 formula makes planes
     // that are shifts of each other — fine for one table, useless for 8).
-    "q40_lsh_neardup" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-      val idx = e.select(col("vec_id"),
-          posexplode(graft.plans.GraftExpressions.lshKeys(
-            col("embedding"), LshTables, LshBits, LshMult)))
-        .select(col("vec_id"), col("pos").as("tbl"), col("col").as("k"))
-      val probe = idx
-        .select(col("vec_id"), col("tbl"), col("k"),
-          explode(array(LshProbeFlips.map(lit(_)): _*)).as("f"))
-        .select(col("vec_id"), col("tbl"), col("k").bitwiseXOR(col("f")).as("pk"))
-      // probe only from the smaller id: pair (a,b) with Hamming≤1 keys is
-      // still found (a's probe set hits b's exact key iff distance ≤ 1),
-      // and each match surfaces once per table instead of twice
-      val x = idx.alias("x"); val y = probe.alias("y")
-      val cand = x.join(y, col("x.tbl") === col("y.tbl") && col("x.k") === col("y.pk")
-          && col("y.vec_id") < col("x.vec_id"))
-        .select(col("y.vec_id").as("id_a"), col("x.vec_id").as("id_b"))
-        .distinct()
-      cand
-        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
-        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
-        .withColumn("cosine", cosine("va", "vb"))
-        .filter(col("cosine") > 0.45)
-        .select(col("id_a"), col("id_b"), col("cosine"))
-    }),
+    // `bits` is the index's build-time sizing knob: 2^bits buckets per
+    // table must track n (bits ≈ log2(n/targetBucket)) or bucket
+    // occupancy — and with it candidate count — grows linearly and the
+    // join quadratically. 6 bits is right-sized for the driver's scales
+    // (occupancy 8–31); SCALE.md measures the 10× trend (27× at fixed
+    // width; ~linear once resized) via lshNearDupPairs.
+    "q40_lsh_neardup" -> ((s, dir) =>
+      lshNearDupPairs(Tables(s, dir, "embeddings"), LshTables, LshBits, 0.45)),
 
     // IVF approximate top-k end-to-end (the retrieval path composing
     // q35's assignment): corpus and queries assigned to their max-cosine
