@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * replica in ScaleGen output, so exact ground truth is available at
   * any replication factor).
   *
-  * Usage: ScaleProbe <sfDir> <bits> [tables]
+  * Usage: ScaleProbe <sfDir> [bits|auto] [tables]
+  * `auto` (the default) sizes bits from the corpus count exactly like
+  * the shipped q40 — the no-manual-resizing path.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val (sfDir, bits, tables) = args match {
-      case Array(d, b) => (d, b.toInt, graft.queries.VectorOps.LshTables)
-      case Array(d, b, t) => (d, b.toInt, t.toInt)
+    val (sfDir, bitsArg, tables) = args match {
+      case Array(d) => (d, "auto", graft.queries.VectorOps.LshTables)
+      case Array(d, b) => (d, b, graft.queries.VectorOps.LshTables)
+      case Array(d, b, t) => (d, b, t.toInt)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -28,6 +31,11 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    val bits =
+      if (bitsArg == "auto")
+        graft.queries.VectorOps.autoBits(Tables(spark, sfDir, "embeddings").count())
+      else bitsArg.toInt
 
     def pairs = graft.queries.VectorOps.lshNearDupPairs(
       Tables(spark, sfDir, "embeddings"), tables, bits, 0.45)

@@ -27,6 +27,20 @@ object VectorOps {
   private[graft] val LshBits = 6
   private[graft] val LshMult = 69621L
 
+  /** q40's index-sizing rule: buckets per table must track corpus size or
+    * occupancy (n / 2^bits) — and with it candidate pairs, which grow as
+    * occupancy² per bucket — climbs linearly and the candidate join goes
+    * quadratic (SCALE.md measured 27× cost at 10× data with `bits` pinned
+    * to 6). `autoBits(n)` is the smallest width ≥ the spec-pinned floor
+    * (LshBits = 6) that keeps expected occupancy ≤ TargetOccupancy:
+    * the minimal b with 2^b ≥ n / TargetOccupancy, i.e. (16 << b) ≥ n.
+    * Pure integer arithmetic — no log2 doubles — so the DuckDB oracle
+    * twin (a generate_series + bit-shift scan) picks the identical width
+    * from its own COUNT(*) with zero FP-parity risk. */
+  private[graft] val TargetOccupancy = 16L
+  private[graft] def autoBits(n: Long): Int =
+    (LshBits to 40).find(b => (TargetOccupancy << b) >= n).getOrElse(40)
+
   /** q25's audit-slice bound: the exact all-pairs verifier runs over
     * vectors with `vec_id < Q25Cap` only, so its pair cost is a CONSTANT
     * O(Q25Cap²) at any corpus scale instead of O(n²). At sf0.01 every
@@ -35,8 +49,6 @@ object VectorOps {
     * check lives in SimilaritySpec (q40-recalls-q25), and the production
     * near-dup path at full scale is q40. */
   private[graft] val Q25Cap = 2000L
-  /** probe the exact key plus each Hamming-1 neighbor */
-  private[graft] val LshProbeFlips: Seq[Long] = 0L +: (0 until LshBits).map(b => 1L << b)
 
   private[graft] def lshPlaneDot(p: Int): String =
     s"""aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
@@ -52,21 +64,11 @@ object VectorOps {
         .reduce(_ + _).as(s"k$t")
     }
 
-  private def duckLshPlaneDot(p: Int): String =
-    s"""list_sum(list_transform(generate_series(1, 64),
-       | d -> ((CAST(CAST(($p * 131071 + d * 8191) % 524287 AS BIGINT) * $LshMult % 1000003 % 1000 AS DOUBLE) - 499.5) / 1000.0)
-       |   * CAST(embedding[d] AS DOUBLE)))""".stripMargin
-
-  private def duckLshKey(t: Int): String =
-    (0 until LshBits).map(b =>
-      s"CASE WHEN ${duckLshPlaneDot(t * LshBits + b)} >= 0.0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-      .mkString(" + ")
-
   /** The q40 pipeline with its build-time sizing parameters exposed:
     * `tables`×`bits` multiprobe LSH (exact key + Hamming-1 probes) →
     * distinct candidate pairs → exact codegen'd cosine confirm at
-    * `thresh`. The oracle-checked q40 pins (8, 6); a deployment sizes
-    * `bits` to its corpus and spends `tables` to buy recall back. */
+    * `thresh`. The oracle-checked q40 passes (8, autoBits(n)) so the
+    * width tracks the corpus; `tables` buys recall back. */
   private[graft] def lshNearDupPairs(e: DataFrame, tables: Int, bits: Int,
                                      thresh: Double): DataFrame = {
     val flips: Seq[Long] = 0L +: (0 until bits).map(b => 1L << b)
@@ -147,21 +149,25 @@ object VectorOps {
     }),
 
     // Production near-dup pair join (scale path for q25): multiprobe
-    // random-hyperplane LSH — 8 tables × 6 sign bits, probing each key
-    // plus its 6 Hamming-1 neighbors — generates candidates, then the
-    // exact codegen'd cosine confirms. Join cost is O(Σ bucket²) per
+    // random-hyperplane LSH — 8 tables × autoBits(n) sign bits, probing
+    // each key plus its Hamming-1 neighbors — generates candidates, then
+    // the exact codegen'd cosine confirms. Join cost is O(Σ bucket²) per
     // table instead of O(n²); the pair set is verified at sf0.01 to
     // contain every exact q25 pair (SimilaritySpec recall test). The
     // planes use a well-mixed integer hash (the q34 formula makes planes
     // that are shifts of each other — fine for one table, useless for 8).
-    // `bits` is the index's build-time sizing knob: 2^bits buckets per
-    // table must track n (bits ≈ log2(n/targetBucket)) or bucket
-    // occupancy — and with it candidate count — grows linearly and the
-    // join quadratically. 6 bits is right-sized for the driver's scales
-    // (occupancy 8–31); SCALE.md measures the 10× trend (27× at fixed
-    // width; ~linear once resized) via lshNearDupPairs.
-    "q40_lsh_neardup" -> ((s, dir) =>
-      lshNearDupPairs(Tables(s, dir, "embeddings"), LshTables, LshBits, 0.45)),
+    // The index width is SELF-SIZING: bits = autoBits(count), so bucket
+    // occupancy stays ≤ TargetOccupancy at any corpus scale and the
+    // candidate join stays ~linear in n (SCALE.md: 27× at 10× data when
+    // pinned to 6 bits, ~linear once sized; the DuckDB twin derives the
+    // same width from its own COUNT(*)). The count() is one driver-side
+    // scalar — the standard build-time step of any ANN index build. At
+    // the driver's sf0.01/sf0.1 gates autoBits gives 6/7; at the 10×
+    // ScaleGen replica, 11 — measured 3.6× cost at 10× data (SCALE.md).
+    "q40_lsh_neardup" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      lshNearDupPairs(e, LshTables, autoBits(e.count()), 0.45)
+    }),
 
     // IVF approximate top-k end-to-end (the retrieval path composing
     // q35's assignment): corpus and queries assigned to their max-cosine
@@ -242,19 +248,38 @@ object VectorOps {
       s"SELECT vec_id, $bucketSql AS bucket, label FROM embeddings"
     },
 
-    "q40_lsh_neardup" -> {
-      val keyExprs = (0 until LshTables).map(t => s"${duckLshKey(t)} AS k$t").mkString(",\n")
-      val keyCase = (0 until LshTables).map(t => s"WHEN $t THEN k$t").mkString(" ")
-      val flips = LshProbeFlips.mkString(", ")
-      s"""WITH keys AS (SELECT vec_id,
-         |$keyExprs
-         |FROM embeddings),
+    // The twin of the self-sizing q40: `params` derives the identical
+    // bit width from COUNT(*) by the same integer rule as autoBits (a
+    // generate_series scan for the smallest b >= 6 with (16 << b) >= n —
+    // no log2 doubles, so no FP-parity risk), then the per-table key is
+    // built with a nested lambda over the DYNAMIC plane index
+    // tbl*bits + b, and the multiprobe flip set {0} ∪ {1<<b | b < bits}
+    // comes from a b-range filtered against params (b = -1 encodes the
+    // exact-key probe).
+    "q40_lsh_neardup" ->
+      s"""WITH params AS (
+         |  SELECT MIN(b) AS bits
+         |  FROM (SELECT unnest(generate_series($LshBits, 40)) AS b),
+         |       (SELECT COUNT(*) AS n FROM embeddings)
+         |  WHERE (CAST($TargetOccupancy AS BIGINT) << b) >= n),
          |idx AS (
-         |  SELECT vec_id, tt.tbl AS tbl, CASE tt.tbl $keyCase END AS k
-         |  FROM keys CROSS JOIN (SELECT unnest(generate_series(0, ${LshTables - 1})) AS tbl) tt),
+         |  SELECT e.vec_id, tt.tbl AS tbl,
+         |    list_sum(list_transform(generate_series(0, p.bits - 1), b ->
+         |      CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+         |        ((CAST(CAST(((tt.tbl * p.bits + b) * 131071 + d * 8191) % 524287 AS BIGINT) * $LshMult % 1000003 % 1000 AS DOUBLE) - 499.5) / 1000.0)
+         |        * CAST(e.embedding[d] AS DOUBLE)
+         |      )) >= 0.0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+         |    )) AS k
+         |  FROM embeddings e CROSS JOIN params p
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${LshTables - 1})) AS tbl) tt),
          |probe AS (
-         |  SELECT vec_id, tbl, xor(k, ff.f) AS pk
-         |  FROM idx CROSS JOIN (SELECT unnest([$flips]) AS f) ff),
+         |  SELECT i.vec_id, i.tbl,
+         |    xor(i.k, CASE WHEN ff.b < 0 THEN CAST(0 AS BIGINT)
+         |                  ELSE (CAST(1 AS BIGINT) << ff.b) END) AS pk
+         |  FROM idx i
+         |  CROSS JOIN (SELECT unnest(generate_series(-1, 39)) AS b) ff
+         |  CROSS JOIN params p
+         |  WHERE ff.b < p.bits),
          |cand AS (
          |  SELECT DISTINCT p.vec_id AS id_a, i.vec_id AS id_b
          |  FROM idx i JOIN probe p
@@ -263,8 +288,7 @@ object VectorOps {
          |FROM cand
          |JOIN embeddings ea ON ea.vec_id = id_a
          |JOIN embeddings eb ON eb.vec_id = id_b
-         |WHERE ${duckCosineExpr("ea.embedding", "eb.embedding")} > 0.45""".stripMargin
-    },
+         |WHERE ${duckCosineExpr("ea.embedding", "eb.embedding")} > 0.45""".stripMargin,
 
     "q45_ivf_topk" ->
       s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec

@@ -73,6 +73,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh), s"LSH missed exact pairs: ${exact -- lsh}")
   }
 
+  test("autoBits: integer sizing rule — floor 6, occupancy <= 16, monotone") {
+    import graft.queries.VectorOps.autoBits
+    assert(autoBits(1) == 6)                 // floor: never below the spec-pinned width
+    assert(autoBits(16L << 6) == 6)          // exact boundary stays at the floor
+    assert(autoBits((16L << 6) + 1) == 7)    // one past the boundary steps up
+    assert(autoBits(500) == 6)               // sf0.01 gate
+    assert(autoBits(2000) == 7)              // sf0.1 gate
+    assert(autoBits(20000) == 11)            // ScaleGen x10 replica
+    // occupancy bound + monotonicity over a wide range
+    var prev = 0
+    for (exp <- 0 to 30; n <- Seq((1L << exp), (1L << exp) + 1)) {
+      val b = autoBits(n)
+      assert(n <= (16L << b), s"occupancy broken at n=$n bits=$b")
+      assert(b >= prev, s"non-monotone at n=$n")
+      prev = b
+    }
+  }
+
   test("kmeansCentroids: k rows, right dim, Lloyd improves the objective") {
     val e = Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val init = Similarity.kmeansCentroids(spark, e, k = 8, iters = 0).collect()
