@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * test of a different data distribution. Each replica is therefore
   * transformed by a structure-preserving, replica-specific bijection:
   *
-  *  - documents: every token gets a replica-unique prefix — token
-  *    counts, intra-replica shingle overlaps, DF distributions and
-  *    simhash pair structure are preserved exactly; shingle sets across
-  *    replicas are disjoint.
+  *  - documents: every token gets a replica-unique prefix, with the
+  *    original whitespace runs (newlines, paragraph breaks) preserved
+  *    verbatim — token counts, intra-replica shingle overlaps, DF
+  *    distributions, simhash pair structure AND separator-hierarchy
+  *    chunking structure are preserved; shingle sets across replicas
+  *    are disjoint. n_chars is recomputed from the prefixed text so it
+  *    stays consistent with the text column.
   *  - embeddings: a replica-specific signed permutation of the
   *    dimensions (odd multiplier mod the dim count ⇒ bijection; hashed
   *    sign flips) — an orthogonal transform, so every intra-replica
@@ -32,6 +35,8 @@ import org.apache.spark.sql.functions._
   * Usage: ScaleGen <srcSfDir> <outDir> <factor>
   */
 object ScaleGen {
+  private val TokenRun = """\S+""".r
+
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS) = args
     val factor = factorS.toInt
@@ -47,6 +52,25 @@ object ScaleGen {
     import spark.implicits._
 
     val IdStride = 10000000L
+    val EventIdStride = 1000000000L
+
+    // Colliding ids across replicas would silently corrupt every joined
+    // result downstream, so refuse any source whose ids reach the stride
+    // (a larger source scale factor than the strides were sized for).
+    if (factor > 1) {
+      def maxOf(table: String, idCol: String): Long =
+        Tables(spark, srcDir, table).agg(max(col(idCol))).head.get(0) match {
+          case n: Number => n.longValue()
+          case other => sys.error(s"unexpected max($idCol) type: $other")
+        }
+      val bounds = Seq(
+        ("documents", "doc_id", IdStride), ("embeddings", "vec_id", IdStride),
+        ("events", "user_id", IdStride), ("events", "event_id", EventIdStride))
+      bounds.foreach { case (t, c, stride) =>
+        val m = maxOf(t, c)
+        require(m < stride, s"max $t.$c = $m >= replica stride $stride; ids would collide")
+      }
+    }
 
     val docs = Tables(spark, srcDir, "documents")
       .select("doc_id", "text", "lang", "source", "n_chars")
@@ -54,8 +78,10 @@ object ScaleGen {
     val docsOut = (0 until factor).map { i =>
       if (i == 0) docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       else docs.map { case (id, text, lang, source, _) =>
+        // prefix each token IN PLACE (whitespace runs survive verbatim)
         val t = if (text == null) null
-          else text.split("\\s+").filter(_.nonEmpty).map(w => s"z${i}x$w").mkString(" ")
+          else TokenRun.replaceAllIn(text,
+            m => scala.util.matching.Regex.quoteReplacement(s"z${i}x${m.matched}"))
         (id + i * IdStride, t, lang, source, if (t == null) 0L else t.length.toLong)
       }.toDF("doc_id", "text", "lang", "source", "n_chars")
     }.reduce(_.union(_))
@@ -85,7 +111,7 @@ object ScaleGen {
     val events = Tables(spark, srcDir, "events")
     val eventsOut = (0 until factor).map { i =>
       events.select(
-        (col("event_id") + lit(i * 1000000000L)).as("event_id"),
+        (col("event_id") + lit(i * EventIdStride)).as("event_id"),
         col("ts"),
         (col("user_id") + lit(i * IdStride)).as("user_id"),
         col("event_type"), col("value"), col("props"))

@@ -144,7 +144,15 @@ object Multimodal {
         new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes)))
       catch { case _: Exception => null }
-    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    descriptorFromRaster(img, dim)
+  }
+
+  /** The descriptor core on an already-decoded raster, so callers that
+    * also need format/dimension metadata (extractFeatures) decode the
+    * payload exactly once. */
+  private[graft] def descriptorFromRaster(img: java.awt.image.BufferedImage,
+                                          dim: Int): Option[Array[Float]] = {
+    if (img == null || dim < 3 || img.getWidth <= 0 || img.getHeight <= 0) return None
     val g = math.max(1, math.sqrt(dim / 3.0).toInt)
     val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Double](g * g * 3)
@@ -182,13 +190,43 @@ object Multimodal {
     Some(feat)
   }
 
+  /** One-decode metadata+raster probe for the batch feature path: the
+    * same memory-cached stream and matching reader supply the format
+    * name, header dimensions, AND the decoded raster, so extractFeatures
+    * runs ImageIO's pixel decode once per payload instead of once for
+    * metadata and again for the descriptor. Failure ladder mirrors
+    * [[decodeImage]]: ("empty",0,0,None) / ("unknown",0,0,None) /
+    * (fmt,0,0,None) for claimed-but-corrupt headers; (fmt,w,h,None) when
+    * the header parses but the pixel decode throws. */
+  private[graft] def decodeImageFull(bytes: Array[Byte])
+      : (String, Int, Int, Option[java.awt.image.BufferedImage]) = {
+    if (bytes == null || bytes.isEmpty) return ("empty", 0, 0, None)
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return ("unknown", 0, 0, None)
+      val r = readers.next()
+      try {
+        r.setInput(iis, true, true)
+        val fmt = r.getFormatName.toLowerCase
+        try {
+          val (w, h) = (r.getWidth(0), r.getHeight(0))
+          val img = try Option(r.read(0)) catch { case _: Exception => None }
+          (fmt, w, h, img)
+        } catch { case _: Exception => (fmt, 0, 0, None) }
+      } finally r.dispose()
+    } finally iis.close()
+  }
+
   /** Partition-wise feature extraction: iterate assets in bounded batches
     * (the reference's batch-100 pattern, seed_milvus.py:78-86, done
     * executor-side) and emit a fixed-dim feature vector. Images get the
-    * REAL mean-pooled raster descriptor ([[imageDescriptor]]); payloads
-    * that don't decode as a raster fall back to a deterministic byte-
-    * histogram content signature (exact-content matching only — a
-    * mp3/aac/video encoder would replace it, no codec libs here). */
+    * REAL mean-pooled raster descriptor ([[descriptorFromRaster]], off a
+    * single [[decodeImageFull]] decode); payloads that don't decode as a
+    * raster fall back to a deterministic byte-histogram content signature
+    * (exact-content matching only — a mp3/aac/video encoder would replace
+    * it, no codec libs here). */
   def extractFeatures(spark: SparkSession, assets: DataFrame, dim: Int = 48,
                       batchSize: Int = 100): Dataset[AssetFeatures] = {
     import spark.implicits._
@@ -198,8 +236,8 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // a real decoder would amortize model/codec setup per batch here
           batch.iterator.map { case (id, modality, bytes) =>
-            val (fmt, w, h) = decodeImage(bytes)
-            val feat = imageDescriptor(bytes, dim).getOrElse {
+            val (fmt, w, h, raster) = decodeImageFull(bytes)
+            val feat = raster.flatMap(descriptorFromRaster(_, dim)).getOrElse {
               val f = new Array[Float](dim)
               if (bytes != null) {
                 var i = 0

@@ -111,7 +111,11 @@ object EventsStream {
     * (batch-q28 parity) instead of colliding with emitted keys. Total
     * state is therefore O(distinct users), never O(events); a
     * deployment that prefers strict eviction over stable numbering can
-    * derive session ids from session start time instead. */
+    * derive session ids from session start time instead.
+    *
+    * Ordering assumption: in-order per user across micro-batches — see
+    * the [[funnelDepths]] scaladoc for the shared multi-batch
+    * late-arrival caveat. */
   def sessionize(events: Dataset[Evt], gapSec: Long = 1800L,
                  watermarkDelay: String = "10 minutes"): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
@@ -165,7 +169,17 @@ object EventsStream {
     * order; an event advances the funnel iff its type is the next
     * unmatched step — identical to the batch side's strictly-after
     * position join). Emits (user, session, depth 0..k) when a session
-    * closes; same state bound as sessionize (O(distinct users)). */
+    * closes; same state bound as sessionize (O(distinct users)).
+    *
+    * Ordering assumption (shared with [[sessionize]]): events are
+    * applied in event-time order WITHIN each micro-batch, but a
+    * late-yet-within-watermark event delivered in a LATER batch is
+    * folded in after already-processed later events, so session splits
+    * and funnel depth can diverge from the batch twin under multi-batch
+    * late arrival. Batch-equivalence holds for in-order-per-user
+    * delivery (the file/kafka-per-key common case, and what
+    * StreamingSpec asserts); buffering events until the watermark
+    * passes would close the gap at O(in-flight events) extra state. */
   def funnelDepths(events: Dataset[FEvt], steps: Seq[String], gapSec: Long = 1800L,
                    watermarkDelay: String = "10 minutes"): Dataset[FunnelAgg] = {
     import events.sparkSession.implicits._
