@@ -255,6 +255,35 @@ object Multimodal {
       }
   }
 
+  /** Image near-duplicate pairs over the SAME production ANN path as
+    * text/embedding near-dup (q40): mean-pooled raster descriptors
+    * ([[extractFeatures]], one decode per asset) feed the self-sizing
+    * multiprobe-LSH candidate join + exact cosine confirm
+    * (`VectorOps.lshNearDupPairs` with `autoBits(n)` width). The
+    * reference archives raw crawled images precisely so they can be
+    * dedup'd (capability S14/A8); this runs that dedup distributed,
+    * with candidate cost O(Σ bucket²) instead of O(n²) image pairs.
+    *
+    * `dim` defaults to 64 to match the LSH plane arity — the 4×4×RGB
+    * descriptor fills 48 components and zero-pads the rest, which
+    * changes no cosine (dot and norms are unaffected by zero dims).
+    * Only assets whose raster header decodes participate (the
+    * byte-histogram fallback of extractFeatures is an exact-content
+    * signature, not a perceptual one). Resized / re-encoded copies land
+    * above the default 0.98 threshold, distinct content below it
+    * (MultimodalSpec pins both, through this exact path). */
+  def imageNearDupPairs(spark: SparkSession, assets: DataFrame,
+                        thresh: Double = 0.98, dim: Int = 64): DataFrame = {
+    val feats = extractFeatures(spark, assets, dim)
+      .filter(f => f.width > 0 && f.height > 0)
+      .toDF()
+      .select(col("asset_id").as("vec_id"), col("feature").as("embedding"))
+    import graft.queries.VectorOps
+    VectorOps.lshNearDupPairs(
+        feats, VectorOps.LshTables, VectorOps.autoBits(feats.count()), thresh)
+      .select(col("id_a").as("asset_a"), col("id_b").as("asset_b"), col("cosine"))
+  }
+
   case class WavMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
                      nFrames: Long, durationMs: Long)
 

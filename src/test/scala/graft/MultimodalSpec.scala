@@ -154,6 +154,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2L).isNullAt(1))
   }
 
+  test("imageNearDupPairs: copies pair with originals through the LSH path, distinct images don't") {
+    import spark.implicits._
+    // 10 DISTINCT images: per-block random colors from distinct seeds
+    // (two different random color layouts land near the all-positive-
+    // quadrant background cosine ~0.75, far under the 0.98 threshold)
+    def patterned(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(320, 240, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 320; y <- 0 until 240) {
+        val bx = x / 80; val by = y / 60 // 4x4 block grid = descriptor cells
+        val h = (seed * 1000003 + bx * 8191 + by * 131071) * 2654435761L
+        img.setRGB(x, y, ((h >>> 24) & 0xffffff).toInt)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+    }
+    val originals = (0 until 10).map(i => (i.toLong, "image", patterned(i)))
+    // near-dup variants: bilinear resize + PNG re-encode of 0..2, JPEG
+    // re-encode of 3 — the transformations a crawler actually sees
+    val copies = (0 until 3).map(i =>
+      (100L + i, "image", Multimodal.resizeImage(patterned(i), 160, 120).get)) :+ {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(patterned(3)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      (103L, "image", out.toByteArray)
+    }
+    // an undecodable payload must be excluded, not crash the path
+    val junk = Seq((999L, "image", "not an image".getBytes))
+    val assets = (originals ++ copies ++ junk)
+      .toDF("asset_id", "modality", "content")
+    val pairs = Multimodal.imageNearDupPairs(spark, assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 4).map(i => (i.toLong, 100L + i)).toSet
+    assert(pairs == expected,
+      s"LSH image near-dup: got $pairs, expected $expected")
+  }
+
   test("decodeWav demuxes a real RIFF/PCM16 header; RMS windows track signal energy") {
     // synthesize a canonical 1-second 440 Hz sine, 16-bit mono @ 8 kHz,
     // with a LIST chunk BEFORE data to exercise the chunk walk
