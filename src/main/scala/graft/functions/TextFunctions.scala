@@ -4,6 +4,11 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
+/** One chunk plus how many of its leading chars repeat the previous
+  * chunk's tail (the overlap carry) — the UDF-encodable row type of
+  * [[TextFunctions.chunkWithCarry]]. */
+case class ChunkCarry(chunk: String, carry: Int)
+
 /** Text scalar functions re-expressing the reference's Python helpers
   * (SURVEY.md §2.3) as Spark columns/UDFs.
   *
@@ -102,6 +107,16 @@ object TextFunctions {
   val chunkTextUdf: UserDefinedFunction =
     udf((text: String, size: Int, overlap: Int) =>
       if (text == null) Array.empty[String] else chunkText(text, size, overlap).toArray)
+
+  /** UDF form of [[chunkWithCarry]]: text → array<struct<chunk,carry>>.
+    * Exposes the carry so downstream SQL can strip the overlap prefix
+    * (`substring(chunk, carry + 1)`) and verify the exact round-trip
+    * invariant — the basis of q33's DuckDB oracle. */
+  val chunkCarryUdf: UserDefinedFunction =
+    udf((text: String, size: Int, overlap: Int) =>
+      if (text == null) Array.empty[ChunkCarry]
+      else chunkWithCarry(text, size, overlap)
+        .map { case (c, k) => ChunkCarry(c, k) }.toArray)
 
   /** Distinct word n-gram shingles, single pass (the SQL-expressible
     * `transform(sequence(...), i -> array_join(slice(ws, i, n)))` form

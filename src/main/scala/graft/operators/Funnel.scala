@@ -52,24 +52,41 @@ object Funnel {
   /** Greedy-earliest reach positions: element i is the set of sessions
     * completing step i+1, as (user_id, session_id, t = position of the
     * completing event). Each element's sessions are a subset of the
-    * previous element's (monotone funnel). */
-  def stepReaches(sess: DataFrame, steps: Seq[String]): Seq[DataFrame] = {
+    * previous element's (monotone funnel).
+    *
+    * Each reach frame references its predecessor, so without
+    * materialization the plan subtrees repeat ~k²/2 times across the
+    * final union — fine at product-analytics k≤5 where AQE's exchange
+    * reuse absorbs it, quadratic plan growth at k=10+. With
+    * `persistIntermediates` the session spine and every reach are
+    * `localCheckpoint`ed (same lineage-truncation pattern as the
+    * connected-components loop, Components.scala), so a k-step funnel
+    * costs exactly k filter+join+agg passes over a materialized spine. */
+  def stepReaches(sess: DataFrame, steps: Seq[String],
+                  persistIntermediates: Boolean = false): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val first = sess.filter(col("event_type") === steps.head)
-      .groupBy(col("user_id"), col("session_id")).agg(min(col("r")).as("t"))
+    def cp(df: DataFrame): DataFrame =
+      if (persistIntermediates) df.localCheckpoint(eager = true) else df
+    val spine = cp(sess)
+    val first = cp(spine.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id"), col("session_id")).agg(min(col("r")).as("t")))
     steps.tail.scanLeft(first) { (prev, st) =>
-      sess.filter(col("event_type") === st)
+      cp(spine.filter(col("event_type") === st)
         .join(prev.select(col("user_id"), col("session_id"), col("t").as("pt")),
           Seq("user_id", "session_id"))
         .filter(col("r") > col("pt"))
-        .groupBy(col("user_id"), col("session_id")).agg(min(col("r")).as("t"))
+        .groupBy(col("user_id"), col("session_id")).agg(min(col("r")).as("t")))
     }
   }
 
   /** The funnel summary: one row per step — (step 1..k, event_type,
-    * n_sessions that completed it in order). */
-  def kStepFunnel(events: DataFrame, steps: Seq[String], gapSec: Long = 1800L): DataFrame =
-    stepReaches(sessionized(events, gapSec), steps).zipWithIndex.map { case (r, i) =>
+    * n_sessions that completed it in order). Deep funnels (k > 4)
+    * auto-persist their intermediate reaches (see [[stepReaches]]). */
+  def kStepFunnel(events: DataFrame, steps: Seq[String], gapSec: Long = 1800L,
+                  persistIntermediates: Option[Boolean] = None): DataFrame =
+    stepReaches(sessionized(events, gapSec), steps,
+        persistIntermediates.getOrElse(steps.length > 4))
+      .zipWithIndex.map { case (r, i) =>
       r.agg(count(lit(1)).as("n_sessions"))
         .select(lit((i + 1).toLong).as("step"), lit(steps(i)).as("event_type"),
           col("n_sessions"))
@@ -77,8 +94,11 @@ object Funnel {
 
   /** Per-session funnel depth (max step completed, ≥1 — depth-0 sessions
     * are simply absent): the comparison surface for the streaming twin. */
-  def sessionDepths(events: DataFrame, steps: Seq[String], gapSec: Long = 1800L): DataFrame =
-    stepReaches(sessionized(events, gapSec), steps).zipWithIndex.map { case (r, i) =>
+  def sessionDepths(events: DataFrame, steps: Seq[String], gapSec: Long = 1800L,
+                    persistIntermediates: Option[Boolean] = None): DataFrame =
+    stepReaches(sessionized(events, gapSec), steps,
+        persistIntermediates.getOrElse(steps.length > 4))
+      .zipWithIndex.map { case (r, i) =>
       r.select(col("user_id"), col("session_id"), lit((i + 1).toLong).as("depth"))
     }.reduce(_.union(_))
       .groupBy(col("user_id"), col("session_id")).agg(max(col("depth")).as("depth"))

@@ -335,18 +335,34 @@ object TextOps {
         .withColumn("chunk_len", length(col("chunk")).cast("long"))
     }),
 
-    // Recursive separator-aware chunker (T1 faithful capability) — UDF,
-    // not SQL-expressible: driver records rows-only. 1-to-N generation
-    // via explode keeps it distributed; chunk_id via posexplode.
+    // Recursive separator-aware chunker (T1 faithful capability). The
+    // chunk TEXT is not SQL-expressible, but the chunker's contract is:
+    // stripping each chunk's overlap carry and concatenating in chunk_id
+    // order reproduces the document EXACTLY, every chunk has length in
+    // (0, size], every carry in [0, overlap] (0 for the first chunk). So
+    // the query runs the full distributed chunk stream (UDF + posexplode,
+    // exactly the shape a chunk-to-embedding pipeline consumes), then
+    // folds it back per-doc into (rebuilt, violation counts) — which a
+    // DuckDB oracle checks bit-exactly against the raw table (rebuilt =
+    // text, counts = 0). Exact chunk boundaries are additionally pinned
+    // by ChunkerSpec's golden cardinalities (incl. a ~1M-char doc).
     "q33_chunk_recursive" -> ((s, dir) => {
       import graft.functions.TextFunctions
       Tables(s, dir, "documents")
         .select(col("doc_id"),
-          posexplode(TextFunctions.chunkTextUdf(col("text"), lit(200), lit(20))))
-        .withColumnRenamed("pos", "chunk_id")
-        .withColumnRenamed("col", "chunk")
-        .select(col("doc_id"), col("chunk_id").cast("long"), col("chunk"),
-          length(col("chunk")).cast("long").as("chunk_len"))
+          posexplode(TextFunctions.chunkCarryUdf(col("text"), lit(200), lit(20))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          col("col.chunk").as("chunk"), col("col.carry").as("carry"))
+        .groupBy(col("doc_id"))
+        .agg(
+          expr("""array_join(transform(
+                |  array_sort(collect_list(struct(chunk_id, substring(chunk, carry + 1) AS piece))),
+                |  c -> c.piece), '')""".stripMargin).as("rebuilt"),
+          expr("""CAST(sum(CASE WHEN length(chunk) < 1 OR length(chunk) > 200
+                |  THEN 1 ELSE 0 END) AS BIGINT)""".stripMargin).as("n_bad_len"),
+          expr("""CAST(sum(CASE WHEN carry < 0 OR carry > 20
+                |  OR (chunk_id = 0 AND carry <> 0) THEN 1 ELSE 0 END) AS BIGINT)"""
+            .stripMargin).as("n_bad_carry"))
     }),
 
     // End-to-end training-data corpus filter: quality score + language
@@ -689,8 +705,16 @@ object TextOps {
       "q32_binary_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |  sha256(text) AS digest, source
+          |FROM documents""".stripMargin,
+
+      // The chunker itself is a UDF, but its round-trip contract is
+      // SQL-checkable: carry-stripped concatenation in chunk_id order
+      // must equal the raw text, with zero length/carry violations.
+      "q33_chunk_recursive" ->
+        """SELECT doc_id, text AS rebuilt,
+          |  CAST(0 AS BIGINT) AS n_bad_len,
+          |  CAST(0 AS BIGINT) AS n_bad_carry
           |FROM documents""".stripMargin
-      // q33_chunk_recursive: UDF chunker, not SQL-expressible → rows-only.
     )
   }
 }

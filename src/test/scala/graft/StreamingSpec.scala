@@ -135,6 +135,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(d2 == Map(8L -> 2L, 9L -> 1L), d2.toString)
   }
 
+  test("deep funnel (k=6) persisted-intermediates path equals the chained-plan path") {
+    // k=6 crosses the auto-persist threshold; a k=10 funnel without
+    // persistence would union ~50 repeated subtrees. Assert the
+    // localCheckpoint path is result-identical to the lazy chained plan
+    // on real data, both for the summary and the per-session depths.
+    val events = Tables(spark, sfDir, "events")
+    val steps = Seq("view", "click", "view", "click", "view", "purchase")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(graft.operators.Funnel.kStepFunnel(events, steps,
+        persistIntermediates = Some(true))) ==
+      rows(graft.operators.Funnel.kStepFunnel(events, steps,
+        persistIntermediates = Some(false))))
+    val persisted = graft.operators.Funnel.sessionDepths(events, steps)            // k>4 ⇒ auto on
+    val chained = graft.operators.Funnel.sessionDepths(events, steps,
+      persistIntermediates = Some(false))
+    assert(rows(persisted) == rows(chained))
+    assert(rows(persisted).nonEmpty)
+  }
+
   test("stream-stream click-purchase join equals its batch twin, contains q36's as-of click") {
     import org.apache.spark.sql.streaming.OutputMode
     val streamed = EventsStream.runToMemory(
