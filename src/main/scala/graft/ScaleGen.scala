@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   *    that of unrelated vectors.
   *  - events: ids and user_ids shifted per replica — 10× users at the
   *    same per-user event density, the shape a 10× day actually has.
+  *  - star schema (customer/supplier/part/orders/lineitem): every key is
+  *    shifted by a per-replica stride, and foreign keys get the SAME
+  *    shift as the primary key they reference, so each replica is a
+  *    self-consistent universe (N× customers each with the original
+  *    per-customer order density; no cross-replica join matches).
+  *    region/nation are written verbatim once: dimension tables stay
+  *    fixed while facts grow — exactly what an N× day looks like, and
+  *    what keeps the broadcast-dim plans honest at scale.
   *
   * Replica 0 is the identity (the original rows survive verbatim).
   *
@@ -65,7 +73,10 @@ object ScaleGen {
         }
       val bounds = Seq(
         ("documents", "doc_id", IdStride), ("embeddings", "vec_id", IdStride),
-        ("events", "user_id", IdStride), ("events", "event_id", EventIdStride))
+        ("events", "user_id", IdStride), ("events", "event_id", EventIdStride),
+        ("customer", "c_custkey", IdStride), ("supplier", "s_suppkey", IdStride),
+        ("part", "p_partkey", IdStride), ("orders", "o_orderkey", EventIdStride),
+        ("lineitem", "l_orderkey", EventIdStride))
       bounds.foreach { case (t, c, stride) =>
         val m = maxOf(t, c)
         require(m < stride, s"max $t.$c = $m >= replica stride $stride; ids would collide")
@@ -118,7 +129,32 @@ object ScaleGen {
     }.reduce(_.union(_))
     eventsOut.write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
-    println(s"[scalegen] wrote ${factor}x documents/embeddings/events from $srcDir to $outDir")
+    // Star schema: shift every key column by its stride; non-key columns
+    // survive verbatim (each replica keeps the exact source value
+    // distributions, so selectivities and group cardinalities-per-key are
+    // preserved). FK columns use the SAME stride as the PK they reference.
+    val keyShifts: Map[String, Seq[(String, Long)]] = Map(
+      "customer" -> Seq("c_custkey" -> IdStride),
+      "supplier" -> Seq("s_suppkey" -> IdStride),
+      "part" -> Seq("p_partkey" -> IdStride),
+      "orders" -> Seq("o_orderkey" -> EventIdStride, "o_custkey" -> IdStride),
+      "lineitem" -> Seq("l_orderkey" -> EventIdStride,
+        "l_partkey" -> IdStride, "l_suppkey" -> IdStride))
+    keyShifts.foreach { case (table, shifts) =>
+      val src = Tables(spark, srcDir, table)
+      val out = (0 until factor).map { i =>
+        shifts.foldLeft(src) { case (df, (k, stride)) =>
+          df.withColumn(k, col(k) + lit(i * stride))
+        }
+      }.reduce(_.union(_))
+      out.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    // fixed dimensions: verbatim copy (facts grow, dims don't)
+    Seq("region", "nation").foreach { t =>
+      Tables(spark, srcDir, t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+
+    println(s"[scalegen] wrote ${factor}x of all ${Tables.all.size} tables from $srcDir to $outDir")
     spark.stop()
   }
 }
