@@ -263,6 +263,173 @@ case class LshKeys(child: Expression, tables: Int, bits: Int, mult: Long)
   override protected def withNewChildInternal(c: Expression): LshKeys = copy(child = c)
 }
 
+/** Confidence-ordered multiprobe key sets (Lv et al., "Multi-Probe LSH",
+  * VLDB 2007 — the published fix for probe cost growing with key width):
+  * for each of `tables` sign-random-projection keys, emit the exact key
+  * plus the keys obtained by flipping each of the `min(bits, probes)`
+  * planes with the SMALLEST |dot| margin (ties broken by lower plane
+  * index). A vector's wrong bits are overwhelmingly its low-margin bits,
+  * so probing only those retains almost all of full Hamming-1 recall
+  * while capping the probe count at a CONSTANT as `bits` tracks corpus
+  * size — without the cap, Hamming-1 probing costs (bits+1) keys/table
+  * and the q40 candidate join grows n·log n (SCALE.md measured 2.8×
+  * super-linear at 100× data).
+  *
+  * When `bits <= probes` every plane is flipped and the probe set equals
+  * full Hamming-1 — bit-identical to the pre-cap behavior (the sf0.01 /
+  * sf0.1 gates run there). Margin comparisons are FP-parity-safe
+  * cross-engine for the same reason the sign tests are: both engines
+  * accumulate the identical plane dot in the identical sequential IEEE
+  * order, so |dot| values — and their (|dot|, plane) ordering — are
+  * bit-equal (asserted by the q40 oracle gate).
+  *
+  * Degenerate input (NULL embedding, < 64 dims, or a null element among
+  * the first 64): every plane dot is null, so the key is 0 and no margin
+  * ordering exists — emits `[0]` (exact key only) per table. */
+case class LshProbeKeys(child: Expression, tables: Int, bits: Int,
+                        probes: Int, mult: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_probe_keys expects array<float>, got $t")
+    }
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def prettyName: String = "lsh_probe_keys"
+  override def nullable: Boolean = false
+
+  /** plane matrix [tables*bits][64] — same arithmetic as [[LshKeys]] */
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(tables * bits) { p =>
+      Array.tabulate(64) { i =>
+        val d = i + 1
+        val h = ((p.toLong * 131071L + d.toLong * 8191L) % 524287L) * mult % 1000003L % 1000L
+        (h.toDouble - 499.5) / 1000.0
+      }
+    }
+
+  private val nFlips: Int = math.min(bits, probes)
+
+  private def probeKeysOf(v: Array[Float]): Array[ArrayData] = {
+    val out = new Array[ArrayData](tables)
+    val absv = new Array[Double](bits)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        val pl = planes(t * bits + b)
+        var acc = 0.0
+        var d = 0
+        while (d < 64) { acc += pl(d) * v(d).toDouble; d += 1 }
+        if (acc >= 0.0) key |= (1L << b)
+        absv(b) = math.abs(acc)
+        b += 1
+      }
+      val keys = new Array[Long](1 + nFlips)
+      keys(0) = key
+      var m = 0
+      while (m < nFlips) { // argmin by (|dot|, plane), selected planes masked out
+        var best = -1
+        var bestAbs = java.lang.Double.POSITIVE_INFINITY
+        var i = 0
+        while (i < bits) {
+          if (absv(i) < bestAbs) { bestAbs = absv(i); best = i }
+          i += 1
+        }
+        absv(best) = java.lang.Double.POSITIVE_INFINITY
+        keys(1 + m) = key ^ (1L << best)
+        m += 1
+      }
+      out(t) = new GenericArrayData(keys)
+      t += 1
+    }
+    out
+  }
+
+  private def degenerate: GenericArrayData =
+    new GenericArrayData(Array.fill[ArrayData](tables)(
+      new GenericArrayData(Array(0L))))
+
+  override def eval(input: InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) return degenerate
+    val ad = a.asInstanceOf[ArrayData]
+    val usable = ad.numElements() >= 64 && !(0 until 64).exists(ad.isNullAt)
+    if (!usable) degenerate
+    else new GenericArrayData(probeKeysOf(Array.tabulate(64)(ad.getFloat)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    val childGen = child.genCode(ctx)
+    val a = childGen.value
+    val v = ctx.freshName("v"); val out = ctx.freshName("out")
+    val t = ctx.freshName("t"); val b = ctx.freshName("b")
+    val d = ctx.freshName("d"); val acc = ctx.freshName("acc")
+    val key = ctx.freshName("key"); val pl = ctx.freshName("pl")
+    val usable = ctx.freshName("usable"); val absv = ctx.freshName("absv")
+    val keys = ctx.freshName("keys"); val m = ctx.freshName("m")
+    val best = ctx.freshName("best"); val bestAbs = ctx.freshName("bestAbs")
+    val i = ctx.freshName("i")
+    val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    ev.copy(code =
+      code"""
+         |${childGen.code}
+         |$ad[] $out = new $ad[$tables];
+         |boolean $usable = false;
+         |if (!${childGen.isNull}) {
+         |  $usable = $a.numElements() >= 64;
+         |  if ($usable) {
+         |    for (int $d = 0; $d < 64; $d++) {
+         |      if ($a.isNullAt($d)) { $usable = false; break; }
+         |    }
+         |  }
+         |}
+         |if ($usable) {
+         |  float[] $v = new float[64];
+         |  for (int $d = 0; $d < 64; $d++) { $v[$d] = $a.getFloat($d); }
+         |  double[] $absv = new double[$bits];
+         |  for (int $t = 0; $t < $tables; $t++) {
+         |    long $key = 0L;
+         |    for (int $b = 0; $b < $bits; $b++) {
+         |      double[] $pl = $planesRef[$t * $bits + $b];
+         |      double $acc = 0.0;
+         |      for (int $d = 0; $d < 64; $d++) { $acc += $pl[$d] * (double)$v[$d]; }
+         |      if ($acc >= 0.0) { $key |= (1L << $b); }
+         |      $absv[$b] = Math.abs($acc);
+         |    }
+         |    long[] $keys = new long[1 + $nFlips];
+         |    $keys[0] = $key;
+         |    for (int $m = 0; $m < $nFlips; $m++) {
+         |      int $best = -1;
+         |      double $bestAbs = Double.POSITIVE_INFINITY;
+         |      for (int $i = 0; $i < $bits; $i++) {
+         |        if ($absv[$i] < $bestAbs) { $bestAbs = $absv[$i]; $best = $i; }
+         |      }
+         |      $absv[$best] = Double.POSITIVE_INFINITY;
+         |      $keys[1 + $m] = $key ^ (1L << $best);
+         |    }
+         |    $out[$t] = new $gad($keys);
+         |  }
+         |} else {
+         |  for (int $t = 0; $t < $tables; $t++) {
+         |    $out[$t] = new $gad(new long[]{0L});
+         |  }
+         |}
+         |$ad ${ev.value} = new $gad($out);
+       """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshProbeKeys = copy(child = c)
+}
+
 /** `chunk_text(text, size, overlap)` as a row Generator (1-to-N), usable
   * from SQL via LATERAL VIEW / table-generating select. Emits
   * (chunk_id int, chunk string). */
@@ -306,6 +473,12 @@ object GraftExpressions {
   def lshKeys(embedding: Column, tables: Int, bits: Int, mult: Long): Column =
     GraftBridge.column(LshKeys(GraftBridge.expression(embedding), tables, bits, mult))
 
+  /** Column surface for confidence-ordered multiprobe key sets. */
+  def lshProbeKeys(embedding: Column, tables: Int, bits: Int, probes: Int,
+                   mult: Long): Column =
+    GraftBridge.column(
+      LshProbeKeys(GraftBridge.expression(embedding), tables, bits, probes, mult))
+
   /** Constant-integer argument of a SQL function: fails analysis with a
     * clear message instead of an internal eval error when the argument
     * is a column or non-numeric literal. */
@@ -326,6 +499,13 @@ object GraftExpressions {
       litLong(exprs(2), "lsh_keys", "bits").toInt,
       litLong(exprs(3), "lsh_keys", "mult"))
 
+  private[plans] def lshProbeKeysFromSql(exprs: Seq[Expression]): LshProbeKeys =
+    LshProbeKeys(exprs(0),
+      litLong(exprs(1), "lsh_probe_keys", "tables").toInt,
+      litLong(exprs(2), "lsh_probe_keys", "bits").toInt,
+      litLong(exprs(3), "lsh_probe_keys", "probes").toInt,
+      litLong(exprs(4), "lsh_probe_keys", "mult"))
+
   /** Register SQL functions: `cosine_sim(a, b)`,
     * `chunk_text(text, size, overlap)` and
     * `lsh_keys(embedding, tables, bits, mult)` — the session-local
@@ -336,5 +516,6 @@ object GraftExpressions {
     GraftBridge.register(spark, "chunk_text",
       exprs => ChunkTextGen(exprs(0), exprs(1), exprs(2)))
     GraftBridge.register(spark, "lsh_keys", lshKeysFromSql)
+    GraftBridge.register(spark, "lsh_probe_keys", lshProbeKeysFromSql)
   }
 }

@@ -20,6 +20,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    (LATERAL VIEW / table-generating select)
   *  - `lsh_keys(embedding, tables, bits, mult)` — fused multiprobe-LSH
   *    table keys (tables/bits/mult must be foldable integer literals)
+  *  - `lsh_probe_keys(embedding, tables, bits, probes, mult)` —
+  *    confidence-ordered multiprobe key sets (exact key + lowest-margin
+  *    plane flips) per table
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -40,5 +43,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("lsh_keys"),
       info("lsh_keys", "lsh_keys(embedding, tables, bits, mult) - multiprobe LSH table keys"),
       (exprs: Seq[Expression]) => GraftExpressions.lshKeysFromSql(exprs)))
+    ext.injectFunction((FunctionIdentifier("lsh_probe_keys"),
+      info("lsh_probe_keys",
+        "lsh_probe_keys(embedding, tables, bits, probes, mult) - confidence-ordered multiprobe key sets"),
+      (exprs: Seq[Expression]) => GraftExpressions.lshProbeKeysFromSql(exprs)))
   }
 }

@@ -65,25 +65,60 @@ object VectorOps {
     }
 
   /** The q40 pipeline with its build-time sizing parameters exposed:
-    * `tables`×`bits` multiprobe LSH (exact key + Hamming-1 probes) →
-    * distinct candidate pairs → exact codegen'd cosine confirm at
-    * `thresh`. The oracle-checked q40 passes (8, autoBits(n)) so the
-    * width tracks the corpus; `tables` buys recall back. */
+    * `tables`×`bits` multiprobe LSH → distinct candidate pairs → exact
+    * codegen'd cosine confirm at `thresh`. The oracle-checked q40 passes
+    * (8, autoBits(n)) so the width tracks the corpus; `tables` buys
+    * recall back.
+    *
+    * Probing is CONFIDENCE-ORDERED and capped (Lv et al., Multi-Probe
+    * LSH, VLDB 2007): each vector probes its exact key plus flips of its
+    * `min(bits, MaxProbes)` lowest-|margin| planes only. With autoBits
+    * holding occupancy ≤ TargetOccupancy and the probe count constant,
+    * candidate volume is ∝ n·tables·MaxProbes·occupancy — LINEAR in n.
+    * Uncapped Hamming-1 (flip all bits) costs (bits+1) probes/table,
+    * a log(n) extra factor once bits tracks n: SCALE.md measured it as
+    * 2.8× super-linear at 100× data. At bits ≤ MaxProbes (the sf0.01 /
+    * sf0.1 gates) every plane is flipped, so results are bit-identical
+    * to full Hamming-1 there. */
+  private[graft] val MaxProbes = 8
+
+  /** Hot-bucket cap (the q48 DF-cap / q50 bucket-cap precedent applied
+    * to the vector index): sign-random-projection buckets over a REAL
+    * (clustered, non-isotropic) corpus are heavy-tailed — at the 100×
+    * replica the max bucket holds 1,771 vectors against a target
+    * occupancy of 12, and those hot buckets alone put ~1.6B rows
+    * through the candidate join (measured; it spilled the box dry).
+    * Index entries in buckets holding more than LshBucketCap vectors
+    * are dropped (probe side stays full), which bounds join output at
+    * probes·Cap per probe key — ∝ n overall. Dense-region pairs lost
+    * to a hot bucket in one table keep their 7 other tables. 96 =
+    * 6 × TargetOccupancy sits comfortably above the max observed gate
+    * bucket (35 at sf0.01, 85 at sf0.1), so the cap does NOT bind at
+    * either oracle gate and the checked pair sets are unchanged; the
+    * DuckDB twin mirrors the cap with the same HAVING > cap bucket
+    * blacklist. */
+  private[graft] val LshBucketCap = 96L
+
   private[graft] def lshNearDupPairs(e: DataFrame, tables: Int, bits: Int,
                                      thresh: Double): DataFrame = {
-    val flips: Seq[Long] = 0L +: (0 until bits).map(b => 1L << b)
     val idx = e.select(col("vec_id"),
         posexplode(graft.plans.GraftExpressions.lshKeys(
           col("embedding"), tables, bits, LshMult)))
       .select(col("vec_id"), col("pos").as("tbl"), col("col").as("k"))
-    val probe = idx
-      .select(col("vec_id"), col("tbl"), col("k"),
-        explode(array(flips.map(lit(_)): _*)).as("f"))
-      .select(col("vec_id"), col("tbl"), col("k").bitwiseXOR(col("f")).as("pk"))
-    // probe only from the smaller id: pair (a,b) with Hamming≤1 keys is
-    // still found (a's probe set hits b's exact key iff distance ≤ 1),
-    // and each match surfaces once per table instead of twice
-    val x = idx.alias("x"); val y = probe.alias("y")
+    // hot-bucket blacklist: tiny (only buckets with > LshBucketCap
+    // members), so it broadcasts and the anti-join adds no shuffle of idx
+    val hot = idx.groupBy(col("tbl"), col("k"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") > LshBucketCap)
+      .select(col("tbl"), col("k"))
+    val idxCapped = idx.join(broadcast(hot), Seq("tbl", "k"), "left_anti")
+    val probe = e.select(col("vec_id"),
+        posexplode(graft.plans.GraftExpressions.lshProbeKeys(
+          col("embedding"), tables, bits, MaxProbes, LshMult)))
+      .select(col("vec_id"), col("pos").as("tbl"), explode(col("col")).as("pk"))
+    // probe only from the smaller id: pair (a,b) is found iff b's exact
+    // key is in a's probe set, and each match surfaces once per table
+    // instead of twice
+    val x = idxCapped.alias("x"); val y = probe.alias("y")
     val cand = x.join(y, col("x.tbl") === col("y.tbl") && col("x.k") === col("y.pk")
         && col("y.vec_id") < col("x.vec_id"))
       .select(col("y.vec_id").as("id_a"), col("x.vec_id").as("id_b"))
@@ -150,20 +185,25 @@ object VectorOps {
 
     // Production near-dup pair join (scale path for q25): multiprobe
     // random-hyperplane LSH — 8 tables × autoBits(n) sign bits, probing
-    // each key plus its Hamming-1 neighbors — generates candidates, then
-    // the exact codegen'd cosine confirms. Join cost is O(Σ bucket²) per
-    // table instead of O(n²); the pair set is verified at sf0.01 to
-    // contain every exact q25 pair (SimilaritySpec recall test). The
-    // planes use a well-mixed integer hash (the q34 formula makes planes
-    // that are shifts of each other — fine for one table, useless for 8).
-    // The index width is SELF-SIZING: bits = autoBits(count), so bucket
-    // occupancy stays ≤ TargetOccupancy at any corpus scale and the
-    // candidate join stays ~linear in n (SCALE.md: 27× at 10× data when
-    // pinned to 6 bits, ~linear once sized; the DuckDB twin derives the
-    // same width from its own COUNT(*)). The count() is one driver-side
-    // scalar — the standard build-time step of any ANN index build. At
-    // the driver's sf0.01/sf0.1 gates autoBits gives 6/7; at the 10×
-    // ScaleGen replica, 11 — measured 3.6× cost at 10× data (SCALE.md).
+    // each key plus flips of its min(bits, MaxProbes) lowest-margin
+    // planes (confidence-ordered multiprobe, Lv et al. VLDB'07) —
+    // generates candidates, then the exact codegen'd cosine confirms.
+    // Join cost is O(Σ bucket²) per table instead of O(n²); the pair set
+    // is verified at sf0.01 to contain every exact q25 pair
+    // (SimilaritySpec recall test). The planes use a well-mixed integer
+    // hash (the q34 formula makes planes that are shifts of each other —
+    // fine for one table, useless for 8).
+    // The index is SELF-SIZING on BOTH axes that scale with n: bits =
+    // autoBits(count) keeps bucket occupancy ≤ TargetOccupancy, and the
+    // capped probe count keeps probes/table constant as bits grows, so
+    // candidate volume is ∝ n (SCALE.md: 27× at 10× data when pinned to
+    // 6 bits; n·log n with uncapped Hamming-1 probing; ~linear with
+    // both fixes — the DuckDB twin derives the same width and the same
+    // lowest-margin flip set from its own COUNT(*) and plane dots). The
+    // count() is one driver-side scalar — the standard build-time step
+    // of any ANN index build. At the driver's sf0.01/sf0.1 gates
+    // autoBits gives 6/7 ≤ MaxProbes, where the probe set IS full
+    // Hamming-1 (pre-cap identical).
     "q40_lsh_neardup" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       lshNearDupPairs(e, LshTables, autoBits(e.count()), 0.45)
@@ -251,38 +291,56 @@ object VectorOps {
     // The twin of the self-sizing q40: `params` derives the identical
     // bit width from COUNT(*) by the same integer rule as autoBits (a
     // generate_series scan for the smallest b >= 6 with (16 << b) >= n —
-    // no log2 doubles, so no FP-parity risk), then the per-table key is
-    // built with a nested lambda over the DYNAMIC plane index
-    // tbl*bits + b, and the multiprobe flip set {0} ∪ {1<<b | b < bits}
-    // comes from a b-range filtered against params (b = -1 encodes the
-    // exact-key probe).
+    // no log2 doubles, so no FP-parity risk). `dots` materializes the
+    // per-(vec, table) plane-dot list with a nested lambda over the
+    // DYNAMIC plane index tbl*bits + b; `keyed` derives the sign key
+    // from the dots AND the confidence-ordered flip set — the
+    // LEAST(bits, MaxProbes) planes with smallest (|dot|, plane-index) —
+    // by sorting [abs, index] pairs, exactly the LshProbeKeys rule.
+    // The |dot| values are the same sequential IEEE sums as the Spark
+    // side, so the margin ORDERING is bit-identical cross-engine for
+    // the same reason the sign tests are.
     "q40_lsh_neardup" ->
       s"""WITH params AS (
          |  SELECT MIN(b) AS bits
          |  FROM (SELECT unnest(generate_series($LshBits, 40)) AS b),
          |       (SELECT COUNT(*) AS n FROM embeddings)
          |  WHERE (CAST($TargetOccupancy AS BIGINT) << b) >= n),
-         |idx AS (
+         |dots AS (
          |  SELECT e.vec_id, tt.tbl AS tbl,
-         |    list_sum(list_transform(generate_series(0, p.bits - 1), b ->
-         |      CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+         |    list_transform(generate_series(0, p.bits - 1), b ->
+         |      list_sum(list_transform(generate_series(1, 64), d ->
          |        ((CAST(CAST(((tt.tbl * p.bits + b) * 131071 + d * 8191) % 524287 AS BIGINT) * $LshMult % 1000003 % 1000 AS DOUBLE) - 499.5) / 1000.0)
          |        * CAST(e.embedding[d] AS DOUBLE)
-         |      )) >= 0.0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
-         |    )) AS k
+         |      ))) AS ds
          |  FROM embeddings e CROSS JOIN params p
          |  CROSS JOIN (SELECT unnest(generate_series(0, ${LshTables - 1})) AS tbl) tt),
+         |keyed AS (
+         |  SELECT vec_id, tbl,
+         |    list_sum(list_transform(generate_series(1, len(ds)), i ->
+         |      CASE WHEN ds[i] >= 0.0 THEN (CAST(1 AS BIGINT) << (i - 1))
+         |           ELSE CAST(0 AS BIGINT) END)) AS k,
+         |    list_transform(
+         |      list_slice(
+         |        list_sort(list_transform(generate_series(1, len(ds)),
+         |          i -> [abs(ds[i]), CAST(i - 1 AS DOUBLE)])),
+         |        1, LEAST(len(ds), $MaxProbes)),
+         |      x -> (CAST(1 AS BIGINT) << CAST(x[2] AS INTEGER))) AS flips
+         |  FROM dots),
          |probe AS (
-         |  SELECT i.vec_id, i.tbl,
-         |    xor(i.k, CASE WHEN ff.b < 0 THEN CAST(0 AS BIGINT)
-         |                  ELSE (CAST(1 AS BIGINT) << ff.b) END) AS pk
-         |  FROM idx i
-         |  CROSS JOIN (SELECT unnest(generate_series(-1, 39)) AS b) ff
-         |  CROSS JOIN params p
-         |  WHERE ff.b < p.bits),
+         |  SELECT vec_id, tbl,
+         |    unnest(list_prepend(k, list_transform(flips, f -> xor(k, f)))) AS pk
+         |  FROM keyed),
+         |hot AS (
+         |  SELECT tbl, k FROM keyed GROUP BY tbl, k
+         |  HAVING COUNT(*) > $LshBucketCap),
+         |idxf AS (
+         |  SELECT ky.vec_id, ky.tbl, ky.k FROM keyed ky
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM hot h WHERE h.tbl = ky.tbl AND h.k = ky.k)),
          |cand AS (
          |  SELECT DISTINCT p.vec_id AS id_a, i.vec_id AS id_b
-         |  FROM idx i JOIN probe p
+         |  FROM idxf i JOIN probe p
          |    ON i.tbl = p.tbl AND i.k = p.pk AND p.vec_id < i.vec_id)
          |SELECT id_a, id_b, ${duckCosineExpr("ea.embedding", "eb.embedding")} AS cosine
          |FROM cand

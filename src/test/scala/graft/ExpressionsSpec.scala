@@ -103,6 +103,80 @@ class ExpressionsSpec extends AnyFunSuite {
       "HOF twin changed its NULL semantics")
   }
 
+  test("lsh_probe_keys at bits <= probes equals full Hamming-1 of lsh_keys") {
+    import graft.queries.VectorOps
+    val e = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val rows = e.select(col("vec_id"),
+        GraftExpressions.lshKeys(col("embedding"),
+          VectorOps.LshTables, VectorOps.LshBits, VectorOps.LshMult).as("ks"),
+        GraftExpressions.lshProbeKeys(col("embedding"),
+          VectorOps.LshTables, VectorOps.LshBits, VectorOps.MaxProbes,
+          VectorOps.LshMult).as("ps"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ks = r.getSeq[Long](1)
+      val ps = r.getSeq[scala.collection.Seq[Long]](2).map(_.toSeq)
+      assert(ps.length == VectorOps.LshTables)
+      ks.zip(ps).foreach { case (k, probes) =>
+        assert(probes.head == k, "first probe must be the exact key")
+        assert(probes.length == 1 + VectorOps.LshBits)
+        val hamming1 = Set(k) ++ (0 until VectorOps.LshBits).map(b => k ^ (1L << b))
+        assert(probes.toSet == hamming1,
+          s"bits<=probes must flip every plane (vec ${r.getLong(0)})")
+      }
+    }
+  }
+
+  test("lsh_probe_keys at bits > probes flips exactly the lowest-|margin| planes") {
+    import graft.queries.VectorOps
+    val tables = 2; val bits = 12; val probes = 4
+    // replicate the plane arithmetic (same formula and sequential
+    // accumulation order as LshKeys/LshProbeKeys/the DuckDB twin)
+    def planeDot(p: Int, v: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < 64) {
+        val d = i + 1
+        val h = ((p.toLong * 131071L + d.toLong * 8191L) % 524287L) * VectorOps.LshMult % 1000003L % 1000L
+        acc += ((h.toDouble - 499.5) / 1000.0) * v(i).toDouble
+        i += 1
+      }
+      acc
+    }
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings").filter(col("vec_id") < 25)
+    val rows = e.select(col("vec_id"), col("embedding"),
+        GraftExpressions.lshProbeKeys(col("embedding"), tables, bits, probes,
+          VectorOps.LshMult).as("ps"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val ps = r.getSeq[scala.collection.Seq[Long]](2).map(_.toSeq)
+      (0 until tables).foreach { t =>
+        val dots = (0 until bits).map(b => planeDot(t * bits + b, v))
+        val key = dots.zipWithIndex.map { case (dt, b) => if (dt >= 0.0) 1L << b else 0L }.sum
+        val expectFlips = dots.zipWithIndex.map { case (dt, b) => (math.abs(dt), b) }
+          .sorted.take(probes).map { case (_, b) => key ^ (1L << b) }
+        assert(ps(t) == key +: expectFlips,
+          s"probe set must be exact key + ${probes} lowest-margin flips in selection order (vec ${r.getLong(0)} table $t)")
+      }
+    }
+  }
+
+  test("lsh_probe_keys degenerate inputs emit exact-key-only [0] per table") {
+    import spark.implicits._
+    val short = Seq(Tuple1(Array.fill(10)(1f))).toDF("embedding")
+      .select(GraftExpressions.lshProbeKeys(col("embedding"), 8, 6, 8, 69621L).as("ps"))
+    assert(short.head.getSeq[scala.collection.Seq[Long]](0).map(_.toSeq) ==
+      Seq.fill(8)(Seq(0L)))
+    val nullEmb = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS embedding")
+      .select(GraftExpressions.lshProbeKeys(col("embedding"), 8, 6, 8, 69621L).as("ps"))
+    assert(!nullEmb.head.isNullAt(0), "lsh_probe_keys(NULL) must not be NULL")
+    assert(nullEmb.head.getSeq[scala.collection.Seq[Long]](0).map(_.toSeq) ==
+      Seq.fill(8)(Seq(0L)))
+  }
+
   test("lsh_keys SQL form rejects non-constant config arguments with a clear error") {
     GraftExpressions.register(spark)
     Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(3).createOrReplaceTempView("emb_e")

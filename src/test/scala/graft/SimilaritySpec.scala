@@ -73,6 +73,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh), s"LSH missed exact pairs: ${exact -- lsh}")
   }
 
+  test("hot-bucket cap does not bind at the oracle gates (sf0.01/sf0.1)") {
+    // The LshBucketCap blacklist must be a no-op at the scales the
+    // DuckDB gate checks, so the checked pair sets are exactly the
+    // uncapped semantics; if data or sizing parameters ever drift
+    // enough that a gate bucket crosses the cap, this catches it
+    // before the gate turns into a cap-semantics test.
+    import graft.queries.VectorOps
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = Tables(spark, dir, "embeddings")
+      val bits = VectorOps.autoBits(e.count())
+      val maxOcc = e.select(org.apache.spark.sql.functions.posexplode(
+          graft.plans.GraftExpressions.lshKeys(
+            org.apache.spark.sql.functions.col("embedding"),
+            VectorOps.LshTables, bits, VectorOps.LshMult)))
+        .groupBy("pos", "col").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+      assert(maxOcc <= VectorOps.LshBucketCap,
+        s"max bucket $maxOcc exceeds cap ${VectorOps.LshBucketCap} at $dir")
+    }
+  }
+
   test("autoBits: integer sizing rule — floor 6, occupancy <= 16, monotone") {
     import graft.queries.VectorOps.autoBits
     assert(autoBits(1) == 6)                 // floor: never below the spec-pinned width
