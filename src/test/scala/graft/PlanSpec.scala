@@ -54,6 +54,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("cosine_sim"), p)
   }
 
+  test("q40 hot-bucket blacklist anti-join is a broadcast, not a shuffle") {
+    // The LshBucketCap blacklist is tiny (only buckets with > cap
+    // members); if the anti-join ever degrades to a shuffled SMJ the
+    // whole n-row index gets an extra exchange at every scale.
+    val p = planOf("q40_lsh_neardup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"hot-bucket filter must broadcast:\n$p")
+  }
+
   test("q40 computes LSH keys via the fused native expression, once per row") {
     val p = planOf("q40_lsh_neardup")
     assert(p.contains("lsh_keys"), p)
