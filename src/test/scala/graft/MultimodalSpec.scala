@@ -280,6 +280,139 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(2L).isNullAt(1) && feats(2L).getSeq[Float](6).isEmpty)
   }
 
+  // ---- MP4 / MP3 container demux fixtures (byte-exact, spec-built) ----
+
+  private def be32a(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+  private def boxb(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32a(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+  }
+
+  /** Minimal well-formed MP4: ftyp + mdat(3 samples in 2 chunks) + moov
+    * with one avc1 video track; every offset in stco computed against
+    * the real fixture layout, so the sample table is checkable
+    * byte-exactly. */
+  private def mp4Bytes(): Array[Byte] = {
+    val ftyp = boxb("ftyp", "isom".getBytes, be32a(0x200), "isom".getBytes)
+    val mdatPayload = Array.tabulate(23)(i => (i + 1).toByte) // 5 + 7 + 11
+    val mdat = boxb("mdat", mdatPayload)
+    val mdatOff = ftyp.length + 8L // first sample's absolute offset
+    val mvhd = boxb("mvhd",
+      be32a(0), be32a(0), be32a(0), be32a(1000), be32a(2000), // vf c m timescale dur
+      new Array[Byte](80))
+    val tkhd = boxb("tkhd",
+      be32a(0), be32a(0), be32a(0), be32a(1), be32a(0), be32a(0), // vf c m id res dur
+      new Array[Byte](8), new Array[Byte](8), // res(8) layer/alt/vol/res(8)
+      new Array[Byte](36),                    // matrix
+      be32a(320L << 16), be32a(240L << 16))   // 16.16 width/height
+    val mdhd = boxb("mdhd",
+      be32a(0), be32a(0), be32a(0), be32a(90000), be32a(180000), be32a(0))
+    val hdlr = boxb("hdlr", be32a(0), be32a(0), "vide".getBytes,
+      new Array[Byte](13))
+    val stsd = boxb("stsd", be32a(0), be32a(1),
+      be32a(16), "avc1".getBytes, new Array[Byte](8))
+    val stsz = boxb("stsz", be32a(0), be32a(0), be32a(3),
+      be32a(5), be32a(7), be32a(11))
+    val stsc = boxb("stsc", be32a(0), be32a(2),
+      be32a(1), be32a(2), be32a(1),  // chunk 1: 2 samples
+      be32a(2), be32a(1), be32a(1))  // chunk 2 on: 1 sample
+    val stco = boxb("stco", be32a(0), be32a(2),
+      be32a(mdatOff), be32a(mdatOff + 12)) // chunk 2 after samples 5+7
+    val stbl = boxb("stbl", stsd, stsz, stsc, stco)
+    val minf = boxb("minf", stbl)
+    val mdia = boxb("mdia", mdhd, hdlr, minf)
+    val trak = boxb("trak", tkhd, mdia)
+    val moov = boxb("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** n MPEG1 Layer-III frames (128 kbps, 44.1 kHz, no padding; 417 bytes
+    * each), optionally behind an ID3v2 tag. */
+  private def mp3Bytes(nFrames: Int, id3: Boolean = false,
+                       truncateLast: Int = 0): Array[Byte] = {
+    val frame = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00) ++
+      new Array[Byte](413)
+    val tag = if (id3)
+      "ID3".getBytes ++ Array[Byte](4, 0, 0) ++
+        Array[Byte](0, 0, 0, 20) ++ new Array[Byte](20) // syncsafe size 20
+    else Array.empty[Byte]
+    val body = Array.fill(nFrames)(frame).flatten
+    tag ++ body.dropRight(truncateLast)
+  }
+
+  test("demuxMp4 reads brand, durations, codec and dimensions from the box tree") {
+    val m = Multimodal.demuxMp4(mp4Bytes()).get
+    assert(m.majorBrand == "isom")
+    assert(m.durationMs == 2000L) // 2000 ticks at timescale 1000
+    assert(m.tracks.size == 1)
+    val t = m.tracks.head
+    assert(t.trackType == "video" && t.codec == "avc1")
+    assert(t.width == 320 && t.height == 240)
+    assert(t.durationMs == 2000L) // 180000 at timescale 90000
+    assert(t.sampleCount == 3L)
+    // non-MP4 payloads: None, never a throw
+    assert(Multimodal.demuxMp4(null).isEmpty)
+    assert(Multimodal.demuxMp4(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.demuxMp4(imageBytes("png", 8, 8)).isEmpty)
+    assert(Multimodal.demuxMp4(mp4Bytes().take(40)).isEmpty) // moov missing
+  }
+
+  test("mp4SampleTable resolves exact byte offset and size of every sample") {
+    val bytes = mp4Bytes()
+    val mdatOff = 28L // ftyp (20 bytes) + mdat header (8)
+    val table = Multimodal.mp4SampleTable(bytes)
+    assert(table == Seq(
+      (0, 0L, mdatOff, 5L),
+      (0, 1L, mdatOff + 5, 7L),
+      (0, 2L, mdatOff + 12, 11L)))
+    // the resolved (offset, size) windows really contain the mdat payload
+    table.foreach { case (_, _, off, len) =>
+      val slice = bytes.slice(off.toInt, (off + len).toInt)
+      assert(slice.length == len.toInt && slice.head != 0)
+    }
+  }
+
+  test("probeMp3 walks the frame chain: count, rate, bitrate, duration, ID3 skip") {
+    val m = Multimodal.probeMp3(mp3Bytes(3)).get
+    assert(m.mpegVersion == "MPEG1" && m.frames == 3)
+    assert(m.sampleRate == 44100 && m.avgBitrateKbps == 128)
+    assert(m.durationMs == 3L * 1152 * 1000 / 44100) // 78 ms
+    // ID3v2 prefix is skipped, not counted
+    assert(Multimodal.probeMp3(mp3Bytes(3, id3 = true)).get.frames == 3)
+    // a truncated trailing frame is not counted
+    assert(Multimodal.probeMp3(mp3Bytes(3, truncateLast = 10)).get.frames == 2)
+    // non-MP3: None, never a throw
+    assert(Multimodal.probeMp3(null).isEmpty)
+    assert(Multimodal.probeMp3("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.probeMp3(imageBytes("png", 8, 8)).isEmpty)
+  }
+
+  test("distributed video demux + frame sampling + audio probe over mixed assets") {
+    import spark.implicits._
+    val assets = Seq(
+      (1L, "video", mp4Bytes()),
+      (2L, "audio", mp3Bytes(4)),
+      (3L, "binary", "garbage".getBytes)
+    ).toDF("asset_id", "modality", "content")
+
+    val vids = Multimodal.demuxVideoAssets(spark, assets)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(vids(1L).getString(1) == "isom" && vids(1L).getLong(2) == 2000L)
+    assert(vids(1L).getString(4) == "avc1" && vids(1L).getInt(5) == 320)
+    assert(vids(3L).isNullAt(1), "non-MP4 must demux to null metadata")
+
+    val frames = Multimodal.videoFrameSamples(spark, assets, everyN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every 2nd sample of asset 1: samples 0 and 2
+    assert(frames.toSet == Set((1L, 0L, 28L, 5L), (1L, 2L, 40L, 11L)))
+
+    val audio = Multimodal.probeAudioAssets(spark, assets)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(audio(2L).getInt(2) == 4 && audio(2L).getInt(3) == 44100)
+    assert(audio(1L).isNullAt(1), "an MP4 is not a Layer-III frame chain")
+  }
+
   test("sampleFrameOffsets explodes 1-to-N with correct offsets") {
     val assets = Multimodal.readAssets(spark, assetDir)
     val frames = Multimodal.sampleFrameOffsets(assets, everyNBytes = 10L)
