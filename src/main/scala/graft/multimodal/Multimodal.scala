@@ -669,6 +669,50 @@ object Multimodal {
       samplesTotal * 1000L / sampleRate))
   }
 
+  case class AdtsMeta(frames: Int, sampleRate: Int, channels: Int,
+                      profile: String, durationMs: Long)
+
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+  private val AdtsProfiles = Array("Main", "LC", "SSR", "LTP")
+
+  /** AAC ADTS transport probe (the "aac" of mp3/aac): each ADTS header
+    * carries an EXPLICIT 13-bit frame length, so the chain walk needs no
+    * bitrate table — validate the 12-bit syncword + fields, step by the
+    * declared length, accumulate 1024 samples per frame. None for
+    * anything that is not a contiguous ADTS chain. */
+  def probeAdts(bytes: Array[Byte]): Option[AdtsMeta] = {
+    if (bytes == null || bytes.length < 7) return None
+    var off = 0L
+    var frames = 0
+    var sampleRate = 0; var channels = 0; var profile = ""
+    var ok = true
+    while (ok && off + 7 <= bytes.length) {
+      val o = off.toInt
+      val sync = (bytes(o) & 0xff) == 0xff && (bytes(o + 1) & 0xf6) == 0xf0
+      if (!sync) ok = false
+      else {
+        val profIdx = (bytes(o + 2) >> 6) & 0x3
+        val srIdx = (bytes(o + 2) >> 2) & 0xf
+        val ch = ((bytes(o + 2) & 0x1) << 2) | ((bytes(o + 3) >> 6) & 0x3)
+        val frameLen = ((bytes(o + 3) & 0x3) << 11) |
+          ((bytes(o + 4) & 0xff) << 3) | ((bytes(o + 5) >> 5) & 0x7)
+        if (srIdx >= AdtsRates.length || ch == 0 || frameLen < 7 ||
+            off + frameLen > bytes.length) ok = false
+        else {
+          frames += 1
+          sampleRate = AdtsRates(srIdx)
+          channels = ch
+          profile = AdtsProfiles(profIdx)
+          off += frameLen
+        }
+      }
+    }
+    if (frames == 0 || sampleRate == 0) None
+    else Some(AdtsMeta(frames, sampleRate, channels, profile,
+      frames * 1024L * 1000L / sampleRate))
+  }
+
   /** Distributed MP4 metadata demux: one row per asset with the movie
     * brand/duration and the FIRST video track's codec/dimensions/sample
     * count (null metadata for assets that are not well-formed MP4). */
@@ -703,17 +747,26 @@ object Multimodal {
       .toDF("asset_id", "track_idx", "sample_idx", "byte_offset", "n_bytes")
   }
 
-  /** Distributed MP3 metadata probe (frame-chain walk, no decode):
-    * null metadata for assets that are not Layer-III MPEG audio. */
+  /** Distributed compressed-audio metadata probe (frame-chain walks, no
+    * decode): codec-dispatched MP3 then AAC/ADTS; null metadata for
+    * assets that are neither. `variant` is the MPEG version for mp3 and
+    * the AAC profile for aac; bitrate is mp3-only (ADTS declares frame
+    * lengths, not bitrate). */
   def probeAudioAssets(spark: SparkSession, assets: DataFrame): DataFrame = {
     import spark.implicits._
     assets.select(col("asset_id"), col("content")).as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
-        val m = probeMp3(bytes)
-        (id, m.map(_.mpegVersion), m.map(_.frames), m.map(_.sampleRate),
-          m.map(_.avgBitrateKbps), m.map(_.durationMs))
+        val m3 = probeMp3(bytes)
+        val aac = if (m3.isEmpty) probeAdts(bytes) else None
+        (id,
+          m3.map(_ => "mp3").orElse(aac.map(_ => "aac")),
+          m3.map(_.mpegVersion).orElse(aac.map(_.profile)),
+          m3.map(_.frames).orElse(aac.map(_.frames)),
+          m3.map(_.sampleRate).orElse(aac.map(_.sampleRate)),
+          m3.map(_.avgBitrateKbps),
+          m3.map(_.durationMs).orElse(aac.map(_.durationMs)))
       }
-      .toDF("asset_id", "mpeg_version", "n_frames", "sample_rate",
+      .toDF("asset_id", "codec", "variant", "n_frames", "sample_rate",
         "avg_bitrate_kbps", "duration_ms")
   }
 }

@@ -388,12 +388,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.probeMp3(imageBytes("png", 8, 8)).isEmpty)
   }
 
+  /** n AAC ADTS frames (LC profile, 44.1 kHz stereo, 64-byte declared
+    * frame length — the header carries the length explicitly). */
+  private def adtsBytes(nFrames: Int): Array[Byte] = {
+    val frame = Array[Byte](0xff.toByte, 0xf1.toByte, 0x50, 0x80.toByte,
+      0x08, 0x00, 0x00) ++ new Array[Byte](57)
+    Array.fill(nFrames)(frame).flatten
+  }
+
+  test("probeAdts walks the ADTS chain via its explicit frame-length field") {
+    val m = Multimodal.probeAdts(adtsBytes(3)).get
+    assert(m.frames == 3 && m.sampleRate == 44100 && m.channels == 2)
+    assert(m.profile == "LC")
+    assert(m.durationMs == 3L * 1024 * 1000 / 44100) // 69 ms
+    // truncated trailing frame not counted; garbage/mp3/null -> None
+    assert(Multimodal.probeAdts(adtsBytes(3).dropRight(10)).get.frames == 2)
+    assert(Multimodal.probeAdts(null).isEmpty)
+    assert(Multimodal.probeAdts("definitely not audio".getBytes).isEmpty)
+    assert(Multimodal.probeAdts(mp3Bytes(2)).isEmpty, "mp3 sync must not pass the ADTS mask")
+    assert(Multimodal.probeMp3(adtsBytes(2)).isEmpty, "ADTS must not pass the mp3 layer check")
+  }
+
   test("distributed video demux + frame sampling + audio probe over mixed assets") {
     import spark.implicits._
     val assets = Seq(
       (1L, "video", mp4Bytes()),
       (2L, "audio", mp3Bytes(4)),
-      (3L, "binary", "garbage".getBytes)
+      (3L, "binary", "garbage".getBytes),
+      (4L, "audio", adtsBytes(5))
     ).toDF("asset_id", "modality", "content")
 
     val vids = Multimodal.demuxVideoAssets(spark, assets)
@@ -409,8 +431,11 @@ class MultimodalSpec extends AnyFunSuite {
 
     val audio = Multimodal.probeAudioAssets(spark, assets)
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(audio(2L).getInt(2) == 4 && audio(2L).getInt(3) == 44100)
-    assert(audio(1L).isNullAt(1), "an MP4 is not a Layer-III frame chain")
+    assert(audio(2L).getString(1) == "mp3" && audio(2L).getInt(3) == 4)
+    assert(audio(2L).getInt(4) == 44100 && audio(2L).getInt(5) == 128)
+    assert(audio(4L).getString(1) == "aac" && audio(4L).getString(2) == "LC")
+    assert(audio(4L).getInt(3) == 5 && audio(4L).isNullAt(5), "ADTS declares no bitrate")
+    assert(audio(1L).isNullAt(1), "an MP4 is not a raw frame chain")
   }
 
   test("sampleFrameOffsets explodes 1-to-N with correct offsets") {
