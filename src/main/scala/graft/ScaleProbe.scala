@@ -11,9 +11,16 @@ import org.apache.spark.sql.functions._
   * replica in ScaleGen output, so exact ground truth is available at
   * any replication factor).
   *
-  * Usage: ScaleProbe <sfDir> [bits|auto] [tables]
+  * Usage: ScaleProbe <sfDir> [bits|auto|knn] [tables]
   * `auto` (the default) sizes bits from the corpus count exactly like
-  * the shipped q40 — the no-manual-resizing path.
+  * the shipped q40 — the no-manual-resizing path. `knn` instead times
+  * the DEPLOYMENT shape of brute kNN — a FIXED 40-query batch
+  * (`vec_id < 2000 && vec_id % 50 = 0`, the identity replica, so the
+  * batch is the same vectors at every scale factor) against the whole
+  * corpus via `Similarity.topKPartitioned` — the evidence that q24's
+  * quadratic growth in the bench is its batch *definition* (batch ∝
+  * corpus there), not the operator: at a fixed batch the cost is linear
+  * in corpus.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -31,6 +38,24 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (bitsArg == "knn") {
+      val e = Tables(spark, sfDir, "embeddings")
+      val n = e.count()
+      val q = e.filter(col("vec_id") < 2000 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      def topk = graft.operators.Similarity.topKPartitioned(spark, q,
+        e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), 5)
+      topk.count() // warmup
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        topk.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"""{"probe":"knn_fixed_batch","sf":"$sfDir","corpus":$n,"queries":40,"median_sec":${times(1)}%.3f}""")
+      spark.stop()
+      return
+    }
 
     val bits =
       if (bitsArg == "auto")
