@@ -25,13 +25,15 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
-  test("non-oracle queries are the documented rows-only exceptions") {
-    // q33: recursive chunker is not SQL-expressible (7 ScalaCheck
-    // properties instead); q47: iterative k-means float means aren't
-    // bit-stable across engines (recall + monotonicity spec'd in
-    // SimilaritySpec instead)
+  test("every query has an oracle — the gate has no rows-only entries left") {
+    // Historical exceptions, both since closed: q33 (recursive chunker)
+    // gained a round-trip-invariant oracle in round 10, and q47
+    // (trained IVF) became cross-engine bit-exact via integer micro-unit
+    // Lloyd means in round 9. A new query landing without an oracle
+    // silently downgrades the driver's check to rows-only — fail here
+    // instead.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly.subsetOf(Set("q33_chunk_recursive", "q47_ivf_kmeans_topk")),
+    assert(rowsOnly.isEmpty,
       s"queries without an oracle (driver downgrades to rows-only): $rowsOnly")
   }
 }
