@@ -46,13 +46,14 @@ object ScaleProbe {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       def topk = graft.operators.Similarity.topKPartitioned(spark, q,
         e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), 5)
+      val nq = q.count() // the actual batch, not an assumed 40
       topk.count() // warmup
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         topk.count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"""{"probe":"knn_fixed_batch","sf":"$sfDir","corpus":$n,"queries":40,"median_sec":${times(1)}%.3f}""")
+      println(f"""{"probe":"knn_fixed_batch","sf":"$sfDir","corpus":$n,"queries":$nq,"median_sec":${times(1)}%.3f}""")
       spark.stop()
       return
     }

@@ -496,8 +496,16 @@ object Multimodal {
                     if (s + 12 <= e) {
                       val uniform = be32(b, s + 4)
                       val n = be32(b, s + 8)
-                      if (uniform != 0L) sizes = Array.fill(n.toInt)(uniform)
-                      else if (s + 12 + 4 * n <= e)
+                      // the uniform branch has no per-entry data to bound n
+                      // against the box, so a crafted sample_count could
+                      // demand a multi-GB allocation; cap it (16M samples
+                      // is hours of video) and treat beyond as malformed —
+                      // an OutOfMemoryError would escape the Exception
+                      // catch and kill the executor
+                      if (uniform != 0L) {
+                        if (n >= 0L && n <= (1L << 24))
+                          sizes = Array.fill(n.toInt)(uniform)
+                      } else if (s + 12 + 4 * n <= e)
                         sizes = Array.tabulate(n.toInt)(i => be32(b, s + 12 + 4L * i))
                     }
                   case ("stsc", s, e) =>
@@ -624,11 +632,14 @@ object Multimodal {
   def probeMp3(bytes: Array[Byte]): Option[Mp3Meta] = {
     if (bytes == null || bytes.length < 4) return None
     var off = 0L
-    // ID3v2 prefix: "ID3" vv flags size(4 × 7-bit syncsafe)
+    // ID3v2 prefix: "ID3" vv flags size(4 × 7-bit syncsafe); the size
+    // excludes the 10-byte header AND the optional 10-byte footer
+    // (ID3v2.4 flag bit 4), so a footered tag needs an extra skip or the
+    // walk lands on the "3DI" footer and reports a valid file as None
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
       val sz = ((bytes(6) & 0x7fL) << 21) | ((bytes(7) & 0x7fL) << 14) |
         ((bytes(8) & 0x7fL) << 7) | (bytes(9) & 0x7fL)
-      off = 10L + sz
+      off = 10L + sz + (if ((bytes(5) & 0x10) != 0) 10L else 0L)
     }
     var frames = 0
     var totalKbps = 0L

@@ -163,8 +163,25 @@ case class DotProduct(left: Expression, right: Expression)
   * NON-nullable (a plain UnaryExpression would return NULL for NULL
   * input, silently diverging from the HOF twin — ExpressionsSpec pins
   * the null row). */
+/** The one source of the hyperplane matrix both LSH expressions (and,
+  * via the same arithmetic, the HOF twin and the DuckDB oracle) must
+  * agree on bit-for-bit. Shared so the FP-parity contract cannot be
+  * broken by editing one copy of the formula. */
+private[plans] object LshPlanes {
+  def matrix(tables: Int, bits: Int, mult: Long): Array[Array[Double]] =
+    Array.tabulate(tables * bits) { p =>
+      Array.tabulate(64) { i =>
+        val d = i + 1
+        val h = ((p.toLong * 131071L + d.toLong * 8191L) % 524287L) * mult % 1000003L % 1000L
+        (h.toDouble - 499.5) / 1000.0
+      }
+    }
+}
+
 case class LshKeys(child: Expression, tables: Int, bits: Int, mult: Long)
     extends UnaryExpression {
+  require(tables >= 1 && bits >= 1 && bits <= 62,
+    s"lsh_keys: tables must be >= 1 and bits in [1, 62], got tables=$tables bits=$bits")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -179,13 +196,7 @@ case class LshKeys(child: Expression, tables: Int, bits: Int, mult: Long)
 
   /** plane matrix [tables*bits][64], precomputed once per query */
   @transient private lazy val planes: Array[Array[Double]] =
-    Array.tabulate(tables * bits) { p =>
-      Array.tabulate(64) { i =>
-        val d = i + 1
-        val h = ((p.toLong * 131071L + d.toLong * 8191L) % 524287L) * mult % 1000003L % 1000L
-        (h.toDouble - 499.5) / 1000.0
-      }
-    }
+    LshPlanes.matrix(tables, bits, mult)
 
   private def keysOf(v: Array[Float]): Array[Long] = {
     val keys = new Array[Long](tables)
@@ -285,10 +296,16 @@ case class LshKeys(child: Expression, tables: Int, bits: Int, mult: Long)
   *
   * Degenerate input (NULL embedding, < 64 dims, or a null element among
   * the first 64): every plane dot is null, so the key is 0 and no margin
-  * ordering exists — emits `[0]` (exact key only) per table. */
+  * ordering exists — emits `[0]` (exact key only) per table. A NaN
+  * component makes every plane dot NaN: the sign tests fail (key 0, same
+  * as LshKeys) and NaN margins rank AFTER every finite margin (treated
+  * as +infinity, ties by plane index) — deterministic, never a crash. */
 case class LshProbeKeys(child: Expression, tables: Int, bits: Int,
                         probes: Int, mult: Long)
     extends UnaryExpression {
+  require(tables >= 1 && bits >= 1 && bits <= 62 && probes >= 0,
+    s"lsh_probe_keys: need tables >= 1, bits in [1, 62], probes >= 0; " +
+      s"got tables=$tables bits=$bits probes=$probes")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -305,19 +322,14 @@ case class LshProbeKeys(child: Expression, tables: Int, bits: Int,
 
   /** plane matrix [tables*bits][64] — same arithmetic as [[LshKeys]] */
   @transient private lazy val planes: Array[Array[Double]] =
-    Array.tabulate(tables * bits) { p =>
-      Array.tabulate(64) { i =>
-        val d = i + 1
-        val h = ((p.toLong * 131071L + d.toLong * 8191L) % 524287L) * mult % 1000003L % 1000L
-        (h.toDouble - 499.5) / 1000.0
-      }
-    }
+    LshPlanes.matrix(tables, bits, mult)
 
   private val nFlips: Int = math.min(bits, probes)
 
   private def probeKeysOf(v: Array[Float]): Array[ArrayData] = {
     val out = new Array[ArrayData](tables)
     val absv = new Array[Double](bits)
+    val used = new Array[Boolean](bits)
     var t = 0
     while (t < tables) {
       var key = 0L
@@ -328,21 +340,28 @@ case class LshProbeKeys(child: Expression, tables: Int, bits: Int,
         var d = 0
         while (d < 64) { acc += pl(d) * v(d).toDouble; d += 1 }
         if (acc >= 0.0) key |= (1L << b)
-        absv(b) = math.abs(acc)
+        // NaN margins (a NaN embedding component) rank after every finite
+        // margin; a plain `<` selection over NaN would never pick ANY
+        // index and crash on best = -1
+        val a = math.abs(acc)
+        absv(b) = if (java.lang.Double.isNaN(a)) java.lang.Double.POSITIVE_INFINITY else a
+        used(b) = false
         b += 1
       }
       val keys = new Array[Long](1 + nFlips)
       keys(0) = key
       var m = 0
-      while (m < nFlips) { // argmin by (|dot|, plane), selected planes masked out
+      while (m < nFlips) { // argmin by (|dot|, plane) over the unused planes
         var best = -1
-        var bestAbs = java.lang.Double.POSITIVE_INFINITY
+        var bestAbs = 0.0
         var i = 0
         while (i < bits) {
-          if (absv(i) < bestAbs) { bestAbs = absv(i); best = i }
+          if (!used(i) && (best == -1 || absv(i) < bestAbs)) {
+            bestAbs = absv(i); best = i
+          }
           i += 1
         }
-        absv(best) = java.lang.Double.POSITIVE_INFINITY
+        used(best) = true
         keys(1 + m) = key ^ (1L << best)
         m += 1
       }
@@ -376,7 +395,7 @@ case class LshProbeKeys(child: Expression, tables: Int, bits: Int,
     val usable = ctx.freshName("usable"); val absv = ctx.freshName("absv")
     val keys = ctx.freshName("keys"); val m = ctx.freshName("m")
     val best = ctx.freshName("best"); val bestAbs = ctx.freshName("bestAbs")
-    val i = ctx.freshName("i")
+    val i = ctx.freshName("i"); val used = ctx.freshName("used")
     val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
     val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
     ev.copy(code =
@@ -396,6 +415,7 @@ case class LshProbeKeys(child: Expression, tables: Int, bits: Int,
          |  float[] $v = new float[64];
          |  for (int $d = 0; $d < 64; $d++) { $v[$d] = $a.getFloat($d); }
          |  double[] $absv = new double[$bits];
+         |  boolean[] $used = new boolean[$bits];
          |  for (int $t = 0; $t < $tables; $t++) {
          |    long $key = 0L;
          |    for (int $b = 0; $b < $bits; $b++) {
@@ -403,17 +423,22 @@ case class LshProbeKeys(child: Expression, tables: Int, bits: Int,
          |      double $acc = 0.0;
          |      for (int $d = 0; $d < 64; $d++) { $acc += $pl[$d] * (double)$v[$d]; }
          |      if ($acc >= 0.0) { $key |= (1L << $b); }
-         |      $absv[$b] = Math.abs($acc);
+         |      // NaN margins rank after every finite margin (see eval)
+         |      double $bestAbs = Math.abs($acc);
+         |      $absv[$b] = Double.isNaN($bestAbs) ? Double.POSITIVE_INFINITY : $bestAbs;
+         |      $used[$b] = false;
          |    }
          |    long[] $keys = new long[1 + $nFlips];
          |    $keys[0] = $key;
          |    for (int $m = 0; $m < $nFlips; $m++) {
          |      int $best = -1;
-         |      double $bestAbs = Double.POSITIVE_INFINITY;
+         |      double $bestAbs = 0.0;
          |      for (int $i = 0; $i < $bits; $i++) {
-         |        if ($absv[$i] < $bestAbs) { $bestAbs = $absv[$i]; $best = $i; }
+         |        if (!$used[$i] && ($best == -1 || $absv[$i] < $bestAbs)) {
+         |          $bestAbs = $absv[$i]; $best = $i;
+         |        }
          |      }
-         |      $absv[$best] = Double.POSITIVE_INFINITY;
+         |      $used[$best] = true;
          |      $keys[1 + $m] = $key ^ (1L << $best);
          |    }
          |    $out[$t] = new $gad($keys);

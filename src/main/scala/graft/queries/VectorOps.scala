@@ -116,8 +116,11 @@ object VectorOps {
           col("embedding"), tables, bits, MaxProbes, LshMult)))
       .select(col("vec_id"), col("pos").as("tbl"), explode(col("col")).as("pk"))
     // probe only from the smaller id: pair (a,b) is found iff b's exact
-    // key is in a's probe set, and each match surfaces once per table
-    // instead of twice
+    // key is in a's probe set. At bits <= MaxProbes (full Hamming-1,
+    // the gates) probe sets are symmetric so one direction is lossless;
+    // at larger widths the capped sets differ per vector and one-sided
+    // probing is a deliberate recall/cost trade (two-sided would double
+    // candidate volume) — ScaleProbe's recall column measures it.
     val x = idxCapped.alias("x"); val y = probe.alias("y")
     val cand = x.join(y, col("x.tbl") === col("y.tbl") && col("x.k") === col("y.pk")
         && col("y.vec_id") < col("x.vec_id"))

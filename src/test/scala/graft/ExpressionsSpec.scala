@@ -164,6 +164,26 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh_probe_keys survives NaN components: key 0, flips by plane index") {
+    // A NaN component makes every plane dot NaN. The sign tests fail
+    // (key 0, matching lsh_keys) and NaN margins must rank after every
+    // finite margin with index-ascending ties — a plain argmin over NaN
+    // picks nothing and crashes; this pins the guarded selection in both
+    // the interpreted and codegen paths.
+    val nan = spark.sql(
+      "SELECT transform(sequence(1, 64), i -> IF(i = 7, CAST('NaN' AS FLOAT), CAST(0.5 AS FLOAT))) AS embedding")
+    val ps = nan.select(GraftExpressions.lshProbeKeys(col("embedding"), 2, 6, 3, 69621L).as("ps"))
+      .head.getSeq[scala.collection.Seq[Long]](0).map(_.toSeq)
+    // all-NaN margins: lowest plane indices flip first -> keys 1, 2, 4
+    assert(ps == Seq(Seq(0L, 1L, 2L, 4L), Seq(0L, 1L, 2L, 4L)))
+    // construction-time validation of the config arguments
+    val bad = intercept[IllegalArgumentException] {
+      graft.plans.LshProbeKeys(
+        org.apache.spark.sql.GraftBridge.expression(col("embedding")), 8, 6, -1, 69621L)
+    }
+    assert(bad.getMessage.contains("probes >= 0"), bad.getMessage)
+  }
+
   test("lsh_probe_keys degenerate inputs emit exact-key-only [0] per table") {
     import spark.implicits._
     val short = Seq(Tuple1(Array.fill(10)(1f))).toDF("embedding")

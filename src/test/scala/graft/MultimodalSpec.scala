@@ -373,6 +373,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed stsz with a huge uniform sample_count is rejected, not allocated") {
+    // uniform-size stsz carries no per-entry data, so sample_count can't
+    // be bounded by the box size — a crafted count of 2^31-1 must not
+    // make the demuxer attempt a multi-GB allocation (OutOfMemoryError
+    // escapes the Exception catch and would kill the executor)
+    val ftyp = boxb("ftyp", "isom".getBytes, be32a(0x200), "isom".getBytes)
+    val mvhd = boxb("mvhd", be32a(0), be32a(0), be32a(0), be32a(1000), be32a(2000),
+      new Array[Byte](80))
+    val mdhd = boxb("mdhd", be32a(0), be32a(0), be32a(0), be32a(90000), be32a(90000), be32a(0))
+    val hdlr = boxb("hdlr", be32a(0), be32a(0), "vide".getBytes, new Array[Byte](13))
+    val stsz = boxb("stsz", be32a(0), be32a(100), be32a(0x7fffffffL)) // uniform x 2^31-1
+    val stbl = boxb("stbl", stsz)
+    val trak = boxb("trak", boxb("mdia", mdhd, hdlr, boxb("minf", stbl)))
+    val bytes = ftyp ++ boxb("moov", mvhd, trak)
+    val m = Multimodal.demuxMp4(bytes).get // parses fine, just no samples
+    assert(m.tracks.head.sampleCount == 0L)
+    assert(Multimodal.mp4SampleTable(bytes).isEmpty)
+  }
+
+  test("probeMp3 skips a footered ID3v2.4 tag") {
+    // footer flag (bit 4 of the flags byte) adds a 10-byte trailer the
+    // declared syncsafe size does not include
+    val tag = "ID3".getBytes ++ Array[Byte](4, 0, 0x10) ++
+      Array[Byte](0, 0, 0, 20) ++ new Array[Byte](20) ++
+      "3DI".getBytes ++ Array[Byte](4, 0, 0x10) ++ Array[Byte](0, 0, 0, 20)
+    val m = Multimodal.probeMp3(tag ++ mp3Bytes(2)).get
+    assert(m.frames == 2)
+  }
+
   test("probeMp3 walks the frame chain: count, rate, bitrate, duration, ID3 skip") {
     val m = Multimodal.probeMp3(mp3Bytes(3)).get
     assert(m.mpegVersion == "MPEG1" && m.frames == 3)
