@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * replica in ScaleGen output, so exact ground truth is available at
   * any replication factor).
   *
-  * Usage: ScaleProbe <sfDir> [bits|auto|knn] [tables]
+  * Usage: ScaleProbe <sfDir> [bits|auto|auto2|knn] [tables]
   * `auto` (the default) sizes bits from the corpus count exactly like
-  * the shipped q40 — the no-manual-resizing path. `knn` instead times
+  * the shipped q40 — the no-manual-resizing path. `auto2` is the same
+  * width with two-sided probing (`lshNearDupPairs(..., twoSided)`), the
+  * recall/cost knob SCALE.md tables against the one-sided default. `knn` instead times
   * the DEPLOYMENT shape of brute kNN — a FIXED 40-query batch
   * (`vec_id < 2000 && vec_id % 50 = 0`, the identity replica, so the
   * batch is the same vectors at every scale factor) against the whole
@@ -58,13 +60,17 @@ object ScaleProbe {
       return
     }
 
+    // `auto2` = auto-sized width with TWO-SIDED probing (either endpoint's
+    // probe set may contain the other's key) — the recall-vs-cost twin of
+    // the shipped one-sided default
+    val twoSided = bitsArg == "auto2"
     val bits =
-      if (bitsArg == "auto")
+      if (bitsArg == "auto" || twoSided)
         graft.queries.VectorOps.autoBits(Tables(spark, sfDir, "embeddings").count())
       else bitsArg.toInt
 
     def pairs = graft.queries.VectorOps.lshNearDupPairs(
-      Tables(spark, sfDir, "embeddings"), tables, bits, 0.45)
+      Tables(spark, sfDir, "embeddings"), tables, bits, 0.45, twoSided)
 
     pairs.count() // warmup: JIT + codegen before timing
     val times = (1 to 3).map { _ =>
@@ -80,7 +86,7 @@ object ScaleProbe {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = if (exact.isEmpty) 1.0 else (exact & slice).size.toDouble / exact.size
 
-    println(f"""{"probe":"lsh_neardup","sf":"$sfDir","bits":$bits,"tables":$tables,"median_sec":${times(1)}%.3f,"pairs_slice":${slice.size},"exact_slice":${exact.size},"recall":$recall%.3f}""")
+    println(f"""{"probe":"lsh_neardup","sf":"$sfDir","bits":$bits,"tables":$tables,"two_sided":$twoSided,"median_sec":${times(1)}%.3f,"pairs_slice":${slice.size},"exact_slice":${exact.size},"recall":$recall%.3f}""")
     spark.stop()
   }
 }

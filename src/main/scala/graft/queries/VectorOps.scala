@@ -99,8 +99,16 @@ object VectorOps {
     * blacklist. */
   private[graft] val LshBucketCap = 96L
 
+  /** `twoSided = true` admits a pair when EITHER endpoint's probe set
+    * contains the other's exact key (vs the default: only the smaller
+    * id probes). At bits <= MaxProbes probe sets are symmetric, so the
+    * two modes are identical there (SimilaritySpec pins it); past the
+    * cap, two-sided buys back the directional recall loss for up to 2×
+    * the candidate volume — measured in SCALE.md. The shipped q40 stays
+    * one-sided. */
   private[graft] def lshNearDupPairs(e: DataFrame, tables: Int, bits: Int,
-                                     thresh: Double): DataFrame = {
+                                     thresh: Double,
+                                     twoSided: Boolean = false): DataFrame = {
     val idx = e.select(col("vec_id"),
         posexplode(graft.plans.GraftExpressions.lshKeys(
           col("embedding"), tables, bits, LshMult)))
@@ -122,9 +130,15 @@ object VectorOps {
     // probing is a deliberate recall/cost trade (two-sided would double
     // candidate volume) — ScaleProbe's recall column measures it.
     val x = idxCapped.alias("x"); val y = probe.alias("y")
+    val idCond =
+      if (twoSided) col("y.vec_id") =!= col("x.vec_id")
+      else col("y.vec_id") < col("x.vec_id")
     val cand = x.join(y, col("x.tbl") === col("y.tbl") && col("x.k") === col("y.pk")
-        && col("y.vec_id") < col("x.vec_id"))
-      .select(col("y.vec_id").as("id_a"), col("x.vec_id").as("id_b"))
+        && idCond)
+      // least/greatest normalizes the two-sided directions onto one pair
+      // key; in the one-sided mode y < x already, so this is the identity
+      .select(least(col("y.vec_id"), col("x.vec_id")).as("id_a"),
+        greatest(col("y.vec_id"), col("x.vec_id")).as("id_b"))
       .distinct()
     cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")

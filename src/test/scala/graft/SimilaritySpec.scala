@@ -73,6 +73,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh), s"LSH missed exact pairs: ${exact -- lsh}")
   }
 
+  test("two-sided probing: identical at gate widths, a superset past the cap") {
+    import graft.queries.VectorOps
+    val e = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    def pairSet(bits: Int, twoSided: Boolean): Set[(Long, Long)] =
+      VectorOps.lshNearDupPairs(e, VectorOps.LshTables, bits, 0.45, twoSided)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at bits <= MaxProbes probe sets are symmetric Hamming-1, so the
+    // directions see the same pairs — the refactor must not move the gate
+    val g1 = pairSet(VectorOps.LshBits, twoSided = false)
+    val g2 = pairSet(VectorOps.LshBits, twoSided = true)
+    assert(g1.nonEmpty && g1 == g2)
+    // past the cap the per-vector flip sets differ, so one-sided can only
+    // lose pairs relative to two-sided
+    val w1 = pairSet(12, twoSided = false)
+    val w2 = pairSet(12, twoSided = true)
+    assert(w1.subsetOf(w2), s"one-sided found pairs two-sided missed: ${w1 -- w2}")
+  }
+
   test("hot-bucket cap does not bind at the oracle gates (sf0.01/sf0.1)") {
     // The LshBucketCap blacklist must be a no-op at the scales the
     // DuckDB gate checks, so the checked pair sets are exactly the
