@@ -222,6 +222,85 @@ object Similarity {
     cents.toSeq.toDF("centroid_id", "cvec")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster the corpus with
+    * k-means, then mark a vector a duplicate iff some LOWER-id member
+    * of ITS OWN cluster sits above the cosine threshold — the paper's
+    * keep-one-per-near-dup-group rule with a deterministic keeper
+    * (lowest id, the exact-dedup q03 precedent). Returns one row per
+    * input vector: (idCol, centroid_id, dup_of) where dup_of is the
+    * smallest qualifying lower id, NULL for survivors — survivors are
+    * `dup_of IS NULL`, and the keeper attribution is what lets a
+    * pipeline audit WHY a document was dropped.
+    *
+    * Scale shape: the pair join is per-cluster, so cost is
+    * O(Σ cluster²) ≈ n²/k for balanced clusters — the SemDeDup paper's
+    * sizing rule is k ∝ n (it uses 11k clusters for 100M embeddings),
+    * which holds per-cluster occupancy (and with it pair cost per
+    * vector) constant, the same occupancy argument as q40's autoBits.
+    * Training cost is n·k per Lloyd iteration (distributed; see
+    * [[kmeansCentroids]]). At the oracle gate k is pinned to 8 so the
+    * DuckDB twin can replay training exactly; the k parameter is the
+    * production knob. The per-cluster join shuffles on centroid_id —
+    * with k ∝ n keys the shuffle is well-spread (at k=8 it is 8
+    * partitions, fine for a demo, skewed at scale: size k to n).
+    *
+    * Cosine is the plain (unguarded) expression, like q25: the oracle
+    * gate corpus has no zero-norm vectors, and a NaN cosine fails
+    * `> thresh` in Spark (a zero-norm vector is never marked dup). */
+  def semDedup(vectors: DataFrame, centroids: DataFrame, thresh: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = nearestCentroid(
+      vectors.select(col(idCol), col(vecCol)), centroids, vecCol, idCol, Seq(vecCol))
+    val a = assigned.select(col("centroid_id"), col(idCol), col(vecCol).as("va"))
+    val b = assigned.select(col("centroid_id").as("_cb"), col(idCol).as("_idb"),
+      col(vecCol).as("vb"))
+    val dups = a.join(b, col("centroid_id") === col("_cb") && col("_idb") < col(idCol))
+      .withColumn("sim", graft.plans.GraftExpressions.cosineSimNative(col("va"), col("vb")))
+      .filter(col("sim") > thresh)
+      .groupBy(col(idCol)).agg(min(col("_idb")).as("dup_of"))
+    assigned.select(col(idCol), col("centroid_id"))
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"), col("dup_of"))
+  }
+
+  /** Scalar-quantized (SQ8-style, the Faiss/Milvus storage trick) top-k
+    * with exact rescoring: rank ALL candidates by the cosine of the
+    * int8-quantized (then dequantized) vectors, keep the top
+    * `oversample` per query, rescore ONLY those against the original
+    * float vectors, return the exact-rescored top `k`.
+    *
+    * Why it matters at 100 TB: the first (full-scan) phase reads the
+    * 4×-smaller int8 representation — on a storage-bound cluster that
+    * is a 4× scan-cost cut — and the exact phase touches only
+    * |queries|·oversample full-precision rows. Here both columns ride
+    * the same DataFrame for oracle-checkability; a deployment stores
+    * the quantized column (+ its scale) in its own parquet and scans
+    * the float column only in phase 2.
+    *
+    * queries: (query_id, qv float[], qdv float[]); corpus:
+    * (neighbor_id, cv, cdv) where *dv is the dequantized-quantized
+    * vector (see VectorOps.dequantizedCol — floor-based, so both
+    * engines derive bit-identical grids). Deterministic under ties on
+    * both phases (neighbor_id asc). */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    oversample: Int): DataFrame = {
+    val cands = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", guardedSim(col("qdv"), col("cdv")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val shortlist = cands.withColumn("_ar", row_number().over(w1))
+      .filter(col("_ar") <= oversample)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    shortlist.withColumn("cosine", guardedSim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long"))
+  }
+
   /** Sequential left-to-right double dot product — bit-identical to the
     * `aggregate(zip_with(...))` HOF and DuckDB's list_sum/list_transform. */
   private def dot(a: Array[Float], b: Array[Float]): Double = {

@@ -148,6 +148,64 @@ object VectorOps {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** DuckDB CTE chain replaying `Similarity.kmeansCentroids(k, iters)`
+    * exactly (seeds = k lowest-id vectors renumbered 0..k-1; per
+    * iteration: max-cosine assignment with centroid_id-asc tiebreak →
+    * floored integer-micro-unit mean → empty cluster keeps its previous
+    * centroid). Yields CTEs `c0..c$iters`; `c$iters` is the trained
+    * centroid table. Shared by the q47 and q68 oracles — one exactness
+    * argument (the kmeansCentroids scaladoc), two consumers. */
+  private[graft] def kmeansOracleCtes(k: Int, iters: Int): String = {
+    def iterCtes(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCosineExpr("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rk
+         |    FROM embeddings e CROSS JOIN $prev c) t WHERE rk = 1),
+         |m$i AS (
+         |  SELECT centroid_id, d AS pos,
+         |    CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS FLOAT) AS m
+         |  FROM a$i CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) dd
+         |  GROUP BY centroid_id, d),
+         |l$i AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m$i GROUP BY centroid_id),
+         |c$i AS (SELECT p.centroid_id, COALESCE(l$i.cvec, p.cvec) AS cvec
+         |        FROM c${i - 1} p LEFT JOIN l$i ON p.centroid_id = l$i.centroid_id)""".stripMargin
+    }
+    (s"""c0 AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS centroid_id,
+        |         embedding AS cvec
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT $k))""".stripMargin
+      +: (1 to iters).map(iterCtes)).mkString(",\n")
+  }
+
+  /** q69's quantization grid, shared verbatim-in-structure by the Spark
+    * and DuckDB sides so the dequantized vectors are BIT-IDENTICAL
+    * cross-engine: per-vector symmetric int8 — scale = max|x_i|/127,
+    * code = floor(x·127/max|x|) (floor, not round: the engines disagree
+    * on rounding mode at exact halves, the kmeansCentroids precedent),
+    * dequantized value = float(code · max|x|/127). Every step is
+    * correctly-rounded IEEE double arithmetic on identical inputs, and
+    * the final narrowing cast to float32 is round-to-nearest-even in
+    * both engines. A zero vector (max = 0) dequantizes to zeros. */
+  private[graft] val SqOversample = 20
+
+  private[graft] def sqMaxAbsExpr(v: String): String =
+    s"aggregate($v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+
+  private[graft] def sqDequantExpr(v: String, mx: String): String =
+    s"""transform($v, x -> CAST(CASE WHEN $mx = 0.0 THEN 0.0
+       | ELSE floor(CAST(x AS DOUBLE) * 127.0 / $mx) * ($mx / 127.0) END AS FLOAT))""".stripMargin
+
+  private[graft] def duckSqMaxAbsExpr(v: String): String =
+    s"list_max(list_transform($v, x -> abs(CAST(x AS DOUBLE))))"
+
+  private[graft] def duckSqDequantExpr(v: String, mx: String): String =
+    s"""list_transform($v, x -> CAST(CASE WHEN $mx = 0.0 THEN 0.0
+       | ELSE floor(CAST(x AS DOUBLE) * 127.0 / $mx) * ($mx / 127.0) END AS FLOAT))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 per query vector (A8). Query side =
     // vec_id % 50 == 0 (broadcast); exact, deterministic tiebreak.
@@ -255,6 +313,38 @@ object VectorOps {
       val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       val cents = Similarity.kmeansCentroids(s, e, k = 8, iters = 3)
       Similarity.ivfTopK(q, c, cents, 5, nprobe = 2)
+    }),
+
+    // SemDeDup (Abbas et al., arXiv:2303.09540) end-to-end: train k=8
+    // spherical-k-means centroids (3 deterministic Lloyd iterations, the
+    // q47 trainer), assign every vector to its cluster, and mark it a
+    // duplicate iff a lower-id member of the SAME cluster exceeds
+    // cosine 0.45 — dup_of = the smallest such keeper id, NULL for
+    // survivors. The whole chain (training included) is oracle-checked;
+    // see Similarity.semDedup for the k ∝ n sizing argument that keeps
+    // the per-cluster pair join linear at scale.
+    "q68_semdedup" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(s, e, k = 8, iters = 3)
+      Similarity.semDedup(e, cents, 0.45)
+    }),
+
+    // Scalar-quantized ANN with exact rescoring (the Faiss/Milvus SQ8
+    // storage trick): phase 1 ranks ALL candidates by the cosine of the
+    // per-vector int8-quantized vectors — at deployment the scan reads
+    // the 4×-smaller int8 column — phase 2 rescores only the top-20
+    // shortlist against the full-precision originals and returns the
+    // exact-rescored top-5. The floor-based grid makes the dequantized
+    // vectors bit-identical cross-engine, so the oracle checks the
+    // whole two-phase chain, shortlist selection included.
+    "q69_quantized_ann" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .withColumn("mx", expr(sqMaxAbsExpr("embedding")))
+        .withColumn("dv", expr(sqDequantExpr("embedding", "mx")))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("dv").as("qdv"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("dv").as("cdv"))
+      Similarity.quantizedTopK(q, c, 5, SqOversample)
     }),
 
     // IVF cluster assignment (ANN scale path): centroids = vec_id 0..7;
@@ -397,31 +487,7 @@ object VectorOps {
     // Every intermediate is bit-identical to the Spark side (see the
     // kmeansCentroids scaladoc for the exactness argument).
     "q47_ivf_kmeans_topk" -> {
-      def iterCtes(i: Int): String = {
-        val prev = s"c${i - 1}"
-        s"""a$i AS (
-           |  SELECT vec_id, embedding, centroid_id FROM (
-           |    SELECT e.vec_id, e.embedding, c.centroid_id,
-           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${duckCosineExpr("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rk
-           |    FROM embeddings e CROSS JOIN $prev c) t WHERE rk = 1),
-           |m$i AS (
-           |  SELECT centroid_id, d AS pos,
-           |    CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
-           |      / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS FLOAT) AS m
-           |  FROM a$i CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) dd
-           |  GROUP BY centroid_id, d),
-           |l$i AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m$i GROUP BY centroid_id),
-           |c$i AS (SELECT p.centroid_id, COALESCE(l$i.cvec, p.cvec) AS cvec
-           |        FROM c${i - 1} p LEFT JOIN l$i ON p.centroid_id = l$i.centroid_id)""".stripMargin
-      }
-      s"""WITH c0 AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS centroid_id,
-         |         embedding AS cvec
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)),
-         |${iterCtes(1)},
-         |${iterCtes(2)},
-         |${iterCtes(3)},
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 3)},
          |ca AS (SELECT neighbor_id, cv, centroid_id FROM (
          |  SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -442,6 +508,43 @@ object VectorOps {
          |      ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
          |  FROM cand) r WHERE rank <= 5""".stripMargin
     },
+
+    // The SemDeDup twin: the shared kmeansOracleCtes trains c3 exactly
+    // like the Spark side, `ca` is the rk=1 assignment, and the dup rule
+    // is the same same-cluster lower-id cosine test with a MIN keeper.
+    "q68_semdedup" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 3)},
+         |ca AS (SELECT vec_id, embedding, centroid_id FROM (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCosineExpr("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rk
+         |  FROM embeddings e CROSS JOIN c3 c) t WHERE rk = 1),
+         |dups AS (
+         |  SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+         |  FROM ca a JOIN ca b
+         |    ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+         |  WHERE ${duckCosineExpr("a.embedding", "b.embedding")} > 0.45
+         |  GROUP BY a.vec_id)
+         |SELECT ca.vec_id, ca.centroid_id, d.dup_of
+         |FROM ca LEFT JOIN dups d ON ca.vec_id = d.vec_id""".stripMargin,
+
+    "q69_quantized_ann" ->
+      s"""WITH deq AS (
+         |  SELECT vec_id, embedding, ${duckSqDequantExpr("embedding", "mx")} AS dv
+         |  FROM (SELECT vec_id, embedding, ${duckSqMaxAbsExpr("embedding")} AS mx
+         |        FROM embeddings)),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, dv AS qdv FROM deq WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, dv AS cdv FROM deq),
+         |approx AS (
+         |  SELECT query_id, neighbor_id, qv, cv,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ${duckCosineExpr("qdv", "cdv")} DESC, neighbor_id ASC) AS ar
+         |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT query_id, neighbor_id, ${duckCosineExpr("qv", "cv")} AS cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ${duckCosineExpr("qv", "cv")} DESC, neighbor_id ASC) AS BIGINT) AS rank
+         |  FROM approx WHERE ar <= $SqOversample) r WHERE rank <= 5""".stripMargin,
 
     "q35_ivf_assign" ->
       s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec

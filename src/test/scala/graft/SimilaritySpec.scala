@@ -91,6 +91,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(w1.subsetOf(w2), s"one-sided found pairs two-sided missed: ${w1 -- w2}")
   }
 
+  test("semDedup: keeper rule invariants + marked pairs are real near-dups") {
+    val e = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val cents = Similarity.kmeansCentroids(spark, e, k = 8, iters = 3)
+    val out = Similarity.semDedup(e, cents, 0.45).cache()
+    try {
+      val n = e.count()
+      assert(out.count() == n, "one row per input vector")
+      val dups = out.filter(col("dup_of").isNotNull).cache()
+      assert(dups.count() > 0, "sf0.01 has planted near-dups; some must be marked")
+      assert(dups.filter(col("dup_of") >= col("vec_id")).count() == 0,
+        "keeper must be a strictly lower id")
+      // the lowest id of every cluster has no lower-id member, so it can
+      // never be marked — SemDeDup always keeps a representative
+      val clusterMin = out.groupBy("centroid_id").agg(min("vec_id").as("vec_id"))
+      assert(out.join(clusterMin, Seq("centroid_id", "vec_id"))
+        .filter(col("dup_of").isNotNull).count() == 0)
+      // every (dup_of, vec_id) pair really is above the cosine threshold
+      val bad = dups
+        .join(e.select(col("vec_id"), col("embedding").as("va")), "vec_id")
+        .join(e.select(col("vec_id").as("dup_of"), col("embedding").as("vb")), "dup_of")
+        .filter(VectorFunctions.cosine("va", "vb") <= 0.45)
+      assert(bad.count() == 0, "marked pair below threshold")
+    } finally { out.unpersist(); }
+  }
+
+  test("quantizedTopK: exact recall@5 == 1.0 at the sf0.01 gate") {
+    import graft.queries.VectorOps
+    // The two-phase SQ8 pipeline is deterministic, so its recall against
+    // the exact brute top-5 is a CONSTANT of the dataset — at sf0.01 the
+    // 20x oversample absorbs the full int8 ranking error and recall is
+    // exactly 1.0. A refactor that degrades the grid or shrinks the
+    // shortlist shows up here before it shows up at scale.
+    val exact = VectorOps.queries("q24_knn_brute")(spark, "/root/testdata/sf0.01")
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = VectorOps.queries("q69_quantized_ann")(spark, "/root/testdata/sf0.01")
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && sq.size == exact.size)
+    assert(sq == exact, s"SQ8 missed exact top-5 pairs: ${exact -- sq}")
+  }
+
   test("hot-bucket cap does not bind at the oracle gates (sf0.01/sf0.1)") {
     // The LshBucketCap blacklist must be a no-op at the scales the
     // DuckDB gate checks, so the checked pair sets are exactly the
