@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * replica in ScaleGen output, so exact ground truth is available at
   * any replication factor).
   *
-  * Usage: ScaleProbe <sfDir> [bits|auto|auto2|knn] [tables]
+  * Usage: ScaleProbe <sfDir> [bits|auto|auto2|knn|semdedup] [tables|k]
   * `auto` (the default) sizes bits from the corpus count exactly like
   * the shipped q40 — the no-manual-resizing path. `auto2` is the same
   * width with two-sided probing (`lshNearDupPairs(..., twoSided)`), the
@@ -56,6 +56,31 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       println(f"""{"probe":"knn_fixed_batch","sf":"$sfDir","corpus":$n,"queries":$nq,"median_sec":${times(1)}%.3f}""")
+      spark.stop()
+      return
+    }
+
+    // `semdedup [k]` times q68's full train+dedup pipeline; second arg is
+    // an explicit cluster count or omitted for the shipped autoK(n) —
+    // the SCALE.md evidence that the per-cluster pair join needs k ∝ n
+    if (bitsArg == "semdedup") {
+      val e = Tables(spark, sfDir, "embeddings")
+      val n = e.count()
+      val k = if (args.length >= 3) args(2).toInt else graft.queries.VectorOps.autoK(n)
+      def run = {
+        val semCap = graft.queries.VectorOps.SemTrainCap
+        val cap = if (n > semCap) semCap else Long.MaxValue
+        val cents = graft.operators.Similarity.kmeansCentroids(spark, e, k, iters = 3,
+          trainSampleCap = cap)
+        graft.operators.Similarity.semDedup(e, cents, 0.45)
+      }
+      val dups = run.filter(col("dup_of").isNotNull).count() // warmup + stat
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        run.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"""{"probe":"semdedup","sf":"$sfDir","corpus":$n,"k":$k,"median_sec":${times(1)}%.3f,"dups":$dups}""")
       spark.stop()
       return
     }

@@ -193,19 +193,44 @@ object Similarity {
     * ~9e9 unit-scale rows per cluster, far beyond any real shard.
     *
     * vectors: (idCol: Long, vecCol: Array[Float]). Returns
-    * (centroid_id: Long 0..k-1, cvec: Array[Float]). */
+    * (centroid_id: Long 0..k-1, cvec: Array[Float]).
+    *
+    * `trainSampleCap` bounds the TRAINING set (not the later corpus
+    * assignment) to the `cap` vectors with the smallest
+    * (hash60(id), id) — a deterministic, content-independent,
+    * engine-replayable sample (the q53/q64 hash idiom; faiss calls the
+    * same idea max_points_per_centroid). Full-batch Lloyd is Θ(n·k)
+    * per iteration, which with SemDeDup's k ∝ n is Θ(n²) — the sample
+    * caps it at Θ(cap·k) ∝ n, restoring a linear end-to-end q68
+    * (measured in SCALE.md). When n ≤ cap the sample IS the corpus,
+    * so at the oracle gates results are bit-identical to uncapped
+    * training; seeds and means are set-semantics over the training
+    * set, so the sample's ordering never matters. */
   def kmeansCentroids(spark: SparkSession, vectors: DataFrame, k: Int, iters: Int,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      trainSampleCap: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     require(k >= 1 && iters >= 0, s"bad kmeans config ($k,$iters)")
-    var cents: Array[(Long, Array[Float])] = vectors
+    val sampled = trainSampleCap != Long.MaxValue
+    // repartition after the limit: a mid-plan GlobalLimit collapses to
+    // ONE partition, which would serialize every downstream assignment
+    // join; cache so the top-cap sort runs once, not once per iteration
+    val train =
+      if (!sampled) vectors
+      else vectors.orderBy(
+          expr(graft.queries.Idioms.hash60Expr(s"CAST($idCol AS STRING)")).asc,
+          col(idCol).asc)
+        .limit(trainSampleCap.toInt)
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .cache()
+    var cents: Array[(Long, Array[Float])] = train
       .orderBy(col(idCol).asc).limit(k)
       .select(col(idCol), col(vecCol)).as[(Long, Array[Float])].collect()
       .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
     for (_ <- 1 to iters) {
       val cdf = cents.toSeq.toDF("centroid_id", "cvec")
       val assigned = nearestCentroid(
-        vectors.select(col(idCol), col(vecCol)), cdf, vecCol, idCol, Seq(vecCol))
+        train.select(col(idCol), col(vecCol)), cdf, vecCol, idCol, Seq(vecCol))
       val means = assigned
         .select(col("centroid_id"), posexplode(col(vecCol)))
         .groupBy(col("centroid_id"), col("pos"))
@@ -219,6 +244,7 @@ object Similarity {
         .as[(Long, Array[Float])].collect().toMap
       cents = cents.map { case (cid, v) => (cid, means.getOrElse(cid, v)) }
     }
+    if (sampled) train.unpersist(blocking = false)
     cents.toSeq.toDF("centroid_id", "cvec")
   }
 
@@ -239,12 +265,14 @@ object Similarity {
     * sizing rule is k ∝ n (it uses 11k clusters for 100M embeddings),
     * which holds per-cluster occupancy (and with it pair cost per
     * vector) constant, the same occupancy argument as q40's autoBits.
-    * Training cost is n·k per Lloyd iteration (distributed; see
-    * [[kmeansCentroids]]). At the oracle gate k is pinned to 8 so the
-    * DuckDB twin can replay training exactly; the k parameter is the
-    * production knob. The per-cluster join shuffles on centroid_id —
-    * with k ∝ n keys the shuffle is well-spread (at k=8 it is 8
-    * partitions, fine for a demo, skewed at scale: size k to n).
+    * Training cost is |train|·k per Lloyd iteration — with k ∝ n and
+    * FULL-batch training that is itself Θ(n²) and dominates (SCALE.md
+    * measured it 12× the pair join at 100×), which is why the shipped
+    * q68 also bounds the training set ([[kmeansCentroids]]
+    * trainSampleCap, a no-op at the oracle gates). The per-cluster
+    * join shuffles on centroid_id — with k ∝ n keys the shuffle is
+    * well-spread (at the gates' k=8 it is 8 partitions, fine at gate
+    * sizes).
     *
     * Cosine is the plain (unguarded) expression, like q25: the oracle
     * gate corpus has no zero-norm vectors, and a NaN cosine fails

@@ -56,6 +56,12 @@ object TrainingOps {
     * buffer (MinKLongsAggregator holds at most this many longs). */
   private[graft] val PostingsK = 20
 
+  /** q70 tile width (tokens). Lee et al. delete 50-token repeated
+    * substrings from web-scale corpora; 8 is the proportionate width for
+    * this dataset's tens-of-tokens documents. Smaller = more aggressive
+    * deletion AND more tile rows (corpus tokens / SpanW). */
+  private[graft] val SpanW = 8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: which training docs share a 13-gram
     // with the held-out benchmark set (doc_id % 20 == 0)? Candidates
@@ -271,6 +277,51 @@ object TrainingOps {
         .withColumn("cum_before", col("offset") + col("local_before"))
         .select(col("doc_id"), col("n_tokens"),
           expr(s"CAST(floor(cum_before / $ShardBudget.0) AS BIGINT)").as("shard_id"))
+    }),
+
+    // Exact-substring span dedup (Lee et al., "Deduplicating Training
+    // Data Makes Language Models Better", ACL 2022): REWRITE documents
+    // by deleting every SpanW-token tile whose text occurs more than
+    // once in the whole corpus, keeping the remainder in order (both
+    // copies are removed, exactly like the paper's ExactSubstr). The
+    // distributed approximation is NON-OVERLAPPING tiling — corpus-wide
+    // positions of one span align to one tile key, but a duplicated
+    // phrase straddling a tile boundary is missed (the paper's suffix
+    // array sees every offset; it is also inherently sequential —
+    // stride < SpanW is the recall knob, at proportionally more tile
+    // rows). Tiles join their global occurrence counts by the 60-bit
+    // span hash (8-byte shuffle key, the q52 idiom), and only the
+    // duplicated-span blacklist rides the anti-join. All string/integer
+    // arithmetic — the rebuilt text is byte-exact cross-engine.
+    "q70_span_dedup" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("ntok", expr("size(toks)"))
+        .withColumn("ntiles", expr(s"ntok div $SpanW"))
+        .withColumn("tail_str",
+          expr(s"concat_ws(' ', slice(toks, ntiles * $SpanW + 1, ntok - ntiles * $SpanW))"))
+      val tiles = base.select(col("doc_id"),
+          posexplode(expr(
+            s"""CASE WHEN ntiles >= 1
+               | THEN transform(sequence(0, ntiles - 1),
+               |   i -> concat_ws(' ', slice(toks, CAST(i * $SpanW + 1 AS INT), $SpanW)))
+               | ELSE array() END""".stripMargin)))
+        .select(col("doc_id"), col("pos").as("idx"), col("col").as("span"),
+          hash60("col").as("h"))
+      val dupSpans = tiles.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select(col("h"))
+      val kept = tiles.join(dupSpans, Seq("h"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(expr("concat_ws(' ', transform(array_sort(collect_list(struct(idx, span))), x -> x.span))")
+            .as("kept_txt"),
+          count(lit(1)).as("kept_n"))
+      base.select(col("doc_id"), col("ntiles"), col("tail_str"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("concat_ws(' ', filter(array(kept_txt, tail_str), x -> x IS NOT NULL AND x <> ''))")
+            .as("clean_text"),
+          col("ntiles").cast("long").as("n_spans"),
+          (col("ntiles") - coalesce(col("kept_n"), lit(0L))).cast("long").as("n_dropped"))
     })
   )
 
@@ -389,6 +440,40 @@ object TrainingOps {
          |  FROM t)
          |SELECT doc_id, n_tokens,
          |  CAST(floor(cum_before / $ShardBudget.0) AS BIGINT) AS shard_id
-         |FROM c""".stripMargin
+         |FROM c""".stripMargin,
+
+    // The q70 twin: identical tiling (1-based inclusive slices), the
+    // same 60-bit span-hash occurrence counts, NOT-EXISTS as the
+    // anti-join, and ordered string_agg reassembly + tail.
+    "q70_span_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS tk,
+         |    len($toksSql) AS ntok, len($toksSql) // $SpanW AS ntiles
+         |  FROM documents),
+         |tiles AS (
+         |  SELECT doc_id, i AS idx,
+         |    array_to_string(tk[(i * $SpanW + 1):(i * $SpanW + $SpanW)], ' ') AS span
+         |  FROM base, LATERAL unnest(generate_series(0, ntiles - 1)) AS u(i)),
+         |counts AS (
+         |  SELECT ${hash60Sql("span")} AS h, COUNT(*) AS cnt FROM tiles GROUP BY 1),
+         |kept AS (
+         |  SELECT t.doc_id,
+         |    string_agg(t.span, ' ' ORDER BY t.idx) AS kept_txt,
+         |    CAST(COUNT(*) AS BIGINT) AS kept_n
+         |  FROM tiles t
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM counts c
+         |    WHERE c.h = ${hash60Sql("t.span")} AND c.cnt >= 2)
+         |  GROUP BY t.doc_id),
+         |tails AS (
+         |  SELECT doc_id, ntiles,
+         |    array_to_string(tk[(ntiles * $SpanW + 1):ntok], ' ') AS tail_str
+         |  FROM base)
+         |SELECT b.doc_id,
+         |  COALESCE(array_to_string(list_filter([k.kept_txt, b.tail_str],
+         |    x -> x IS NOT NULL AND x <> ''), ' '), '') AS clean_text,
+         |  CAST(b.ntiles AS BIGINT) AS n_spans,
+         |  CAST(b.ntiles - COALESCE(k.kept_n, 0) AS BIGINT) AS n_dropped
+         |FROM tails b LEFT JOIN kept k USING (doc_id)""".stripMargin
   )
 }

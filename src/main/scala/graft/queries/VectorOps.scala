@@ -155,7 +155,32 @@ object VectorOps {
     * centroid). Yields CTEs `c0..c$iters`; `c$iters` is the trained
     * centroid table. Shared by the q47 and q68 oracles — one exactness
     * argument (the kmeansCentroids scaladoc), two consumers. */
-  private[graft] def kmeansOracleCtes(k: Int, iters: Int): String = {
+  /** q68's cluster-count rule (SemDeDup's k ∝ n): the smallest k ≥ KMin
+    * with expected cluster size ≤ SemClusterTarget, i.e.
+    * max(KMin, n / SemClusterTarget) in integer arithmetic — the autoBits
+    * occupancy argument applied to clusters. Holds the per-cluster pair
+    * join at O(n · SemClusterTarget) and stays KMin at both oracle gates
+    * (500/250 = 2, 2000/250 = 8), where the DuckDB twin derives the
+    * identical k from its own COUNT(*) via a scalar-subquery LIMIT. */
+  private[graft] val KMin = 8
+  private[graft] val SemClusterTarget = 250L
+  private[graft] def autoK(n: Long): Int =
+    math.max(KMin.toLong, n / SemClusterTarget).toInt
+
+  /** q68's training-set bound: full-batch Lloyd at k ∝ n is Θ(n²) in
+    * distance evals, so training runs on the SemTrainCap vectors with
+    * the smallest (hash60(vec_id), vec_id) — deterministic,
+    * content-independent, engine-replayable (see kmeansCentroids).
+    * Θ(cap·k) ∝ n restores a linear pipeline; at the gates n ≤ cap, so
+    * the sample is the whole corpus and training is bit-identical to
+    * uncapped. */
+  private[graft] val SemTrainCap = 25000L
+
+  private[graft] def kmeansOracleCtes(k: Int, iters: Int): String =
+    kmeansOracleCtes(k.toString, iters)
+
+  private[graft] def kmeansOracleCtes(kSql: String, iters: Int,
+                                      src: String = "embeddings"): String = {
     def iterCtes(i: Int): String = {
       val prev = s"c${i - 1}"
       s"""a$i AS (
@@ -163,7 +188,7 @@ object VectorOps {
          |    SELECT e.vec_id, e.embedding, c.centroid_id,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${duckCosineExpr("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rk
-         |    FROM embeddings e CROSS JOIN $prev c) t WHERE rk = 1),
+         |    FROM $src e CROSS JOIN $prev c) t WHERE rk = 1),
          |m$i AS (
          |  SELECT centroid_id, d AS pos,
          |    CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
@@ -177,7 +202,7 @@ object VectorOps {
     (s"""c0 AS (
         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS centroid_id,
         |         embedding AS cvec
-        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT $k))""".stripMargin
+        |  FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id ASC LIMIT $kSql))""".stripMargin
       +: (1 to iters).map(iterCtes)).mkString(",\n")
   }
 
@@ -315,17 +340,26 @@ object VectorOps {
       Similarity.ivfTopK(q, c, cents, 5, nprobe = 2)
     }),
 
-    // SemDeDup (Abbas et al., arXiv:2303.09540) end-to-end: train k=8
-    // spherical-k-means centroids (3 deterministic Lloyd iterations, the
-    // q47 trainer), assign every vector to its cluster, and mark it a
-    // duplicate iff a lower-id member of the SAME cluster exceeds
-    // cosine 0.45 — dup_of = the smallest such keeper id, NULL for
-    // survivors. The whole chain (training included) is oracle-checked;
-    // see Similarity.semDedup for the k ∝ n sizing argument that keeps
-    // the per-cluster pair join linear at scale.
+    // SemDeDup (Abbas et al., arXiv:2303.09540) end-to-end: train
+    // k = autoK(n) spherical-k-means centroids (3 deterministic Lloyd
+    // iterations, the q47 trainer), assign every vector to its cluster,
+    // and mark it a duplicate iff a lower-id member of the SAME cluster
+    // exceeds cosine 0.45 — dup_of = the smallest such keeper id, NULL
+    // for survivors. SELF-SIZING like q40: k tracks the corpus count
+    // (the paper's k ∝ n rule — 11k clusters for its 100M embeddings),
+    // holding the per-cluster pair join linear; the DuckDB twin derives
+    // the identical k from its own COUNT(*). The whole chain (training
+    // included) is oracle-checked. The count() is the same one
+    // driver-side build scalar q40 uses.
     "q68_semdedup" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val cents = Similarity.kmeansCentroids(s, e, k = 8, iters = 3)
+      val n = e.count()
+      // engage the training-sample machinery only when it binds — when
+      // n <= cap the sample IS the corpus and the sort/cache would be
+      // pure overhead (identical results either way)
+      val cap = if (n > SemTrainCap) SemTrainCap else Long.MaxValue
+      val cents = Similarity.kmeansCentroids(s, e, k = autoK(n), iters = 3,
+        trainSampleCap = cap)
       Similarity.semDedup(e, cents, 0.45)
     }),
 
@@ -510,10 +544,22 @@ object VectorOps {
     },
 
     // The SemDeDup twin: the shared kmeansOracleCtes trains c3 exactly
-    // like the Spark side, `ca` is the rk=1 assignment, and the dup rule
-    // is the same same-cluster lower-id cosine test with a MIN keeper.
+    // like the Spark side — including the SELF-SIZING k, derived from
+    // COUNT(*) by the same integer rule as autoK via a scalar-subquery
+    // seed LIMIT (GREATEST is max, // is integer division) — `ca` is
+    // the rk=1 assignment, and the dup rule is the same same-cluster
+    // lower-id cosine test with a MIN keeper.
+    // `train` mirrors the trainSampleCap hash sample (a no-op at gate
+    // sizes, where it selects the whole corpus); training CTEs read it,
+    // the final assignment still scans all of `embeddings`.
     "q68_semdedup" ->
-      s"""WITH ${kmeansOracleCtes(k = 8, iters = 3)},
+      s"""WITH train AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY ${graft.queries.Idioms.hash60Sql("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC
+         |  LIMIT $SemTrainCap),
+         |${kmeansOracleCtes(
+             s"(SELECT GREATEST($KMin, COUNT(*) // $SemClusterTarget) FROM embeddings)",
+             iters = 3, src = "train")},
          |ca AS (SELECT vec_id, embedding, centroid_id FROM (
          |  SELECT e.vec_id, e.embedding, c.centroid_id,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id

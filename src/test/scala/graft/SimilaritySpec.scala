@@ -91,6 +91,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(w1.subsetOf(w2), s"one-sided found pairs two-sided missed: ${w1 -- w2}")
   }
 
+  test("autoK matches the oracle's GREATEST(8, n // 250) at the gates and beyond") {
+    import graft.queries.VectorOps
+    // the dynamic-LIMIT DuckDB twin derives k from COUNT(*) with integer
+    // division; the Scala rule must agree everywhere, and must equal the
+    // floor (8) at both oracle gates so gate results never depend on n
+    assert(VectorOps.autoK(500) == 8)    // sf0.01 gate
+    assert(VectorOps.autoK(2000) == 8)   // sf0.1 gate
+    assert(VectorOps.autoK(2249) == 8)   // still under the next step
+    assert(VectorOps.autoK(20000) == 80) // 10x replica
+    assert(VectorOps.autoK(200000) == 800)
+    assert(VectorOps.autoK(3) == 8)      // tiny corpus keeps the floor
+  }
+
   test("semDedup: keeper rule invariants + marked pairs are real near-dups") {
     val e = Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val cents = Similarity.kmeansCentroids(spark, e, k = 8, iters = 3)

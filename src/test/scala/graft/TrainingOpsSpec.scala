@@ -176,6 +176,33 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(agg.reduce(agg.reduce(agg.zero, 6L), 5L).toSeq == Seq(5L, 6L))
   }
 
+  test("q70: span dedup matches a direct Scala recount on every doc") {
+    val W = 8
+    val out = SparkEntry.queries("q70_span_dedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val texts = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def fullTiles(t: String): Seq[String] =
+      t.split(" ").filter(_.nonEmpty).grouped(W).filter(_.length == W)
+        .map(_.mkString(" ")).toSeq
+    val occ = texts.values.toSeq.flatMap(fullTiles)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    texts.foreach { case (id, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      val tiles = fullTiles(t)
+      val kept = tiles.filter(sp => occ(sp) == 1)
+      val tail = toks.drop(tiles.size * W)
+      val clean = (kept ++ (if (tail.nonEmpty) Seq(tail.mkString(" ")) else Nil)).mkString(" ")
+      val (gotClean, gotSpans, gotDropped) = out(id)
+      assert(gotSpans == tiles.size.toLong, s"doc $id tile count")
+      assert(gotDropped == (tiles.size - kept.size).toLong, s"doc $id drop count")
+      assert(gotClean == clean, s"doc $id rebuilt text")
+    }
+    assert(out.values.exists(_._3 > 0), "planted dup docs must cause span drops")
+    assert(out.values.exists(v => v._3 == 0 && v._2 > 0), "clean docs must survive intact")
+  }
+
   test("q55: two-level cumsum sharding equals the naive global window exactly") {
     val got = SparkEntry.queries("q55_token_shards")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
