@@ -381,6 +381,28 @@ object VectorOps {
       Similarity.quantizedTopK(q, c, 5, SqOversample)
     }),
 
+    // Semantic decontamination — q52's embedding-space complement
+    // (verbatim 13-grams miss paraphrases; cosine similarity to a
+    // held-out benchmark catches them — the contamination audit in
+    // Llama/GPT-4-class reports pairs both): flag every training
+    // vector whose max cosine to ANY benchmark vector (vec_id % 20 ==
+    // 0, q52's held-out convention) exceeds 0.4, reporting the argmax
+    // benchmark id as the match. One pass over the corpus against the
+    // BROADCAST benchmark via the agg-min form (map-side partial
+    // aggregation, no n×|bench| shuffle) — the same linear template as
+    // q35's assignment; a benchmark set is always tiny vs a 100 TB
+    // corpus, so the broadcast holds at scale.
+    "q71_semantic_decontaminate" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val bench = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val train = e.filter(col("vec_id") % 20 =!= 0)
+      Similarity.nearestCentroid(
+          train.select(col("vec_id"), col("embedding")), bench, "embedding", "vec_id")
+        .filter(col("casim") > 0.4)
+        .select(col("vec_id"), col("centroid_id").as("bench_id"), col("casim").as("cosine"))
+    }),
+
     // IVF cluster assignment (ANN scale path): centroids = vec_id 0..7;
     // every vector is assigned to its max-cosine centroid (deterministic
     // tiebreak) via the map-side-combinable agg-min form — one partial
@@ -591,6 +613,16 @@ object VectorOps {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY ${duckCosineExpr("qv", "cv")} DESC, neighbor_id ASC) AS BIGINT) AS rank
          |  FROM approx WHERE ar <= $SqOversample) r WHERE rank <= 5""".stripMargin,
+
+    "q71_semantic_decontaminate" ->
+      s"""WITH bench AS (SELECT vec_id AS bench_id, embedding AS bv
+         |               FROM embeddings WHERE vec_id % 20 = 0),
+         |sims AS (
+         |  SELECT e.vec_id, b.bench_id, ${duckCosineExpr("e.embedding", "b.bv")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCosineExpr("e.embedding", "b.bv")} DESC, b.bench_id ASC) AS rk
+         |  FROM embeddings e CROSS JOIN bench b WHERE e.vec_id % 20 <> 0)
+         |SELECT vec_id, bench_id, cosine FROM sims WHERE rk = 1 AND cosine > 0.4""".stripMargin,
 
     "q35_ivf_assign" ->
       s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec

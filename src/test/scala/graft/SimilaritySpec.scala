@@ -146,6 +146,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sq == exact, s"SQ8 missed exact top-5 pairs: ${exact -- sq}")
   }
 
+  test("q71: flags exactly the vectors whose true max benchmark cosine exceeds tau") {
+    import graft.queries.VectorOps
+    val all = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bench = all.filter(_._1 % 20 == 0)
+    // ground truth: per train vector, (max cosine, argmax bench id asc)
+    val truth = all.filter(_._1 % 20 != 0).map { case (id, v) =>
+      val (bid, c) = bench.toSeq.map { case (b, bv) => (b, cos(v, bv)) }
+        .minBy { case (b, c) => (-c, b) }
+      id -> ((bid, c))
+    }
+    val got = VectorOps.queries("q71_semantic_decontaminate")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.nonEmpty, "planted near-dups must straddle the benchmark split")
+    got.keys.foreach(id => assert(id % 20 != 0, s"benchmark vector $id flagged as train"))
+    val expected = truth.filter { case (_, (_, c)) => c > 0.4 }
+    assert(got.keySet == expected.keySet,
+      s"flag set mismatch: extra=${got.keySet -- expected.keySet} missing=${expected.keySet -- got.keySet}")
+    expected.foreach { case (id, (bid, c)) =>
+      val (gb, gc) = got(id)
+      assert(gb == bid && math.abs(gc - c) < 1e-12, s"vec $id match attribution")
+    }
+  }
+
   test("hot-bucket cap does not bind at the oracle gates (sf0.01/sf0.1)") {
     // The LshBucketCap blacklist must be a no-op at the scales the
     // DuckDB gate checks, so the checked pair sets are exactly the
