@@ -154,6 +154,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q69 phase-1 broadcasts the query batch and ranks per-query, not globally") {
+    val p = planOf("q69_quantized_ann")
+    // the corpus-side scan must stream against a broadcast query batch
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both ranking windows partition by query_id — a global (empty
+    // partition-spec) window would funnel the corpus into one task
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("query_id")),
+      s"window not partitioned by query_id:\n$p")
+  }
+
+  test("q70 tile blacklist rides a hash-key anti-join; no cartesian anywhere") {
+    val p = planOf("q70_span_dedup")
+    assert(p.contains("LeftAnti"), s"duplicated-span filter lost its anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q71 corpus pass is agg-min partial aggregation against a broadcast benchmark") {
+    val p = planOf("q71_semantic_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"benchmark side not broadcast:\n$p")
+    assert(!p.contains("Window"), s"assignment degraded to the n×|bench| window sort:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"no map-side combine in the max-cosine pass:\n$p")
+  }
+
   test("q49 stream-join batch twin joins on the user equi-key, not a cartesian") {
     val p = planOf("q49_click_purchase_window")
     // the time-range predicates ride the user_id equi-join; an inequality-
