@@ -314,16 +314,39 @@ object Similarity {
     * both phases (neighbor_id asc). */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     oversample: Int): DataFrame = {
-    val cands = corpus.crossJoin(broadcast(queries))
+    // phase 1 emits SCALARS ONLY (query_id, neighbor_id, approx) into
+    // the ranking shuffle — carrying the vectors through the window
+    // would put ~1 KB/row through the exchange (corpus×queries rows: a
+    // near-TB shuffle at the 100× replica); pruned, the same shuffle
+    // moves 24-byte rows. The full-precision vectors are joined back
+    // AFTER the shortlist, touching |queries|·oversample rows only.
+    // norms precomputed once per side (q25 trick): the pair loop runs
+    // the codegen'd dot alone; dot/(qn·cn) is bit-identical to the full
+    // cosine (qn = sqrt(sumsq) is the same double either way), and a
+    // zero-norm side divides to NaN → nanvl → -Infinity, exactly
+    // guardedSim's contract
+    val qn = queries.select(col("query_id"), col("qdv"))
+      .withColumn("qn", sqrt(expr(graft.functions.VectorFunctions.sumsqExpr("qdv"))))
+    val cn = corpus.select(col("neighbor_id"), col("cdv"))
+      .withColumn("cn", sqrt(expr(graft.functions.VectorFunctions.sumsqExpr("cdv"))))
+    val cands = cn.crossJoin(broadcast(qn))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx", guardedSim(col("qdv"), col("cdv")))
+      .select(col("query_id"), col("neighbor_id"),
+        nanvl(graft.plans.GraftExpressions.dotNative(col("qdv"), col("cdv"))
+          / (col("qn") * col("cn")), lit(Double.NegativeInfinity)).as("approx"))
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id").asc)
     val shortlist = cands.withColumn("_ar", row_number().over(w1))
       .filter(col("_ar") <= oversample)
+      .select(col("query_id"), col("neighbor_id"))
+    // rescore: tiny shortlist broadcasts against the corpus to fetch
+    // cv; qv rides the (always-small) query batch
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    shortlist.withColumn("cosine", guardedSim(col("qv"), col("cv")))
+    corpus.select(col("neighbor_id"), col("cv"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .withColumn("cosine", guardedSim(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long"))

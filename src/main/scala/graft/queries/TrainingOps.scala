@@ -62,6 +62,13 @@ object TrainingOps {
     * deletion AND more tile rows (corpus tokens / SpanW). */
   private[graft] val SpanW = 8
 
+  /** q72 feature-hash buckets and selection size. 1024 buckets follows
+    * DSIR's hashed-n-gram feature space (Xie et al. use 10k for
+    * web-scale; proportionate here), 100 docs ≈ 20% of the sf0.01
+    * training split. */
+  private[graft] val AffinityBuckets = 1024L
+  private[graft] val AffinityTopK = 100
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: which training docs share a 13-gram
     // with the held-out benchmark set (doc_id % 20 == 0)? Candidates
@@ -279,6 +286,43 @@ object TrainingOps {
           expr(s"CAST(floor(cum_before / $ShardBudget.0) AS BIGINT)").as("shard_id"))
     }),
 
+    // Target-affinity data selection — the DSIR shape (Xie et al.,
+    // "Data Selection for Language Models via Importance Resampling",
+    // NeurIPS 2023: hashed n-gram features, importance weights from a
+    // target vs raw distribution) with an INTEGER-EXACT affinity in
+    // place of the log-ratio weight, so the whole selection is
+    // oracle-checkable: tokens feature-hash into 1024 buckets; bucket
+    // weight w_b = T_b·S − S_b·T (target/source counts cross-multiplied
+    // — positive exactly where the target distribution exceeds the
+    // source, the log-free sign-exact form; the q46 transcendental-free
+    // precedent); doc score = Σ_b c_b(d)·w_b; keep the top 100 training
+    // docs by (score desc, doc_id asc). Target = the q52 held-out split
+    // (doc_id % 20 == 0). Scale shape: token explode → two bucket
+    // aggregations (1024-row weight table, broadcast) → per-doc sum →
+    // distributed TakeOrdered top-K. Exact while Σ c_b·|w_b| < 2^63 —
+    // ~1e18, beyond any real shard.
+    "q72_target_affinity_select" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toksExpr)).as("w"))
+        .withColumn("b", pmod(hash60("w"), lit(AffinityBuckets)))
+      val target = toks.filter(col("doc_id") % 20 === 0)
+      val train = toks.filter(col("doc_id") % 20 =!= 0)
+      val tb = target.groupBy(col("b")).agg(count(lit(1)).as("t_b"))
+      val sb = train.groupBy(col("b")).agg(count(lit(1)).as("s_b"))
+      val totals = tb.agg(sum(col("t_b"))).crossJoin(sb.agg(sum(col("s_b"))))
+        .toDF("t_tot", "s_tot")
+      val weights = tb.join(sb, Seq("b"), "full_outer").crossJoin(totals)
+        .select(col("b"),
+          (coalesce(col("t_b"), lit(0L)) * col("s_tot")
+            - coalesce(col("s_b"), lit(0L)) * col("t_tot")).as("w_b"))
+      train.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c_b"))
+        .join(broadcast(weights), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c_b") * col("w_b")).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(AffinityTopK)
+    }),
+
     // Exact-substring span dedup (Lee et al., "Deduplicating Training
     // Data Makes Language Models Better", ACL 2022): REWRITE documents
     // by deleting every SpanW-token tile whose text occurs more than
@@ -441,6 +485,23 @@ object TrainingOps {
          |SELECT doc_id, n_tokens,
          |  CAST(floor(cum_before / $ShardBudget.0) AS BIGINT) AS shard_id
          |FROM c""".stripMargin,
+
+    "q72_target_affinity_select" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |tb AS (SELECT ${hash60Sql("w")} % $AffinityBuckets AS b, COUNT(*) AS t_b
+         |       FROM tok WHERE doc_id % 20 = 0 GROUP BY 1),
+         |sb AS (SELECT ${hash60Sql("w")} % $AffinityBuckets AS b, COUNT(*) AS s_b
+         |       FROM tok WHERE doc_id % 20 <> 0 GROUP BY 1),
+         |tot AS (SELECT (SELECT SUM(t_b) FROM tb) AS t_tot,
+         |               (SELECT SUM(s_b) FROM sb) AS s_tot),
+         |wts AS (SELECT COALESCE(tb.b, sb.b) AS b,
+         |  COALESCE(t_b, 0) * s_tot - COALESCE(s_b, 0) * t_tot AS w_b
+         |  FROM tb FULL OUTER JOIN sb ON tb.b = sb.b CROSS JOIN tot),
+         |cb AS (SELECT doc_id, ${hash60Sql("w")} % $AffinityBuckets AS b, COUNT(*) AS c_b
+         |       FROM tok WHERE doc_id % 20 <> 0 GROUP BY 1, 2)
+         |SELECT doc_id, SUM(c_b * w_b) AS score
+         |FROM cb JOIN wts USING (b)
+         |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT $AffinityTopK""".stripMargin,
 
     // The q70 twin: identical tiling (1-based inclusive slices), the
     // same 60-bit span-hash occurrence counts, NOT-EXISTS as the

@@ -392,15 +392,31 @@ object VectorOps {
     // aggregation, no n×|bench| shuffle) — the same linear template as
     // q35's assignment; a benchmark set is always tiny vs a 100 TB
     // corpus, so the broadcast holds at scale.
+    // Norms are precomputed ONCE per row (the q25 trick — a benchmark
+    // vector's norm would otherwise be recomputed for every one of the
+    // n corpus rows it meets in the broadcast join); the per-pair work
+    // is the codegen'd dot alone, and dot/(na·nb) is the oracle's exact
+    // expression tree (na = sqrt(sumsq) is the same double wherever it
+    // is computed), so parity is unchanged. The agg-min packed struct
+    // is nearestCentroid's map-side-combinable form.
     "q71_semantic_decontaminate" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
+        .withColumn("nrm", sqrt(expr(graft.functions.VectorFunctions.sumsqExpr("embedding"))))
       val bench = e.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+        .select(col("vec_id").as("bench_id"), col("embedding").as("bv"), col("nrm").as("nb"))
       val train = e.filter(col("vec_id") % 20 =!= 0)
-      Similarity.nearestCentroid(
-          train.select(col("vec_id"), col("embedding")), bench, "embedding", "vec_id")
-        .filter(col("casim") > 0.4)
-        .select(col("vec_id"), col("centroid_id").as("bench_id"), col("casim").as("cosine"))
+        .select(col("vec_id"), col("embedding"), col("nrm").as("na"))
+      val packed = struct((col("casim") * lit(-1.0)).as("neg_sim"),
+        col("bench_id").as("bid"), col("casim").as("sim"))
+      train.crossJoin(broadcast(bench))
+        .withColumn("casim", nanvl(
+          graft.plans.GraftExpressions.dotNative(col("embedding"), col("bv"))
+            / (col("na") * col("nb")),
+          lit(Double.NegativeInfinity)))
+        .groupBy(col("vec_id"))
+        .agg(min(packed).as("_w"))
+        .filter(col("_w.sim") > 0.4)
+        .select(col("vec_id"), col("_w.bid").as("bench_id"), col("_w.sim").as("cosine"))
     }),
 
     // IVF cluster assignment (ANN scale path): centroids = vec_id 0..7;

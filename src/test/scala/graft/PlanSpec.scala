@@ -164,6 +164,11 @@ class PlanSpec extends AnyFunSuite {
     val windows = p.linesIterator.filter(_.contains("Window")).toSeq
     assert(windows.nonEmpty && windows.forall(_.contains("query_id")),
       s"window not partitioned by query_id:\n$p")
+    // the phase-1 ranking shuffle must carry scalars only: an embedding
+    // column riding the corpus-sized exchange is ~1 KB/row vs 24 B/row
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(l => !l.contains("dv") && !l.contains("qv#")),
+      s"ranking exchange carries vector payload:\n$p")
   }
 
   test("q70 tile blacklist rides a hash-key anti-join; no cartesian anywhere") {

@@ -203,6 +203,38 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out.values.exists(v => v._3 == 0 && v._2 > 0), "clean docs must survive intact")
   }
 
+  test("q72: top-100 selection matches a full Scala recount of the affinity scores") {
+    import graft.queries.TrainingOps
+    def hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val B = TrainingOps.AffinityBuckets
+    val texts = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def buckets(t: String): Seq[Long] =
+      t.split(" ").filter(_.nonEmpty).toSeq.map(w => hash60(w) % B)
+    val (target, train) = texts.partition(_._1 % 20 == 0)
+    val tb = target.values.toSeq.flatMap(buckets).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sb = train.values.toSeq.flatMap(buckets).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tTot = tb.values.sum; val sTot = sb.values.sum
+    def weight(b: Long): Long = tb.getOrElse(b, 0L) * sTot - sb.getOrElse(b, 0L) * tTot
+    val scores = train.map { case (id, t) => id -> buckets(t).map(weight).sum }
+    val expected = scores.toSeq.sortBy { case (id, sc) => (-sc, id) }
+      .take(TrainingOps.AffinityTopK).toMap
+    val got = SparkEntry.queries("q72_target_affinity_select")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == TrainingOps.AffinityTopK)
+    assert(got == expected,
+      s"selection mismatch: extra=${got.keySet -- expected.keySet} missing=${expected.keySet -- got.keySet}")
+    // selection must actually discriminate: the chosen docs score above
+    // the train median
+    val median = scores.values.toSeq.sorted.apply(scores.size / 2)
+    assert(got.values.forall(_ >= median))
+  }
+
   test("q55: two-level cumsum sharding equals the naive global window exactly") {
     val got = SparkEntry.queries("q55_token_shards")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
