@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * replica in ScaleGen output, so exact ground truth is available at
   * any replication factor).
   *
-  * Usage: ScaleProbe <sfDir> [bits|auto|auto2|knn|semdedup] [tables|k]
+  * Usage: ScaleProbe <sfDir> [bits|auto|auto2|knn|decontam|semdedup] [tables|k]
   * `auto` (the default) sizes bits from the corpus count exactly like
   * the shipped q40 — the no-manual-resizing path. `auto2` is the same
   * width with two-sided probing (`lshNearDupPairs(..., twoSided)`), the
@@ -56,6 +56,33 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       println(f"""{"probe":"knn_fixed_batch","sf":"$sfDir","corpus":$n,"queries":$nq,"median_sec":${times(1)}%.3f}""")
+      spark.stop()
+      return
+    }
+
+    // `decontam` times q71's DEPLOYMENT shape — a FIXED benchmark set
+    // (vec_id < 2000 && % 20 = 0: the identity replica, so the same
+    // vectors at every scale factor) against the full train split — the
+    // evidence that q71's growth in the x-replica gate is its bench
+    // *definition* (bench ∝ n there), not the operator: at a fixed
+    // benchmark the cost is linear in corpus.
+    if (bitsArg == "decontam") {
+      val e = Tables(spark, sfDir, "embeddings")
+        .withColumn("nrm", sqrt(expr(graft.functions.VectorFunctions.sumsqExpr("embedding"))))
+      val n = e.count()
+      val bench = e.filter(col("vec_id") < 2000 && col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("bench_id"), col("embedding").as("bv"), col("nrm").as("nb"))
+      val train = e.filter(col("vec_id") % 20 =!= 0)
+        .select(col("vec_id"), col("embedding"), col("nrm").as("na"))
+      val nb = bench.count()
+      def flags = graft.queries.VectorOps.semanticDecontaminate(train, bench, 0.4)
+      val flagged = flags.count() // warmup + stat
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        flags.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"""{"probe":"decontam_fixed_bench","sf":"$sfDir","corpus":$n,"bench":$nb,"median_sec":${times(1)}%.3f,"flagged":$flagged}""")
       spark.stop()
       return
     }

@@ -99,6 +99,32 @@ object VectorOps {
     * blacklist. */
   private[graft] val LshBucketCap = 96L
 
+  /** q71's core, shared with ScaleProbe's `decontam` mode: flag every
+    * train row whose max cosine to ANY broadcast bench row exceeds
+    * `thresh`, with argmax bench_id attribution via the agg-min packed
+    * struct (map-side combinable — no n×|bench| shuffle). `train` must
+    * carry (vec_id, embedding, na), `bench` (bench_id, bv, nb), norms
+    * precomputed once per row; a zero-norm side divides to NaN → nanvl
+    * → -Infinity, so it can never exceed a finite threshold. Cost is
+    * O(|train|·|bench|) dot products — linear in the corpus at the
+    * fixed benchmark size of a real deployment (ScaleProbe measures
+    * exactly that; the x-replica gate where bench ∝ n is the
+    * definitional-quadratic measurement, like q24/q69's query batch). */
+  private[graft] def semanticDecontaminate(train: DataFrame, bench: DataFrame,
+                                           thresh: Double): DataFrame = {
+    val packed = struct((col("casim") * lit(-1.0)).as("neg_sim"),
+      col("bench_id").as("bid"), col("casim").as("sim"))
+    train.crossJoin(broadcast(bench))
+      .withColumn("casim", nanvl(
+        graft.plans.GraftExpressions.dotNative(col("embedding"), col("bv"))
+          / (col("na") * col("nb")),
+        lit(Double.NegativeInfinity)))
+      .groupBy(col("vec_id"))
+      .agg(min(packed).as("_w"))
+      .filter(col("_w.sim") > thresh)
+      .select(col("vec_id"), col("_w.bid").as("bench_id"), col("_w.sim").as("cosine"))
+  }
+
   /** `twoSided = true` admits a pair when EITHER endpoint's probe set
     * contains the other's exact key (vs the default: only the smaller
     * id probes). At bits <= MaxProbes probe sets are symmetric, so the
@@ -406,17 +432,7 @@ object VectorOps {
         .select(col("vec_id").as("bench_id"), col("embedding").as("bv"), col("nrm").as("nb"))
       val train = e.filter(col("vec_id") % 20 =!= 0)
         .select(col("vec_id"), col("embedding"), col("nrm").as("na"))
-      val packed = struct((col("casim") * lit(-1.0)).as("neg_sim"),
-        col("bench_id").as("bid"), col("casim").as("sim"))
-      train.crossJoin(broadcast(bench))
-        .withColumn("casim", nanvl(
-          graft.plans.GraftExpressions.dotNative(col("embedding"), col("bv"))
-            / (col("na") * col("nb")),
-          lit(Double.NegativeInfinity)))
-        .groupBy(col("vec_id"))
-        .agg(min(packed).as("_w"))
-        .filter(col("_w.sim") > 0.4)
-        .select(col("vec_id"), col("_w.bid").as("bench_id"), col("_w.sim").as("cosine"))
+      semanticDecontaminate(train, bench, 0.4)
     }),
 
     // IVF cluster assignment (ANN scale path): centroids = vec_id 0..7;
