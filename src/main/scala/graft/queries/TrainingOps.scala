@@ -69,6 +69,23 @@ object TrainingOps {
   private[graft] val AffinityBuckets = 1024L
   private[graft] val AffinityTopK = 100
 
+  /** q73 Bloom filter geometry — SELF-SIZING like q40's LSH width and
+    * q68's k: m = BloomBitsPerElem × |distinct reference n-grams|, so
+    * fill ≈ 1−e^(−k/10) ≈ 33% and fp ≈ fill^k ≈ 1.2% hold CONSTANT at
+    * every corpus scale (a fixed m saturates at 10× its design load and
+    * the prefilter silently degrades to pass-everything — still correct,
+    * just useless). The ~1% fp is deliberate: the gate corpora exercise
+    * the candidates-vs-confirmed funnel, so false-positive behavior is
+    * part of the oracle-checked contract, not an untested code path.
+    * k = 4 double-hashed probes p_j = (h mod m + j·((h div m) mod m))
+    * mod m — pure integer arithmetic on the shared 60-bit hash (m is
+    * NOT required to be a power of two, which keeps the oracle's m
+    * derivation a plain integer product), so DuckDB rebuilds the
+    * identical filter as a position SET and the whole bloom — false
+    * positives included — is oracle-checked. */
+  private[graft] val BloomBitsPerElem = 10L
+  private[graft] val BloomK = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: which training docs share a 13-gram
     // with the held-out benchmark set (doc_id % 20 == 0)? Candidates
@@ -323,6 +340,47 @@ object TrainingOps {
         .limit(AffinityTopK)
     }),
 
+    // Bloom-prefiltered decontamination — how q52 runs when the
+    // reference set is too big to broadcast as a hash table: the bench
+    // n-grams are folded into a CONSTANT-size bit array (m bits — 8 KB
+    // here vs 8 B+ per reference entry for the q52 broadcast; at a
+    // 1B-n-gram blacklist that is the difference between an 8 GB
+    // broadcast and a ~1 GB one at 10 bits/element), every train n-gram
+    // is probed against the bits with k codegen'd shift-and-mask tests
+    // (no join), and only the surviving candidates — true matches plus
+    // the designed ~1% false positives — reach the exact-confirm
+    // broadcast join. Output keeps BOTH funnel stages per doc
+    // (candidates ≥ confirmed; docs where confirmed = 0 are pure-fp
+    // evidence the oracle must reproduce). The driver-side build of the
+    // bit array is bounded by the constant m — the centroid-collect
+    // pattern — never by corpus or benchmark size.
+    "q73_bloom_decontaminate" -> ((s, dir) => {
+      def grams(df: DataFrame): DataFrame = df
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), explode(expr(ngramsExpr)).as("g"))
+        .select(col("doc_id"), hash60("g").as("h"))
+      val docs = Tables(s, dir, "documents")
+      val bench = grams(docs.filter(col("doc_id") % 20 === 0))
+        .select(col("h")).distinct()
+      val m = BloomBitsPerElem * bench.count()
+      def posExpr(j: Int) = s"(h % $m + $j * ((h DIV $m) % $m)) % $m"
+      val positions = bench
+        .select(explode(array((0 until BloomK).map(j => expr(posExpr(j))): _*)).as("p"))
+        .distinct().collect().map(_.getLong(0))
+      val bits = new Array[Long](((m + 63) / 64).toInt)
+      positions.foreach(p => bits((p / 64).toInt) |= 1L << (p % 64).toInt)
+      val bloomHit = (0 until BloomK).map { j =>
+        expr(s"(shiftright(element_at(bs, CAST((${posExpr(j)}) DIV 64 AS INT) + 1), " +
+          s"CAST((${posExpr(j)}) % 64 AS INT)) & 1) = 1")
+      }.reduce(_ && _)
+      val train = grams(docs.filter(col("doc_id") % 20 =!= 0))
+      train.withColumn("bs", typedLit(bits.toSeq)).filter(bloomHit).drop("bs")
+        .join(broadcast(bench.withColumn("inb", lit(1))), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_candidate_13grams"),
+          countDistinct(when(col("inb") === 1, col("h"))).as("n_confirmed_13grams"))
+    }),
+
     // Exact-substring span dedup (Lee et al., "Deduplicating Training
     // Data Makes Language Models Better", ACL 2022): REWRITE documents
     // by deleting every SpanW-token tile whose text occurs more than
@@ -502,6 +560,32 @@ object TrainingOps {
          |SELECT doc_id, SUM(c_b * w_b) AS score
          |FROM cb JOIN wts USING (b)
          |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT $AffinityTopK""".stripMargin,
+
+    // The q73 twin rebuilds the SAME bloom as a position set (bpos —
+    // the m-bit array and the distinct-position set have identical
+    // membership semantics), derives the same self-sized m from its own
+    // COUNT(DISTINCT h) (an integer product — the q68 scalar-subquery
+    // idiom), and requires all k probe positions present, then
+    // recomputes both funnel stages. Integer-only arithmetic on the
+    // shared 60-bit hash keeps every position bit-identical.
+    "q73_bloom_decontaminate" -> {
+      def posSql(j: String) = s"(h % m + $j * ((h // m) % m)) % m"
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, ${hash60Sql("g")} AS h
+         |  FROM toks, unnest($ngramsSql) AS u(g)),
+         |bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 20 = 0),
+         |mc AS (SELECT $BloomBitsPerElem * COUNT(*) AS m FROM bench),
+         |bpos AS (SELECT DISTINCT ${posSql("j.j")} AS p
+         |         FROM bench, mc, (SELECT unnest([${(0 until BloomK).mkString(", ")}]) AS j) j),
+         |train AS (SELECT DISTINCT doc_id, h FROM grams WHERE doc_id % 20 <> 0),
+         |cand AS (SELECT doc_id, h FROM train, mc
+         |  WHERE ${(0 until BloomK).map(j => s"${posSql(j.toString)} IN (SELECT p FROM bpos)").mkString("\n    AND ")})
+         |SELECT doc_id,
+         |  CAST(count(DISTINCT h) AS BIGINT) AS n_candidate_13grams,
+         |  CAST(count(DISTINCT CASE WHEN h IN (SELECT h FROM bench) THEN h END) AS BIGINT) AS n_confirmed_13grams
+         |FROM cand GROUP BY doc_id""".stripMargin
+    },
 
     // The q70 twin: identical tiling (1-based inclusive slices), the
     // same 60-bit span-hash occurrence counts, NOT-EXISTS as the

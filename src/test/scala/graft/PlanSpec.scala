@@ -118,6 +118,20 @@ class PlanSpec extends AnyFunSuite {
     assert(streamSide.nonEmpty, s"stream side lost its Generate:\n$p")
   }
 
+  test("q73's bloom probe is a join-free codegen filter ahead of one broadcast confirm join") {
+    val p = planOf("q73_bloom_decontaminate")
+    // the k probes compile to shift-and-mask tests inside a Filter —
+    // membership must NOT be a join against a position table
+    val filters = p.linesIterator.filter(_.contains("Filter")).toSeq
+    assert(filters.exists(l => l.contains("shiftright") && l.contains("element_at")),
+      s"bloom probe is not a shift-and-mask filter:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bloom path degraded to a shuffle join:\n$p")
+    // exactly one BroadcastHashJoin: the exact-confirm stage; the bloom
+    // stage contributes none
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj == 1, s"expected exactly 1 broadcast confirm join, got $bhj:\n$p")
+  }
+
   test("q53 sampling scan reads only doc_id and lang (no text bytes)") {
     val f = formatted(SparkEntry.queries("q53_stratified_sample")(spark, dir))
     val read = f.linesIterator.filter(_.contains("ReadSchema")).mkString

@@ -235,6 +235,44 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.values.forall(_ >= median))
   }
 
+  test("q73: bloom funnel matches a full Scala rebuild of the filter; false positives exist and are confirmed away") {
+    import graft.queries.TrainingOps
+    def hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val texts = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[Long] = {
+      val tk = t.split(" ").filter(_.nonEmpty)
+      if (tk.length < 13) Set.empty
+      else tk.sliding(13).map(w => hash60(w.mkString(" "))).toSet
+    }
+    val bench = texts.collect { case (id, t) if id % 20 == 0 => grams(t) }.flatten.toSet
+    val m = TrainingOps.BloomBitsPerElem * bench.size
+    def positions(h: Long): Seq[Long] =
+      (0 until TrainingOps.BloomK).map(j => (h % m + j * ((h / m) % m)) % m)
+    val bits = bench.flatMap(positions)
+    def bloomHit(h: Long): Boolean = positions(h).forall(bits.contains)
+    val expected = texts.collect { case (id, t) if id % 20 != 0 =>
+      val cand = grams(t).filter(bloomHit)
+      id -> (cand.size.toLong, (cand & bench).size.toLong)
+    }.filter(_._2._1 > 0)
+    val got = SparkEntry.queries("q73_bloom_decontaminate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, s"funnel mismatch: extra=${got.keySet -- expected.keySet} " +
+      s"missing=${expected.keySet -- got.keySet}")
+    // the self-sized filter must actually exercise both funnel outcomes
+    // at the gate: some candidates are false positives (confirmed <
+    // candidates somewhere) and the exact stage keeps only true matches
+    assert(got.values.forall { case (c, conf) => conf <= c })
+    assert(got.values.map(_._1).sum > got.values.map(_._2).sum,
+      "no false positives — the bloom stage is untested at this scale")
+    assert(got.values.map(_._2).sum > 0, "no true contamination confirmed")
+  }
+
   test("q55: two-level cumsum sharding equals the naive global window exactly") {
     val got = SparkEntry.queries("q55_token_shards")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
