@@ -86,6 +86,59 @@ object TrainingOps {
   private[graft] val BloomBitsPerElem = 10L
   private[graft] val BloomK = 4
 
+  /** q74 CCNet-style perplexity filtering (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * LREC 2020): a per-language unigram LM trained on the held-out
+    * reference split scores every training document by average token
+    * surprisal, and documents bucket into CCNet's head / middle / tail
+    * quality tiers. The surprisal is INTEGER-EXACT so the whole LM
+    * chain is oracle-checkable: for a token with reference count c out
+    * of T reference tokens, q = (1024·T) div c and
+    * s = (bitlen(q)−1)·1024 + (1024·q div 2^(bitlen(q)−1)) − 1024 —
+    * floor(log2 q) from the binary digit count plus a 10-bit linear
+    * mantissa, a monotone piecewise-linear log2 in units of 2⁻¹⁰ bits
+    * with no transcendentals (the q46/q72 log-free precedent; max
+    * |error| vs true log2 is 0.0861 bits from the chord at x = 1/ln2
+    * plus 1/1024 from mantissa truncation — ≤ 0.0871 total, identical
+    * on both engines because every step is BIGINT arithmetic). Vocabulary is min-count pruned ([[PplMinCnt]], the
+    * word2vec min_count knob) — a map-side HAVING filter, NOT a top-V
+    * sort, so vocab selection costs one bounded shuffle of reference
+    * token counts and no global ordering; OOV tokens smooth to count 1
+    * (maximum surprisal). [[PplCutoffs]] is the analog of CCNet's
+    * shipped per-language cutoff.csv: fixed (p30, p70) score cutoffs
+    * fit once on this corpus at sf0.01 — head < p30 ≤ middle < p70 ≤
+    * tail, head = lowest perplexity, exactly CCNet's tier order. */
+  private[graft] val PplMinCnt = 3
+  private[graft] val PplCutoffs: Map[String, (Long, Long)] = Map(
+    "de" -> (15253615L, 15335102L),
+    "en" -> (15244344L, 15314428L),
+    "es" -> (15249933L, 15363621L),
+    "fr" -> (15217208L, 15294109L),
+    "zh" -> (15503741L, 15626400L))
+
+  /** The piecewise-linear log2 surprisal over the BIGINT column `q`
+    * (identical text is NOT shared with DuckDB because the two engines
+    * spell shift-left differently; the arithmetic is term-for-term the
+    * same). */
+  private val surpExprSpark =
+    "(length(bin(q)) - 1) * 1024 + " +
+      "(q * 1024 div shiftleft(CAST(1 AS BIGINT), length(bin(q)) - 1)) - 1024"
+  private val surpExprSql =
+    "(length(bin(q)) - 1) * 1024 + " +
+      "(q * 1024 // (1::BIGINT << (length(bin(q)) - 1))) - 1024"
+
+  /** CCNet tier CASE over `scoreCol`/`langCol` — same SQL text on both
+    * engines; unknown languages fall back to the English cutoffs. */
+  private def cutoffCase(scoreCol: String, langCol: String): String = {
+    val whens = PplCutoffs.toSeq.sortBy(_._1).map { case (l, (p30, p70)) =>
+      s"WHEN $langCol = '$l' THEN (CASE WHEN $scoreCol < $p30 THEN 'head' " +
+        s"WHEN $scoreCol < $p70 THEN 'middle' ELSE 'tail' END)"
+    }.mkString(" ")
+    val (d30, d70) = PplCutoffs("en")
+    s"CASE $whens ELSE (CASE WHEN $scoreCol < $d30 THEN 'head' " +
+      s"WHEN $scoreCol < $d70 THEN 'middle' ELSE 'tail' END) END"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: which training docs share a 13-gram
     // with the held-out benchmark set (doc_id % 20 == 0)? Candidates
@@ -424,6 +477,43 @@ object TrainingOps {
             .as("clean_text"),
           col("ntiles").cast("long").as("n_spans"),
           (col("ntiles") - coalesce(col("kept_n"), lit(0L))).cast("long").as("n_dropped"))
+    }),
+
+    // CCNet perplexity tiers (scaladoc at PplCutoffs). Scale shape: the
+    // reference split (5% of corpus) shuffles ONCE into per-(lang,token)
+    // counts — hash-partitioned on the pair key, so no per-language
+    // reducer hotspot — and both LM sides (min-count vocab + per-lang
+    // totals) broadcast to the train side, which therefore never
+    // shuffles its exploded tokens: the only train-side exchange is the
+    // per-(doc,lang) partial-aggregated surprisal sums (two BIGINTs per
+    // doc per input partition). No global sort anywhere — the tier cut
+    // is a map-side CASE against the shipped cutoffs, which is exactly
+    // how CCNet deploys (cutoff.csv is precomputed once, then applied
+    // embarrassingly parallel). At 100 TB the broadcast is bounded by
+    // PplMinCnt (Zipf: raising it shrinks vocab sharply); beyond that,
+    // the LEFT join degrades gracefully to a shuffled hash join on
+    // (lang, tok) rather than breaking.
+    "q74_perplexity_buckets" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      val ref = toks.filter(col("doc_id") % 20 === 0)
+      val vocab = ref.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= PplMinCnt)
+      val totals = ref.groupBy(col("lang")).agg(count(lit(1)).as("total"))
+      val scored = toks.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(totals), Seq("lang"))
+        .join(broadcast(vocab), Seq("lang", "tok"), "left")
+        .withColumn("q", expr("(1024 * total) div coalesce(cnt, CAST(1 AS BIGINT))"))
+        .withColumn("sbits", expr(surpExprSpark))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("sbits")).as("ssum"))
+        .withColumn("score", expr("(1000 * ssum) div n_toks"))
+      scored.withColumn("ppl_bucket", expr(cutoffCase("score", "lang")))
+        .groupBy(col("lang"), col("ppl_bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          sum(col("score")).as("sum_score"), min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
     })
   )
 
@@ -619,6 +709,34 @@ object TrainingOps {
          |    x -> x IS NOT NULL AND x <> ''), ' '), '') AS clean_text,
          |  CAST(b.ntiles AS BIGINT) AS n_spans,
          |  CAST(b.ntiles - COALESCE(k.kept_n, 0) AS BIGINT) AS n_dropped
-         |FROM tails b LEFT JOIN kept k USING (doc_id)""".stripMargin
+         |FROM tails b LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    // The q74 twin: same min-count vocab, same integer log2 (DuckDB
+    // spells the shift `<<`; `//` floors like Spark's `div` — all
+    // operands positive), same shipped-cutoff CASE text.
+    "q74_perplexity_buckets" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+         |ref AS (SELECT lang, tok FROM toks WHERE doc_id % 20 = 0),
+         |vocab AS (SELECT lang, tok, count(*) AS cnt FROM ref
+         |  GROUP BY 1, 2 HAVING count(*) >= $PplMinCnt),
+         |totals AS (SELECT lang, count(*) AS total FROM ref GROUP BY 1),
+         |surp AS (
+         |  SELECT t.doc_id, t.lang,
+         |    (1024 * tt.total) // coalesce(v.cnt, 1) AS q
+         |  FROM toks t JOIN totals tt USING (lang)
+         |  LEFT JOIN vocab v ON v.lang = t.lang AND v.tok = t.tok
+         |  WHERE t.doc_id % 20 <> 0),
+         |sc AS (
+         |  SELECT doc_id, lang, count(*) AS n_toks, sum($surpExprSql) AS ssum
+         |  FROM surp GROUP BY 1, 2),
+         |d AS (SELECT lang, n_toks, (1000 * ssum) // n_toks AS score FROM sc)
+         |SELECT lang, ${cutoffCase("score", "lang")} AS ppl_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(score) AS BIGINT) AS sum_score,
+         |  CAST(min(score) AS BIGINT) AS min_score,
+         |  CAST(max(score) AS BIGINT) AS max_score
+         |FROM d GROUP BY 1, 2""".stripMargin
   )
 }

@@ -206,6 +206,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q74 broadcasts both LM sides and never shuffles or sorts the exploded train tokens") {
+    val p = planOf("q74_perplexity_buckets")
+    // totals (inner) + vocab (left) both ride broadcast joins
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 2,
+      s"expected exactly the two broadcast LM joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"LM join degraded to SMJ:\n$p")
+    // the tier cut is a map-side CASE against shipped cutoffs — a global
+    // sort or window here would be the plan CCNet explicitly avoids
+    assert(!p.contains("Window"), s"tier cut degraded to a global window:\n$p")
+    // per-doc surprisal sums are partial-aggregated before their exchange
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side combine ahead of the per-doc exchange:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path of q01") {
     // AQE shows codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)

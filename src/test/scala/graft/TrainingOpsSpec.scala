@@ -295,4 +295,60 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(docs.map(_._2).sum <= 4000L + maxDoc, s"shard $sid overpacked")
     }
   }
+
+  test("q74: CCNet tiers match a full Scala recount of the unigram LM; log2 approx within bound") {
+    import graft.queries.TrainingOps
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def tokens(t: String): Array[String] = t.split(" ").filter(_.nonEmpty)
+    val refToks = docs.filter(_._1 % 20 == 0)
+      .flatMap { case (_, l, t) => tokens(t).map(l -> _) }
+    val counts = refToks.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val vocab = counts.filter(_._2 >= TrainingOps.PplMinCnt)
+    val totals = refToks.groupBy(_._1).map { case (l, v) => l -> v.length.toLong }
+    def surp(q: Long): Long = {
+      val b = 63 - java.lang.Long.numberOfLeadingZeros(q)
+      b * 1024L + q * 1024L / (1L << b) - 1024L
+    }
+    var maxErr = 0.0
+    val scored = docs.filter(_._1 % 20 != 0).flatMap { case (id, l, t) =>
+      val tk = tokens(t)
+      if (tk.isEmpty) None else {
+        val ssum = tk.map { w =>
+          val q = 1024L * totals(l) / vocab.getOrElse((l, w), 1L)
+          maxErr = math.max(maxErr,
+            math.abs(surp(q) / 1024.0 - math.log(q.toDouble) / math.log(2)))
+          surp(q)
+        }.sum
+        Some((l, 1000L * ssum / tk.length, tk.length.toLong))
+      }
+    }
+    // the integer piecewise-linear log2 stays within its documented bound
+    assert(maxErr <= 0.0871, s"log2 approx error $maxErr exceeds the scaladoc bound")
+    def tier(l: String, s: Long): String = {
+      val (p30, p70) = TrainingOps.PplCutoffs.getOrElse(l, TrainingOps.PplCutoffs("en"))
+      if (s < p30) "head" else if (s < p70) "middle" else "tail"
+    }
+    val expected = scored.groupBy { case (l, s, _) => (l, tier(l, s)) }
+      .map { case (k, rs) =>
+        k -> (rs.length.toLong, rs.map(_._3).sum, rs.map(_._2).sum,
+          rs.map(_._2).min, rs.map(_._2).max)
+      }
+    val got = SparkEntry.queries("q74_perplexity_buckets")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == expected, s"tier mismatch: got=${got.keySet} expected=${expected.keySet}")
+    // CCNet tier semantics hold in the output itself: within a language,
+    // every head doc scores strictly below every middle doc, which
+    // scores strictly below every tail doc
+    got.keys.map(_._1).toSeq.distinct.foreach { l =>
+      for (Seq(lo, hi) <- Seq("head", "middle", "tail").sliding(2)) {
+        (got.get((l, lo)), got.get((l, hi))) match {
+          case (Some(a), Some(b)) => assert(a._5 < b._4, s"$l: $lo max >= $hi min")
+          case _ => ()
+        }
+      }
+    }
+  }
 }
