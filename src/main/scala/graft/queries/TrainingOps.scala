@@ -494,28 +494,47 @@ object TrainingOps {
     // the LEFT join degrades gracefully to a shuffled hash join on
     // (lang, tok) rather than breaking.
     "q74_perplexity_buckets" -> ((s, dir) => {
-      val toks = Tables(s, dir, "documents")
-        .withColumn("toks", expr(toksExpr))
-        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
-      val ref = toks.filter(col("doc_id") % 20 === 0)
-      val vocab = ref.groupBy(col("lang"), col("tok"))
-        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= PplMinCnt)
-      val totals = ref.groupBy(col("lang")).agg(count(lit(1)).as("total"))
-      val scored = toks.filter(col("doc_id") % 20 =!= 0)
-        .join(broadcast(totals), Seq("lang"))
-        .join(broadcast(vocab), Seq("lang", "tok"), "left")
-        .withColumn("q", expr("(1024 * total) div coalesce(cnt, CAST(1 AS BIGINT))"))
-        .withColumn("sbits", expr(surpExprSpark))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n_toks"), sum(col("sbits")).as("ssum"))
-        .withColumn("score", expr("(1000 * ssum) div n_toks"))
-      scored.withColumn("ppl_bucket", expr(cutoffCase("score", "lang")))
+      val docs = Tables(s, dir, "documents")
+      val (vocab, totals) = pplLm(docs.filter(col("doc_id") % 20 === 0))
+      pplScore(docs.filter(col("doc_id") % 20 =!= 0), vocab, totals)
         .groupBy(col("lang"), col("ppl_bucket"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
           sum(col("score")).as("sum_score"), min(col("score")).as("min_score"),
           max(col("score")).as("max_score"))
     })
   )
+
+  /** The q74 reference LM: per-(lang, token) min-count-pruned counts +
+    * per-lang totals over `refDocs` (needs doc_id/lang/text). Shared
+    * with [[graft.streaming.DocumentsStream.perplexityGate]], which
+    * builds the LM ONCE from a static reference and reuses it across
+    * micro-batches — the stream-static shape. */
+  private[graft] def pplLm(refDocs: DataFrame): (DataFrame, DataFrame) = {
+    val ref = refDocs.withColumn("toks", expr(toksExpr))
+      .select(col("lang"), explode(col("toks")).as("tok"))
+    val vocab = ref.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= PplMinCnt)
+    val totals = ref.groupBy(col("lang")).agg(count(lit(1)).as("total"))
+    (vocab, totals)
+  }
+
+  /** Score `docs` against the LM: one row per non-empty document with
+    * (doc_id, lang, n_toks, score, ppl_bucket). Both LM sides broadcast;
+    * the exploded tokens never shuffle (the only exchange is the per-doc
+    * partial-aggregated surprisal sums). */
+  private[graft] def pplScore(docs: DataFrame, vocab: DataFrame,
+                              totals: DataFrame): DataFrame =
+    docs.withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      .join(broadcast(totals), Seq("lang"))
+      .join(broadcast(vocab), Seq("lang", "tok"), "left")
+      .withColumn("q", expr("(1024 * total) div coalesce(cnt, CAST(1 AS BIGINT))"))
+      .withColumn("sbits", expr(surpExprSpark))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("sbits")).as("ssum"))
+      .withColumn("score", expr("(1000 * ssum) div n_toks"))
+      .withColumn("ppl_bucket", expr(cutoffCase("score", "lang")))
+      .drop("ssum")
 
   val oracle: Map[String, String] = Map(
     "q52_decontaminate" -> {

@@ -199,6 +199,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("documents dedupStream drops a doc replayed in a LATER micro-batch (cross-batch state)") {
+    import graft.streaming.DocumentsStream
+    val src = Files.createTempDirectory("graft-docdedup-src").toString
+    val docs = Tables(spark, sfDir, "documents").limit(10).cache()
+    // drop 1: docs as-is; drop 2 (separate file = separate micro-batch):
+    // 5 replayed docs under NEW doc_ids (same text) + 2 genuinely new
+    docs.write.mode("append").parquet(src)
+    docs.limit(5).withColumn("doc_id", col("doc_id") + 1000000L)
+      .write.mode("append").parquet(src)
+    val out = DocumentsStream.dedupStream(
+      DocumentsStream.source(spark, src).withColumn("f", input_file_name()))
+    val q = out.writeStream.outputMode("append")
+      .option("maxFilesPerTrigger", "1") // force multi-batch
+      .format("memory").queryName("docdedup_test").start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("docdedup_test")
+    // exactly one row per distinct text survives, and it is the FIRST
+    // arrival (original doc_id, not the +1e6 replay)
+    val expected = docs.select(col("text")).distinct().count()
+    assert(kept.count() == expected, s"state did not dedup across batches")
+    assert(kept.filter(col("doc_id") >= 1000000L).isEmpty ||
+      kept.filter(col("doc_id") >= 1000000L).count() ==
+        kept.count() - docs.dropDuplicates("text").filter(col("doc_id") < 1000000L).count(),
+      "a replayed copy displaced its original")
+    docs.unpersist()
+  }
+
+  test("streaming perplexity gate equals the batch q74 scorer row-for-row") {
+    import graft.streaming.DocumentsStream
+    import graft.queries.TrainingOps
+    val src = Files.createTempDirectory("graft-ppl-src").toString
+    val dest = Files.createTempDirectory("graft-ppl-dest").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-ppl-ckpt").toString
+    val all = Tables(spark, sfDir, "documents")
+    val ref = all.filter(col("doc_id") % 20 === 0).cache()
+    val train = all.filter(col("doc_id") % 20 =!= 0).limit(40).cache()
+    // two drops → two micro-batches; per-doc scoring must not care
+    train.limit(25).write.mode("append").parquet(src)
+    train.orderBy(col("doc_id").desc).limit(15).write.mode("append").parquet(src)
+    DocumentsStream.perplexityGate(spark, src, ref, dest, ckpt)
+    val (vocab, totals) = TrainingOps.pplLm(ref)
+    val batch = TrainingOps.pplScore(train, vocab, totals).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val stream = spark.read.parquet(dest).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(stream.sorted.toSeq == batch.sorted.toSeq,
+      s"stream/batch divergence: stream=${stream.length} batch=${batch.length} rows")
+    // exactly-once: a re-run with no new files appends nothing
+    DocumentsStream.perplexityGate(spark, src, ref, dest, ckpt)
+    assert(spark.read.parquet(dest).count() == batch.length)
+    ref.unpersist(); train.unpersist()
+  }
+
   test("event-time timeout flushes an idle user's open session") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
