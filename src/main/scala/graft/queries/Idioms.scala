@@ -34,4 +34,21 @@ private[graft] object Idioms {
     * inclusive, so [i : i+n-1] is n elements). */
   def ngramsSql(tkCol: String, n: Int): String =
     s"list_transform(generate_series(1, len($tkCol) - ${n - 1}), i -> array_to_string($tkCol[i:i+${n - 1}], ' '))"
+
+  /** Integer piecewise-linear log2 of the positive BIGINT column `x`,
+    * in units of 2⁻¹⁰ bits: floor(log2 x) from the binary digit count
+    * plus a 10-bit linear mantissa — max error 0.0861 bits (chord at
+    * x = 1/ln2) + 1/1024 (mantissa truncation), NO transcendentals, so
+    * both engines agree bit-for-bit. Introduced for q74's CCNet
+    * surprisal; reused by q75's BM25 idf. `x` should be a plain column
+    * name (the expression evaluates it three times). */
+  def pl2Expr(x: String): String =
+    s"(length(bin($x)) - 1) * 1024 + " +
+      s"($x * 1024 div shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 1)) - 1024"
+
+  /** DuckDB twin (`//` floors like Spark's `div` on positives; the
+    * shift is spelled `<<`). */
+  def pl2Sql(x: String): String =
+    s"(length(bin($x)) - 1) * 1024 + " +
+      s"($x * 1024 // (1::BIGINT << (length(bin($x)) - 1))) - 1024"
 }

@@ -116,16 +116,10 @@ object TrainingOps {
     "fr" -> (15217208L, 15294109L),
     "zh" -> (15503741L, 15626400L))
 
-  /** The piecewise-linear log2 surprisal over the BIGINT column `q`
-    * (identical text is NOT shared with DuckDB because the two engines
-    * spell shift-left differently; the arithmetic is term-for-term the
-    * same). */
-  private val surpExprSpark =
-    "(length(bin(q)) - 1) * 1024 + " +
-      "(q * 1024 div shiftleft(CAST(1 AS BIGINT), length(bin(q)) - 1)) - 1024"
-  private val surpExprSql =
-    "(length(bin(q)) - 1) * 1024 + " +
-      "(q * 1024 // (1::BIGINT << (length(bin(q)) - 1))) - 1024"
+  /** The piecewise-linear log2 surprisal over the BIGINT column `q` —
+    * the shared [[Idioms.pl2Expr]] primitive (also q75's BM25 idf). */
+  private val surpExprSpark = Idioms.pl2Expr("q")
+  private val surpExprSql = Idioms.pl2Sql("q")
 
   /** CCNet tier CASE over `scoreCol`/`langCol` — same SQL text on both
     * engines; unknown languages fall back to the English cutoffs. */

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.VectorFunctions._
 import graft.operators.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector/similarity operator demos over the `embeddings` table
@@ -449,8 +450,102 @@ object VectorOps {
           e.select(col("vec_id"), col("embedding"), col("label")),
           cents, "embedding", "vec_id", Seq("label"))
         .select(col("vec_id"), col("centroid_id"), col("casim").as("cosine"), col("label"))
+    }),
+
+    // Lexical BM25 top-k retrieval — the keyword half of a hybrid search
+    // engine (Robertson & Zaragoza 2009, k1 = 1.2, b = 0.75; Lucene's
+    // +1-idf variant so idf is always positive). INTEGER-EXACT and thus
+    // fully oracle-checked: idf uses the shared pl2 primitive over
+    // xq = 1024·(2N+2)/(2df+1) — the BM25 idf argument
+    // (N−df+0.5)/(df+0.5)+1 with both halves doubled to clear the .5s —
+    // and the tf saturation term f·(k1+1)/(f + k1·(1−b+b·dl/avgdl))
+    // clears ALL fractions by multiplying through by 10·T (avgdl = T/N):
+    // tf_micro = 22e6·f·T / (10·f·T + 3·T + 9·dl·N), every operand a
+    // BIGINT. Queries are more-like-this: each doc_id % 250 == 0
+    // contributes its first 8 distinct tokens and retrieves the top-5
+    // OTHER docs. Scale shape: postings = one explode + hash agg
+    // (linear, 8-byte-ish keys); query terms and their idf table are
+    // broadcast (≤ 8·|queries| rows), so the corpus-sized postings never
+    // shuffle for the match — only the (query, doc) partial sums do; the
+    // per-query window ranks only docs sharing ≥1 query term. N and T
+    // are two driver scalars (the centroid-collect pattern). At extreme
+    // T (≥ ~1e13 tokens) the cleared-fraction operands approach 2^63 —
+    // there the deployment divides avgdl through first and accepts one
+    // rounding, or widens to DECIMAL(38,0); the gate corpora sit 6
+    // orders below that.
+    "q75_bm25_topk" -> ((s, dir) => bm25Ranked(s, dir, BmTopK)),
+
+    // Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009,
+    // k = 60) of the BM25 arm and the dense cosine-kNN arm over the SAME
+    // query set (doc_id ≡ vec_id, 1:1 by construction of the corpus).
+    // Each arm returns its top-20; fusion scores
+    // rrf_micro = Σ_arm 1e9 div (60 + rank) — integer division, so the
+    // fused ranking is bit-exact cross-engine with no float weights —
+    // and keeps the top-5. A doc ranked by only one arm gets 0 from the
+    // other (FULL OUTER join on bounded ≤ |queries|·20-row arm outputs,
+    // trivially broadcastable at any corpus scale; the arms themselves
+    // are q75's linear postings shape and q24's batch-kNN shape).
+    "q76_hybrid_rrf" -> ((s, dir) => {
+      val lex = bm25Ranked(s, dir, RrfArmK)
+        .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") % BmQueryMod === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val dense = Similarity.topKWindow(qv, cv, RrfArmK)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("rank_dense"))
+      lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_micro", expr(
+          s"coalesce(1000000000 div ($RrfK + rank_lex), CAST(0 AS BIGINT)) + " +
+            s"coalesce(1000000000 div ($RrfK + rank_dense), CAST(0 AS BIGINT))"))
+        .withColumn("fused_rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("rrf_micro").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("fused_rank") <= BmTopK)
+        .select(col("query_id"), col("doc_id"), col("rrf_micro"), col("fused_rank"))
     })
   )
+
+  // --- q75/q76 retrieval parameters ---
+  private[graft] val BmQueryMod = 250L
+  private[graft] val BmQueryTerms = 8
+  private[graft] val BmTopK = 5
+  private[graft] val RrfArmK = 20
+  private[graft] val RrfK = 60L
+
+  /** BM25 ranked list, rank ≤ k per query (scaladoc at the q75 entry). */
+  private[graft] def bm25Ranked(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .withColumn("toks", expr(Idioms.toksExpr))
+      .select(col("doc_id"), col("toks"), expr("CAST(size(toks) AS BIGINT)").as("dl"))
+      .filter(col("dl") > 0)
+    val nt = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).first()
+    val (bigN, bigT) = (nt.getLong(0), nt.getLong(1))
+    val postings = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("f"))
+    val qterms = docs.filter(col("doc_id") % BmQueryMod === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(expr(s"slice(toks, 1, $BmQueryTerms)")).as("tok"))
+      .distinct()
+    val dfq = postings.join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("xq", expr(s"(1024 * (2 * $bigN + 2)) div (2 * df + 1)"))
+      .withColumn("idf", expr(Idioms.pl2Expr("xq")))
+      .select(col("tok"), col("idf"))
+    postings.join(broadcast(qterms), Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfq), Seq("tok"))
+      .withColumn("contrib", expr(
+        s"idf * ((CAST(22000000 AS BIGINT) * f * $bigT) div " +
+          s"(10 * f * $bigT + 3 * $bigT + 9 * dl * $bigN))"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
 
   val oracle: Map[String, String] = Map(
     "q24_knn_brute" ->
@@ -664,6 +759,76 @@ object VectorOps {
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${duckCosineExpr("e.embedding", "cvec")} DESC, centroid_id ASC) AS rk
          |  FROM embeddings e CROSS JOIN cents)
-         |SELECT vec_id, centroid_id, cosine, label FROM sims WHERE rk = 1""".stripMargin
+         |SELECT vec_id, centroid_id, cosine, label FROM sims WHERE rk = 1""".stripMargin,
+
+    "q75_bm25_topk" ->
+      s"""WITH ${bm25Cte(BmTopK)}
+         |SELECT query_id, doc_id, score, rank FROM lr""".stripMargin,
+
+    "q76_hybrid_rrf" ->
+      s"""WITH ${bm25Cte(RrfArmK)},
+         |qe AS (SELECT vec_id AS query_id, embedding AS qv
+         |       FROM embeddings WHERE vec_id % $BmQueryMod = 0),
+         |ce AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |dsims AS (
+         |  SELECT query_id, neighbor_id, ${duckCosineExpr("qv", "cv")} AS cosine
+         |  FROM ce CROSS JOIN qe WHERE query_id <> neighbor_id),
+         |dranked AS (
+         |  SELECT query_id, neighbor_id AS doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank_dense
+         |  FROM dsims),
+         |dr AS (SELECT * FROM dranked WHERE rank_dense <= $RrfArmK),
+         |fused AS (
+         |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         |    CAST(COALESCE(1000000000 // ($RrfK + l.rank), 0)
+         |       + COALESCE(1000000000 // ($RrfK + d.rank_dense), 0) AS BIGINT) AS rrf_micro
+         |  FROM lr l FULL OUTER JOIN dr d
+         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+         |franked AS (
+         |  SELECT query_id, doc_id, rrf_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS fused_rank
+         |  FROM fused)
+         |SELECT query_id, doc_id, rrf_micro, fused_rank
+         |FROM franked WHERE fused_rank <= $BmTopK""".stripMargin
   )
+
+  /** The q75 lexical arm as DuckDB CTEs ending in `lr` (rank ≤ k) —
+    * shared by the q75 and q76 oracles so the twins cannot drift. */
+  private def bm25Cte(k: Int): String =
+    s"""dtk AS (SELECT doc_id, ${Idioms.toksSql} AS tk FROM documents),
+       |docs AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
+       |         FROM dtk WHERE len(tk) > 0),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t
+       |       FROM docs),
+       |postings AS (
+       |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS f
+       |  FROM docs, unnest(tk) AS u(tok) GROUP BY 1, 2, 3),
+       |qterms AS (
+       |  SELECT DISTINCT doc_id AS query_id, tok
+       |  FROM docs, unnest(tk[1:$BmQueryTerms]) AS u(tok)
+       |  WHERE doc_id % $BmQueryMod = 0),
+       |dfq AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM postings
+       |  WHERE tok IN (SELECT tok FROM qterms) GROUP BY 1),
+       |idf AS (
+       |  SELECT tok, ${Idioms.pl2Sql("xq")} AS idf
+       |  FROM (SELECT tok, (1024 * (2 * n + 2)) // (2 * df + 1) AS xq
+       |        FROM dfq CROSS JOIN nt)),
+       |lscored AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    CAST(sum(i.idf * ((CAST(22000000 AS BIGINT) * p.f * t) //
+       |      (10 * p.f * t + 3 * t + 9 * p.dl * n))) AS BIGINT) AS score
+       |  FROM postings p JOIN qterms q USING (tok) JOIN idf i USING (tok)
+       |    CROSS JOIN nt
+       |  WHERE p.doc_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |lranked AS (
+       |  SELECT query_id, doc_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM lscored),
+       |lr AS (SELECT * FROM lranked WHERE rank <= $k)""".stripMargin
 }

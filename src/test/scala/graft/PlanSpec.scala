@@ -220,6 +220,17 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side combine ahead of the per-doc exchange:\n$p")
   }
 
+  test("q75 corpus postings never shuffle for the term match — broadcast joins only") {
+    val p = planOf("q75_bm25_topk")
+    // df build + query-term match + idf attach all ride broadcasts
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 3,
+      s"expected the three broadcast retrieval joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"postings degraded to SMJ:\n$p")
+    // the only corpus-sized exchanges are hash aggs with map-side combine
+    assert(p.contains("partial_sum") || p.contains("partial sum"),
+      s"no map-side combine on the (query, doc) score sums:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path of q01") {
     // AQE shows codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)

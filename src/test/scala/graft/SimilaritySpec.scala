@@ -299,6 +299,95 @@ class SimilaritySpec extends AnyFunSuite {
       s"zero vector ranked in ivfTopK: ${ivf.mkString(",")}")
   }
 
+  test("q75: integer BM25 matches a Scala recount; ranking agrees with float BM25") {
+    import graft.queries.VectorOps
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+    val bigN = docs.length.toLong
+    val bigT = docs.map(_._2.length.toLong).sum
+    val dfm = docs.flatMap { case (_, tk) => tk.distinct }
+      .groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    def pl2(x: Long): Long = {
+      val b = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      b * 1024L + x * 1024L / (1L << b) - 1024L
+    }
+    val queries = docs.filter(_._1 % VectorOps.BmQueryMod == 0)
+      .map { case (id, tk) => id -> tk.take(VectorOps.BmQueryTerms).distinct }
+    val expected = queries.flatMap { case (qid, terms) =>
+      val scored = docs.filter(_._1 != qid).flatMap { case (did, tk) =>
+        val dl = tk.length.toLong
+        val s = terms.map { t =>
+          val f = tk.count(_ == t).toLong
+          if (f == 0) 0L else {
+            val xq = 1024L * (2 * bigN + 2) / (2 * dfm(t) + 1)
+            pl2(xq) * (22000000L * f * bigT / (10 * f * bigT + 3 * bigT + 9 * dl * bigN))
+          }
+        }.sum
+        if (s > 0 || terms.exists(t => tk.contains(t))) Some((did, s)) else None
+      }
+      scored.sortBy { case (did, s) => (-s, did) }.take(VectorOps.BmTopK)
+        .zipWithIndex.map { case ((did, s), i) => (qid, did, s, i + 1L) }
+    }.toSet
+    val got = SparkEntry.queries("q75_bm25_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"BM25 recount mismatch:\n got=$got\n exp=$expected")
+    // the integer quantization must not reorder docs that true float
+    // BM25 separates by more than the combined quantization error
+    def fbm25(qid: Long, terms: Array[String], tk: Array[String]): Double = {
+      val dl = tk.length.toDouble; val avgdl = bigT.toDouble / bigN
+      terms.map { t =>
+        val f = tk.count(_ == t).toDouble
+        if (f == 0) 0.0 else {
+          val idf = math.log((bigN - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1) / math.log(2)
+          idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        }
+      }.sum
+    }
+    val tkm = docs.toMap
+    for ((qid, terms) <- queries; g = got.filter(_._1 == qid).toSeq.sortBy(_._4)) {
+      for (Seq(a, b) <- g.sliding(2) if g.size >= 2) {
+        val (fa, fb) = (fbm25(qid, terms, tkm(a._2)), fbm25(qid, terms, tkm(b._2)))
+        // integer scoring is ~1024·1e6 × the float score; tolerate the
+        // documented pl2 (0.0871 bit) + tf_micro (1e-6) quantization
+        assert(fa >= fb - 0.0871 * 2.2 * terms.length - 1e-3,
+          s"q$qid: integer rank order contradicts float BM25 ($fa < $fb)")
+      }
+    }
+  }
+
+  test("q76: RRF fusion recounts exactly from the two arm rankings") {
+    import graft.queries.VectorOps
+    val dir = "/root/testdata/sf0.01"
+    val lex = VectorOps.bm25Ranked(spark, dir, VectorOps.RrfArmK).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") % VectorOps.BmQueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val dense = Similarity.topKWindow(q, c, VectorOps.RrfArmK).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val fused = (lex.keySet ++ dense.keySet).groupBy(_._1).flatMap { case (qid, keys) =>
+      keys.map { k =>
+        val s = lex.get(k).map(r => 1000000000L / (VectorOps.RrfK + r)).getOrElse(0L) +
+          dense.get(k).map(r => 1000000000L / (VectorOps.RrfK + r)).getOrElse(0L)
+        (k._2, s)
+      }.toSeq.sortBy { case (did, s) => (-s, did) }.take(VectorOps.BmTopK)
+        .zipWithIndex.map { case ((did, s), i) => (qid, did, s, i + 1L) }
+    }.toSet
+    val got = SparkEntry.queries("q76_hybrid_rrf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == fused, s"RRF recount mismatch:\n got=$got\n exp=$fused")
+    // hybrid property: both arms contribute docs the other missed
+    val lexOnly = got.exists { case (qid, did, _, _) =>
+      lex.contains((qid, did)) && !dense.contains((qid, did)) }
+    val denseOnly = got.exists { case (qid, did, _, _) =>
+      !lex.contains((qid, did)) && dense.contains((qid, did)) }
+    assert(lexOnly || denseOnly, "fusion degenerated to a single arm at the gate")
+  }
+
   test("approx_count_distinct is the scale form of A5 (sanity, not oracle)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val exact = docs.select(countDistinct(sha2(col("text"), 256))).head.getLong(0)
