@@ -87,6 +87,27 @@ object ScaleProbe {
       return
     }
 
+    // `bm25` times q75's DEPLOYMENT shape — a FIXED query batch (the
+    // identity replica's doc_id % 250 docs, the same queries at every
+    // scale factor) against the whole corpus: the evidence that q75's
+    // growth in the replica bench is its query-set definition (queries
+    // ∝ corpus there), not the operator.
+    if (bitsArg == "bm25") {
+      val n = Tables(spark, sfDir, "documents").count()
+      def ranked = graft.queries.VectorOps.bm25Ranked(spark, sfDir, 5,
+        queryCap = 10000000L)
+      val rows = ranked.count() // warmup + stat
+      val nq = rows / 5
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        ranked.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"""{"probe":"bm25_fixed_batch","sf":"$sfDir","corpus":$n,"queries":$nq,"median_sec":${times(1)}%.3f}""")
+      spark.stop()
+      return
+    }
+
     // `semdedup [k]` times q68's full train+dedup pipeline; second arg is
     // an explicit cluster count or omitted for the shipped autoK(n) —
     // the SCALE.md evidence that the per-cluster pair join needs k ∝ n

@@ -514,8 +514,13 @@ object VectorOps {
   private[graft] val RrfArmK = 20
   private[graft] val RrfK = 60L
 
-  /** BM25 ranked list, rank ≤ k per query (scaladoc at the q75 entry). */
-  private[graft] def bm25Ranked(s: SparkSession, dir: String, k: Int): DataFrame = {
+  /** BM25 ranked list, rank ≤ k per query (scaladoc at the q75 entry).
+    * `queryCap` bounds the query-id space — the gate queries use the
+    * default (every doc_id % 250 doc); ScaleProbe's fixed-batch
+    * deployment probe caps at the identity replica so the SAME queries
+    * run against every corpus scale. */
+  private[graft] def bm25Ranked(s: SparkSession, dir: String, k: Int,
+                                queryCap: Long = Long.MaxValue): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .withColumn("toks", expr(Idioms.toksExpr))
       .select(col("doc_id"), col("toks"), expr("CAST(size(toks) AS BIGINT)").as("dl"))
@@ -524,7 +529,7 @@ object VectorOps {
     val (bigN, bigT) = (nt.getLong(0), nt.getLong(1))
     val postings = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("f"))
-    val qterms = docs.filter(col("doc_id") % BmQueryMod === 0)
+    val qterms = docs.filter(col("doc_id") % BmQueryMod === 0 && col("doc_id") < queryCap)
       .select(col("doc_id").as("query_id"),
         explode(expr(s"slice(toks, 1, $BmQueryTerms)")).as("tok"))
       .distinct()
