@@ -231,6 +231,39 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side combine on the (query, doc) score sums:\n$p")
   }
 
+  test("date-partitioned fact scans are dynamically pruned by a dim-side filter (DPP)") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    // the Bronze landing layout: fact partitioned by date (Bronze.scala
+    // date-partitioned write) — at 100 TB the WHOLE point of that layout
+    // is that a dim-side filter prunes fact partitions at runtime
+    val ev = Tables(spark, dir, "events").withColumn("d", to_date(col("ts")))
+    ev.write.partitionBy("d").mode("overwrite").parquet(tmp)
+    val allDates = ev.select(col("d")).distinct().orderBy(col("d"))
+      .collect().map(_.getDate(0))
+    val keep = allDates.take(2)
+    import spark.implicits._
+    // the dim must be a real scan — a driver-local relation folds its
+    // filter away before the PartitionPruning rule can see it
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    allDates.toSeq.map(dt => (dt, if (keep.contains(dt)) "keep" else "drop"))
+      .toDF("d", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+      .filter(col("tag") === "keep") // the selective dim predicate DPP keys on
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val fact = spark.read.parquet(tmp)
+      val joined = fact.join(dim, Seq("d")).agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"partitioned scan not dynamically pruned:\n$p")
+      // and the pruned plan still computes the right answer
+      val expected = ev.filter(col("d").isin(keep.map(_.toString): _*)).count()
+      assert(joined.collect().head.getLong(0) == expected)
+    } finally
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+  }
+
   test("whole-stage codegen covers the hot aggregation path of q01") {
     // AQE shows codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
