@@ -358,6 +358,72 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q75/q76 survive an adversarial corpus: empty docs, short queries, ties, zero-norm vectors") {
+    import spark.implicits._
+    import graft.queries.VectorOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adv75").toString
+    Seq(
+      (0L, "alpha beta gamma", "en", "s", 16L),      // query doc, only 3 terms
+      (1L, "", "en", "s", 0L),                       // empty — must vanish
+      (2L, "   ", "en", "s", 3L),                    // whitespace-only — must vanish
+      (3L, "alpha alpha alpha alpha", "en", "s", 23L),
+      (4L, "beta gamma delta", "en", "s", 16L),
+      (5L, "gamma delta epsilon", "en", "s", 19L),
+      (6L, "zz yy ww", "en", "s", 8L),               // shares nothing — absent
+      (7L, "alpha beta", "en", "s", 10L),            // identical twins: tie on
+      (8L, "alpha beta", "en", "s", 10L))            //   score → doc_id order
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def v(xs: Float*): Array[Float] = xs.toArray
+    Seq(
+      (0L, v(1f, 0f, 0f, 0f), 0), (1L, v(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, v(0f, 0f, 0f, 0f), 0),                    // zero-norm — never wins
+      (3L, v(0.8f, 0.2f, 0f, 0f), 0), (4L, v(0f, 1f, 0f, 0f), 0),
+      (5L, v(0f, 0f, 1f, 0f), 0), (6L, v(-1f, 0f, 0f, 0f), 0),
+      (7L, v(0.5f, 0.5f, 0f, 0f), 0), (8L, v(0.5f, 0.5f, 0.1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    val lex = SparkEntry.queries("q75_bm25_topk")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(lex.nonEmpty && lex.forall(_._1 == 0L))
+    val ids = lex.sortBy(_._4).map(_._2)
+    assert(!ids.exists(Set(1L, 2L, 6L).contains),
+      s"empty/whitespace/no-overlap docs retrieved: ${ids.mkString(",")}")
+    assert(!ids.contains(0L), "self-retrieval")
+    assert(lex.map(_._4).sorted.toSeq == (1L to lex.length).toSeq, "ranks not contiguous")
+    // identical twins tie exactly and order by doc_id
+    val s7 = lex.find(_._2 == 7L).map(_._3); val s8 = lex.find(_._2 == 8L).map(_._3)
+    assert(s7 == s8 && s7.isDefined, s"twin scores differ: $s7 vs $s8")
+    assert(ids.indexOf(7L) < ids.indexOf(8L), "tie not broken by doc_id")
+    assert(lex.forall(_._3 >= 0L), "negative BM25 score")
+
+    val fused = SparkEntry.queries("q76_hybrid_rrf")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fused.nonEmpty && fused.forall(_._1 == 0L))
+    assert(fused.map(_._4).sorted.toSeq == (1L to fused.length).toSeq)
+    // recount the fusion from the two arms on this corpus
+    val lexArm = VectorOps.bm25Ranked(spark, tmp, VectorOps.RrfArmK).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val e = Tables(spark, tmp, "embeddings")
+    val denseArm = Similarity.topKWindow(
+        e.filter(col("vec_id") % VectorOps.BmQueryMod === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+        VectorOps.RrfArmK).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val expect = (lexArm.keySet ++ denseArm.keySet).map { did =>
+      (did,
+        lexArm.get(did).map(r => 1000000000L / (VectorOps.RrfK + r)).getOrElse(0L) +
+          denseArm.get(did).map(r => 1000000000L / (VectorOps.RrfK + r)).getOrElse(0L))
+    }.toSeq.sortBy { case (did, s) => (-s, did) }.take(VectorOps.BmTopK)
+      .zipWithIndex.map { case ((did, s), i) => (0L, did, s, i + 1L) }.toSet
+    assert(fused.toSet == expect, s"fusion mismatch:\n got=${fused.toSet}\n exp=$expect")
+    // the zero-norm vector may appear via the lexical arm but must not
+    // outrank genuinely similar docs in the dense arm
+    assert(!denseArm.get(2L).exists(_ == 1L), "zero-norm vector won the dense arm")
+  }
+
   test("q76: RRF fusion recounts exactly from the two arm rankings") {
     import graft.queries.VectorOps
     val dir = "/root/testdata/sf0.01"

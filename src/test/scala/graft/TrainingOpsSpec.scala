@@ -296,6 +296,52 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q74 survives adversarial documents: empty text, null lang, unknown lang") {
+    import spark.implicits._
+    import graft.queries.TrainingOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adv74").toString
+    Seq(
+      // ref split (doc_id % 20 == 0)
+      (0L, "", "en", "s", 0L),                       // empty ref doc
+      (20L, "   ", "en", "s", 3L),                   // whitespace-only ref doc
+      (40L, "alpha beta alpha beta alpha beta gamma", "en", "s", 38L),
+      (60L, "uno dos tres uno dos tres uno", "xx", "s", 29L),  // unknown lang
+      (80L, "eins zwei eins zwei eins", null.asInstanceOf[String], "s", 24L),
+      // train split
+      (1L, "alpha beta gamma", "en", "s", 16L),
+      (2L, "alpha nope beta", "en", "s", 15L),
+      (3L, "", "en", "s", 0L),                       // empty train doc
+      (4L, "uno tres dos", "xx", "s", 12L),          // unknown-lang train doc
+      (5L, "eins zwei", null.asInstanceOf[String], "s", 9L),   // null-lang train doc
+      (6L, "solo", "fr", "s", 4L))                   // lang with NO ref tokens
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q74_perplexity_buckets")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // empty docs vanish (no tokens); null-lang and no-ref-lang train docs
+    // drop out via the inner totals join — same semantics both engines
+    assert(!got.keys.exists(_._1 == null), "null-lang doc survived the LM join")
+    assert(!got.keys.exists(_._1 == "fr"), "doc in a lang with no reference LM survived")
+    assert(got.keys.map(_._1).toSet == Set("en", "xx"))
+    // the unknown lang 'xx' tiers against the en cutoffs (the shipped
+    // fallback): recount doc 4's score and check its bucket
+    val refToks = Seq("uno", "dos", "tres", "uno", "dos", "tres", "uno")
+    val counts = refToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = refToks.size.toLong
+    def surp(q: Long): Long = {
+      val b = 63 - java.lang.Long.numberOfLeadingZeros(q)
+      b * 1024L + q * 1024L / (1L << b) - 1024L
+    }
+    val toks4 = Seq("uno", "tres", "dos")
+    val score4 = 1000L * toks4.map { t =>
+      surp(1024L * total / counts.filter(_._2 >= TrainingOps.PplMinCnt).getOrElse(t, 1L))
+    }.sum / toks4.size
+    val (p30, p70) = TrainingOps.PplCutoffs("en")
+    val tier4 = if (score4 < p30) "head" else if (score4 < p70) "middle" else "tail"
+    assert(got.contains(("xx", tier4)), s"xx doc expected in en-fallback tier $tier4: $got")
+    assert(got(("xx", tier4))._1 == 1L)
+  }
+
   test("q74: CCNet tiers match a full Scala recount of the unigram LM; log2 approx within bound") {
     import graft.queries.TrainingOps
     val docs = Tables(spark, dir, "documents")
