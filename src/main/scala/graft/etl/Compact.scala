@@ -1,0 +1,59 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for parquet prefixes — the operational
+  * counterpart of the reference's batched full-refresh loads
+  * (vectorstore_data.py's per-batch uploads and the per-URL bronze
+  * writes both sprawl objects; SURVEY §4.1). At 100 TB the failure mode
+  * is a prefix of millions of KB-sized files: every scan pays open/seek
+  * per file, the driver pays listing + footer reads, and shuffle
+  * planning degrades. Compaction rewrites a prefix into
+  * ceil(bytes / targetBytes) files and swaps it in place.
+  *
+  * Shape notes:
+  *  - sizing comes from the filesystem (`getContentSummary`), not a
+  *    count() job — no data pass to plan the rewrite;
+  *  - `shuffle = false` (default) uses `coalesce`: a map-side file
+  *    concat with NO shuffle — output sizes inherit input skew but the
+  *    rewrite moves each byte exactly once. `shuffle = true` uses
+  *    `repartition` for evenly-sized output at one full shuffle — worth
+  *    it when downstream scans care about per-file parallelism;
+  *  - the swap is write-to-staging → delete → rename. Parquet commit
+  *    protocol makes the staging write all-or-nothing; the final
+  *    delete+rename window is the same non-atomic exposure every
+  *    object-store rename has (a table format's metadata swap is the
+  *    fully atomic upgrade, out of scope here);
+  *  - partitioned layouts compact per partition directory (point this
+  *    at one partition, the way [[Silver.refreshPartition]] scopes its
+  *    overwrite) so untouched partitions keep their files byte-identical.
+  *
+  * Returns (filesBefore, filesAfter, bytes).
+  */
+object Compact {
+
+  val DefaultTargetBytes: Long = 128L * 1024 * 1024
+
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = DefaultTargetBytes,
+              shuffle: Boolean = false): (Long, Long, Long) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val before = parquetFiles(fs, path)
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val staging = new Path(dir + "_compacting")
+    val df = spark.read.parquet(dir)
+    (if (shuffle) df.repartition(nOut) else df.coalesce(nOut))
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.delete(path, true)
+    if (!fs.rename(staging, path))
+      throw new java.io.IOException(s"rename $staging -> $path failed")
+    (before, parquetFiles(fs, path), bytes)
+  }
+
+  private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long =
+    fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
+}

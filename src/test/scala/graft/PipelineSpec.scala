@@ -284,4 +284,28 @@ class PipelineSpec extends AnyFunSuite {
       Set("path", "modificationTime", "length", "content"))
     assert(df.count() == 2)
   }
+
+  test("compact collapses a small-file sprawl without changing a row; shuffle mode evens sizes") {
+    import graft.etl.Compact
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val src = Tables(spark, "/root/testdata/sf0.001", "events")
+    src.repartition(64).write.mode("overwrite").parquet(tmp)
+    val before = src.collect().map(_.toString).sorted
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(nFiles >= 32, s"staging produced only $nFiles files")
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(tmp)).getLength
+    val (b, a, reported) = Compact.compact(spark, tmp, targetBytes = bytes / 3 + 1)
+    assert(b >= 32 && a <= 4 && a >= 1, s"compaction $b -> $a files")
+    assert(reported == bytes)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmp + "_compacting")),
+      "staging dir left behind")
+    val after = spark.read.parquet(tmp).collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq, "compaction changed the data")
+    // shuffle mode: same rows, evenly sized output
+    val (_, a2, _) = Compact.compact(spark, tmp, targetBytes = bytes / 3 + 1, shuffle = true)
+    assert(a2 <= 4 && spark.read.parquet(tmp).count() == before.length)
+  }
 }
