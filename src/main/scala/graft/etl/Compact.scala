@@ -20,11 +20,12 @@ import org.apache.spark.sql.SparkSession
   *    rewrite moves each byte exactly once. `shuffle = true` uses
   *    `repartition` for evenly-sized output at one full shuffle — worth
   *    it when downstream scans care about per-file parallelism;
-  *  - the swap is write-to-staging → delete → rename. Parquet commit
-  *    protocol makes the staging write all-or-nothing; the final
-  *    delete+rename window is the same non-atomic exposure every
-  *    object-store rename has (a table format's metadata swap is the
-  *    fully atomic upgrade, out of scope here);
+  *  - the swap is write-to-staging → rename(live, old) → rename(staging,
+  *    live) → delete(old): at every step the full dataset exists under a
+  *    well-known name, so any crash leaves a recoverable directory (a
+  *    crash between the renames leaves `_old` — nothing is deleted until
+  *    the new files are live). A table format's metadata swap is the
+  *    fully atomic upgrade, out of scope here;
   *  - partitioned layouts compact per partition directory (point this
   *    at one partition, the way [[Silver.refreshPartition]] scopes its
   *    overwrite) so untouched partitions keep their files byte-identical.
@@ -45,12 +46,17 @@ object Compact {
     val before = parquetFiles(fs, path)
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val staging = new Path(dir + "_compacting")
+    val old = new Path(dir + "_old")
     val df = spark.read.parquet(dir)
     (if (shuffle) df.repartition(nOut) else df.coalesce(nOut))
       .write.mode("overwrite").parquet(staging.toString)
-    fs.delete(path, true)
-    if (!fs.rename(staging, path))
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"rename $path -> $old failed")
+    if (!fs.rename(staging, path)) {
+      fs.rename(old, path) // restore the live prefix before giving up
       throw new java.io.IOException(s"rename $staging -> $path failed")
+    }
+    fs.delete(old, true)
     (before, parquetFiles(fs, path), bytes)
   }
 

@@ -302,6 +302,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(reported == bytes)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(tmp + "_compacting")),
       "staging dir left behind")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmp + "_old")),
+      "old dir left behind")
     val after = spark.read.parquet(tmp).collect().map(_.toString).sorted
     assert(after.toSeq == before.toSeq, "compaction changed the data")
     // shuffle mode: same rows, evenly sized output
