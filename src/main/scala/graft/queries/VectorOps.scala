@@ -504,6 +504,56 @@ object VectorOps {
             .orderBy(col("rrf_micro").desc, col("doc_id").asc)).cast("long"))
         .filter(col("fused_rank") <= BmTopK)
         .select(col("query_id"), col("doc_id"), col("rrf_micro"), col("fused_rank"))
+    }),
+
+    // Distributed retrieval evaluation — nDCG@5 of the lexical arm
+    // against dense-arm relevance labels (rel = 6 − dense rank for the
+    // cosine top-5, 0 otherwise): the eval loop a retrieval pipeline
+    // runs over millions of queries, as one Spark job. INTEGER-EXACT:
+    // the log2 position discount is the shared pl2 primitive —
+    // contribution = rel · 2^20 · 1024 div pl2(1024·(rank+1)), exact at
+    // rank 1 (pl2(2048) = 1024) and deterministically approximate
+    // elsewhere, identically on both engines — so per-query DCG, ideal
+    // DCG (labels re-ranked best-first), and ndcg_micro = 1e6·dcg div
+    // idcg are all BIGINT arithmetic. Scale shape: both arms are
+    // rank-bounded (≤ |queries|·5 rows), the label join and the ideal
+    // re-rank are per-query windows over ≤ 5 rows — the whole eval
+    // costs two bounded windows beyond the arms themselves.
+    //
+    // At the gate corpora ndcg_micro is 0 for every query — the TRUE
+    // value: the synthetic embeddings are uncorrelated with the text, so
+    // the lexical and dense top-5 never intersect (the measured fact
+    // that motivates q76's fusion). The oracle still hash-checks the
+    // nonzero idcg chain here; the nonzero-gain path is exercised and
+    // fully recounted by SimilaritySpec's crafted corpus, where the
+    // arms overlap on 3 of 5 docs.
+    "q77_retrieval_eval" -> ((s, dir) => {
+      val lex = bm25Ranked(s, dir, BmTopK)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val e = Tables(s, dir, "embeddings")
+      val dense = Similarity.topKWindow(
+          e.filter(col("vec_id") % BmQueryMod === 0)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+          BmTopK)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          (lit(BmTopK + 1) - col("rank")).as("rel"))
+      val gains = lex.join(dense, Seq("query_id", "doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .withColumn("p", expr("1024 * (rank + 1)"))
+        .withColumn("gain", expr(s"(rel * 1073741824) div (${Idioms.pl2Expr("p")})"))
+      val dcg = gains.groupBy(col("query_id")).agg(sum(col("gain")).as("dcg"))
+      val ideal = dense
+        .withColumn("irank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("rel").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("irank") <= BmTopK)
+        .withColumn("p", expr("1024 * (irank + 1)"))
+        .withColumn("gain", expr(s"(rel * 1073741824) div (${Idioms.pl2Expr("p")})"))
+        .groupBy(col("query_id")).agg(sum(col("gain")).as("idcg"))
+      dcg.join(ideal, Seq("query_id"))
+        .withColumn("ndcg_micro", expr("(1000000 * dcg) div idcg"))
+        .select(col("query_id"), col("dcg"), col("idcg"), col("ndcg_micro"))
     })
   )
 
@@ -797,7 +847,41 @@ object VectorOps {
          |      ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS fused_rank
          |  FROM fused)
          |SELECT query_id, doc_id, rrf_micro, fused_rank
-         |FROM franked WHERE fused_rank <= $BmTopK""".stripMargin
+         |FROM franked WHERE fused_rank <= $BmTopK""".stripMargin,
+
+    "q77_retrieval_eval" ->
+      s"""WITH ${bm25Cte(BmTopK)},
+         |qe AS (SELECT vec_id AS query_id, embedding AS qv
+         |       FROM embeddings WHERE vec_id % $BmQueryMod = 0),
+         |ce AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |dsims AS (
+         |  SELECT query_id, neighbor_id, ${duckCosineExpr("qv", "cv")} AS cosine
+         |  FROM ce CROSS JOIN qe WHERE query_id <> neighbor_id),
+         |dense AS (
+         |  SELECT query_id, doc_id, CAST(${BmTopK + 1} - rnk AS BIGINT) AS rel
+         |  FROM (SELECT query_id, neighbor_id AS doc_id,
+         |          ROW_NUMBER() OVER (PARTITION BY query_id
+         |            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+         |        FROM dsims)
+         |  WHERE rnk <= $BmTopK),
+         |gains AS (
+         |  SELECT l.query_id,
+         |    (COALESCE(d.rel, 0) * 1073741824) // (${Idioms.pl2Sql("p")}) AS gain
+         |  FROM (SELECT query_id, doc_id, 1024 * (rank + 1) AS p FROM lr) l
+         |  LEFT JOIN dense d ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+         |dcg AS (SELECT query_id, CAST(sum(gain) AS BIGINT) AS dcg
+         |        FROM gains GROUP BY 1),
+         |igains AS (
+         |  SELECT query_id, (rel * 1073741824) // (${Idioms.pl2Sql("p")}) AS gain
+         |  FROM (SELECT query_id, rel, 1024 * (ROW_NUMBER() OVER (
+         |          PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) + 1) AS p
+         |        FROM dense)
+         |  WHERE p <= 1024 * (${BmTopK} + 1)),
+         |ideal AS (SELECT query_id, CAST(sum(gain) AS BIGINT) AS idcg
+         |          FROM igains GROUP BY 1)
+         |SELECT d.query_id, d.dcg, i.idcg,
+         |  (1000000 * d.dcg) // i.idcg AS ndcg_micro
+         |FROM dcg d JOIN ideal i ON d.query_id = i.query_id""".stripMargin
   )
 
   /** The q75 lexical arm as DuckDB CTEs ending in `lr` (rank ≤ k) —
