@@ -527,6 +527,14 @@ object VectorOps {
     // nonzero idcg chain here; the nonzero-gain path is exercised and
     // fully recounted by SimilaritySpec's crafted corpus, where the
     // arms overlap on 3 of 5 docs.
+    // Plan note: the dense arm (the corpus×queries cross join) is
+    // consumed EXACTLY ONCE — a full-outer join carries both the label
+    // for the lexical hit (dcg side) and the dense rank itself (ideal
+    // side), because with rank-derived labels (rel = 6 − dense rank)
+    // the ideal ordering IS the dense order, so no re-rank window is
+    // needed (a general-label deployment adds one ≤k-row-per-query
+    // window here). PlanSpec pins the single materialization — the
+    // two-branch formulation materialized the cross join three times.
     "q77_retrieval_eval" -> ((s, dir) => {
       val lex = bm25Ranked(s, dir, BmTopK)
         .select(col("query_id"), col("doc_id"), col("rank"))
@@ -537,21 +545,20 @@ object VectorOps {
           e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
           BmTopK)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
-          (lit(BmTopK + 1) - col("rank")).as("rel"))
-      val gains = lex.join(dense, Seq("query_id", "doc_id"), "left")
-        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+          (lit(BmTopK + 1) - col("rank")).as("rel"), col("rank").as("rank_dense"))
+      lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
         .withColumn("p", expr("1024 * (rank + 1)"))
-        .withColumn("gain", expr(s"(rel * 1073741824) div (${Idioms.pl2Expr("p")})"))
-      val dcg = gains.groupBy(col("query_id")).agg(sum(col("gain")).as("dcg"))
-      val ideal = dense
-        .withColumn("irank", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("rel").desc, col("doc_id").asc)).cast("long"))
-        .filter(col("irank") <= BmTopK)
-        .withColumn("p", expr("1024 * (irank + 1)"))
-        .withColumn("gain", expr(s"(rel * 1073741824) div (${Idioms.pl2Expr("p")})"))
-        .groupBy(col("query_id")).agg(sum(col("gain")).as("idcg"))
-      dcg.join(ideal, Seq("query_id"))
+        .withColumn("ip", expr("1024 * (rank_dense + 1)"))
+        .withColumn("gain", expr(
+          s"CASE WHEN rank IS NULL THEN CAST(0 AS BIGINT) " +
+            s"ELSE (coalesce(rel, CAST(0 AS BIGINT)) * 1073741824) div (${Idioms.pl2Expr("p")}) END"))
+        .withColumn("igain", expr(
+          s"CASE WHEN rank_dense IS NULL THEN CAST(0 AS BIGINT) " +
+            s"ELSE (rel * 1073741824) div (${Idioms.pl2Expr("ip")}) END"))
+        .groupBy(col("query_id"))
+        .agg(sum(col("gain")).as("dcg"), sum(col("igain")).as("idcg"),
+          count(col("rank")).as("nlex"))
+        .filter(col("nlex") > 0 && col("idcg") > 0)
         .withColumn("ndcg_micro", expr("(1000000 * dcg) div idcg"))
         .select(col("query_id"), col("dcg"), col("idcg"), col("ndcg_micro"))
     })
@@ -858,30 +865,29 @@ object VectorOps {
          |  SELECT query_id, neighbor_id, ${duckCosineExpr("qv", "cv")} AS cosine
          |  FROM ce CROSS JOIN qe WHERE query_id <> neighbor_id),
          |dense AS (
-         |  SELECT query_id, doc_id, CAST(${BmTopK + 1} - rnk AS BIGINT) AS rel
+         |  SELECT query_id, doc_id, CAST(${BmTopK + 1} - rnk AS BIGINT) AS rel,
+         |         CAST(rnk AS BIGINT) AS rank_dense
          |  FROM (SELECT query_id, neighbor_id AS doc_id,
          |          ROW_NUMBER() OVER (PARTITION BY query_id
          |            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
          |        FROM dsims)
          |  WHERE rnk <= $BmTopK),
-         |gains AS (
-         |  SELECT l.query_id,
-         |    (COALESCE(d.rel, 0) * 1073741824) // (${Idioms.pl2Sql("p")}) AS gain
-         |  FROM (SELECT query_id, doc_id, 1024 * (rank + 1) AS p FROM lr) l
-         |  LEFT JOIN dense d ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
-         |dcg AS (SELECT query_id, CAST(sum(gain) AS BIGINT) AS dcg
-         |        FROM gains GROUP BY 1),
-         |igains AS (
-         |  SELECT query_id, (rel * 1073741824) // (${Idioms.pl2Sql("p")}) AS gain
-         |  FROM (SELECT query_id, rel, 1024 * (ROW_NUMBER() OVER (
-         |          PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) + 1) AS p
-         |        FROM dense)
-         |  WHERE p <= 1024 * (${BmTopK} + 1)),
-         |ideal AS (SELECT query_id, CAST(sum(gain) AS BIGINT) AS idcg
-         |          FROM igains GROUP BY 1)
-         |SELECT d.query_id, d.dcg, i.idcg,
-         |  (1000000 * d.dcg) // i.idcg AS ndcg_micro
-         |FROM dcg d JOIN ideal i ON d.query_id = i.query_id""".stripMargin
+         |joined AS (
+         |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         |    l.rank AS rank, d.rel AS rel, d.rank_dense AS rank_dense,
+         |    1024 * (l.rank + 1) AS p, 1024 * (d.rank_dense + 1) AS ip
+         |  FROM lr l FULL OUTER JOIN dense d
+         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+         |agg AS (
+         |  SELECT query_id,
+         |    CAST(sum(CASE WHEN rank IS NULL THEN 0
+         |      ELSE (COALESCE(rel, 0) * 1073741824) // (${Idioms.pl2Sql("p")}) END) AS BIGINT) AS dcg,
+         |    CAST(sum(CASE WHEN rank_dense IS NULL THEN 0
+         |      ELSE (rel * 1073741824) // (${Idioms.pl2Sql("ip")}) END) AS BIGINT) AS idcg,
+         |    count(rank) AS nlex
+         |  FROM joined GROUP BY 1)
+         |SELECT query_id, dcg, idcg, (1000000 * dcg) // idcg AS ndcg_micro
+         |FROM agg WHERE nlex > 0 AND idcg > 0""".stripMargin
   )
 
   /** The q75 lexical arm as DuckDB CTEs ending in `lr` (rank ≤ k) —

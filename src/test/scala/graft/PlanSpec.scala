@@ -264,6 +264,19 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
   }
 
+  test("q77's expensive dense arm is computed exactly once in the executed plan") {
+    // the single full-outer join carries both the label (dcg side) and
+    // the dense rank (ideal side); the earlier two-branch formulation
+    // materialized the corpus×queries cross join multiple times because
+    // the analyzer's self-join dedup defeated exchange reuse
+    val df = SparkEntry.queries("q77_retrieval_eval")(spark, dir)
+    df.collect()
+    // AQE's toString appends an "Initial Plan" copy — audit the final only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      s"dense cross join materialized more than once:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path of q01") {
     // AQE shows codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
