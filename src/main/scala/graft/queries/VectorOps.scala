@@ -527,14 +527,18 @@ object VectorOps {
     // nonzero idcg chain here; the nonzero-gain path is exercised and
     // fully recounted by SimilaritySpec's crafted corpus, where the
     // arms overlap on 3 of 5 docs.
-    // Plan note: the dense arm (the corpus×queries cross join) is
-    // consumed EXACTLY ONCE — a full-outer join carries both the label
-    // for the lexical hit (dcg side) and the dense rank itself (ideal
-    // side), because with rank-derived labels (rel = 6 − dense rank)
-    // the ideal ordering IS the dense order, so no re-rank window is
-    // needed (a general-label deployment adds one ≤k-row-per-query
-    // window here). PlanSpec pins the single materialization — the
-    // two-branch formulation materialized the cross join three times.
+    // Plan note: a single full-outer join carries both gain sides —
+    // the lexical hit's label (dcg) and the dense rank itself (idcg) —
+    // because with rank-derived labels (rel = 6 − dense rank) the
+    // ideal ordering IS the dense order, so the two-branch form's
+    // ideal-side re-rank window is unnecessary (a general-label
+    // deployment adds one ≤k-row-per-query window back). Measured
+    // executed plans: both forms materialize the corpus×queries cross
+    // join once (the two-branch form via ReusedExchange), but this
+    // form drops 4 window passes and 2 joins; its full-outer join
+    // cannot broadcast (one SortMergeJoin appears), which is fine —
+    // both inputs are rank-bounded to |queries|·k rows. PlanSpec pins
+    // the single cross-join materialization against regressions.
     "q77_retrieval_eval" -> ((s, dir) => {
       val lex = bm25Ranked(s, dir, BmTopK)
         .select(col("query_id"), col("doc_id"), col("rank"))

@@ -266,9 +266,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("q77's expensive dense arm is computed exactly once in the executed plan") {
     // the single full-outer join carries both the label (dcg side) and
-    // the dense rank (ideal side); the earlier two-branch formulation
-    // materialized the corpus×queries cross join multiple times because
-    // the analyzer's self-join dedup defeated exchange reuse
+    // the dense rank (ideal side); this pin guards against any future
+    // formulation whose self-joins defeat exchange reuse and replay
+    // the corpus×queries cross join (the expensive arm) more than once
     val df = SparkEntry.queries("q77_retrieval_eval")(spark, dir)
     df.collect()
     // AQE's toString appends an "Initial Plan" copy — audit the final only
