@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-query plan invariants, swept over EVERY SparkEntry.queries entry
+  * via [[PlanAudit.audit]] (PlanSpec holds the per-query pins; this suite
+  * holds the properties that must be true of the whole surface). Each
+  * invariant is a scale property: a cartesian product or an unbounded
+  * nested-loop join that slips into any future query would turn a
+  * linear-at-10× plan into a quadratic one long before a benchmark run
+  * would catch it.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // one sweep, shared by every test in the suite
+  lazy val audits: Map[String, Map[String, Long]] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> PlanAudit.audit(fn(spark, dir))
+    }
+
+  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+    * every one broadcasts a build side that is BOUNDED BY CONSTRUCTION
+    * (a sampled query batch, a k-row centroid set, a held-out benchmark,
+    * or a single-row aggregate frame), so the "nested loop" is k·n work,
+    * not n². Growing this set requires the same boundedness argument in
+    * the new query's scaladoc.
+    */
+  private val boundedBnlj: Set[String] = Set(
+    "q24_knn_brute",             // 50-query batch vs corpus (definitional)
+    "q25_embedding_neardup",     // vec_id<2000 audit slice build side
+    "q35_ivf_assign",            // k=16 centroid build side
+    "q45_ivf_topk",              // k-centroid probe
+    "q46_tfidf_topterms",        // single-row corpus-N frame
+    "q47_ivf_kmeans_topk",       // trained k-centroid probe
+    "q58_mix_rebalance",         // single-row min-source frame
+    "q68_semdedup",              // autoK(n) centroid build side
+    "q69_quantized_ann",         // query batch vs SQ8 grid
+    "q71_semantic_decontaminate",// broadcast held-out benchmark
+    "q72_target_affinity_select",// single-row weight frames
+    "q76_hybrid_rrf",            // dense arm: query batch vs corpus
+    "q77_retrieval_eval"         // dense arm, shared with q76
+  )
+
+  /** Full-outer / outer fusion joins whose BOTH inputs are rank-bounded
+    * (|queries|·k rows) — they cannot broadcast (outer side), so a
+    * SortMergeJoin on tiny inputs is the correct physical choice. */
+  private val rankBoundedSmj: Set[String] = Set(
+    "q68_semdedup", "q72_target_affinity_select",
+    "q76_hybrid_rrf", "q77_retrieval_eval")
+
+  test("no query's executed plan contains a CartesianProduct") {
+    val bad = audits.filter(_._2("cartesian_product") > 0).keys.toSeq.sorted
+    assert(bad.isEmpty, s"cartesian product in: ${bad.mkString(", ")}")
+  }
+
+  test("BroadcastNestedLoopJoin appears only where the build side is bounded by construction") {
+    val bad = audits.filter(_._2("broadcast_nl_join") > 0).keySet -- boundedBnlj
+    assert(bad.isEmpty, s"unreviewed nested-loop join in: ${bad.mkString(", ")}")
+  }
+
+  test("SortMergeJoin appears only in the rank-bounded outer fusion joins") {
+    val bad = audits.filter(_._2("sort_merge_join") > 0).keySet -- rankBoundedSmj
+    assert(bad.isEmpty,
+      s"join degraded to SMJ (broadcast expected) in: ${bad.mkString(", ")}")
+  }
+
+  test("every query's hot path is inside whole-stage codegen") {
+    val bad = audits.filter(_._2("codegen_spans") == 0).keys.toSeq.sorted
+    assert(bad.isEmpty, s"no codegen span in: ${bad.mkString(", ")}")
+  }
+}
