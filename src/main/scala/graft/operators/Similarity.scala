@@ -132,22 +132,38 @@ object Similarity {
   /** Cosine similarity with NaN (zero-norm input) mapped to -Infinity,
     * so "most similar" rankings never prefer a degenerate vector
     * regardless of whether the ranking is a window sort (NaN sorts
-    * first under desc) or a min-struct agg (NaN sorts last). */
-  private def guardedSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    * first under desc) or a min-struct agg (NaN sorts last). Public so
+    * every ranking surface (ivfTopK, the streamed-index search) applies
+    * the SAME guard — a divergence here would silently change top-k
+    * results between the batch and index paths. */
+  def guardedCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     nanvl(graft.plans.GraftExpressions.cosineSimNative(a, b), lit(Double.NegativeInfinity))
+  private def guardedSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    guardedCosine(a, b)
+
+  /** Top-`nprobe` nearest centroids per query (the QUERY side of IVF;
+    * the corpus side is [[nearestCentroid]]'s agg-min — queries are a
+    * bounded batch, so a window over the k-row cross join is fine).
+    * Returns the query rows with `centroid_id` attached, one row per
+    * (query, probed centroid). */
+  def assignProbes(queries: DataFrame, centroids: DataFrame, nprobe: Int,
+                   vecCol: String = "qv", idCol: String = "query_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("casim").desc, col("centroid_id").asc)
+    queries.crossJoin(broadcast(centroids))
+      .withColumn("casim", guardedSim(col(vecCol), col("cvec")))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= nprobe)
+      .drop("casim", "_rk", "cvec")
+  }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int,
               nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    def assign(df: DataFrame, vecCol: String, idCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("casim").desc, col("centroid_id").asc)
-      df.crossJoin(broadcast(centroids))
-        .withColumn("casim", guardedSim(col(vecCol), col("cvec")))
-        .withColumn("_rk", row_number().over(w))
-        .filter(col("_rk") <= keep)
-        .drop("casim", "_rk", "cvec")
-    }
+    def assign(df: DataFrame, vecCol: String, idCol: String, keep: Int): DataFrame =
+      assignProbes(df, centroids, keep, vecCol, idCol)
     // each corpus vector lives in exactly ONE partition (agg-min, scales
     // with partial aggregation); a query probes nprobe of them (window,
     // query side is small), so (query, neighbor) candidates are unique

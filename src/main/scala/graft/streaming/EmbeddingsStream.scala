@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the EMBEDDING side of the pipeline: the
+  * vector-store sink (SURVEY §2.1 S12/S13) maintained INCREMENTALLY
+  * instead of rebuilt — the streaming form of the reference's
+  * seed-then-search collection (seed_milvus.py:42-86 re-seeds the whole
+  * collection per run; a Milvus deployment at volume inserts into a
+  * standing IVF index instead, which is exactly this shape).
+  *
+  *  - [[ivfIngest]]: each arriving micro-batch of vectors is assigned to
+  *    its nearest static centroid ([[Similarity.nearestCentroid]], the
+  *    SAME agg-min the batch q35 oracle checks) and appended to a
+  *    parquet index PARTITIONED BY `centroid_id`. Assignment is
+  *    state-free given fixed centroids — a vector's partition depends
+  *    only on itself — so micro-batch boundaries cannot change the
+  *    index: after any sequence of drops it is row-identical to a batch
+  *    build over the union (StreamingSpec asserts this, plus
+  *    exactly-once replay via the checkpoint).
+  *
+  *  - [[searchIndex]]: top-k retrieval AGAINST the standing index. The
+  *    probe set ([[Similarity.assignProbes]], top-`nprobe` centroids per
+  *    query) is broadcast and joined on `centroid_id` — the index's
+  *    PARTITION column — so dynamic partition pruning skips every
+  *    unprobed partition's files at the scan (PlanSpec pins the
+  *    `dynamicpruning` expression on the scan). At 100 TB this is the
+  *    difference between reading k/nprobe-th of the index and reading
+  *    all of it; results are bit-equal to [[Similarity.ivfTopK]] over
+  *    the same corpus + centroids because both sides apply the same
+  *    guarded cosine and (desc cosine, asc id) tiebreak.
+  *
+  * Centroids stay static here (the faiss/Milvus deployment shape:
+  * retrain offline, re-assign on rebuild); drift is handled by the batch
+  * path — retrain via [[Similarity.kmeansCentroids]] and rebuild with
+  * [[graft.etl.Gold.refresh]], the drop_old=True analog.
+  */
+object EmbeddingsStream {
+
+  /** embeddings schema as the corpus parquet stores it. */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** File-stream source over a directory of parquet embedding drops. */
+  def source(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(embSchema).parquet(dir)
+
+  /** Assign every arriving vector to its nearest centroid and append it
+    * to the `centroid_id`-partitioned index at `indexDir`. Drains
+    * available input and stops (AvailableNow); re-runs process only new
+    * files (checkpointed file-source offsets), so a crash-retry or a
+    * duplicate drop of the SAME file never double-inserts. */
+  def ivfIngest(spark: SparkSession, srcDir: String, centroids: DataFrame,
+                indexDir: String, checkpointDir: String): StreamingQuery = {
+    val q = source(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.nearestCentroid(
+            batch.select(col("vec_id"), col("embedding")),
+            centroids, "embedding", "vec_id", Seq("embedding"))
+          .select(col("centroid_id"), col("vec_id"), col("casim"), col("embedding"))
+          .write.mode("append").partitionBy("centroid_id").parquet(indexDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Top-k cosine retrieval against the standing index: probe the
+    * `nprobe` nearest centroids per query, scan ONLY those index
+    * partitions (broadcast equi-join on the partition column → dynamic
+    * partition pruning), rank within. Output shape and values match
+    * [[Similarity.ivfTopK]] on the same corpus/centroids/k/nprobe.
+    * queries: (query_id: Long, qv: Array[Float]). */
+  def searchIndex(spark: SparkSession, indexDir: String, queries: DataFrame,
+                  centroids: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    val index = spark.read.parquet(indexDir)
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"))
+    val probes = Similarity.assignProbes(queries, centroids, nprobe)
+    val cands = index.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Similarity.guardedCosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long"))
+  }
+}

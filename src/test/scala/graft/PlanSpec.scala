@@ -264,6 +264,32 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
   }
 
+  test("searchIndex prunes unprobed IVF partitions at the scan (DPP on centroid_id)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import graft.streaming.EmbeddingsStream
+    val corpus = Tables(spark, dir, "embeddings")
+    val cents = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-plan").toString + "/index"
+    Similarity.nearestCentroid(
+        corpus.select(col("vec_id"), col("embedding")), cents, "embedding", "vec_id",
+        Seq("embedding"))
+      .select(col("centroid_id"), col("vec_id"), col("casim"), col("embedding"))
+      .write.partitionBy("centroid_id").parquet(idx)
+    val queries = corpus.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val hits = EmbeddingsStream.searchIndex(spark, idx, queries, cents, k = 5, nprobe = 2)
+      val p = hits.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"index scan reads unprobed partitions (no DPP):\n$p")
+      assert(hits.collect().nonEmpty)
+    } finally
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+  }
+
   test("q77's expensive dense arm is computed exactly once in the executed plan") {
     // the single full-outer join carries both the label (dcg side) and
     // the dense rank (ideal side); this pin guards against any future

@@ -289,4 +289,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(keys.distinct.length == keys.length, s"duplicate session keys: ${all.mkString(", ")}")
     } finally q.stop()
   }
+
+  test("incremental IVF ingest builds the same index as a batch build; replays are no-ops") {
+    import graft.streaming.EmbeddingsStream
+    import graft.operators.Similarity
+    val src = Files.createTempDirectory("graft-ivf-src").toString
+    val idx = Files.createTempDirectory("graft-ivf-idx").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft-ivf-ckpt").toString
+    val corpus = Tables(spark, sfDir, "embeddings").cache()
+    val cents = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")).cache()
+    // drop 1: the even vec_ids; drop 2: the odd ones — two separate runs
+    corpus.filter(col("vec_id") % 2 === 0).write.mode("append").parquet(src)
+    EmbeddingsStream.ivfIngest(spark, src, cents, idx, ckpt)
+    val afterFirst = spark.read.parquet(idx).count()
+    // replay with nothing new: exactly-once over files
+    EmbeddingsStream.ivfIngest(spark, src, cents, idx, ckpt)
+    assert(spark.read.parquet(idx).count() == afterFirst)
+    corpus.filter(col("vec_id") % 2 === 1).write.mode("append").parquet(src)
+    EmbeddingsStream.ivfIngest(spark, src, cents, idx, ckpt)
+    // the incrementally-built index is row-identical to one batch build
+    val streamed = spark.read.parquet(idx)
+      .select(col("vec_id"), col("centroid_id"), col("casim"))
+      .collect().map(_.toSeq).toSet
+    val batch = Similarity.nearestCentroid(
+        corpus.select(col("vec_id"), col("embedding")), cents, "embedding", "vec_id")
+      .select(col("vec_id"), col("centroid_id"), col("casim"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // search against the standing index == the batch ivfTopK
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val viaIndex = EmbeddingsStream.searchIndex(spark, idx, queries, cents, k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val viaBatch = Similarity.ivfTopK(queries,
+        corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+        cents, k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex.nonEmpty && viaIndex == viaBatch)
+    cents.unpersist(); corpus.unpersist()
+  }
 }
