@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * replica in ScaleGen output, so exact ground truth is available at
   * any replication factor).
   *
-  * Usage: ScaleProbe <sfDir> [bits|auto|auto2|knn|decontam|semdedup] [tables|k]
+  * Usage: ScaleProbe <sfDir> [bits|auto|auto2|knn|decontam|semdedup|bm25|ivfindex] [tables|k]
   * `auto` (the default) sizes bits from the corpus count exactly like
   * the shipped q40 — the no-manual-resizing path. `auto2` is the same
   * width with two-sided probing (`lshNearDupPairs(..., twoSided)`), the
@@ -104,6 +104,53 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       println(f"""{"probe":"bm25_fixed_batch","sf":"$sfDir","corpus":$n,"queries":$nq,"median_sec":${times(1)}%.3f}""")
+      spark.stop()
+      return
+    }
+
+    // `ivfindex` times the STANDING-INDEX retrieval shape against the
+    // recompute-everything shape, same fixed 40-query batch as `knn`
+    // (identity replica, so the same queries at every scale factor):
+    // (a) one-time index build (corpus assignment + centroid_id-
+    // partitioned write), (b) EmbeddingsStream.searchIndex — probe
+    // nprobe centroids per query, scan ONLY those partitions via
+    // dynamic partition pruning, (c) Similarity.ivfTopK — re-assigns
+    // the whole corpus per run (what a no-index deployment pays per
+    // query batch). The evidence for SCALE.md: (b) is bounded by the
+    // probed partitions' bytes, (c) by the corpus.
+    if (bitsArg == "ivfindex") {
+      import graft.operators.Similarity
+      import graft.streaming.EmbeddingsStream
+      // a deployment ANALYZEs its tables; without stats the planner's
+      // benefit estimate declines DPP at probe scale
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val e = Tables(spark, sfDir, "embeddings")
+      val n = e.count()
+      val cents = e.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")).cache()
+      cents.count()
+      val idxDir = s"/tmp/graft_ivfindex_$n"
+      val tb = System.nanoTime()
+      Similarity.nearestCentroid(
+          e.select(col("vec_id"), col("embedding")), cents, "embedding", "vec_id",
+          Seq("embedding"))
+        .select(col("centroid_id"), col("vec_id"), col("casim"), col("embedding"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(idxDir)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      val q = e.filter(col("vec_id") < 2000 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")).cache()
+      val nq = q.count()
+      def viaIndex = EmbeddingsStream.searchIndex(spark, idxDir, q, cents, k = 5, nprobe = 2)
+      def viaFull = Similarity.ivfTopK(q,
+        e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+        cents, k = 5, nprobe = 2)
+      viaIndex.count(); viaFull.count() // warmup
+      def med(f: => Long): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+      val idxSec = med(viaIndex.count())
+      val fullSec = med(viaFull.count())
+      println(f"""{"probe":"ivfindex","sf":"$sfDir","corpus":$n,"queries":$nq,"build_sec":$buildSec%.3f,"index_search_sec":$idxSec%.3f,"full_ivf_sec":$fullSec%.3f}""")
       spark.stop()
       return
     }
