@@ -71,10 +71,23 @@ object Bench {
       }
     }
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failing query reports -1.000, NOT the elapsed time of the throw:
+    // round 10's four broken queries appeared as 0.065-0.080 s entries
+    // indistinguishable from genuinely fast ones, flattering the total.
+    // The exception class is carried into an "errors" map on the JSON line
+    // so the artifact itself says WHAT broke.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(name, e.getClass.getSimpleName)
+          -1.0
+      }
     }
 
     spark.sparkContext.setLogLevel("ERROR") // WARN spam must not dilute the stdout tail
@@ -86,14 +99,17 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
-          def stats(ts: Seq[Double]): (Double, Double) = {
-            val s = ts.sorted
-            (s(s.length / 2), if (s.head > 0) s.last / s.head else -1.0)
-          }
-          val first = stats((1 to reps).map(_ => timeOnce(fn)))
+          def stats(ts: Seq[Double]): (Double, Double) =
+            if (ts.exists(_ < 0)) (-1.0, -1.0) // any erroring rep = broken query
+            else {
+              val s = ts.sorted
+              (s(s.length / 2), if (s.head > 0) s.last / s.head else -1.0)
+            }
+          val first = stats((1 to reps).map(_ => timeOnce(name, fn)))
           val fin =
-            if (reps > 1 && (first._2 > 3.0 || first._2 < 0))
-              stats((1 to reps).map(_ => timeOnce(fn)) ++ (1 to 2).map(_ => timeOnce(fn)))
+            if (reps > 1 && first._1 >= 0 && first._2 > 3.0)
+              stats((1 to reps).map(_ => timeOnce(name, fn)) ++
+                (1 to 2).map(_ => timeOnce(name, fn)))
             else first
           name -> fin
         }
@@ -104,10 +120,13 @@ object Bench {
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, (_, sp)) => "\"" + k + "\":" + r1(sp) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    // total sums only the healthy medians; error entries are -1 markers
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val metric = if (only.isDefined) "total_subset" else "total"
     val line =
-      s"""{"metric":"$metric","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"loadavg_before":${r1(loadBefore)},"loadavg_after":${r1(loadAfter)},"spread":$spreads}"""
+      s"""{"metric":"$metric","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"errors":$errJson,"loadavg_before":${r1(loadBefore)},"loadavg_after":${r1(loadAfter)},"spread":$spreads}"""
     // Emit the line FIRST and LAST around the teardown: whichever end of the
     // driver's stdout window survives, a complete copy of the line is in it.
     println(line)

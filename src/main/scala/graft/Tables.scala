@@ -19,22 +19,39 @@ object Tables {
     if (name == "events") events(spark, sfDir) else
       spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's TimestampType
-    * (micros) cannot read directly; read nanos as long and convert with
-    * integral division (`div`): `/` is double division and ns epochs
-    * (~1.7e18) exceed double's 53-bit mantissa, putting ~1.6% of rows
-    * 1 µs off. `div` truncates toward zero exactly like DuckDB's
-    * ns→µs cast, so µs-granularity oracles (q39) compare bit-exact. */
+  /** events.parquet's physical `ts` type has drifted across testdata
+    * generations, so dispatch on the decoded Spark type and normalise every
+    * variant to session-tz TimestampType (micros), which all downstream
+    * `unix_micros`/window logic assumes:
+    *
+    *  - TIMESTAMP(NANOS): TimestampType can't hold nanos; read as long
+    *    (`nanosAsLong`) and convert with integral `div` — `/` is double
+    *    division and ns epochs (~1.7e18) exceed double's 53-bit mantissa,
+    *    putting ~1.6% of rows 1 µs off. `div` truncates toward zero exactly
+    *    like DuckDB's ns→µs cast, so µs-granularity oracles compare bit-exact.
+    *  - timestamp[us] without tz: Spark reads TIMESTAMP_NTZ; cast to
+    *    TimestampType. Sessions here run in UTC, so the wall-clock
+    *    reinterpretation is epoch-identity and matches DuckDB, which treats
+    *    the same column as naive-UTC.
+    *  - TimestampType (re-landed copies: ScaleGen replicas,
+    *    incremental-ingest output): pass through.
+    *
+    * Any OTHER physical type is a new drift: fail loudly with the type
+    * instead of letting 4 queries + 8 specs break downstream. */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/events.parquet")
-    // the driver's testdata stores TIMESTAMP(NANOS) (read as long above);
-    // re-landed copies (ScaleGen replicas, incremental-ingest output) are
-    // already µs TimestampType and need no conversion
+    import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other — testdata " +
+            "schema drifted again; add a normalisation arm in Tables.events")
     }
   }
 }

@@ -411,11 +411,20 @@ object TrainingOps {
         .select(col("h")).distinct()
       val m = BloomBitsPerElem * bench.count()
       def posExpr(j: Int) = s"(h % $m + $j * ((h DIV $m) % $m)) % $m"
-      val positions = bench
+      // Assemble the m-bit array DISTRIBUTED: fold probe positions into
+      // 64-bit words with a map-side-combined bit_or aggregation keyed on
+      // word index, so the driver pulls at most m/64 (word, bits) pairs —
+      // the same order as the array it must broadcast anyway — never the
+      // k·|bench| raw position stream (~4B rows at a 1B-n-gram blacklist).
+      // bit_or is idempotent, so duplicate positions need no distinct pass
+      // (and no second shuffle).
+      val words = bench
         .select(explode(array((0 until BloomK).map(j => expr(posExpr(j))): _*)).as("p"))
-        .distinct().collect().map(_.getLong(0))
+        .groupBy(expr("p div 64").as("blk"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))").as("w"))
+        .collect()
       val bits = new Array[Long](((m + 63) / 64).toInt)
-      positions.foreach(p => bits((p / 64).toInt) |= 1L << (p % 64).toInt)
+      words.foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
       val bloomHit = (0 until BloomK).map { j =>
         expr(s"(shiftright(element_at(bs, CAST((${posExpr(j)}) DIV 64 AS INT) + 1), " +
           s"CAST((${posExpr(j)}) % 64 AS INT)) & 1) = 1")
@@ -660,7 +669,7 @@ object TrainingOps {
          |  FROM tb FULL OUTER JOIN sb ON tb.b = sb.b CROSS JOIN tot),
          |cb AS (SELECT doc_id, ${hash60Sql("w")} % $AffinityBuckets AS b, COUNT(*) AS c_b
          |       FROM tok WHERE doc_id % 20 <> 0 GROUP BY 1, 2)
-         |SELECT doc_id, SUM(c_b * w_b) AS score
+         |SELECT doc_id, CAST(SUM(c_b * w_b) AS BIGINT) AS score
          |FROM cb JOIN wts USING (b)
          |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT $AffinityTopK""".stripMargin,
 
