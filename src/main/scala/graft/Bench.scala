@@ -118,8 +118,13 @@ object Bench {
     def r1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + r3(m) }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, (_, sp)) => "\"" + k + "\":" + r1(sp) }
-      .mkString("{", ",", "}")
+    // Spread is emitted ONLY where it says something (>= 1.2x across reps,
+    // or the -1 error marker): the full 77-entry map made the JSON line
+    // ~9 KB and the round-10 archive's tail window truncated it mid-object.
+    // An absent key means "reps agreed within 1.2x" by contract.
+    val spreads = results.collect {
+      case (k, (_, sp)) if sp >= 1.2 || sp < 0 => "\"" + k + "\":" + r1(sp)
+    }.mkString("{", ",", "}")
     // total sums only the healthy medians; error entries are -1 markers
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }

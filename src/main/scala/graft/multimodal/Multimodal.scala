@@ -55,13 +55,26 @@ object Multimodal {
   /** Modality-dispatched text extraction (reference crawl_web.py:127-138:
     * text/html → bs4 extractor, application/pdf → PDF loader): html goes
     * through the entity-decoding tag stripper, pdf through the pure-JVM
-    * content-stream extractor (F8), anything else is read as UTF-8. */
+    * content-stream extractor (F8), anything else is read as UTF-8.
+    *
+    * The extractor's scope boundary is a COUNTED column, not silence:
+    * `extract_status` is `ok` when text was recovered, `quarantined` when
+    * a non-empty payload yielded no text — for PDFs that is the
+    * documented out-of-scope corpus (CID/Type0 fonts, encryption, object
+    * streams; PdfText.scala header), the extract-or-quarantine posture of
+    * the A4 reliability family. Downstream keeps a corpus-health metric
+    * (`count(extract_status = 'quarantined')`) instead of mistaking
+    * extractor scope for genuinely empty documents. */
   def extractText(assets: DataFrame): DataFrame = {
     import graft.functions.{PdfText, TextFunctions}
     assets.withColumn("text",
-      when(col("modality") === "html", TextFunctions.htmlToTextUdf(col("content").cast("string")))
-        .when(col("modality") === "pdf", PdfText.pdfToTextUdf(col("content")))
-        .otherwise(col("content").cast("string")))
+        when(col("modality") === "html", TextFunctions.htmlToTextUdf(col("content").cast("string")))
+          .when(col("modality") === "pdf", PdfText.pdfToTextUdf(col("content")))
+          .otherwise(col("content").cast("string")))
+      .withColumn("extract_status",
+        when(length(trim(col("text"))) > 0, "ok")
+          .when(col("content").isNotNull && length(col("content")) > 0, "quarantined")
+          .otherwise("empty"))
   }
 
   /** Real image decode via the JDK's own codecs (`javax.imageio`,
@@ -260,6 +273,24 @@ object Multimodal {
         }
       }
   }
+
+  /** Image descriptors in the vector-store ingest shape
+    * (`vec_id, embedding, label` — [[graft.streaming.EmbeddingsStream.embSchema]])
+    * so the STANDING IVF index serves multimodal near-dup through the same
+    * incremental path text embeddings already have: write each crawl
+    * batch's descriptors as a parquet drop, `EmbeddingsStream.ivfIngest`
+    * appends them to the centroid-partitioned index, and
+    * `EmbeddingsStream.searchIndex` retrieves with DPP-pruned partition
+    * scans — no index rebuild per crawl day. `label` 1 marks a real
+    * raster descriptor (perceptual matching valid), 0 the byte-histogram
+    * fallback (exact-content signature only); searchers can filter on it.
+    * Descriptors are `dim`=64 to match the LSH/IVF plane arity, as in
+    * [[imageNearDupPairs]]. */
+  def descriptorDrop(spark: SparkSession, assets: DataFrame, dim: Int = 64): DataFrame =
+    extractFeatures(spark, assets, dim).toDF()
+      .select(col("asset_id").as("vec_id"), col("feature").as("embedding"),
+        when(col("width") > 0 && col("height") > 0, 1).otherwise(0)
+          .cast("int").as("label"))
 
   /** Image near-duplicate pairs over the SAME production ANN path as
     * text/embedding near-dup (q40): mean-pooled raster descriptors

@@ -50,12 +50,28 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("extractText dispatches html and pdf payloads to their extractors") {
-    val texts = Multimodal.extractText(Multimodal.readAssets(spark, assetDir))
+    val rows = Multimodal.extractText(Multimodal.readAssets(spark, assetDir))
       .filter(col("modality").isin("html", "pdf"))
-      .select(col("modality"), col("text")).collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(texts("html") == "x")
-    assert(texts("pdf") == "Bao cao thuy van")
+      .select(col("modality"), col("text"), col("extract_status")).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows("html") == ("x", "ok"))
+    assert(rows("pdf") == ("Bao cao thuy van", "ok"))
+  }
+
+  test("extractText quarantines non-empty payloads that yield no text (PDF scope boundary)") {
+    import spark.implicits._
+    // a PDF-tagged payload with no recoverable content stream — stands in
+    // for the out-of-scope corpus (CID/Type0 fonts, encryption, ObjStm)
+    val assets = Seq(
+      (1L, "pdf", "%PDF-1.4\nopaque-cid-font-body\n%%EOF".getBytes),
+      (2L, "pdf", pdfBytes("readable")),
+      (3L, "binary", Array.empty[Byte]))
+      .toDF("asset_id", "modality", "content")
+    val st = Multimodal.extractText(assets)
+      .select(col("asset_id"), col("extract_status")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "quarantined", 2L -> "ok", 3L -> "empty"),
+      s"extract-or-quarantine statuses wrong: $st")
   }
 
   test("decodeImage decodes real PNG and JPEG bytes with correct dimensions") {
@@ -154,21 +170,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2L).isNullAt(1))
   }
 
+  /** DISTINCT deterministic images: per-block random colors from distinct
+    * seeds (two different random color layouts land near the all-positive-
+    * quadrant background cosine ~0.75, far under the 0.98 threshold). */
+  private def patterned(seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(320, 240, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 320; y <- 0 until 240) {
+      val bx = x / 80; val by = y / 60 // 4x4 block grid = descriptor cells
+      val h = (seed * 1000003 + bx * 8191 + by * 131071) * 2654435761L
+      img.setRGB(x, y, ((h >>> 24) & 0xffffff).toInt)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+  }
+
   test("imageNearDupPairs: copies pair with originals through the LSH path, distinct images don't") {
     import spark.implicits._
-    // 10 DISTINCT images: per-block random colors from distinct seeds
-    // (two different random color layouts land near the all-positive-
-    // quadrant background cosine ~0.75, far under the 0.98 threshold)
-    def patterned(seed: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(320, 240, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (x <- 0 until 320; y <- 0 until 240) {
-        val bx = x / 80; val by = y / 60 // 4x4 block grid = descriptor cells
-        val h = (seed * 1000003 + bx * 8191 + by * 131071) * 2654435761L
-        img.setRGB(x, y, ((h >>> 24) & 0xffffff).toInt)
-      }
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
-    }
     val originals = (0 until 10).map(i => (i.toLong, "image", patterned(i)))
     // near-dup variants: bilinear resize + PNG re-encode of 0..2, JPEG
     // re-encode of 3 — the transformations a crawler actually sees
@@ -188,6 +205,47 @@ class MultimodalSpec extends AnyFunSuite {
     val expected = (0 until 4).map(i => (i.toLong, 100L + i)).toSet
     assert(pairs == expected,
       s"LSH image near-dup: got $pairs, expected $expected")
+  }
+
+  test("descriptorDrop feeds the standing IVF index: incremental multimodal near-dup") {
+    import graft.streaming.EmbeddingsStream
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-mmivf-src").toString
+    val idx = Files.createTempDirectory("graft-mmivf-idx").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft-mmivf-ckpt").toString
+    // day 1: 8 distinct crawled images + one undecodable payload
+    val day1 = ((0 until 8).map(i => (i.toLong, "image", patterned(i))) :+
+      (999L, "image", "not an image".getBytes))
+      .toDF("asset_id", "modality", "content")
+    val drop1 = Multimodal.descriptorDrop(spark, day1)
+    // labels separate perceptual descriptors from the byte-histogram fallback
+    val labels = drop1.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert((0 until 8).forall(i => labels(i.toLong) == 1) && labels(999L) == 0)
+    // centroids: day-1 descriptors of the first 4 images (faiss-style
+    // offline train); the index partitions by nearest centroid
+    val cents = drop1.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")).cache()
+    drop1.write.mode("append").parquet(src)
+    EmbeddingsStream.ivfIngest(spark, src, cents, idx, ckpt)
+    // day 2: resized re-encodes of images 0..2 arrive — appended to the
+    // standing index, no rebuild
+    val day2 = (0 until 3).map(i =>
+        (100L + i, "image", Multimodal.resizeImage(patterned(i), 160, 120).get))
+      .toDF("asset_id", "modality", "content")
+    val drop2 = Multimodal.descriptorDrop(spark, day2)
+    drop2.write.mode("append").parquet(src)
+    EmbeddingsStream.ivfIngest(spark, src, cents, idx, ckpt)
+    // retrieval over the standing index finds each copy's original at
+    // near-dup cosine, through DPP-pruned partition scans
+    val queries = drop2.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val hits = EmbeddingsStream.searchIndex(spark, idx, queries, cents, k = 1, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    (0 until 3).foreach { i =>
+      val (neighbor, cosine) = hits(100L + i)
+      assert(neighbor == i.toLong && cosine > 0.98,
+        s"copy ${100 + i}: expected original $i at >0.98, got $neighbor at $cosine")
+    }
+    cents.unpersist()
   }
 
   test("decodeWav demuxes a real RIFF/PCM16 header; RMS windows track signal energy") {
