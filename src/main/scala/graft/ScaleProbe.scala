@@ -87,6 +87,31 @@ object ScaleProbe {
       return
     }
 
+    // `bloombuild` times ONLY q73's Bloom bit-array assembly — the
+    // distributed build (bench n-grams → k probe positions → block-
+    // indexed bit_or → driver collect of m/64 words) — across replica
+    // scales. The SCALE.md evidence that the build is flat-per-element
+    // with driver footprint bounded by m/64 words (= the broadcast
+    // payload), after round 10's position-collect was replaced.
+    if (bitsArg == "bloombuild") {
+      import graft.queries.TrainingOps
+      val bench = TrainingOps.benchGramHashes(spark, sfDir).cache()
+      val nGrams = bench.count() // materialize + stat
+      val m = TrainingOps.BloomBitsPerElem * nGrams
+      def build = TrainingOps.bloomBitArray(bench, m)
+      val warm = build // warmup: JIT + codegen
+      val nzWords = warm.count(_ != 0L)
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        build
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val perElemUs = times(1) / nGrams * 1e6
+      println(f"""{"probe":"bloombuild","sf":"$sfDir","bench_ngrams":$nGrams,"m_bits":$m,"driver_words":${(m + 63) / 64},"nonzero_words":$nzWords,"median_sec":${times(1)}%.3f,"us_per_elem":$perElemUs%.3f}""")
+      spark.stop()
+      return
+    }
+
     // `bm25` times q75's DEPLOYMENT shape — a FIXED query batch (the
     // identity replica's doc_id % 250 docs, the same queries at every
     // scale factor) against the whole corpus: the evidence that q75's

@@ -86,6 +86,44 @@ object TrainingOps {
   private[graft] val BloomBitsPerElem = 10L
   private[graft] val BloomK = 4
 
+  /** Probe position j for 60-bit hash column `h` in an m-bit Bloom filter
+    * — double hashing (Kirsch & Mitzenmacher 2006: two hashes simulate k
+    * independent ones): p_j = (h mod m + j·((h div m) mod m)) mod m. */
+  private[graft] def bloomPosExpr(m: Long, j: Int): String =
+    s"(h % $m + $j * ((h DIV $m) % $m)) % $m"
+
+  /** Assemble the m-bit Bloom array over `bench` (one 60-bit `h` column)
+    * DISTRIBUTED: fold the k probe positions into 64-bit words with a
+    * map-side-combined bit_or aggregation keyed on word index, so the
+    * driver pulls at most m/64 (word, bits) pairs — the same order as the
+    * array it must broadcast anyway — never the k·|bench| raw position
+    * stream (~4B rows at a 1B-n-gram blacklist). bit_or is idempotent, so
+    * duplicate positions need no distinct pass (and no second shuffle).
+    * [[graft.ScaleProbe]] `bloombuild` measures this path's per-element
+    * build cost and driver footprint across 1×/10×/100× bench sizes. */
+  private[graft] def bloomBitArray(bench: DataFrame, m: Long,
+                                   k: Int = BloomK): Array[Long] = {
+    val words = bench
+      .select(explode(array((0 until k).map(j => expr(bloomPosExpr(m, j))): _*)).as("p"))
+      .groupBy(expr("p div 64").as("blk"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))").as("w"))
+      .collect()
+    val bits = new Array[Long](((m + 63) / 64).toInt)
+    words.foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
+    bits
+  }
+
+  /** q73's benchmark side as a standalone input: the distinct 60-bit
+    * hashes of every 13-gram in the held-out (doc_id % 20 = 0) split —
+    * the Bloom build's exact production input, exposed for the scale
+    * probe. */
+  private[graft] def benchGramHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .withColumn("toks", expr(toksExpr))
+      .select(explode(expr(ngramsExpr)).as("g"))
+      .select(hash60("g").as("h")).distinct()
+
   /** q74 CCNet-style perplexity filtering (Wenzek et al., "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data",
     * LREC 2020): a per-language unigram LM trained on the held-out
@@ -410,21 +448,8 @@ object TrainingOps {
       val bench = grams(docs.filter(col("doc_id") % 20 === 0))
         .select(col("h")).distinct()
       val m = BloomBitsPerElem * bench.count()
-      def posExpr(j: Int) = s"(h % $m + $j * ((h DIV $m) % $m)) % $m"
-      // Assemble the m-bit array DISTRIBUTED: fold probe positions into
-      // 64-bit words with a map-side-combined bit_or aggregation keyed on
-      // word index, so the driver pulls at most m/64 (word, bits) pairs —
-      // the same order as the array it must broadcast anyway — never the
-      // k·|bench| raw position stream (~4B rows at a 1B-n-gram blacklist).
-      // bit_or is idempotent, so duplicate positions need no distinct pass
-      // (and no second shuffle).
-      val words = bench
-        .select(explode(array((0 until BloomK).map(j => expr(posExpr(j))): _*)).as("p"))
-        .groupBy(expr("p div 64").as("blk"))
-        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))").as("w"))
-        .collect()
-      val bits = new Array[Long](((m + 63) / 64).toInt)
-      words.foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
+      def posExpr(j: Int) = bloomPosExpr(m, j)
+      val bits = bloomBitArray(bench, m)
       val bloomHit = (0 until BloomK).map { j =>
         expr(s"(shiftright(element_at(bs, CAST((${posExpr(j)}) DIV 64 AS INT) + 1), " +
           s"CAST((${posExpr(j)}) % 64 AS INT)) & 1) = 1")
