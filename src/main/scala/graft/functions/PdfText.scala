@@ -18,9 +18,18 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   *    strings, for simple single-byte-encoded fonts;
   *  - TJ kerning adjustments below -100/1000 em render as a space
   *    (the standard text-extraction heuristic); Td, TD, T* and ET
-  *    break lines.
-  *  Out of scope (returns whatever text is recoverable): CID/Type0
-  *  composite fonts, encryption, object streams (/ObjStm), LZW.
+  *    break lines;
+  *  - CID/Type0 composite fonts WITH an embedded /ToUnicode CMap
+  *    (the overwhelmingly common case for real-world CJK/Vietnamese
+  *    PDFs — writers emit ToUnicode precisely so text extraction
+  *    works): bfchar/bfrange mappings are parsed (plain or
+  *    FlateDecode'd), the content walk tracks the active font via
+  *    `/Name … Tf`, and show-string bytes are decoded as 2-byte codes
+  *    through the map (UTF-16BE destinations, surrogates included).
+  *  Out of scope (returns whatever text is recoverable; the caller's
+  *  `extract_status` column counts these as quarantined): Type0 fonts
+  *  WITHOUT ToUnicode (Identity-H with external CIDSystemInfo only),
+  *  encryption, object streams (/ObjStm), LZW.
   *
   * The byte→string bridge uses ISO-8859-1 throughout so string offsets
   * equal byte offsets and round-trip losslessly.
@@ -32,6 +41,7 @@ object PdfText {
   def extract(bytes: Array[Byte]): String = {
     if (bytes == null) return null
     val s = new String(bytes, ISO_8859_1)
+    val fonts = try fontCMaps(s, bytes) catch { case _: Exception => Map.empty[String, CMap] }
     val out = new StringBuilder
     var idx = s.indexOf("stream")
     while (idx >= 0) {
@@ -51,7 +61,7 @@ object PdfText {
             if (dict.contains("/FlateDecode")) inflate(raw) else Some(raw)
           decoded.map(new String(_, ISO_8859_1)).foreach { cs =>
             if (cs.contains("BT")) {
-              val t = extractContent(cs)
+              val t = extractContent(cs, fonts)
               if (t.nonEmpty) {
                 if (out.nonEmpty) out += '\n'
                 out ++= t
@@ -66,6 +76,154 @@ object PdfText {
       } catch { case _: Exception => idx = s.indexOf("stream", idx + 6) }
     }
     TextFunctions.normalizeWs(out.result())
+  }
+
+  /** CID→Unicode mapping from a /ToUnicode CMap: 2-byte source codes
+    * (the Identity-H norm) to UTF-16BE destination strings. */
+  private[functions] final case class CMap(codes: Map[Int, String]) {
+    /** Decode a show-string whose chars are raw bytes: group into 2-byte
+      * big-endian codes, map each; unmapped codes contribute nothing
+      * (conservative — a partial map yields partial text, never mojibake). */
+    def decode(raw: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i + 1 < raw.length) {
+        val code = ((raw.charAt(i) & 0xff) << 8) | (raw.charAt(i + 1) & 0xff)
+        codes.get(code).foreach(sb ++= _)
+        i += 2
+      }
+      sb.result()
+    }
+  }
+
+  /** Total bfchar/bfrange entries honoured per document — a malformed
+    * range like <0000> <FFFF> must not allocate unbounded memory. */
+  private val MaxCMapEntries = 65536
+
+  /** Parse the bfchar/bfrange sections of a ToUnicode CMap stream. */
+  private[functions] def parseCMap(text: String): CMap = {
+    val codes = collection.mutable.HashMap.empty[Int, String]
+    def hex(h: String): Int = Integer.parseInt(h, 16)
+    def utf16(h: String): String = {
+      // destination hex is UTF-16BE code units, 4 hex digits each
+      val sb = new StringBuilder
+      var i = 0
+      while (i + 4 <= h.length) { sb += hex(h.substring(i, i + 4)).toChar; i += 4 }
+      sb.result()
+    }
+    val hexTok = "<([0-9A-Fa-f]+)>".r
+    // bfchar: pairs <src> <dst>
+    for (sec <- "(?s)beginbfchar(.*?)endbfchar".r.findAllMatchIn(text)) {
+      val toks = hexTok.findAllMatchIn(sec.group(1)).map(_.group(1)).toSeq
+      toks.grouped(2).foreach {
+        case Seq(src, dst) if codes.size < MaxCMapEntries =>
+          codes(hex(src)) = utf16(dst)
+        case _ => ()
+      }
+    }
+    // bfrange: <lo> <hi> <dstStart>  |  <lo> <hi> [<d0> <d1> …]
+    for (sec <- "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(text)) {
+      val body = sec.group(1)
+      val entry = "(?s)<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*(<[0-9A-Fa-f]+>|\\[[^\\]]*\\])".r
+      for (m <- entry.findAllMatchIn(body)) {
+        val lo = hex(m.group(1)); val hi = hex(m.group(2))
+        m.group(3) match {
+          case arr if arr.startsWith("[") =>
+            val dsts = hexTok.findAllMatchIn(arr).map(g => utf16(g.group(1))).toSeq
+            dsts.zipWithIndex.foreach { case (d, i) =>
+              if (lo + i <= hi && codes.size < MaxCMapEntries) codes(lo + i) = d
+            }
+          case single =>
+            val h = single.stripPrefix("<").stripSuffix(">")
+            val base = utf16(h)
+            var c = lo
+            while (c <= hi && codes.size < MaxCMapEntries) {
+              // per spec the offset increments the LAST code unit only
+              val d =
+                if (base.isEmpty) ""
+                else base.dropRight(1) + (base.last + (c - lo)).toChar
+              codes(c) = d
+              c += 1
+            }
+        }
+      }
+    }
+    CMap(codes.toMap)
+  }
+
+  /** Document-wide font-resource-name → ToUnicode CMap. Three linked
+    * scans over the raw object structure (no xref needed — robust to the
+    * truncated/regenerated files a crawler lands):
+    *   1. font dicts `N 0 obj << … /Type0 … /ToUnicode M 0 R … >>`
+    *      give fontObj → cmapObj;
+    *   2. resource dicts `/Font << /F1 N 0 R … >>` give name → fontObj
+    *      (merged document-wide: same-name collisions across pages take
+    *      the first definition — the common writer layout reuses one
+    *      font object per name);
+    *   3. cmap objects' streams (plain or Flate) parse via [[parseCMap]].
+    * Simple (non-Type0) fonts get no entry, so their show strings pass
+    * through byte-for-byte exactly as before. */
+  private[functions] def fontCMaps(s: String, bytes: Array[Byte]): Map[String, CMap] = {
+    val objRe = "(\\d+)\\s+0\\s+obj".r
+    val objStarts = objRe.findAllMatchIn(s).map(m => (m.group(1).toInt, m.start, m.end)).toSeq
+    if (objStarts.isEmpty) return Map.empty
+    def objBody(i: Int): String = {
+      val end = if (i + 1 < objStarts.length) objStarts(i + 1)._2 else s.length
+      s.substring(objStarts(i)._3, end)
+    }
+    // 1. Type0 font objects → their ToUnicode object number (None when the
+    // font has no ToUnicode at all — those map through an EMPTY CMap, so
+    // their CID bytes yield no text instead of mojibake, and the document
+    // lands in the caller's quarantined count rather than passing garbage)
+    val toUni = "(?s)/ToUnicode\\s+(\\d+)\\s+0\\s+R".r
+    val fontToCmapObj: Map[Int, Option[Int]] = objStarts.indices.flatMap { i =>
+      val body = objBody(i)
+      if (body.contains("/Type0"))
+        Some(objStarts(i)._1 -> toUni.findFirstMatchIn(body).map(_.group(1).toInt))
+      else None
+    }.toMap
+    if (fontToCmapObj.isEmpty) return Map.empty
+    // 2. resource names → font object numbers
+    val nameRef = "/([\\w.-]+)\\s+(\\d+)\\s+0\\s+R".r
+    val fontDict = "(?s)/Font\\s*<<(.*?)>>".r
+    val nameToFont = collection.mutable.HashMap.empty[String, Int]
+    for (m <- fontDict.findAllMatchIn(s); r <- nameRef.findAllMatchIn(m.group(1)))
+      if (!nameToFont.contains(r.group(1))) nameToFont(r.group(1)) = r.group(2).toInt
+    // 3. parse each referenced cmap object's stream once
+    val cmapByObj = collection.mutable.HashMap.empty[Int, Option[CMap]]
+    def cmapFor(objNum: Int): Option[CMap] = cmapByObj.getOrElseUpdate(objNum, {
+      objStarts.indexWhere(_._1 == objNum) match {
+        case -1 => None
+        case i =>
+          val body = objBody(i)
+          val streamAt = body.indexOf("stream")
+          if (streamAt < 0) None
+          else {
+            val dict = body.substring(0, streamAt)
+            var ds = streamAt + "stream".length
+            if (ds < body.length && body.charAt(ds) == '\r') ds += 1
+            if (ds < body.length && body.charAt(ds) == '\n') ds += 1
+            val de = body.indexOf("endstream", ds)
+            if (de < 0) None
+            else {
+              val absStart = objStarts(i)._3 + ds
+              val raw = java.util.Arrays.copyOfRange(bytes, absStart,
+                objStarts(i)._3 + de)
+              val txt =
+                if (dict.contains("/FlateDecode"))
+                  inflate(raw).map(new String(_, ISO_8859_1))
+                else Some(new String(raw, ISO_8859_1))
+              txt.filter(_.contains("beginbf")).map(parseCMap)
+                .filter(_.codes.nonEmpty)
+            }
+          }
+      }
+    })
+    nameToFont.iterator.flatMap { case (name, fontObj) =>
+      fontToCmapObj.get(fontObj).map { cmapObj =>
+        name -> cmapObj.flatMap(cmapFor).getOrElse(CMap(Map.empty))
+      }
+    }.toMap
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
@@ -85,10 +243,18 @@ object PdfText {
   }
 
   /** Walk one content stream, emitting the arguments of text-show
-    * operators in document order. */
-  private[functions] def extractContent(cs: String): String = {
+    * operators in document order. `fonts` maps resource names with a
+    * ToUnicode CMap (Type0 fonts); while one is active (set by `Tf`),
+    * show strings decode as 2-byte CIDs through it — all other fonts
+    * pass through byte-for-byte. */
+  private[functions] def extractContent(
+      cs: String, fonts: Map[String, CMap] = Map.empty): String = {
     val out = new StringBuilder
     var lastString = ""
+    var lastName = ""
+    var activeCMap: Option[CMap] = None
+    def shown(str: String): String =
+      activeCMap.map(_.decode(str)).getOrElse(str)
     var inArray = false
     val arrayItems = collection.mutable.ListBuffer.empty[Either[Double, String]]
     var i = 0
@@ -162,6 +328,12 @@ object PdfText {
           val (str, j) = parseHex(i); onString(str); i = j
         case '[' => inArray = true; arrayItems.clear(); i += 1
         case ']' => inArray = false; i += 1
+        case '/' =>
+          val start = i + 1
+          i += 1
+          while (i < n && (Character.isLetterOrDigit(cs.charAt(i))
+            || cs.charAt(i) == '.' || cs.charAt(i) == '-' || cs.charAt(i) == '_')) i += 1
+          lastName = cs.substring(start, i)
         case '%' => // comment to end of line
           while (i < n && cs.charAt(i) != '\n' && cs.charAt(i) != '\r') i += 1
         case d if d == '-' || d == '+' || d == '.' || (d >= '0' && d <= '9') =>
@@ -176,14 +348,15 @@ object PdfText {
           i += 1
           while (i < n && (Character.isLetterOrDigit(cs.charAt(i)) || cs.charAt(i) == '*')) i += 1
           cs.substring(start, i) match {
-            case "Tj" => out ++= lastString
+            case "Tj" => out ++= shown(lastString)
+            case "Tf" => activeCMap = fonts.get(lastName)
             case "TJ" =>
               arrayItems.foreach {
-                case Right(str) => out ++= str
+                case Right(str) => out ++= shown(str)
                 case Left(adj) => if (adj < -100.0) out += ' '
               }
               arrayItems.clear()
-            case "'" | "\"" => out += '\n'; out ++= lastString
+            case "'" | "\"" => out += '\n'; out ++= shown(lastString)
             case "Td" | "TD" | "T*" => if (out.nonEmpty && out.last != '\n') out += '\n'
             case "ET" => if (out.nonEmpty && out.last != '\n') out += '\n'
             case _ => ()

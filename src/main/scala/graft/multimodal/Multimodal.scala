@@ -60,11 +60,12 @@ object Multimodal {
     * The extractor's scope boundary is a COUNTED column, not silence:
     * `extract_status` is `ok` when text was recovered, `quarantined` when
     * a non-empty payload yielded no text — for PDFs that is the
-    * documented out-of-scope corpus (CID/Type0 fonts, encryption, object
-    * streams; PdfText.scala header), the extract-or-quarantine posture of
-    * the A4 reliability family. Downstream keeps a corpus-health metric
-    * (`count(extract_status = 'quarantined')`) instead of mistaking
-    * extractor scope for genuinely empty documents. */
+    * documented out-of-scope corpus (Type0 fonts WITHOUT a ToUnicode
+    * CMap, encryption, object streams; PdfText.scala header — Type0
+    * WITH ToUnicode extracts since round 11), the extract-or-quarantine
+    * posture of the A4 reliability family. Downstream keeps a
+    * corpus-health metric (`count(extract_status = 'quarantined')`)
+    * instead of mistaking extractor scope for genuinely empty documents. */
   def extractText(assets: DataFrame): DataFrame = {
     import graft.functions.{PdfText, TextFunctions}
     assets.withColumn("text",

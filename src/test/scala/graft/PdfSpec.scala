@@ -103,6 +103,95 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  /** Hand-built Type0/CID PDF: page resources name /F7 → font obj 2
+    * (Identity-H, /ToUnicode obj 3), content stream in obj 5. */
+  private def cidPdf(cmapBytes: Array[Byte], cmapFlate: Boolean,
+                     contentOps: String, withToUnicode: Boolean = true): Array[Byte] = {
+    def obj(n: Int, body: String): String = s"$n 0 obj $body\nendobj\n"
+    def streamObj(n: Int, data: Array[Byte], flate: Boolean): Array[Byte] = {
+      val filter = if (flate) " /Filter /FlateDecode" else ""
+      (s"$n 0 obj << /Length ${data.length}$filter >>\nstream\n").getBytes(ISO_8859_1) ++
+        data ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1)
+    }
+    val toUni = if (withToUnicode) " /ToUnicode 3 0 R" else ""
+    "%PDF-1.4\n".getBytes(ISO_8859_1) ++
+      obj(1, "<< /Type /Page /Resources << /Font << /F7 2 0 R >> >> /Contents 5 0 R >>")
+        .getBytes(ISO_8859_1) ++
+      obj(2, s"<< /Type /Font /Subtype /Type0 /BaseFont /TestCJK /Encoding /Identity-H$toUni /DescendantFonts [4 0 R] >>")
+        .getBytes(ISO_8859_1) ++
+      streamObj(3, cmapBytes, cmapFlate) ++
+      obj(4, "<< /Subtype /CIDFontType2 >>").getBytes(ISO_8859_1) ++
+      streamObj(5, contentOps.getBytes(ISO_8859_1), flate = false) ++
+      "%%EOF".getBytes(ISO_8859_1)
+  }
+
+  private val cmapText =
+    """/CIDInit /ProcSet findresource begin
+      |begincmap
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |3 beginbfchar
+      |<0001> <0056>
+      |<0002> <1EC7>
+      |<0003> <D835DD0A>
+      |endbfchar
+      |1 beginbfrange
+      |<0010> <0012> <0061>
+      |endbfrange
+      |endcmap""".stripMargin
+
+  test("Type0/CID font with ToUnicode CMap: bfchar, surrogate pairs, bfrange") {
+    val ops = "BT /F7 12 Tf <000100020003> Tj 0 -14 Td <001000110012> Tj ET"
+    val txt = PdfText.extract(cidPdf(cmapText.getBytes(ISO_8859_1),
+      cmapFlate = false, contentOps = ops))
+    // <0001><0002><0003> -> V, U+1EC7 (ệ), U+1D50A (surrogate pair);
+    // bfrange <0010>-<0012> from <0061> -> abc
+    assert(txt == "Vệ𝔊\nabc", txt.map(_.toInt.toHexString))
+  }
+
+  test("Type0/CID: FlateDecode'd CMap and literal-string CIDs decode the same") {
+    // the same codes as a literal string: bytes 00 01 00 02
+    val ops = "BT /F7 12 Tf (\u0000\u0001\u0000\u0002) Tj ET"
+    val txt = PdfText.extract(cidPdf(deflate(cmapText.getBytes(ISO_8859_1)),
+      cmapFlate = true, contentOps = ops))
+    assert(txt == "Vệ", txt.map(_.toInt.toHexString))
+  }
+
+  test("Type0 WITHOUT ToUnicode yields no text (quarantine), not mojibake") {
+    val ops = "BT /F7 12 Tf <00010002> Tj ET"
+    val txt = PdfText.extract(cidPdf(cmapText.getBytes(ISO_8859_1),
+      cmapFlate = false, contentOps = ops, withToUnicode = false))
+    assert(txt == "", txt.map(_.toInt.toHexString))
+  }
+
+  test("CID decode is scoped to the Type0 font: a simple font in the same doc passes through") {
+    // switch from /F7 (CID) to an unmapped simple-font name mid-stream
+    val ops = "BT /F7 12 Tf <0001> Tj /Fplain 10 Tf (plain ascii) Tj ET"
+    val txt = PdfText.extract(cidPdf(cmapText.getBytes(ISO_8859_1),
+      cmapFlate = false, contentOps = ops))
+    assert(txt.contains("V"), txt)
+    assert(txt.contains("plain ascii"), txt)
+  }
+
+  test("malformed CMaps never throw and never explode memory") {
+    // range claims 65536 entries; the parser caps total entries
+    val bomb =
+      """begincmap
+        |1 beginbfrange
+        |<0000> <FFFF> <0041>
+        |endbfrange
+        |endcmap""".stripMargin
+    val ops = "BT /F7 12 Tf <0000> Tj ET"
+    val txt = PdfText.extract(cidPdf(bomb.getBytes(ISO_8859_1),
+      cmapFlate = false, contentOps = ops))
+    assert(txt == "A", txt)
+    // truncated / garbage cmap -> empty map -> quarantined, no throw
+    val junk = PdfText.extract(cidPdf("beginbfchar <00".getBytes(ISO_8859_1),
+      cmapFlate = false, contentOps = ops))
+    assert(junk == "")
+  }
+
   test("pdfToTextUdf extracts over a binary column") {
     import spark.implicits._
     val pdf = wrap(content.getBytes(ISO_8859_1), flate = false)
