@@ -790,6 +790,43 @@ object Multimodal {
       .toDF("asset_id", "track_idx", "sample_idx", "byte_offset", "n_bytes")
   }
 
+  /** Motion-JPEG sample-entry fourccs: every video sample is a complete
+    * JPEG image, so the JDK's own ImageIO decodes REAL frames with no
+    * codec library. */
+  private val MjpegCodecs = Set("jpeg", "mjpa", "mjpb", "MJPG", "dmb1")
+
+  /** REAL video frame decode for MJPEG-in-MP4: slice every `everyN`-th
+    * video sample at its exact demuxed byte range ([[mp4SampleTable]]),
+    * decode the JPEG with ImageIO, and emit the same mean-pooled raster
+    * descriptor still images get ([[descriptorFromRaster]]) — one row
+    * per decoded frame, ANN-ready for the near-dup / standing-index
+    * paths. Codecs the JDK cannot decode (avc1/hvc1/…) contribute no
+    * rows here; for those, [[videoFrameSamples]] remains the exact fetch
+    * plan handed to an external decode stage. This closes the
+    * "demux-only" scope for the one compressed-video family a pure-JVM
+    * engine can decode end-to-end. */
+  def decodeVideoFrames(spark: SparkSession, assets: DataFrame,
+                        everyN: Int = 1, dim: Int = 48): DataFrame = {
+    import spark.implicits._
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    assets.select(col("asset_id"), col("content")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val codecs = demuxMp4(bytes).map(_.tracks.map(_.codec)).getOrElse(Seq.empty)
+        mp4SampleTable(bytes).iterator
+          .filter { case (ti, si, off, len) =>
+            ti < codecs.length && MjpegCodecs.contains(codecs(ti)) &&
+              si % everyN == 0 && off + len <= bytes.length && len > 0 }
+          .flatMap { case (ti, si, off, len) =>
+            val sample = java.util.Arrays.copyOfRange(
+              bytes, off.toInt, (off + len).toInt)
+            val (_, w, h, raster) = decodeImageFull(sample)
+            raster.flatMap(descriptorFromRaster(_, dim))
+              .map(f => (id, ti, si, w, h, f))
+          }
+      }
+      .toDF("asset_id", "track_idx", "sample_idx", "width", "height", "feature")
+  }
+
   /** Distributed compressed-audio metadata probe (frame-chain walks, no
     * decode): codec-dispatched MP3 then AAC/ADTS; null metadata for
     * assets that are neither. `variant` is the MPEG version for mp3 and

@@ -350,10 +350,13 @@ class MultimodalSpec extends AnyFunSuite {
   /** Minimal well-formed MP4: ftyp + mdat(3 samples in 2 chunks) + moov
     * with one avc1 video track; every offset in stco computed against
     * the real fixture layout, so the sample table is checkable
-    * byte-exactly. */
-  private def mp4Bytes(): Array[Byte] = {
+    * byte-exactly. Pass `codec`/`samples` for a single-chunk track with
+    * real sample payloads (e.g. MJPEG: each sample a complete JPEG). */
+  private def mp4Bytes(codec: String = "avc1",
+                       samples: Option[Seq[Array[Byte]]] = None): Array[Byte] = {
     val ftyp = boxb("ftyp", "isom".getBytes, be32a(0x200), "isom".getBytes)
-    val mdatPayload = Array.tabulate(23)(i => (i + 1).toByte) // 5 + 7 + 11
+    val mdatPayload = samples.map(_.flatten.toArray)
+      .getOrElse(Array.tabulate(23)(i => (i + 1).toByte)) // 5 + 7 + 11
     val mdat = boxb("mdat", mdatPayload)
     val mdatOff = ftyp.length + 8L // first sample's absolute offset
     val mvhd = boxb("mvhd",
@@ -369,14 +372,25 @@ class MultimodalSpec extends AnyFunSuite {
     val hdlr = boxb("hdlr", be32a(0), be32a(0), "vide".getBytes,
       new Array[Byte](13))
     val stsd = boxb("stsd", be32a(0), be32a(1),
-      be32a(16), "avc1".getBytes, new Array[Byte](8))
-    val stsz = boxb("stsz", be32a(0), be32a(0), be32a(3),
-      be32a(5), be32a(7), be32a(11))
-    val stsc = boxb("stsc", be32a(0), be32a(2),
-      be32a(1), be32a(2), be32a(1),  // chunk 1: 2 samples
-      be32a(2), be32a(1), be32a(1))  // chunk 2 on: 1 sample
-    val stco = boxb("stco", be32a(0), be32a(2),
-      be32a(mdatOff), be32a(mdatOff + 12)) // chunk 2 after samples 5+7
+      be32a(16), codec.getBytes, new Array[Byte](8))
+    val stsz = samples match {
+      case Some(ss) => boxb("stsz", be32a(0), be32a(0), be32a(ss.length.toLong),
+        ss.map(s => be32a(s.length.toLong)).flatten.toArray)
+      case None => boxb("stsz", be32a(0), be32a(0), be32a(3),
+        be32a(5), be32a(7), be32a(11))
+    }
+    val stsc = samples match {
+      case Some(ss) => boxb("stsc", be32a(0), be32a(1),
+        be32a(1), be32a(ss.length.toLong), be32a(1)) // one chunk, all samples
+      case None => boxb("stsc", be32a(0), be32a(2),
+        be32a(1), be32a(2), be32a(1),  // chunk 1: 2 samples
+        be32a(2), be32a(1), be32a(1))  // chunk 2 on: 1 sample
+    }
+    val stco = samples match {
+      case Some(_) => boxb("stco", be32a(0), be32a(1), be32a(mdatOff))
+      case None => boxb("stco", be32a(0), be32a(2),
+        be32a(mdatOff), be32a(mdatOff + 12)) // chunk 2 after samples 5+7
+    }
     val stbl = boxb("stbl", stsd, stsz, stsc, stco)
     val minf = boxb("minf", stbl)
     val mdia = boxb("mdia", mdhd, hdlr, minf)
@@ -494,6 +508,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.probeAdts("definitely not audio".getBytes).isEmpty)
     assert(Multimodal.probeAdts(mp3Bytes(2)).isEmpty, "mp3 sync must not pass the ADTS mask")
     assert(Multimodal.probeMp3(adtsBytes(2)).isEmpty, "ADTS must not pass the mp3 layer check")
+  }
+
+  test("decodeVideoFrames: real JPEG frames out of an MJPEG MP4; other codecs demux-only") {
+    import spark.implicits._
+    // three REAL distinct JPEG frames as the track's samples
+    val frames = Seq(patterned(7), patterned(8), patterned(9)).map { png =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out); out.toByteArray
+    }
+    val mjpeg = mp4Bytes(codec = "jpeg", samples = Some(frames))
+    val avc = mp4Bytes() // opaque avc1 samples: no JDK decoder
+    val assets = Seq((1L, mjpeg), (2L, avc), (3L, "not video".getBytes))
+      .toDF("asset_id", "content")
+    val rows = Multimodal.decodeVideoFrames(spark, assets).collect()
+    assert(rows.forall(_.getLong(0) == 1L), "only the MJPEG asset decodes")
+    assert(rows.length == 3, s"3 frames expected, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getInt(3) == 320 && r.getInt(4) == 240, r) // real decoded dims
+    }
+    // each frame's descriptor equals the SAME jpeg decoded directly
+    val direct = frames.map(b => Multimodal.imageDescriptor(b, 48).get.toSeq)
+    val bySample = rows.map(r => r.getLong(2) -> r.getSeq[Float](5)).toMap
+    (0 until 3).foreach { i =>
+      assert(bySample(i.toLong) == direct(i), s"frame $i descriptor drifted")
+    }
+    // everyN subsamples the frame stream
+    val every2 = Multimodal.decodeVideoFrames(spark, assets, everyN = 2)
+      .select("sample_idx").as[Long].collect().sorted
+    assert(every2.toSeq == Seq(0L, 2L))
   }
 
   test("distributed video demux + frame sampling + audio probe over mixed assets") {
