@@ -26,10 +26,14 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   *    FlateDecode'd), the content walk tracks the active font via
   *    `/Name … Tf`, and show-string bytes are decoded as 2-byte codes
   *    through the map (UTF-16BE destinations, surrogates included).
+  *  - PDF 1.5 compressed object streams (/ObjStm) are expanded, so
+  *    font/page/resource dicts parked there (every modern writer) are
+  *    seen by the font scan; content and ToUnicode streams cannot live
+  *    inside an ObjStm per spec and are found by the linear stream walk.
   *  Out of scope (returns whatever text is recoverable; the caller's
   *  `extract_status` column counts these as quarantined): Type0 fonts
   *  WITHOUT ToUnicode (Identity-H with external CIDSystemInfo only),
-  *  encryption, object streams (/ObjStm), LZW.
+  *  encryption, LZW.
   *
   * The byte→string bridge uses ISO-8859-1 throughout so string offsets
   * equal byte offsets and round-trip losslessly.
@@ -41,7 +45,19 @@ object PdfText {
   def extract(bytes: Array[Byte]): String = {
     if (bytes == null) return null
     val s = new String(bytes, ISO_8859_1)
-    val fonts = try fontCMaps(s, bytes) catch { case _: Exception => Map.empty[String, CMap] }
+    // Modern writers park font/page/resource DICTS inside compressed
+    // object streams; expand those into appended plain objects so the
+    // font scan sees them. (Streams themselves — content, ToUnicode —
+    // cannot live inside an ObjStm per spec, so their absolute offsets
+    // in the original bytes stay valid; appending keeps all offsets
+    // aligned between expandedS and expandedBytes.)
+    val expandedBytes =
+      try bytes ++ expandObjStm(s, bytes).getBytes(ISO_8859_1)
+      catch { case _: Exception => bytes }
+    val expandedS =
+      if (expandedBytes eq bytes) s else new String(expandedBytes, ISO_8859_1)
+    val fonts = try fontCMaps(expandedS, expandedBytes)
+      catch { case _: Exception => Map.empty[String, CMap] }
     val out = new StringBuilder
     var idx = s.indexOf("stream")
     while (idx >= 0) {
@@ -149,6 +165,57 @@ object PdfText {
       }
     }
     CMap(codes.toMap)
+  }
+
+  /** Expand every /Type /ObjStm stream into plain `n 0 obj …\nendobj`
+    * text (PDF 1.5 compressed object streams: the dict's /N pair-count
+    * and /First byte offset frame a header of `objNum relOffset` integer
+    * pairs, then the objects back-to-back). Returns the expansion text
+    * to APPEND to the document — appended objects are dict-only (the
+    * spec forbids streams inside an ObjStm), so no byte-offset slicing
+    * ever lands in the appended region. */
+  private[functions] def expandObjStm(s: String, bytes: Array[Byte]): String = {
+    val out = new StringBuilder
+    var idx = s.indexOf("/ObjStm")
+    while (idx >= 0) {
+      try {
+        val dictStart = math.max(s.lastIndexOf("obj", idx), 0)
+        val streamAt = s.indexOf("stream", idx)
+        if (streamAt > 0) {
+          val dict = s.substring(dictStart, streamAt)
+          val n = "/N\\s+(\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+          val first = "/First\\s+(\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+          var ds = streamAt + "stream".length
+          if (ds < s.length && s.charAt(ds) == '\r') ds += 1
+          if (ds < s.length && s.charAt(ds) == '\n') ds += 1
+          val de = s.indexOf("endstream", ds)
+          for (nObjs <- n; firstOff <- first; if de > ds) {
+            val raw = java.util.Arrays.copyOfRange(bytes, ds, de)
+            val data =
+              if (dict.contains("/FlateDecode")) inflate(raw).getOrElse(Array.empty[Byte])
+              else raw
+            val txt = new String(data, ISO_8859_1)
+            if (firstOff <= txt.length) {
+              val header = txt.substring(0, firstOff).trim
+                .split("\\s+").filter(_.nonEmpty).map(_.toLong)
+              val pairs = header.grouped(2).collect {
+                case Array(num, off) => (num, off)
+              }.toSeq.take(nObjs)
+              pairs.zipWithIndex.foreach { case ((num, off), i) =>
+                val start = firstOff + off.toInt
+                val end =
+                  if (i + 1 < pairs.length) firstOff + pairs(i + 1)._2.toInt
+                  else txt.length
+                if (start >= firstOff && start <= end && end <= txt.length)
+                  out ++= s"\n$num 0 obj ${txt.substring(start, end)}\nendobj\n"
+              }
+            }
+          }
+        }
+      } catch { case _: Exception => () } // skip a malformed ObjStm, keep the rest
+      idx = s.indexOf("/ObjStm", idx + 7)
+    }
+    out.result()
   }
 
   /** Document-wide font-resource-name → ToUnicode CMap. Three linked

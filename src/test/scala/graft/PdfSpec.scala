@@ -174,6 +174,30 @@ class PdfSpec extends AnyFunSuite {
     assert(txt.contains("plain ascii"), txt)
   }
 
+  test("font dicts inside a compressed /ObjStm are found (PDF 1.5 writers)") {
+    // page + font dicts live INSIDE a FlateDecode'd object stream (the
+    // modern writer layout); ToUnicode and content streams stay top-level
+    val inner1 = "<< /Type /Page /Resources << /Font << /F7 2 0 R >> >> /Contents 5 0 R >>"
+    val inner2 = "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 3 0 R >>"
+    val body = inner1 + " " + inner2
+    val header = s"1 0 2 ${inner1.length + 1} "
+    val payload = (header + body).getBytes(ISO_8859_1)
+    val objStm =
+      (s"6 0 obj << /Type /ObjStm /N 2 /First ${header.length} /Filter /FlateDecode " +
+        s"/Length 0 >>\nstream\n").getBytes(ISO_8859_1) ++
+        deflate(payload) ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1)
+    def streamObj(n: Int, data: Array[Byte]): Array[Byte] =
+      (s"$n 0 obj << /Length ${data.length} >>\nstream\n").getBytes(ISO_8859_1) ++
+        data ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1)
+    val ops = "BT /F7 12 Tf <00010002> Tj ET"
+    val pdf = "%PDF-1.5\n".getBytes(ISO_8859_1) ++ objStm ++
+      streamObj(3, cmapText.getBytes(ISO_8859_1)) ++
+      streamObj(5, ops.getBytes(ISO_8859_1)) ++
+      "%%EOF".getBytes(ISO_8859_1)
+    val txt = PdfText.extract(pdf)
+    assert(txt == "Vệ", txt.map(_.toInt.toHexString))
+  }
+
   test("malformed CMaps never throw and never explode memory") {
     // range claims 65536 entries; the parser caps total entries
     val bomb =
