@@ -180,6 +180,49 @@ object ScaleProbe {
       return
     }
 
+    // `textindex` — the standing-inverted-index twin of `ivfindex`:
+    // (a) one-time postings build (term-bucket-partitioned write),
+    // (b) TextIndexStream.search — DPP-pruned bucket scan + shared
+    // integer BM25 stage, (c) VectorOps.bm25Ranked — the batch path that
+    // rebuilds postings from raw text per run. Fixed query set (identity
+    // replica doc_ids, the q75 contract), so growth is pure corpus.
+    if (bitsArg == "textindex") {
+      import graft.streaming.TextIndexStream
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val docs = Tables(spark, sfDir, "documents")
+      val n = docs.count()
+      val idxDir = s"/tmp/graft_textindex_$n"
+      val tb = System.nanoTime()
+      val posts = TextIndexStream.postingsOf(docs)
+      posts.write.mode("overwrite").partitionBy("bucket").parquet(s"$idxDir/postings")
+      posts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+        .write.mode("overwrite").parquet(s"$idxDir/stats")
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      // identity-replica query batch: same queries at every scale factor
+      val queries = docs.filter(col("doc_id") % 250 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"), col("text")).cache()
+      val nq = queries.count()
+      def viaIndex = TextIndexStream.search(spark, idxDir, queries, k = 5)
+      def viaBatch = graft.queries.VectorOps.bm25Ranked(spark, sfDir, 5, queryCap = 5000L)
+      viaIndex.count(); viaBatch.count() // warmup
+      def med(f: => Long): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+      val idxSec = med(viaIndex.count())
+      val fullSec = med(viaBatch.count())
+      // a SINGLE query probes <= 8 of 64 buckets — the pruning-dominated
+      // shape (the 20-query batch's ~160 distinct terms touch nearly
+      // every bucket, so its win is build-amortization, not pruning)
+      val q1 = queries.filter(col("query_id") === 0).cache(); q1.count()
+      def viaIndexOne = TextIndexStream.search(spark, idxDir, q1, k = 5)
+      viaIndexOne.count() // warmup
+      val oneSec = med(viaIndexOne.count())
+      println(f"""{"probe":"textindex","sf":"$sfDir","corpus":$n,"queries":$nq,"build_sec":$buildSec%.3f,"index_search_sec":$idxSec%.3f,"one_query_sec":$oneSec%.3f,"full_bm25_sec":$fullSec%.3f}""")
+      spark.stop()
+      return
+    }
+
     // `semdedup [k]` times q68's full train+dedup pipeline; second arg is
     // an explicit cluster count or omitted for the shipped autoK(n) —
     // the SCALE.md evidence that the per-cluster pair join needs k ∝ n

@@ -594,6 +594,19 @@ object VectorOps {
       .select(col("doc_id").as("query_id"),
         explode(expr(s"slice(toks, 1, $BmQueryTerms)")).as("tok"))
       .distinct()
+    bm25ScoreStage(postings, qterms, bigN, bigT, k)
+  }
+
+  /** The BM25 scoring stage over a postings set — shared (bit-exact,
+    * all-integer) by the batch q75 path and the standing inverted index
+    * ([[graft.streaming.TextIndexStream]]). `postings` must contain
+    * (doc_id, dl, tok, f) rows covering EVERY posting of every query
+    * term (df is computed inside, so each term's posting list must be
+    * complete — guaranteed both by the full batch build and by
+    * term-keyed bucket partitioning); `qterms` is the distinct
+    * (query_id, tok) set. */
+  private[graft] def bm25ScoreStage(postings: DataFrame, qterms: DataFrame,
+                                    bigN: Long, bigT: Long, k: Int): DataFrame = {
     val dfq = postings.join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .withColumn("xq", expr(s"(1024 * (2 * $bigN + 2)) div (2 * df + 1)"))

@@ -290,6 +290,30 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
   }
 
+  test("TextIndexStream.search prunes unprobed term buckets at the scan (DPP on bucket)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.TextIndexStream
+    val docs = Tables(spark, dir, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft-tix-plan").toString + "/index"
+    // batch-build the same layout ingest produces (partitioned postings + stats)
+    val posts = TextIndexStream.postingsOf(docs)
+    posts.write.partitionBy("bucket").parquet(s"$idx/postings")
+    posts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      .write.parquet(s"$idx/stats")
+    val queries = docs.filter(col("doc_id") % 250 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val hits = TextIndexStream.search(spark, idx, queries, k = 5)
+      val p = hits.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"postings scan reads unprobed term buckets (no DPP):\n$p")
+      assert(hits.collect().nonEmpty)
+    } finally
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+  }
+
   test("q77's expensive dense arm is computed exactly once in the executed plan") {
     // the single full-outer join carries both the label (dcg side) and
     // the dense rank (ideal side); this pin guards against any future

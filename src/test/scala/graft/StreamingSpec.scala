@@ -329,4 +329,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty && viaIndex == viaBatch)
     cents.unpersist(); corpus.unpersist()
   }
+
+  test("standing inverted index: incremental BM25 equals the batch build; replays are no-ops") {
+    import graft.streaming.TextIndexStream
+    val src = Files.createTempDirectory("graft-tix-src").toString
+    val idx = Files.createTempDirectory("graft-tix-idx").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft-tix-ckpt").toString
+    val docs = Tables(spark, sfDir, "documents").cache()
+    // drop 1: even doc_ids; drop 2: odd — two separate ingest runs
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    TextIndexStream.ingest(spark, src, idx, ckpt)
+    val afterFirst = spark.read.parquet(s"$idx/postings").count()
+    assert(afterFirst > 0)
+    // replay with nothing new: exactly-once over files
+    TextIndexStream.ingest(spark, src, idx, ckpt)
+    assert(spark.read.parquet(s"$idx/postings").count() == afterFirst)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    TextIndexStream.ingest(spark, src, idx, ckpt)
+    // the q75 query set, phrased as (query_id, text) against the index
+    val queries = docs.filter(col("doc_id") % 250 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val viaIndex = TextIndexStream.search(spark, idx, queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    // bit-equal to the batch q75 path over the union of both drops
+    val viaBatch = graft.queries.VectorOps.bm25Ranked(spark, sfDir, 5)
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex.nonEmpty && viaIndex == viaBatch)
+    // corpus stats aggregated from per-batch rows, not a per-doc table
+    assert(spark.read.parquet(s"$idx/stats").count() == 2)
+    docs.unpersist()
+  }
 }
