@@ -62,6 +62,13 @@ object TrainingOps {
     * deletion AND more tile rows (corpus tokens / SpanW). */
   private[graft] val SpanW = 8
 
+  /** q78 overlap stride: span starts at every SpanStride tokens, so a
+    * duplicated phrase is caught when its occurrences agree on alignment
+    * mod SpanStride (vs mod SpanW for q70's disjoint tiles) — 2× the
+    * tile rows buys a 2× finer alignment class; stride 1 = full
+    * positional recall at SpanW× the rows. */
+  private[graft] val SpanStride = 4
+
   /** q72 feature-hash buckets and selection size. 1024 buckets follows
     * DSIR's hashed-n-gram feature space (Xie et al. use 10k for
     * web-scale; proportionate here), 100 docs ≈ 20% of the sf0.01
@@ -462,6 +469,41 @@ object TrainingOps {
           countDistinct(when(col("inb") === 1, col("h"))).as("n_confirmed_13grams"))
     }),
 
+    // q78: q70's documented recall knob made REAL — OVERLAPPING tiling
+    // at stride SpanStride < SpanW. q70's non-overlapping tiles only
+    // catch a duplicated phrase when its two occurrences agree on
+    // alignment mod SpanW; strided span starts at every multiple of
+    // SpanStride shrink that to agreement mod SpanStride (and
+    // SpanStride = 1 would be full positional recall, at W× the rows —
+    // the knob). DETECTION output (per-doc span/duplicate counts), not
+    // rewrite: overlapping duplicated spans don't compose into a
+    // byte-exact rebuild the way q70's disjoint tiles do, and the
+    // production use is flagging docs for the q70/q51 pipelines. Same
+    // scale shape as q70: tile rows ∝ corpus tokens / SpanStride, one
+    // 8-byte-keyed groupBy + semi-join, no pair explosion.
+    "q78_overlap_span_detect" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("ntok", expr("size(toks)"))
+        .withColumn("nspans", expr(
+          s"CASE WHEN ntok >= $SpanW THEN (ntok - $SpanW) div $SpanStride + 1 ELSE 0 END"))
+      val spans = base.select(col("doc_id"),
+          posexplode(expr(
+            s"""CASE WHEN nspans >= 1
+               | THEN transform(sequence(0, nspans - 1),
+               |   i -> concat_ws(' ', slice(toks, CAST(i * $SpanStride + 1 AS INT), $SpanW)))
+               | ELSE array() END""".stripMargin)))
+        .select(col("doc_id"), col("pos").as("idx"), hash60("col").as("h"))
+      val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select(col("h"))
+      val perDoc = spans.join(dup, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dups"))
+      base.select(col("doc_id"), col("nspans").cast("long").as("n_spans"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("dups"), lit(0L)).as("n_dup_spans"))
+    }),
+
     // Exact-substring span dedup (Lee et al., "Deduplicating Training
     // Data Makes Language Models Better", ACL 2022): REWRITE documents
     // by deleting every SpanW-token tile whose text occurs more than
@@ -757,6 +799,28 @@ object TrainingOps {
          |  CAST(b.ntiles AS BIGINT) AS n_spans,
          |  CAST(b.ntiles - COALESCE(k.kept_n, 0) AS BIGINT) AS n_dropped
          |FROM tails b LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    // The q78 twin: same strided span generation (generate_series is
+    // empty when nspans = 0, exactly like the Spark CASE), same 60-bit
+    // span hash, same count-≥2 duplicate rule.
+    "q78_overlap_span_detect" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS tk, len($toksSql) AS ntok,
+         |    CASE WHEN len($toksSql) >= $SpanW
+         |      THEN (len($toksSql) - $SpanW) // $SpanStride + 1 ELSE 0 END AS nspans
+         |  FROM documents),
+         |spans AS (
+         |  SELECT doc_id, i AS idx,
+         |    ${hash60Sql(s"array_to_string(tk[(i * $SpanStride + 1):(i * $SpanStride + $SpanW)], ' ')")} AS h
+         |  FROM base, LATERAL unnest(generate_series(0, nspans - 1)) AS u(i)),
+         |counts AS (SELECT h, COUNT(*) AS cnt FROM spans GROUP BY 1),
+         |dups AS (
+         |  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+         |  FROM spans s JOIN counts c USING (h)
+         |  WHERE c.cnt >= 2 GROUP BY 1)
+         |SELECT b.doc_id, CAST(b.nspans AS BIGINT) AS n_spans,
+         |  COALESCE(d.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans
+         |FROM base b LEFT JOIN dups d USING (doc_id)""".stripMargin,
 
     // The q74 twin: same min-count vocab, same integer log2 (DuckDB
     // spells the shift `<<`; `//` floors like Spark's `div` — all

@@ -18,6 +18,29 @@ class TrainingOpsSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.01"
 
+  test("q78 catches misaligned duplicated phrases that q70's disjoint tiles miss") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q78").toString
+    // a 9-token phrase at offset 8 in doc 0 (alignment 0 mod 8) and
+    // offset 4 in doc 1 (4 mod 8, but 0 mod 4): the occurrences agree
+    // mod SpanStride=4, disagree mod SpanW=8 — exactly the q70 blind spot
+    val phrase = (1 to 9).map(i => s"p$i").mkString(" ")
+    val docA = ((1 to 8).map(i => s"fa$i") :+ phrase).mkString(" ")
+    val docB = ((1 to 4).map(i => s"fb$i") :+ phrase).mkString(" ")
+    Seq((0L, docA), (1L, docB)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("syn"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val q78 = SparkEntry.queries("q78_overlap_span_detect")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(q78(0L) >= 1 && q78(1L) >= 1,
+      s"strided spans must flag the shared phrase in both docs: $q78")
+    val q70 = SparkEntry.queries("q70_span_dedup")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(q70.values.forall(_ == 0L),
+      s"disjoint tiles should MISS this alignment (the documented gap): $q70")
+  }
+
   test("q52: every flagged doc really shares a verbatim 13-gram with a benchmark doc") {
     val flagged = SparkEntry.queries("q52_decontaminate")(spark, dir).collect()
     assert(flagged.nonEmpty, "decontamination found nothing at sf0.01 (expected planted dups)")
