@@ -60,6 +60,34 @@ object Compact {
     (before, parquetFiles(fs, path), bytes)
   }
 
+  /** Compact every partition directory of a partitioned layout — the
+    * standing indexes' `centroid_id=`/`bucket=` dirs gain ONE file per
+    * ingest batch ([[graft.streaming.EmbeddingsStream.ivfIngest]] /
+    * [[graft.streaming.TextIndexStream.ingest]] append per drop), so a
+    * year of daily drops is 365 files per partition unless somebody
+    * sweeps. Each partition gets its own crash-safe swap: a failure
+    * mid-sweep leaves every partition either fully old or fully new,
+    * always readable, and untouched partitions keep their files
+    * byte-identical. Partitions already at/below `minFiles` are skipped
+    * (no data moves for an already-compact index). Returns
+    * (filesBefore, filesAfter, bytes) summed over compacted partitions. */
+  def compactPartitioned(spark: SparkSession, dir: String,
+                         targetBytes: Long = DefaultTargetBytes,
+                         shuffle: Boolean = false,
+                         minFiles: Long = 2): (Long, Long, Long) = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(path)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    parts.foldLeft((0L, 0L, 0L)) { case ((b, a, by), p) =>
+      if (parquetFiles(fs, p.getPath) < minFiles) (b, a, by)
+      else {
+        val (pb, pa, pby) = compact(spark, p.getPath.toString, targetBytes, shuffle)
+        (b + pb, a + pa, by + pby)
+      }
+    }
+  }
+
   private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long =
     fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
 }

@@ -310,4 +310,45 @@ class PipelineSpec extends AnyFunSuite {
     val (_, a2, _) = Compact.compact(spark, tmp, targetBytes = bytes / 3 + 1, shuffle = true)
     assert(a2 <= 4 && spark.read.parquet(tmp).count() == before.length)
   }
+
+  test("compactPartitioned sweeps a standing index's per-batch file sprawl, search unchanged") {
+    import graft.etl.Compact
+    import graft.streaming.TextIndexStream
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("graft-cpi-src").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-cpi-idx").toString + "/index"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cpi-ckpt").toString
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    // three ingest drops = up to three files per bucket partition
+    (0 until 3).foreach { r =>
+      docs.filter(col("doc_id") % 3 === r).write.mode("append").parquet(src)
+      TextIndexStream.ingest(spark, src, idx, ckpt)
+    }
+    val postingsDir = s"$idx/postings"
+    val fs = new org.apache.hadoop.fs.Path(postingsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles: Map[String, Int] = fs.listStatus(new org.apache.hadoop.fs.Path(postingsDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(p => p.getPath.getName ->
+        fs.listStatus(p.getPath).count(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+      .toMap
+    assert(partFiles.values.max >= 3, s"expected per-batch sprawl, got $partFiles")
+    val queries = docs.filter(col("doc_id") % 250 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val beforeSearch = TextIndexStream.search(spark, idx, queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    val beforeRows = spark.read.parquet(postingsDir)
+      .collect().map(_.toString).sorted.toSeq
+    val (b, a, _) = Compact.compactPartitioned(spark, postingsDir)
+    assert(b > a && partFiles.values.forall(_ == 1), s"sweep left sprawl: $partFiles")
+    val afterRows = spark.read.parquet(postingsDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(afterRows == beforeRows, "compaction changed the postings")
+    val afterSearch = TextIndexStream.search(spark, idx, queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(afterSearch == beforeSearch, "compaction changed search results")
+    // idempotent: an already-compact index moves no data
+    val (b2, a2, bytes2) = Compact.compactPartitioned(spark, postingsDir)
+    assert(b2 == 0 && a2 == 0 && bytes2 == 0, s"re-sweep should skip: ($b2,$a2,$bytes2)")
+  }
 }
