@@ -30,10 +30,12 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   *    font/page/resource dicts parked there (every modern writer) are
   *    seen by the font scan; content and ToUnicode streams cannot live
   *    inside an ObjStm per spec and are found by the linear stream walk.
+  *  - LZWDecode streams decode via the spec's variable-width early-change
+  *    algorithm (§7.4.4) — content, CMap, and ObjStm streams alike.
   *  Out of scope (returns whatever text is recoverable; the caller's
   *  `extract_status` column counts these as quarantined): Type0 fonts
   *  WITHOUT ToUnicode (Identity-H with external CIDSystemInfo only),
-  *  encryption, LZW.
+  *  encryption.
   *
   * The byte→string bridge uses ISO-8859-1 throughout so string offsets
   * equal byte offsets and round-trip losslessly.
@@ -74,7 +76,7 @@ object PdfText {
           if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
           val decoded =
-            if (dict.contains("/FlateDecode")) inflate(raw) else Some(raw)
+            decodeStream(dict, raw)
           decoded.map(new String(_, ISO_8859_1)).foreach { cs =>
             if (cs.contains("BT")) {
               val t = extractContent(cs, fonts)
@@ -192,8 +194,7 @@ object PdfText {
           for (nObjs <- n; firstOff <- first; if de > ds) {
             val raw = java.util.Arrays.copyOfRange(bytes, ds, de)
             val data =
-              if (dict.contains("/FlateDecode")) inflate(raw).getOrElse(Array.empty[Byte])
-              else raw
+              decodeStream(dict, raw).getOrElse(Array.empty[Byte])
             val txt = new String(data, ISO_8859_1)
             if (firstOff <= txt.length) {
               val header = txt.substring(0, firstOff).trim
@@ -276,10 +277,7 @@ object PdfText {
               val absStart = objStarts(i)._3 + ds
               val raw = java.util.Arrays.copyOfRange(bytes, absStart,
                 objStarts(i)._3 + de)
-              val txt =
-                if (dict.contains("/FlateDecode"))
-                  inflate(raw).map(new String(_, ISO_8859_1))
-                else Some(new String(raw, ISO_8859_1))
+              val txt = decodeStream(dict, raw).map(new String(_, ISO_8859_1))
               txt.filter(_.contains("beginbf")).map(parseCMap)
                 .filter(_.codes.nonEmpty)
             }
@@ -291,6 +289,62 @@ object PdfText {
         name -> cmapObj.flatMap(cmapFor).getOrElse(CMap(Map.empty))
       }
     }.toMap
+  }
+
+  /** Apply the stream dict's declared filter: Flate, LZW, or none. */
+  private def decodeStream(dict: String, raw: Array[Byte]): Option[Array[Byte]] =
+    if (dict.contains("/FlateDecode")) inflate(raw)
+    else if (dict.contains("/LZWDecode")) lzwDecode(raw)
+    else Some(raw)
+
+  /** PDF/TIFF LZWDecode (PDF 32000-1:2008 §7.4.4): variable code width
+    * 9→12 bits, MSB-first bit packing, code 256 = clear table, 257 =
+    * end of data, and the "early change" convention (the width bumps one
+    * code EARLY — at table size 511/1023/2047, the PDF default
+    * EarlyChange=1). Returns None on any malformed stream. */
+  private[graft] def lzwDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    if (data == null || data.isEmpty) return None
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val dict = new Array[Array[Byte]](4096)
+      var dictSize = 258
+      def resetDict(): Unit = {
+        var i = 0
+        while (i < 256) { dict(i) = Array(i.toByte); i += 1 }
+        dictSize = 258
+      }
+      resetDict()
+      var width = 9
+      var bitBuf = 0L
+      var bitCnt = 0
+      var pos = 0
+      var prev: Array[Byte] = null
+      while (pos < data.length || bitCnt >= width) {
+        while (bitCnt < width && pos < data.length) {
+          bitBuf = (bitBuf << 8) | (data(pos) & 0xff); bitCnt += 8; pos += 1
+        }
+        if (bitCnt < width) return Some(out.toByteArray) // trailing pad bits
+        val code = ((bitBuf >>> (bitCnt - width)) & ((1 << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 257) return Some(out.toByteArray) // EOD
+        else if (code == 256) { resetDict(); width = 9; prev = null }
+        else {
+          val entry: Array[Byte] =
+            if (code < dictSize && dict(code) != null) dict(code)
+            else if (code == dictSize && prev != null) prev :+ prev(0) // KwKwK
+            else return None // code beyond table = corrupt stream
+          out.write(entry)
+          if (prev != null && dictSize < 4096) {
+            dict(dictSize) = prev :+ entry(0)
+            dictSize += 1
+          }
+          prev = entry
+          // early change: width grows one code before the table fills
+          if (dictSize + 1 >= (1 << width) && width < 12) width += 1
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {

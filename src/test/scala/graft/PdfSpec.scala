@@ -174,6 +174,43 @@ class PdfSpec extends AnyFunSuite {
     assert(txt.contains("plain ascii"), txt)
   }
 
+  test("LZWDecode: the PDF Reference's worked example decodes byte-exactly") {
+    // PDF 32000 §7.4.4.2 sample: encoded 80 0B 60 50 22 0C 0C 85 01
+    // decodes to the ten bytes 45×5, 65, 45×3, 66 (decimal) — exercises
+    // clear code, the KwKwK case, and EOD
+    val enc = Array(0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01)
+      .map(_.toByte)
+    val dec = PdfText.lzwDecode(enc).get
+    val expected = (Seq.fill(5)(45) ++ Seq(65) ++ Seq.fill(3)(45) :+ 66)
+      .map(_.toByte)
+    assert(dec.toSeq == expected, dec.toSeq)
+    // malformed: a code beyond the table must yield None, not garbage
+    assert(PdfText.lzwDecode(Array(0xFF, 0xFF, 0xFF).map(_.toByte)).isEmpty)
+    assert(PdfText.lzwDecode(Array.empty[Byte]).isEmpty)
+  }
+
+  test("extracts text from an LZWDecode content stream") {
+    // literal-coded LZW (clear, one code per byte, EOD) — spec-valid,
+    // exercises the 9-bit MSB-first unpacking end-to-end through extract
+    def lzwLiteral(data: Array[Byte]): Array[Byte] = {
+      val codes = 256 +: data.map(b => b & 0xff).toSeq :+ 257
+      val out = new java.io.ByteArrayOutputStream()
+      var buf = 0L; var n = 0
+      codes.foreach { c =>
+        buf = (buf << 9) | c; n += 9
+        while (n >= 8) { out.write(((buf >>> (n - 8)) & 0xff).toInt); n -= 8 }
+      }
+      if (n > 0) out.write(((buf << (8 - n)) & 0xff).toInt)
+      out.toByteArray
+    }
+    val ops = "BT (lzw extracted text) Tj ET".getBytes(ISO_8859_1)
+    val body = lzwLiteral(ops)
+    val pdf = (s"%PDF-1.4\n1 0 obj << /Length ${body.length} /Filter /LZWDecode >>\nstream\n")
+      .getBytes(ISO_8859_1) ++ body ++
+      "\nendstream\nendobj\n%%EOF".getBytes(ISO_8859_1)
+    assert(PdfText.extract(pdf) == "lzw extracted text")
+  }
+
   test("font dicts inside a compressed /ObjStm are found (PDF 1.5 writers)") {
     // page + font dicts live INSIDE a FlateDecode'd object stream (the
     // modern writer layout); ToUnicode and content streams stay top-level
