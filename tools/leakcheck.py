@@ -60,7 +60,10 @@ SCAN_EXT = (".scala", ".py", ".sbt", ".md", ".sh", ".json", ".sql", ".conf")
 def tracked_files():
     out = subprocess.run(["git", "ls-files"], capture_output=True, text=True,
                          cwd="/root/repo").stdout.splitlines()
-    return [f for f in out if f.endswith(SCAN_EXT) and f != "LEAKCHECK.json"]
+    # the scanner's own pattern text would self-match (e.g. the slack://
+    # regex literal); exclude it and the output artifact
+    return [f for f in out if f.endswith(SCAN_EXT)
+            and f not in ("LEAKCHECK.json", "tools/leakcheck.py")]
 
 
 def main():
