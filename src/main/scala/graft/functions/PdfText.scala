@@ -31,11 +31,17 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   *    seen by the font scan; content and ToUnicode streams cannot live
   *    inside an ObjStm per spec and are found by the linear stream walk.
   *  - LZWDecode streams decode via the spec's variable-width early-change
-  *    algorithm (§7.4.4) — content, CMap, and ObjStm streams alike.
+  *    algorithm (§7.4.4) — content, CMap, and ObjStm streams alike;
+  *  - encrypted documents using the STANDARD security handler with an
+  *    empty user password (R2-R4: RC4 40-128 bit and AES-128/AESV2 —
+  *    the common crawled "protected but opens without prompting" case):
+  *    Algorithm-2 key derivation, per-object keys, streams decrypted
+  *    before filters.
   *  Out of scope (returns whatever text is recoverable; the caller's
   *  `extract_status` column counts these as quarantined): Type0 fonts
   *  WITHOUT ToUnicode (Identity-H with external CIDSystemInfo only),
-  *  encryption.
+  *  documents requiring a real user password (decrypt to garbage →
+  *  quarantined), R5/R6 AES-256, and non-Standard security handlers.
   *
   * The byte→string bridge uses ISO-8859-1 throughout so string offsets
   * equal byte offsets and round-trip losslessly.
@@ -53,12 +59,15 @@ object PdfText {
     // cannot live inside an ObjStm per spec, so their absolute offsets
     // in the original bytes stay valid; appending keeps all offsets
     // aligned between expandedS and expandedBytes.)
+    // Encrypted documents (standard handler, empty user password): every
+    // stream decrypts with its owning object's key BEFORE filters apply.
+    val dec = try decryptorOf(s) catch { case _: Exception => None }
     val expandedBytes =
-      try bytes ++ expandObjStm(s, bytes).getBytes(ISO_8859_1)
+      try bytes ++ expandObjStm(s, bytes, dec).getBytes(ISO_8859_1)
       catch { case _: Exception => bytes }
     val expandedS =
       if (expandedBytes eq bytes) s else new String(expandedBytes, ISO_8859_1)
-    val fonts = try fontCMaps(expandedS, expandedBytes)
+    val fonts = try fontCMaps(expandedS, expandedBytes, dec)
       catch { case _: Exception => Map.empty[String, CMap] }
     val out = new StringBuilder
     var idx = s.indexOf("stream")
@@ -71,10 +80,15 @@ object PdfText {
         if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
         val end = s.indexOf("endstream", dataStart)
         if (end >= 0) {
-          var dataEnd = end
-          if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\n') dataEnd -= 1
-          if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
-          val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          val dataEnd = streamDataEnd(dict, dataStart, end, s)
+          val raw0 = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          // cross-reference streams are never encrypted (§7.5.8.2)
+          val raw = dec match {
+            case Some(d) if !dict.contains("/XRef") =>
+              val (num, gen) = objNumGenBefore(s, objStart)
+              d.decrypt(num, gen, raw0)
+            case _ => raw0
+          }
           val decoded =
             decodeStream(dict, raw)
           decoded.map(new String(_, ISO_8859_1)).foreach { cs =>
@@ -176,7 +190,8 @@ object PdfText {
     * to APPEND to the document — appended objects are dict-only (the
     * spec forbids streams inside an ObjStm), so no byte-offset slicing
     * ever lands in the appended region. */
-  private[functions] def expandObjStm(s: String, bytes: Array[Byte]): String = {
+  private[functions] def expandObjStm(s: String, bytes: Array[Byte],
+                                      dec: Option[Decryptor] = None): String = {
     val out = new StringBuilder
     var idx = s.indexOf("/ObjStm")
     while (idx >= 0) {
@@ -190,9 +205,16 @@ object PdfText {
           var ds = streamAt + "stream".length
           if (ds < s.length && s.charAt(ds) == '\r') ds += 1
           if (ds < s.length && s.charAt(ds) == '\n') ds += 1
-          val de = s.indexOf("endstream", ds)
-          for (nObjs <- n; firstOff <- first; if de > ds) {
-            val raw = java.util.Arrays.copyOfRange(bytes, ds, de)
+          val de0 = s.indexOf("endstream", ds)
+          for (nObjs <- n; firstOff <- first; if de0 > ds) {
+            val de = streamDataEnd(dict, ds, de0, s)
+            val raw0 = java.util.Arrays.copyOfRange(bytes, ds, de)
+            val raw = dec match {
+              case Some(d) =>
+                val (num, gen) = objNumGenBefore(s, dictStart)
+                d.decrypt(num, gen, raw0)
+              case None => raw0
+            }
             val data =
               decodeStream(dict, raw).getOrElse(Array.empty[Byte])
             val txt = new String(data, ISO_8859_1)
@@ -231,7 +253,8 @@ object PdfText {
     *   3. cmap objects' streams (plain or Flate) parse via [[parseCMap]].
     * Simple (non-Type0) fonts get no entry, so their show strings pass
     * through byte-for-byte exactly as before. */
-  private[functions] def fontCMaps(s: String, bytes: Array[Byte]): Map[String, CMap] = {
+  private[functions] def fontCMaps(s: String, bytes: Array[Byte],
+                                   dec: Option[Decryptor] = None): Map[String, CMap] = {
     val objRe = "(\\d+)\\s+0\\s+obj".r
     val objStarts = objRe.findAllMatchIn(s).map(m => (m.group(1).toInt, m.start, m.end)).toSeq
     if (objStarts.isEmpty) return Map.empty
@@ -271,12 +294,14 @@ object PdfText {
             var ds = streamAt + "stream".length
             if (ds < body.length && body.charAt(ds) == '\r') ds += 1
             if (ds < body.length && body.charAt(ds) == '\n') ds += 1
-            val de = body.indexOf("endstream", ds)
-            if (de < 0) None
+            val de0 = body.indexOf("endstream", ds)
+            if (de0 < 0) None
             else {
+              val de = streamDataEnd(dict, ds, de0, body)
               val absStart = objStarts(i)._3 + ds
-              val raw = java.util.Arrays.copyOfRange(bytes, absStart,
+              val raw0 = java.util.Arrays.copyOfRange(bytes, absStart,
                 objStarts(i)._3 + de)
+              val raw = dec.map(_.decrypt(objNum, 0, raw0)).getOrElse(raw0)
               val txt = decodeStream(dict, raw).map(new String(_, ISO_8859_1))
               txt.filter(_.contains("beginbf")).map(parseCMap)
                 .filter(_.codes.nonEmpty)
@@ -291,11 +316,204 @@ object PdfText {
     }.toMap
   }
 
+  /** End of a stream's data: prefer the dict's direct /Length (spec-
+    * authoritative — a ciphertext or flate byte that happens to be \r/\n
+    * must NOT be trimmed), falling back to the EOL-before-endstream trim
+    * when /Length is absent or an indirect reference. */
+  private def streamDataEnd(dict: String, dataStart: Int, endstreamAt: Int,
+                            s: String): Int = {
+    val direct = "/Length\\s+(\\d+)(?!\\s+\\d*\\s*R)".r.findFirstMatchIn(dict)
+      .map(_.group(1).toInt)
+      .filter(n => n >= 0 && dataStart.toLong + n <= endstreamAt)
+    direct.map(dataStart + _).getOrElse {
+      var dataEnd = endstreamAt
+      if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\n') dataEnd -= 1
+      if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+      dataEnd
+    }
+  }
+
   /** Apply the stream dict's declared filter: Flate, LZW, or none. */
   private def decodeStream(dict: String, raw: Array[Byte]): Option[Array[Byte]] =
     if (dict.contains("/FlateDecode")) inflate(raw)
     else if (dict.contains("/LZWDecode")) lzwDecode(raw)
     else Some(raw)
+
+  /** Plain RC4 (KSA + PRGA) — symmetric, ~15 lines, no provider needed.
+    * Pinned against the classic "Key"/"Plaintext" vector in PdfSpec. */
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val S = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + S(i) + key(i % key.length)) & 0xff
+      val t = S(i); S(i) = S(j); S(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    i = 0; j = 0
+    var k = 0
+    while (k < data.length) {
+      i = (i + 1) & 0xff
+      j = (j + S(i)) & 0xff
+      val t = S(i); S(i) = S(j); S(j) = t
+      out(k) = (data(k) ^ S((S(i) + S(j)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** Standard-security-handler stream decryption (PDF 32000 §7.6.2/3)
+    * with the EMPTY user password — the common crawled case: "protected"
+    * PDFs every viewer opens without prompting. Per-object key =
+    * MD5(fileKey ‖ objNum[3 LE] ‖ gen[2 LE] ‖ ("sAlT" for AES)),
+    * truncated to min(len+5, 16); RC4, or AES-128-CBC with a 16-byte IV
+    * prefix and PKCS#7 padding. A non-empty-user-password document
+    * decrypts to garbage, extracts nothing, and lands in the counted
+    * `extract_status` quarantine — same posture as the other scope
+    * boundaries. */
+  private[graft] final case class Decryptor(fileKey: Array[Byte], aes: Boolean) {
+    def decrypt(objNum: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(fileKey)
+      md.update(Array[Byte]((objNum & 0xff).toByte, ((objNum >> 8) & 0xff).toByte,
+        ((objNum >> 16) & 0xff).toByte, (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
+      if (aes) md.update(Array[Byte](0x73, 0x41, 0x6c, 0x54))
+      val okey = md.digest().take(math.min(fileKey.length + 5, 16))
+      if (aes) {
+        if (data.length < 32 || (data.length % 16) != 0) return Array.empty
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(okey, "AES"),
+          new javax.crypto.spec.IvParameterSpec(data.take(16)))
+        val plain = c.doFinal(data.drop(16))
+        val pad = plain.last & 0xff
+        if (pad >= 1 && pad <= 16 && pad <= plain.length) plain.dropRight(pad)
+        else plain
+      } else rc4(okey, data)
+    }
+  }
+
+  /** The Algorithm-2 padding string (PDF 32000 Table 21 / §7.6.3.3). */
+  private val PwPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  /** Parse a PDF string (literal `(…)` with escapes/octal, or hex `<…>`)
+    * starting at the first non-space after `from`. Returns raw bytes. */
+  private def pdfStringAt(s: String, from: Int): Option[Array[Byte]] = {
+    var i = from
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (i >= s.length) return None
+    s.charAt(i) match {
+      case '(' =>
+        val sb = new java.io.ByteArrayOutputStream()
+        var j = i + 1; var depth = 1
+        while (j < s.length && depth > 0) {
+          s.charAt(j) match {
+            case '\\' if j + 1 < s.length =>
+              s.charAt(j + 1) match {
+                case 'n' => sb.write('\n'); j += 2
+                case 'r' => sb.write('\r'); j += 2
+                case 't' => sb.write('\t'); j += 2
+                case 'b' => sb.write('\b'); j += 2
+                case 'f' => sb.write('\f'); j += 2
+                case d if d >= '0' && d <= '7' =>
+                  var k = j + 1; var v = 0; var c = 0
+                  while (k < s.length && c < 3 && s.charAt(k) >= '0' && s.charAt(k) <= '7') {
+                    v = v * 8 + (s.charAt(k) - '0'); k += 1; c += 1
+                  }
+                  sb.write(v); j = k
+                case other => sb.write(other); j += 2
+              }
+            case '(' => depth += 1; sb.write('('); j += 1
+            case ')' => depth -= 1; if (depth > 0) sb.write(')'); j += 1
+            case c => sb.write(c); j += 1
+          }
+        }
+        Some(sb.toByteArray)
+      case '<' =>
+        val end = s.indexOf('>', i)
+        if (end < 0) None
+        else {
+          val hex = s.substring(i + 1, end).filter(c => Character.digit(c, 16) >= 0)
+          val h = if (hex.length % 2 == 1) hex + "0" else hex
+          Some(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        }
+      case _ => None
+    }
+  }
+
+  /** Build the standard-handler decryptor for an encrypted document
+    * (Algorithm 2 with the empty user password). None when the document
+    * is unencrypted, uses a non-Standard handler, or an unsupported
+    * revision. */
+  private[graft] def decryptorOf(s: String): Option[Decryptor] = {
+    val encRef = "/Encrypt\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(s)
+    if (encRef.isEmpty) return None
+    val num = encRef.get.group(1).toInt
+    val m = ("(?s)\\b" + num + "\\s+\\d+\\s+obj(.{0,2048})").r.findFirstMatchIn(s)
+    val bodyAll = m.map(_.group(1)).getOrElse(return None)
+    // cut at endobj so a following object's entries can't bleed in
+    val body = bodyAll.indexOf("endobj") match {
+      case -1 => bodyAll
+      case e => bodyAll.substring(0, e)
+    }
+    if (!body.contains("/Standard")) return None
+    def intOf(key: String, dflt: Int): Int =
+      ("/" + key + "\\s+(-?\\d+)").r.findFirstMatchIn(body)
+        .map(_.group(1).toInt).getOrElse(dflt)
+    val r = intOf("R", 0)
+    if (r < 2 || r > 4) return None
+    val aes = body.contains("/AESV2")
+    // the top-level /Length is in BITS (40-256); crypt-filter dicts carry
+    // a /Length in BYTES (e.g. 16) that can appear FIRST in the dict —
+    // take the first bit-ranged value, and AESV2 is 128-bit by definition
+    val length =
+      if (aes) 128
+      else "/Length\\s+(\\d+)".r.findAllMatchIn(body).map(_.group(1).toInt)
+        .find(_ >= 40).getOrElse(40)
+    val p = intOf("P", -1)
+    val oAt = body.indexOf("/O")
+    if (oAt < 0) return None
+    val o = pdfStringAt(body, oAt + 2).getOrElse(return None)
+    if (o.length < 32) return None
+    val idAt = s.lastIndexOf("/ID")
+    val id: Array[Byte] =
+      if (idAt < 0) Array.empty
+      else {
+        val br = s.indexOf('[', idAt)
+        if (br < 0) Array.empty
+        else pdfStringAt(s, br + 1).getOrElse(Array.empty)
+      }
+    val keyLen = if (r == 2) 5 else math.max(5, math.min(16, length / 8))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(PwPad) // empty user password = pad alone
+    md.update(o, 0, 32)
+    md.update(Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte))
+    md.update(id)
+    if (r >= 4 && body.contains("/EncryptMetadata false"))
+      md.update(Array[Byte](-1, -1, -1, -1))
+    var key = md.digest()
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) {
+        key = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.take(keyLen))
+        i += 1
+      }
+    }
+    Some(Decryptor(key.take(keyLen), aes))
+  }
+
+  /** The `N G` pair immediately before an `obj` token at `objTokenStart`. */
+  private def objNumGenBefore(s: String, objTokenStart: Int): (Int, Int) = {
+    val head = s.substring(math.max(0, objTokenStart - 24), objTokenStart)
+    "(\\d+)\\s+(\\d+)\\s*$".r.findFirstMatchIn(head)
+      .map(m => (m.group(1).toInt, m.group(2).toInt)).getOrElse((0, 0))
+  }
 
   /** PDF/TIFF LZWDecode (PDF 32000-1:2008 §7.4.4): variable code width
     * 9→12 bits, MSB-first bit packing, code 256 = clear table, 257 =

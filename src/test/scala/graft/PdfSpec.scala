@@ -219,10 +219,11 @@ class PdfSpec extends AnyFunSuite {
     val body = inner1 + " " + inner2
     val header = s"1 0 2 ${inner1.length + 1} "
     val payload = (header + body).getBytes(ISO_8859_1)
+    val deflated = deflate(payload)
     val objStm =
       (s"6 0 obj << /Type /ObjStm /N 2 /First ${header.length} /Filter /FlateDecode " +
-        s"/Length 0 >>\nstream\n").getBytes(ISO_8859_1) ++
-        deflate(payload) ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1)
+        s"/Length ${deflated.length} >>\nstream\n").getBytes(ISO_8859_1) ++
+        deflated ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1)
     def streamObj(n: Int, data: Array[Byte]): Array[Byte] =
       (s"$n 0 obj << /Length ${data.length} >>\nstream\n").getBytes(ISO_8859_1) ++
         data ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1)
@@ -251,6 +252,98 @@ class PdfSpec extends AnyFunSuite {
     val junk = PdfText.extract(cidPdf("beginbfchar <00".getBytes(ISO_8859_1),
       cmapFlate = false, contentOps = ops))
     assert(junk == "")
+  }
+
+  test("rc4 matches the classic Key/Plaintext vector; involution holds") {
+    val key = "Key".getBytes(ISO_8859_1)
+    val ct = PdfText.rc4(key, "Plaintext".getBytes(ISO_8859_1))
+    assert(ct.map("%02X".format(_)).mkString == "BBF316E8D940AF0AD3")
+    assert(new String(PdfText.rc4(key, ct), ISO_8859_1) == "Plaintext")
+  }
+
+  /** Build an encrypted single-content-stream PDF with the standard
+    * security handler (empty user password). The encryption key is
+    * derived IN THE TEST straight from the spec's Algorithm 2 text, so
+    * agreement with the extractor is two independent readings of the
+    * spec, not code reuse. */
+  private def encryptedPdf(text: String, r: Int, lengthBits: Int,
+                           aes: Boolean, oBytes: Array[Byte]): Array[Byte] = {
+    val pad = Array(0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00,
+      0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+      0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+    val p = -44
+    val id = Array.tabulate(16)(i => (i * 17 + 3).toByte)
+    def md5(parts: Array[Byte]*): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(md.update); md.digest()
+    }
+    val keyLen = if (r == 2) 5 else lengthBits / 8
+    var key = md5(pad, oBytes.take(32),
+      Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+        ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte), id)
+    if (r >= 3) (1 to 50).foreach(_ => key = md5(key.take(keyLen)))
+    val fileKey = key.take(keyLen)
+    def objKey(num: Int): Array[Byte] = {
+      val extra = if (aes) Array[Byte](0x73, 0x41, 0x6c, 0x54) else Array.empty[Byte]
+      md5(fileKey, Array[Byte]((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+        ((num >> 16) & 0xff).toByte, 0, 0), extra)
+        .take(math.min(keyLen + 5, 16))
+    }
+    val ops = s"BT ($text) Tj ET".getBytes(ISO_8859_1)
+    val encOps: Array[Byte] =
+      if (aes) {
+        val iv = Array.tabulate(16)(i => (i * 7 + 1).toByte)
+        val padLen = 16 - (ops.length % 16)
+        val padded = ops ++ Array.fill(padLen)(padLen.toByte)
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(objKey(1), "AES"),
+          new javax.crypto.spec.IvParameterSpec(iv))
+        iv ++ c.doFinal(padded)
+      } else PdfText.rc4(objKey(1), ops)
+    val cf = if (aes)
+      " /V 4 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF"
+    else s" /V 2"
+    val oHex = oBytes.map("%02X".format(_)).mkString
+    val idHex = id.map("%02X".format(_)).mkString
+    (s"%PDF-1.4\n1 0 obj << /Length ${encOps.length} >>\nstream\n").getBytes(ISO_8859_1) ++
+      encOps ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1) ++
+      (s"2 0 obj << /Filter /Standard /R $r$cf /Length $lengthBits /P $p /O <$oHex> " +
+        "/U <00000000000000000000000000000000> >>\nendobj\n").getBytes(ISO_8859_1) ++
+      (s"trailer << /Root 1 0 R /Encrypt 2 0 R /ID [<$idHex> <$idHex>] >>\n%%EOF")
+        .getBytes(ISO_8859_1)
+  }
+
+  private val oFixture = Array.tabulate(32)(i => (i * 31 + 7).toByte)
+
+  test("encrypted PDF (standard handler, RC4 128-bit, empty user password) extracts") {
+    val pdf = encryptedPdf("rc4 encrypted text", r = 3, lengthBits = 128,
+      aes = false, oBytes = oFixture)
+    assert(PdfText.extract(pdf) == "rc4 encrypted text")
+  }
+
+  test("encrypted PDF (RC4 40-bit R2) extracts") {
+    val pdf = encryptedPdf("forty bit rc4", r = 2, lengthBits = 40,
+      aes = false, oBytes = oFixture)
+    assert(PdfText.extract(pdf) == "forty bit rc4")
+  }
+
+  test("encrypted PDF (AESV2, AES-128-CBC) extracts") {
+    val pdf = encryptedPdf("aes encrypted text", r = 4, lengthBits = 128,
+      aes = true, oBytes = oFixture)
+    assert(PdfText.extract(pdf) == "aes encrypted text")
+  }
+
+  test("a real-user-password document decrypts to garbage and extracts nothing") {
+    // tamper a key-derivation input (/P) after encryption: the extractor's
+    // empty-password key no longer matches the one the content was
+    // encrypted under — the same mismatch a real user password causes
+    val good = encryptedPdf("secret words", r = 3, lengthBits = 128,
+      aes = false, oBytes = oFixture)
+    val bad = new String(good, ISO_8859_1).replace("/P -44", "/P -60")
+      .getBytes(ISO_8859_1)
+    val txt = PdfText.extract(bad)
+    assert(!txt.contains("secret"), s"wrong key must not extract: $txt")
   }
 
   test("pdfToTextUdf extracts over a binary column") {
