@@ -45,11 +45,17 @@ class TablesSpec extends AnyFunSuite {
       }
     }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val offenders = Tables.all.flatMap { t =>
-      spark.read.parquet(s"$dir/$t.parquet").schema.fields.collect {
-        case f if !supported(t, f) => s"$t.${f.name}: ${f.dataType.sql}"
-      }
-    }
+    // all three SFs: the driver regenerates them together, but a partial
+    // regeneration would otherwise slip past a single-SF check
+    val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(sf => s"/root/testdata/$sf")
+      .filter(d => new java.io.File(d).isDirectory)
+    val offenders = for {
+      d <- sfDirs
+      t <- Tables.all
+      f <- spark.read.parquet(s"$d/$t.parquet").schema.fields
+      if !supported(t, f)
+    } yield s"$d/$t.${f.name}: ${f.dataType.sql}"
     assert(offenders.isEmpty,
       s"testdata physical schema drifted — unsupported column types: " +
         s"${offenders.mkString("; ")} — add a normalisation arm in Tables")
