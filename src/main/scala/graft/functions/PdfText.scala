@@ -322,7 +322,10 @@ object PdfText {
     * when /Length is absent or an indirect reference. */
   private def streamDataEnd(dict: String, dataStart: Int, endstreamAt: Int,
                             s: String): Int = {
-    val direct = "/Length\\s+(\\d+)(?!\\s+\\d*\\s*R)".r.findFirstMatchIn(dict)
+    // (?!\d) forbids backtracking into the number (else "/Length 1234 0 R"
+    // matches with the capture shrunk to "123"); the second lookahead then
+    // reliably rejects indirect references.
+    val direct = "/Length\\s+(\\d+)(?!\\d)(?!\\s+\\d+\\s+R)".r.findFirstMatchIn(dict)
       .map(_.group(1).toInt)
       .filter(n => n >= 0 && dataStart.toLong + n <= endstreamAt)
     direct.map(dataStart + _).getOrElse {

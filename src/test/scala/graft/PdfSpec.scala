@@ -75,6 +75,26 @@ class PdfSpec extends AnyFunSuite {
     assert(txt.contains("page three text"), txt)
   }
 
+  test("multi-digit indirect /Length falls back to endstream trim, not a truncated prefix") {
+    // "/Length 99 0 R" must NOT be read as a direct length of 9 (regex
+    // backtracking shrinking the capture until the indirect-ref lookahead
+    // stops seeing "N R"); the extractor has to take the trim path and
+    // recover the whole stream
+    val ops = "BT (indirect length survives intact) Tj ET".getBytes(ISO_8859_1)
+    val pdf = "%PDF-1.4\n1 0 obj << /Length 99 0 R >>\nstream\n".getBytes(ISO_8859_1) ++
+      ops ++ "\nendstream\nendobj\n99 0 obj 41\nendobj\n%%EOF".getBytes(ISO_8859_1)
+    assert(PdfText.extract(pdf) == "indirect length survives intact")
+    // same for a FlateDecode stream, where a truncated prefix corrupts
+    // rather than merely shortens the output
+    val long = ("BT (" + "flate indirect length " * 20 + "end marker) Tj ET")
+      .getBytes(ISO_8859_1)
+    val body = deflate(long)
+    val fpdf = ("%PDF-1.4\n1 0 obj << /Length 1234 0 R /Filter /FlateDecode >>\nstream\n")
+      .getBytes(ISO_8859_1) ++ body ++
+      "\nendstream\nendobj\n%%EOF".getBytes(ISO_8859_1)
+    assert(PdfText.extract(fpdf).contains("end marker"))
+  }
+
   test("hex strings decode; malformed input never throws") {
     val hex = "BT <48656C6C6F> Tj ET".getBytes(ISO_8859_1)
     assert(PdfText.extract(wrap(hex, flate = false)).contains("Hello"))
