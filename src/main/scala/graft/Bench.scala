@@ -29,7 +29,12 @@ import org.apache.spark.sql.SparkSession
   *      timed region) and per-query `spread` = max/min of the reps (1
   *      decimal); any query whose spread exceeds 3x is re-timed with two
   *      extra reps and reports the median of all five — a transient spike
-  *      must out-vote three clean reps to reach the artifact.
+  *      must out-vote three clean reps to reach the artifact;
+  *   6. round-12 self-annotation: `n_ok` = how many queries the `value`
+  *      total covers (so a partial total with a non-empty errors map can't
+  *      be compared against a full-suite one), and `contended`:true when
+  *      loadavg_before > 1.5 or any query's post-re-rep spread still
+  *      exceeds 3x — the artifact itself says "this run saw a loaded box".
   *
   * A SPARK_GRAFT_BENCH_QUERIES subset run tags the line with
   * "metric":"total_subset" and defaults the out file to BENCH_subset.json,
@@ -125,13 +130,23 @@ object Bench {
     val spreads = results.collect {
       case (k, (_, sp)) if sp >= 1.2 || sp < 0 => "\"" + k + "\":" + r1(sp)
     }.mkString("{", ",", "}")
-    // total sums only the healthy medians; error entries are -1 markers
-    val total = results.map(_._2._1).filter(_ >= 0).sum
+    // total sums only the healthy medians; error entries are -1 markers.
+    // n_ok says how many queries that total covers, so a partial total
+    // (errors non-empty) can never be misread as a full-suite number in a
+    // cross-round comparison.
+    val healthy = results.map(_._2._1).filter(_ >= 0)
+    val total = healthy.sum
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    // The box is shared: a loaded driver machine has produced 1.5x "regressions"
+    // that were pure contention (r11: 58.4 s vs 37.7 s idle). Stamp the
+    // condition on the artifact so cross-round readers see it without
+    // re-deriving it from loadavg/spread themselves.
+    val contended = loadBefore > 1.5 ||
+      results.exists { case (_, (_, sp)) => sp > 3.0 }
     val metric = if (only.isDefined) "total_subset" else "total"
     val line =
-      s"""{"metric":"$metric","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"errors":$errJson,"loadavg_before":${r1(loadBefore)},"loadavg_after":${r1(loadAfter)},"spread":$spreads}"""
+      s"""{"metric":"$metric","value":${r3(total)},"unit":"sec","n_ok":${healthy.size},"contended":$contended,"queries":$qs,"sf":"$sfDir","reps":$reps,"errors":$errJson,"loadavg_before":${r1(loadBefore)},"loadavg_after":${r1(loadAfter)},"spread":$spreads}"""
     // Emit the line FIRST and LAST around the teardown: whichever end of the
     // driver's stdout window survives, a complete copy of the line is in it.
     println(line)

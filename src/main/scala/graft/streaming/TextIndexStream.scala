@@ -108,9 +108,15 @@ object TextIndexStream {
     * column first, so DPP prunes every unprobed bucket's files. */
   def search(spark: SparkSession, indexDir: String, queries: DataFrame,
              k: Int, nTerms: Int = 8): DataFrame = {
+    // coalesce: a batch of only empty/whitespace docs writes n=0 with a
+    // NULL t (sum over zero posting rows), and a stats dir of only such
+    // rows aggregates to NULL — getLong on that is an opaque NPE
     val nt = spark.read.parquet(s"$indexDir/stats")
-      .agg(sum(col("n")), sum(col("t"))).first()
+      .agg(coalesce(sum(col("n")), lit(0L)), coalesce(sum(col("t")), lit(0L)))
+      .first()
     val (bigN, bigT) = (nt.getLong(0), nt.getLong(1))
+    require(bigN > 0,
+      s"text index at $indexDir is empty (no non-empty documents ingested)")
     val qterms = queries
       .withColumn("toks", expr(Idioms.toksExpr))
       .select(col("query_id"),

@@ -359,4 +359,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/stats").count() == 2)
     docs.unpersist()
   }
+
+  test("empty text index (whitespace-only corpus) fails search with a clear message, not an NPE") {
+    import graft.streaming.TextIndexStream
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-tix-empty-src").toString
+    val idx = Files.createTempDirectory("graft-tix-empty-idx").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft-tix-empty-ckpt").toString
+    // a drop of only empty/whitespace docs: the stats row has n=0, t=NULL
+    Seq((1L, "   ", "en", "s", 3L), (2L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(src)
+    TextIndexStream.ingest(spark, src, idx, ckpt)
+    val queries = Seq((10L, "anything")).toDF("query_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextIndexStream.search(spark, idx, queries, k = 5)
+    }
+    assert(e.getMessage.contains("empty"), e.getMessage)
+  }
 }
