@@ -26,6 +26,18 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   *    FlateDecode'd), the content walk tracks the active font via
   *    `/Name … Tf`, and show-string bytes are decoded as 2-byte codes
   *    through the map (UTF-16BE destinations, surrogates included).
+  *    Font names are scoped to their page's content streams when the
+  *    page structure is recoverable (a later page reusing /F1 for a
+  *    different font decodes through ITS font), with the document-wide
+  *    first-wins map as the fallback for unclaimed streams.
+  *  - Type0 fonts WITHOUT ToUnicode (Identity-H with only an external
+  *    CIDSystemInfo): decoded via the embedded CIDFontType2 program —
+  *    the TrueType `cmap` table (formats 4/12) inverts to
+  *    glyph→unicode and composes with /CIDToGIDMap (Identity or
+  *    stream). Extraction then rests on the font's own glyph claims,
+  *    so [[extractDetail]] flags it and the caller's `extract_status`
+  *    counts these as `no_tounicode_decoded`, distinct from both `ok`
+  *    and quarantine.
   *  - PDF 1.5 compressed object streams (/ObjStm) are expanded, so
   *    font/page/resource dicts parked there (every modern writer) are
   *    seen by the font scan; content and ToUnicode streams cannot live
@@ -39,7 +51,8 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   *    before filters.
   *  Out of scope (returns whatever text is recoverable; the caller's
   *  `extract_status` column counts these as quarantined): Type0 fonts
-  *  WITHOUT ToUnicode (Identity-H with external CIDSystemInfo only),
+  *  with NEITHER ToUnicode NOR a decodable embedded TrueType program
+  *  (CFF/FontFile3-only embeddings, subsets whose cmap was stripped),
   *  documents requiring a real user password (decrypt to garbage →
   *  quarantined), R5/R6 AES-256, and non-Standard security handlers.
   *
@@ -50,8 +63,16 @@ object PdfText {
 
   /** Extract text from PDF bytes. Null-safe; returns "" when no text
     * operators are recoverable (never throws on malformed input). */
-  def extract(bytes: Array[Byte]): String = {
-    if (bytes == null) return null
+  def extract(bytes: Array[Byte]): String = extractDetail(bytes)._1
+
+  /** [[extract]] plus a flag: true when at least one Type0 font WITHOUT a
+    * /ToUnicode CMap was decoded through its embedded font program's cmap
+    * table — the caller's `extract_status` reports such documents as
+    * `no_tounicode_decoded` rather than plain `ok`, because the decode
+    * rests on the font's glyph→unicode claim instead of the writer's
+    * explicit text mapping. */
+  def extractDetail(bytes: Array[Byte]): (String, Boolean) = {
+    if (bytes == null) return (null, false)
     val s = new String(bytes, ISO_8859_1)
     // Modern writers park font/page/resource DICTS inside compressed
     // object streams; expand those into appended plain objects so the
@@ -67,8 +88,8 @@ object PdfText {
       catch { case _: Exception => bytes }
     val expandedS =
       if (expandedBytes eq bytes) s else new String(expandedBytes, ISO_8859_1)
-    val fonts = try fontCMaps(expandedS, expandedBytes, dec)
-      catch { case _: Exception => Map.empty[String, CMap] }
+    val scope = try fontScope(expandedS, expandedBytes, dec)
+      catch { case _: Exception => FontScope(Map.empty, Map.empty, fontProgramFallback = false) }
     val out = new StringBuilder
     var idx = s.indexOf("stream")
     while (idx >= 0) {
@@ -82,18 +103,17 @@ object PdfText {
         if (end >= 0) {
           val dataEnd = streamDataEnd(dict, dataStart, end, s)
           val raw0 = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          val (num, gen) = objNumGenBefore(s, objStart)
           // cross-reference streams are never encrypted (§7.5.8.2)
           val raw = dec match {
-            case Some(d) if !dict.contains("/XRef") =>
-              val (num, gen) = objNumGenBefore(s, objStart)
-              d.decrypt(num, gen, raw0)
+            case Some(d) if !dict.contains("/XRef") => d.decrypt(num, gen, raw0)
             case _ => raw0
           }
           val decoded =
             decodeStream(dict, raw)
           decoded.map(new String(_, ISO_8859_1)).foreach { cs =>
             if (cs.contains("BT")) {
-              val t = extractContent(cs, fonts)
+              val t = extractContent(cs, scope.forStream(num))
               if (t.nonEmpty) {
                 if (out.nonEmpty) out += '\n'
                 out ++= t
@@ -107,7 +127,7 @@ object PdfText {
         } else idx = -1
       } catch { case _: Exception => idx = s.indexOf("stream", idx + 6) }
     }
-    TextFunctions.normalizeWs(out.result())
+    (TextFunctions.normalizeWs(out.result()), scope.fontProgramFallback)
   }
 
   /** CID→Unicode mapping from a /ToUnicode CMap: 2-byte source codes
@@ -115,16 +135,27 @@ object PdfText {
   private[functions] final case class CMap(codes: Map[Int, String]) {
     /** Decode a show-string whose chars are raw bytes: group into 2-byte
       * big-endian codes, map each; unmapped codes contribute nothing
-      * (conservative — a partial map yields partial text, never mojibake). */
+      * (conservative — a partial map yields partial text, never mojibake).
+      * When the map recognises NONE of the codes and the raw bytes are
+      * all printable single-byte text, the string is almost certainly a
+      * simple font mis-scoped under this CMap (a later page reusing the
+      * resource name) — pass it through instead of dropping it. Raw CID
+      * bytes of a genuinely unmapped composite font are not printable
+      * ASCII, so quarantined documents still yield nothing. */
     def decode(raw: String): String = {
       val sb = new StringBuilder
+      var mapped = 0
       var i = 0
       while (i + 1 < raw.length) {
         val code = ((raw.charAt(i) & 0xff) << 8) | (raw.charAt(i + 1) & 0xff)
-        codes.get(code).foreach(sb ++= _)
+        codes.get(code).foreach { d => sb ++= d; mapped += 1 }
         i += 2
       }
-      sb.result()
+      val dec = sb.result()
+      if (mapped == 0 && raw.nonEmpty &&
+        raw.forall(c => (c >= ' ' && c <= '~') || c == '\n' || c == '\r' || c == '\t'))
+        raw
+      else dec
     }
   }
 
@@ -241,80 +272,281 @@ object PdfText {
     out.result()
   }
 
-  /** Document-wide font-resource-name → ToUnicode CMap. Three linked
-    * scans over the raw object structure (no xref needed — robust to the
-    * truncated/regenerated files a crawler lands):
-    *   1. font dicts `N 0 obj << … /Type0 … /ToUnicode M 0 R … >>`
-    *      give fontObj → cmapObj;
-    *   2. resource dicts `/Font << /F1 N 0 R … >>` give name → fontObj
-    *      (merged document-wide: same-name collisions across pages take
-    *      the first definition — the common writer layout reuses one
-    *      font object per name);
-    *   3. cmap objects' streams (plain or Flate) parse via [[parseCMap]].
+  /** Resolved font mappings for a document: `global` is the document-wide
+    * first-definition-wins name→CMap map (the pre-round-12 behavior, used
+    * for streams no page claims); `byContentObj` scopes names to the page
+    * that owns each content stream, so a later page reusing /F1 for a
+    * different font object decodes through ITS font, not the first page's.
+    * `fontProgramFallback` is true when some Type0 font without ToUnicode
+    * was decoded via its embedded font program. */
+  private[functions] final case class FontScope(
+      global: Map[String, CMap],
+      byContentObj: Map[Int, Map[String, CMap]],
+      fontProgramFallback: Boolean) {
+    def forStream(objNum: Int): Map[String, CMap] =
+      byContentObj.getOrElse(objNum, global)
+  }
+
+  /** Font-resource-name → CID-to-Unicode CMap, document-wide AND scoped
+    * per content stream. Linked scans over the raw object structure (no
+    * xref needed — robust to the truncated/regenerated files a crawler
+    * lands):
+    *   1. font dicts `N 0 obj << … /Type0 … >>`: with /ToUnicode M 0 R
+    *      the CMap stream parses via [[parseCMap]]; WITHOUT ToUnicode the
+    *      chain /DescendantFonts → /FontDescriptor → /FontFile2 yields
+    *      the embedded TrueType program, whose `cmap` table inverts to
+    *      glyph→unicode ([[ttfGidToUnicode]]) and composes with
+    *      /CIDToGIDMap (Identity default, or the stream map) into
+    *      CID→unicode. A Type0 font where neither path yields codes maps
+    *      through an EMPTY CMap — its CID bytes produce no text instead
+    *      of mojibake and the document lands in the caller's quarantined
+    *      count.
+    *   2. resource dicts `/Font << /F1 N 0 R … >>` give name → fontObj:
+    *      globally (first definition wins) and per page — a page dict's
+    *      /Contents refs bind ITS resource names to its content streams.
     * Simple (non-Type0) fonts get no entry, so their show strings pass
     * through byte-for-byte exactly as before. */
-  private[functions] def fontCMaps(s: String, bytes: Array[Byte],
-                                   dec: Option[Decryptor] = None): Map[String, CMap] = {
+  private[functions] def fontScope(s: String, bytes: Array[Byte],
+                                   dec: Option[Decryptor] = None): FontScope = {
     val objRe = "(\\d+)\\s+0\\s+obj".r
     val objStarts = objRe.findAllMatchIn(s).map(m => (m.group(1).toInt, m.start, m.end)).toSeq
-    if (objStarts.isEmpty) return Map.empty
+    if (objStarts.isEmpty) return FontScope(Map.empty, Map.empty, fontProgramFallback = false)
     def objBody(i: Int): String = {
       val end = if (i + 1 < objStarts.length) objStarts(i + 1)._2 else s.length
       s.substring(objStarts(i)._3, end)
     }
-    // 1. Type0 font objects → their ToUnicode object number (None when the
-    // font has no ToUnicode at all — those map through an EMPTY CMap, so
-    // their CID bytes yield no text instead of mojibake, and the document
-    // lands in the caller's quarantined count rather than passing garbage)
+    val objIndex: Map[Int, Int] =
+      objStarts.indices.groupBy(i => objStarts(i)._1).map { case (n, is) => n -> is.min }
+    def bodyOf(objNum: Int): Option[String] = objIndex.get(objNum).map(objBody)
+    /** An object's stream data, decrypted and de-filtered. */
+    def decodedStreamOf(objNum: Int): Option[Array[Byte]] =
+      objIndex.get(objNum).flatMap { i =>
+        val body = objBody(i)
+        val streamAt = body.indexOf("stream")
+        if (streamAt < 0) None
+        else {
+          val dict = body.substring(0, streamAt)
+          var ds = streamAt + "stream".length
+          if (ds < body.length && body.charAt(ds) == '\r') ds += 1
+          if (ds < body.length && body.charAt(ds) == '\n') ds += 1
+          val de0 = body.indexOf("endstream", ds)
+          if (de0 < 0) None
+          else {
+            val de = streamDataEnd(dict, ds, de0, body)
+            val absStart = objStarts(i)._3 + ds
+            val raw0 = java.util.Arrays.copyOfRange(bytes, absStart,
+              objStarts(i)._3 + de)
+            val raw = dec.map(_.decrypt(objNum, 0, raw0)).getOrElse(raw0)
+            decodeStream(dict, raw)
+          }
+        }
+      }
+    // 1. Type0 font objects and their decode path
     val toUni = "(?s)/ToUnicode\\s+(\\d+)\\s+0\\s+R".r
-    val fontToCmapObj: Map[Int, Option[Int]] = objStarts.indices.flatMap { i =>
+    val type0Bodies: Map[Int, String] = objStarts.indices.flatMap { i =>
       val body = objBody(i)
-      if (body.contains("/Type0"))
-        Some(objStarts(i)._1 -> toUni.findFirstMatchIn(body).map(_.group(1).toInt))
-      else None
+      if (body.contains("/Type0")) Some(objStarts(i)._1 -> body) else None
     }.toMap
-    if (fontToCmapObj.isEmpty) return Map.empty
-    // 2. resource names → font object numbers
+    if (type0Bodies.isEmpty) return FontScope(Map.empty, Map.empty, fontProgramFallback = false)
+    var fallbackUsed = false
+    /** CID→unicode via the embedded font program (the no-ToUnicode path). */
+    def fontProgramCMap(fontBody: String): Option[CMap] = {
+      val descObj = "(?s)/DescendantFonts\\s*\\[\\s*(\\d+)\\s+0\\s+R".r
+        .findFirstMatchIn(fontBody).map(_.group(1).toInt)
+        .orElse( // /DescendantFonts as an indirect ref to a one-element array
+          "(?s)/DescendantFonts\\s+(\\d+)\\s+0\\s+R".r.findFirstMatchIn(fontBody)
+            .map(_.group(1).toInt).flatMap(bodyOf)
+            .flatMap(b => "(\\d+)\\s+0\\s+R".r.findFirstMatchIn(b).map(_.group(1).toInt)))
+      for {
+        dBody <- descObj.flatMap(bodyOf)
+        fdNum <- "/FontDescriptor\\s+(\\d+)\\s+0\\s+R".r.findFirstMatchIn(dBody)
+          .map(_.group(1).toInt)
+        fdBody <- bodyOf(fdNum)
+        ffNum <- "/FontFile2\\s+(\\d+)\\s+0\\s+R".r.findFirstMatchIn(fdBody)
+          .map(_.group(1).toInt)
+        prog <- decodedStreamOf(ffNum)
+        gidUni = ttfGidToUnicode(prog)
+        if gidUni.nonEmpty
+      } yield {
+        // /CIDToGIDMap: a stream of big-endian GIDs indexed by CID;
+        // absent or /Identity means CID == GID (the Identity-H norm)
+        val codes = "/CIDToGIDMap\\s+(\\d+)\\s+0\\s+R".r.findFirstMatchIn(dBody)
+          .map(_.group(1).toInt).flatMap(decodedStreamOf) match {
+          case Some(cidMap) =>
+            (0 until math.min(cidMap.length / 2, MaxCMapEntries)).flatMap { cid =>
+              val gid = ((cidMap(2 * cid) & 0xff) << 8) | (cidMap(2 * cid + 1) & 0xff)
+              gidUni.get(gid).map(cid -> _)
+            }.toMap
+          case None => gidUni
+        }
+        CMap(codes)
+      }
+    }
+    // resolve each Type0 font object's CMap once
+    val cmapByFont = collection.mutable.HashMap.empty[Int, CMap]
+    def cmapOfFont(fontObj: Int): Option[CMap] = type0Bodies.get(fontObj).map { body =>
+      cmapByFont.getOrElseUpdate(fontObj, {
+        toUni.findFirstMatchIn(body).map(_.group(1).toInt) match {
+          case Some(cmapObj) =>
+            decodedStreamOf(cmapObj).map(new String(_, ISO_8859_1))
+              .filter(_.contains("beginbf")).map(parseCMap)
+              .filter(_.codes.nonEmpty).getOrElse(CMap(Map.empty))
+          case None =>
+            fontProgramCMap(body).filter(_.codes.nonEmpty) match {
+              case Some(cm) => fallbackUsed = true; cm
+              case None => CMap(Map.empty)
+            }
+        }
+      })
+    }
     val nameRef = "/([\\w.-]+)\\s+(\\d+)\\s+0\\s+R".r
     val fontDict = "(?s)/Font\\s*<<(.*?)>>".r
-    val nameToFont = collection.mutable.HashMap.empty[String, Int]
-    for (m <- fontDict.findAllMatchIn(s); r <- nameRef.findAllMatchIn(m.group(1)))
-      if (!nameToFont.contains(r.group(1))) nameToFont(r.group(1)) = r.group(2).toInt
-    // 3. parse each referenced cmap object's stream once
-    val cmapByObj = collection.mutable.HashMap.empty[Int, Option[CMap]]
-    def cmapFor(objNum: Int): Option[CMap] = cmapByObj.getOrElseUpdate(objNum, {
-      objStarts.indexWhere(_._1 == objNum) match {
-        case -1 => None
-        case i =>
-          val body = objBody(i)
-          val streamAt = body.indexOf("stream")
-          if (streamAt < 0) None
-          else {
-            val dict = body.substring(0, streamAt)
-            var ds = streamAt + "stream".length
-            if (ds < body.length && body.charAt(ds) == '\r') ds += 1
-            if (ds < body.length && body.charAt(ds) == '\n') ds += 1
-            val de0 = body.indexOf("endstream", ds)
-            if (de0 < 0) None
-            else {
-              val de = streamDataEnd(dict, ds, de0, body)
-              val absStart = objStarts(i)._3 + ds
-              val raw0 = java.util.Arrays.copyOfRange(bytes, absStart,
-                objStarts(i)._3 + de)
-              val raw = dec.map(_.decrypt(objNum, 0, raw0)).getOrElse(raw0)
-              val txt = decodeStream(dict, raw).map(new String(_, ISO_8859_1))
-              txt.filter(_.contains("beginbf")).map(parseCMap)
-                .filter(_.codes.nonEmpty)
-            }
-          }
+    def namesIn(src: String): Seq[(String, Int)] =
+      (for (m <- fontDict.findAllMatchIn(src); r <- nameRef.findAllMatchIn(m.group(1)))
+        yield r.group(1) -> r.group(2).toInt).toSeq
+    // 2a. document-wide map, first definition wins (pre-round-12 behavior)
+    val global = collection.mutable.LinkedHashMap.empty[String, CMap]
+    for ((name, fontObj) <- namesIn(s); cm <- cmapOfFont(fontObj))
+      if (!global.contains(name)) global(name) = cm
+    // 2b. per-page scope: a page dict's /Contents streams see THAT page's
+    // /Font names (inline under /Resources, or via an indirect resource
+    // object) — a name reused across pages stops colliding
+    val contentsRe = "(?s)/Contents\\s*(\\[[^\\]]*\\]|\\d+\\s+0\\s+R)".r
+    val refRe = "(\\d+)\\s+0\\s+R".r
+    val byContent = collection.mutable.HashMap.empty[Int, Map[String, CMap]]
+    objStarts.indices.foreach { i =>
+      val body = objBody(i)
+      if (body.contains("/Contents")) {
+        val fontSrc: Option[String] =
+          if (fontDict.findFirstMatchIn(body).isDefined) Some(body)
+          else "/Resources\\s+(\\d+)\\s+0\\s+R".r.findFirstMatchIn(body)
+            .map(_.group(1).toInt).flatMap(bodyOf)
+        fontSrc.foreach { src =>
+          val names = namesIn(src)
+          val pageFonts = names
+            .flatMap { case (name, fo) => cmapOfFont(fo).map(name -> _) }
+            .groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
+          // register even when the resolved map is EMPTY: a page whose
+          // fonts are all simple must shadow the global map, or its
+          // strings would decode through another page's CMap
+          if (names.nonEmpty)
+            for {
+              m <- contentsRe.findFirstMatchIn(body).iterator
+              r <- refRe.findAllMatchIn(m.group(1))
+            } byContent(r.group(1).toInt) = pageFonts
+        }
       }
-    })
-    nameToFont.iterator.flatMap { case (name, fontObj) =>
-      fontToCmapObj.get(fontObj).map { cmapObj =>
-        name -> cmapObj.flatMap(cmapFor).getOrElse(CMap(Map.empty))
-      }
-    }.toMap
+    }
+    FontScope(global.toMap, byContent.toMap, fallbackUsed)
   }
+
+  /** Glyph-ID → unicode string, inverted from a TrueType font program's
+    * `cmap` table (OpenType spec; formats 4 and 12 — the ones real
+    * CIDFontType2 embeddings carry). Subtable preference: (3,10)
+    * UCS-4 format 12, then (3,1) BMP format 4, then any platform-0
+    * (Unicode) record. First gid wins on collisions; gid 0 (.notdef)
+    * and the 0xFFFF sentinel never map. Returns empty on any
+    * malformed/truncated table rather than throwing. */
+  private[graft] def ttfGidToUnicode(font: Array[Byte]): Map[Int, String] = {
+    try {
+      if (font == null || font.length < 12) return Map.empty
+      val numTables = u16(font, 4)
+      var cmapOff = -1
+      var t = 0
+      while (t < numTables && cmapOff < 0) {
+        val rec = 12 + 16 * t
+        if (rec + 16 <= font.length &&
+          new String(font, rec, 4, ISO_8859_1) == "cmap")
+          cmapOff = u32(font, rec + 8).toInt
+        t += 1
+      }
+      if (cmapOff < 0 || cmapOff + 4 > font.length) return Map.empty
+      val nSub = u16(font, cmapOff + 2)
+      var best = -1
+      var bestScore = 0
+      var j = 0
+      while (j < nSub) {
+        val rec = cmapOff + 4 + 8 * j
+        if (rec + 8 <= font.length) {
+          val plat = u16(font, rec)
+          val enc = u16(font, rec + 2)
+          val score =
+            if (plat == 3 && enc == 10) 4
+            else if (plat == 3 && enc == 1) 3
+            else if (plat == 0) 2
+            else 1
+          if (score > bestScore) {
+            bestScore = score
+            best = cmapOff + u32(font, rec + 4).toInt
+          }
+        }
+        j += 1
+      }
+      if (best < 0 || best + 2 > font.length) return Map.empty
+      val out = collection.mutable.HashMap.empty[Int, String]
+      def put(gid: Int, cp: Int): Unit =
+        if (gid != 0 && out.size < MaxCMapEntries && !out.contains(gid))
+          out(gid) = new String(Character.toChars(cp))
+      u16(font, best) match {
+        case 4 =>
+          val segX2 = u16(font, best + 6)
+          val endA = best + 14
+          val startA = endA + segX2 + 2 // +2 skips reservedPad
+          val deltaA = startA + segX2
+          val rangeA = deltaA + segX2
+          if (rangeA + segX2 > font.length) return Map.empty
+          var k = 0
+          while (k < segX2 / 2) {
+            val end = u16(font, endA + 2 * k)
+            val start = u16(font, startA + 2 * k)
+            val delta = u16(font, deltaA + 2 * k)
+            val ro = u16(font, rangeA + 2 * k)
+            var c = start
+            while (c <= end && c != 0xFFFF && out.size < MaxCMapEntries) {
+              val gid =
+                if (ro == 0) (c + delta) & 0xffff
+                else {
+                  // idRangeOffset is relative to its OWN array slot
+                  val addr = rangeA + 2 * k + ro + 2 * (c - start)
+                  if (addr + 2 <= font.length) {
+                    val g = u16(font, addr)
+                    if (g == 0) 0 else (g + delta) & 0xffff
+                  } else 0
+                }
+              put(gid, c)
+              c += 1
+            }
+            k += 1
+          }
+        case 12 =>
+          if (best + 16 > font.length) return Map.empty
+          val nGroups = u32(font, best + 12)
+          var g = 0L
+          while (g < nGroups && out.size < MaxCMapEntries) {
+            val rec = best + 16 + 12 * g.toInt
+            if (rec + 12 <= font.length) {
+              val sc = u32(font, rec)
+              val ec = u32(font, rec + 4)
+              val sg = u32(font, rec + 8)
+              var c = sc
+              while (c <= ec && c <= 0x10FFFFL && out.size < MaxCMapEntries) {
+                put((sg + (c - sc)).toInt, c.toInt)
+                c += 1
+              }
+            }
+            g += 1
+          }
+        case _ => ()
+      }
+      out.toMap
+    } catch { case _: Exception => Map.empty }
+  }
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
 
   /** End of a stream's data: prefer the dict's direct /Length (spec-
     * authoritative — a ciphertext or flate byte that happens to be \r/\n

@@ -60,22 +60,32 @@ object Multimodal {
     * The extractor's scope boundary is a COUNTED column, not silence:
     * `extract_status` is `ok` when text was recovered, `quarantined` when
     * a non-empty payload yielded no text — for PDFs that is the
-    * documented out-of-scope corpus (Type0 fonts WITHOUT a ToUnicode
-    * CMap, encryption, object streams; PdfText.scala header — Type0
-    * WITH ToUnicode extracts since round 11), the extract-or-quarantine
-    * posture of the A4 reliability family. Downstream keeps a
-    * corpus-health metric (`count(extract_status = 'quarantined')`)
-    * instead of mistaking extractor scope for genuinely empty documents. */
+    * documented out-of-scope corpus (PdfText.scala header: CFF-only
+    * embeddings, real user passwords, AES-256), the extract-or-quarantine
+    * posture of the A4 reliability family. A PDF whose text came through
+    * the round-12 no-ToUnicode font-program path reports
+    * `no_tounicode_decoded` — recovered, but resting on the font's
+    * glyph→unicode claims rather than the writer's explicit ToUnicode
+    * map, so corpus health can count it separately from plain `ok`.
+    * Downstream keeps a corpus-health metric
+    * (`count(extract_status = 'quarantined')`) instead of mistaking
+    * extractor scope for genuinely empty documents. */
   def extractText(assets: DataFrame): DataFrame = {
     import graft.functions.{PdfText, TextFunctions}
-    assets.withColumn("text",
+    val pdfDetail = udf((b: Array[Byte]) => PdfText.extractDetail(b))
+    assets.withColumn("_pdf",
+        when(col("modality") === "pdf", pdfDetail(col("content"))))
+      .withColumn("text",
         when(col("modality") === "html", TextFunctions.htmlToTextUdf(col("content").cast("string")))
-          .when(col("modality") === "pdf", PdfText.pdfToTextUdf(col("content")))
+          .when(col("modality") === "pdf", col("_pdf._1"))
           .otherwise(col("content").cast("string")))
       .withColumn("extract_status",
-        when(length(trim(col("text"))) > 0, "ok")
+        when(length(trim(col("text"))) > 0,
+          when(col("modality") === "pdf" && col("_pdf._2"), "no_tounicode_decoded")
+            .otherwise("ok"))
           .when(col("content").isNotNull && length(col("content")) > 0, "quarantined")
           .otherwise("empty"))
+      .drop("_pdf")
   }
 
   /** Real image decode via the JDK's own codecs (`javax.imageio`,

@@ -74,6 +74,44 @@ class MultimodalSpec extends AnyFunSuite {
       s"extract-or-quarantine statuses wrong: $st")
   }
 
+  test("extract_status distinguishes no_tounicode_decoded from ok and quarantined") {
+    import spark.implicits._
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    // minimal Identity-H PDF whose Type0 font has NO ToUnicode but an
+    // embedded TrueType whose cmap maps 'A'..'Z' -> gids 1..26
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val delta = (1 - 0x41) & 0xffff
+    val sub = be16(4) ++ be16(32) ++ be16(0) ++ be16(4) ++ be16(0) ++ be16(0) ++
+      be16(0) ++ be16(0x5A) ++ be16(0xFFFF) ++ be16(0) ++ be16(0x41) ++
+      be16(0xFFFF) ++ be16(delta) ++ be16(1) ++ be16(0) ++ be16(0)
+    val cmap = be16(0) ++ be16(1) ++ be16(3) ++ be16(1) ++ be32(12) ++ sub
+    val ttf = be32(0x00010000L) ++ be16(1) ++ be16(16) ++ be16(0) ++ be16(0) ++
+      "cmap".getBytes(iso) ++ be32(0) ++ be32(28) ++ be32(cmap.length.toLong) ++ cmap
+    def streamObj(n: Int, data: Array[Byte]) =
+      (s"$n 0 obj << /Length ${data.length} >>\nstream\n").getBytes(iso) ++
+        data ++ "\nendstream\nendobj\n".getBytes(iso)
+    // content shows CIDs 3,1,2 -> "CAB"
+    val noToUni = "%PDF-1.4\n".getBytes(iso) ++
+      ("1 0 obj << /Type /Page /Resources << /Font << /F1 2 0 R >> >> /Contents 5 0 R >>\nendobj\n" +
+        "2 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H /DescendantFonts [4 0 R] >>\nendobj\n" +
+        "4 0 obj << /Subtype /CIDFontType2 /FontDescriptor 6 0 R >>\nendobj\n" +
+        "6 0 obj << /Type /FontDescriptor /FontFile2 7 0 R >>\nendobj\n").getBytes(iso) ++
+      streamObj(5, "BT /F1 12 Tf <000300010002> Tj ET".getBytes(iso)) ++
+      streamObj(7, ttf) ++ "%%EOF".getBytes(iso)
+    val rows = Multimodal.extractText(Seq(
+        (1L, "pdf", noToUni),
+        (2L, "pdf", pdfBytes("plain tounicode-free latin")),
+        (3L, "pdf", "%PDF-1.4\nopaque\n%%EOF".getBytes))
+      .toDF("asset_id", "modality", "content"))
+      .select(col("asset_id"), col("text"), col("extract_status")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows(1L) == ("CAB", "no_tounicode_decoded"), rows(1L))
+    assert(rows(2L)._2 == "ok", rows(2L))
+    assert(rows(3L)._2 == "quarantined", rows(3L))
+  }
+
   test("decodeImage decodes real PNG and JPEG bytes with correct dimensions") {
     assert(Multimodal.decodeImage(imageBytes("png", 640, 480)) == ("png", 640, 480))
     assert(Multimodal.decodeImage(imageBytes("jpg", 31, 17)) == ("jpeg", 31, 17))

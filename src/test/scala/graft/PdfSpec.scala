@@ -124,9 +124,14 @@ class PdfSpec extends AnyFunSuite {
   }
 
   /** Hand-built Type0/CID PDF: page resources name /F7 → font obj 2
-    * (Identity-H, /ToUnicode obj 3), content stream in obj 5. */
+    * (Identity-H, /ToUnicode obj 3), content stream in obj 5. With
+    * `fontFile2` the descendant gains /FontDescriptor 6 → /FontFile2 7
+    * (the embedded TrueType program), and `cidToGid` adds a
+    * /CIDToGIDMap stream as obj 8. */
   private def cidPdf(cmapBytes: Array[Byte], cmapFlate: Boolean,
-                     contentOps: String, withToUnicode: Boolean = true): Array[Byte] = {
+                     contentOps: String, withToUnicode: Boolean = true,
+                     fontFile2: Option[Array[Byte]] = None,
+                     cidToGid: Option[Array[Byte]] = None): Array[Byte] = {
     def obj(n: Int, body: String): String = s"$n 0 obj $body\nendobj\n"
     def streamObj(n: Int, data: Array[Byte], flate: Boolean): Array[Byte] = {
       val filter = if (flate) " /Filter /FlateDecode" else ""
@@ -134,16 +139,61 @@ class PdfSpec extends AnyFunSuite {
         data ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1)
     }
     val toUni = if (withToUnicode) " /ToUnicode 3 0 R" else ""
+    val descExtra = (if (fontFile2.isDefined) " /FontDescriptor 6 0 R" else "") +
+      (if (cidToGid.isDefined) " /CIDToGIDMap 8 0 R" else "")
+    val fontObjs: Array[Byte] = fontFile2.map { ttf =>
+      obj(6, "<< /Type /FontDescriptor /FontName /TestCJK /FontFile2 7 0 R >>")
+        .getBytes(ISO_8859_1) ++ streamObj(7, ttf, flate = false) ++
+        cidToGid.map(streamObj(8, _, flate = false)).getOrElse(Array.empty[Byte])
+    }.getOrElse(Array.empty[Byte])
     "%PDF-1.4\n".getBytes(ISO_8859_1) ++
       obj(1, "<< /Type /Page /Resources << /Font << /F7 2 0 R >> >> /Contents 5 0 R >>")
         .getBytes(ISO_8859_1) ++
       obj(2, s"<< /Type /Font /Subtype /Type0 /BaseFont /TestCJK /Encoding /Identity-H$toUni /DescendantFonts [4 0 R] >>")
         .getBytes(ISO_8859_1) ++
       streamObj(3, cmapBytes, cmapFlate) ++
-      obj(4, "<< /Subtype /CIDFontType2 >>").getBytes(ISO_8859_1) ++
+      obj(4, s"<< /Subtype /CIDFontType2$descExtra >>").getBytes(ISO_8859_1) ++
       streamObj(5, contentOps.getBytes(ISO_8859_1), flate = false) ++
+      fontObjs ++
       "%%EOF".getBytes(ISO_8859_1)
   }
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Minimal TrueType with one table: a cmap whose single subtable is the
+    * given (platformID, encodingID, payload). */
+  private def ttf(platform: Int, encoding: Int, subtable: Array[Byte]): Array[Byte] = {
+    val cmap = be16(0) ++ be16(1) ++ // version, one encoding record
+      be16(platform) ++ be16(encoding) ++ be32(12) ++ // subtable right after
+      subtable
+    // sfnt offset table + one table record pointing at the cmap
+    be32(0x00010000L) ++ be16(1) ++ be16(16) ++ be16(0) ++ be16(0) ++
+      "cmap".getBytes(ISO_8859_1) ++ be32(0) ++ be32(28) ++ be32(cmap.length) ++
+      cmap
+  }
+
+  /** cmap format 4 from (startChar, endChar, idDelta) segments; the
+    * 0xFFFF terminator segment is appended automatically. */
+  private def cmap4(segs: (Int, Int, Int)*): Array[Byte] = {
+    val all = segs :+ ((0xFFFF, 0xFFFF, 1))
+    val segCount = all.length
+    val body = all.flatMap(s => be16(s._2)).toArray ++ be16(0) ++ // endCodes, pad
+      all.flatMap(s => be16(s._1)) ++                            // startCodes
+      all.flatMap(s => be16(s._3 & 0xffff)) ++                   // idDeltas
+      all.flatMap(_ => be16(0))                                  // idRangeOffsets
+    be16(4) ++ be16(16 + body.length) ++ be16(0) ++ // format, length, language
+      be16(segCount * 2) ++ be16(0) ++ be16(0) ++ be16(0) ++ body
+  }
+
+  /** cmap format 12 from (startChar, endChar, startGid) groups. */
+  private def cmap12(groups: (Long, Long, Long)*): Array[Byte] =
+    be16(12) ++ be16(0) ++ be32(16 + 12L * groups.length) ++ be32(0) ++
+      be32(groups.length.toLong) ++
+      groups.toArray.flatMap(g => be32(g._1) ++ be32(g._2) ++ be32(g._3))
 
   private val cmapText =
     """/CIDInit /ProcSet findresource begin
@@ -180,9 +230,107 @@ class PdfSpec extends AnyFunSuite {
 
   test("Type0 WITHOUT ToUnicode yields no text (quarantine), not mojibake") {
     val ops = "BT /F7 12 Tf <00010002> Tj ET"
-    val txt = PdfText.extract(cidPdf(cmapText.getBytes(ISO_8859_1),
-      cmapFlate = false, contentOps = ops, withToUnicode = false))
+    val pdf = cidPdf(cmapText.getBytes(ISO_8859_1),
+      cmapFlate = false, contentOps = ops, withToUnicode = false)
+    val (txt, viaFontProgram) = PdfText.extractDetail(pdf)
     assert(txt == "", txt.map(_.toInt.toHexString))
+    assert(!viaFontProgram)
+  }
+
+  test("Type0 WITHOUT ToUnicode decodes via the embedded TrueType cmap (format 4, Identity CIDToGIDMap)") {
+    // font program maps 'A'..'Z' -> gids 1..26; Identity-H + default
+    // /CIDToGIDMap means CID == GID, so CIDs <0001><0002><0003> -> ABC
+    val prog = ttf(3, 1, cmap4((0x41, 0x5A, 1 - 0x41)))
+    assert(PdfText.ttfGidToUnicode(prog).get(1).contains("A"))
+    val ops = "BT /F7 12 Tf <000100020003> Tj ET"
+    val pdf = cidPdf(cmapText.getBytes(ISO_8859_1), cmapFlate = false,
+      contentOps = ops, withToUnicode = false, fontFile2 = Some(prog))
+    val (txt, viaFontProgram) = PdfText.extractDetail(pdf)
+    assert(txt == "ABC", txt.map(_.toInt.toHexString))
+    assert(viaFontProgram, "extract_status needs the no_tounicode_decoded signal")
+    // the ToUnicode path must NOT raise the flag
+    assert(!PdfText.extractDetail(cidPdf(cmapText.getBytes(ISO_8859_1),
+      cmapFlate = false, contentOps = "BT /F7 12 Tf <0001> Tj ET"))._2)
+  }
+
+  test("Type0 WITHOUT ToUnicode: format 12 cmap + stream /CIDToGIDMap (non-BMP)") {
+    // cmap format 12 maps U+1F600..U+1F602 -> gids 10..12; the
+    // CIDToGIDMap stream routes CIDs 1,2,3 -> gids 10,11,12
+    val prog = ttf(3, 10, cmap12((0x1F600L, 0x1F602L, 10L)))
+    val c2g = Array(0, 0, 0, 10, 0, 11, 0, 12).map(_.toByte)
+    val ops = "BT /F7 12 Tf <000100020003> Tj ET"
+    val pdf = cidPdf(cmapText.getBytes(ISO_8859_1), cmapFlate = false,
+      contentOps = ops, withToUnicode = false, fontFile2 = Some(prog),
+      cidToGid = Some(c2g))
+    val (txt, viaFontProgram) = PdfText.extractDetail(pdf)
+    assert(txt == "😀😁😂", txt.map(_.toInt.toHexString))
+    assert(viaFontProgram)
+  }
+
+  test("ttfGidToUnicode: format 4 glyphIdArray path (idRangeOffset != 0) and malformed fonts") {
+    // one segment [0x61,0x62] whose idRangeOffset=4 points into a
+    // glyphIdArray [5,7] (the subset-font layout), plus the terminator
+    val sub = be16(4) ++ be16(40) ++ be16(0) ++ be16(4) ++
+      be16(0) ++ be16(0) ++ be16(0) ++
+      be16(0x62) ++ be16(0xFFFF) ++ be16(0) ++
+      be16(0x61) ++ be16(0xFFFF) ++
+      be16(0) ++ be16(1) ++
+      be16(4) ++ be16(0) ++
+      be16(5) ++ be16(7)
+    val m = PdfText.ttfGidToUnicode(ttf(3, 1, sub))
+    assert(m == Map(5 -> "a", 7 -> "b"), m)
+    assert(PdfText.ttfGidToUnicode("not a font".getBytes(ISO_8859_1)).isEmpty)
+    assert(PdfText.ttfGidToUnicode(Array.empty[Byte]).isEmpty)
+    // table record pointing past the end of the file
+    assert(PdfText.ttfGidToUnicode(be32(0x00010000L) ++ be16(1) ++ be16(0) ++
+      be16(0) ++ be16(0) ++ "cmap".getBytes(ISO_8859_1) ++ be32(0) ++
+      be32(9999) ++ be32(4)).isEmpty)
+  }
+
+  test("font names are scoped per page: a later page reusing /F1 for a simple font keeps its text") {
+    // page 1: /F1 -> Type0 with a ToUnicode that maps <6869>("hi") -> X;
+    // page 2: /F1 -> a SIMPLE font. Document-wide first-wins decoding
+    // would run page 2's "hi there" through page 1's CMap -> "X".
+    val cmap =
+      """begincmap
+        |2 beginbfchar
+        |<0001> <0056>
+        |<6869> <0058>
+        |endbfchar
+        |endcmap""".stripMargin
+    def obj(n: Int, body: String): String = s"$n 0 obj $body\nendobj\n"
+    def streamObj(n: Int, data: Array[Byte]): Array[Byte] =
+      (s"$n 0 obj << /Length ${data.length} >>\nstream\n").getBytes(ISO_8859_1) ++
+        data ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1)
+    val pdf = "%PDF-1.4\n".getBytes(ISO_8859_1) ++
+      obj(1, "<< /Type /Page /Resources << /Font << /F1 2 0 R >> >> /Contents 5 0 R >>")
+        .getBytes(ISO_8859_1) ++
+      obj(2, "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 3 0 R /DescendantFonts [4 0 R] >>")
+        .getBytes(ISO_8859_1) ++
+      streamObj(3, cmap.getBytes(ISO_8859_1)) ++
+      obj(4, "<< /Subtype /CIDFontType2 >>").getBytes(ISO_8859_1) ++
+      streamObj(5, "BT /F1 12 Tf <0001> Tj ET".getBytes(ISO_8859_1)) ++
+      obj(9, "<< /Type /Page /Resources << /Font << /F1 10 0 R >> >> /Contents 11 0 R >>")
+        .getBytes(ISO_8859_1) ++
+      obj(10, "<< /Type /Font /Subtype /TrueType /BaseFont /Helv >>")
+        .getBytes(ISO_8859_1) ++
+      streamObj(11, "BT /F1 12 Tf (hi there) Tj ET".getBytes(ISO_8859_1)) ++
+      "%%EOF".getBytes(ISO_8859_1)
+    val txt = PdfText.extract(pdf)
+    assert(txt.contains("V"), txt)
+    assert(txt.contains("hi there"), s"page-2 simple-font text lost: $txt")
+    assert(!txt.contains("X"), s"page-2 text decoded through page-1's CMap: $txt")
+  }
+
+  test("a CMap that maps none of a printable string's codes passes it through (mis-scoped simple font)") {
+    // no page structure at all (stream not claimed by any /Contents):
+    // global scope applies the Type0 CMap to everything, but a printable
+    // single-byte string whose codes are all unmapped must survive
+    val ops = "BT /F7 12 Tf <0001> Tj (plain printable text!) Tj ET"
+    val txt = PdfText.extract(cidPdf(cmapText.getBytes(ISO_8859_1),
+      cmapFlate = false, contentOps = ops))
+    assert(txt.contains("V"), txt)
+    assert(txt.contains("plain printable text!"), txt)
   }
 
   test("CID decode is scoped to the Type0 font: a simple font in the same doc passes through") {
