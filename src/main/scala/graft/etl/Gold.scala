@@ -35,6 +35,51 @@ object Gold {
   def refresh(gold: DataFrame, path: String): Unit =
     gold.write.mode("overwrite").parquet(path)
 
+  /** Key-based MERGE: `incoming` rows replace same-key `existing` rows
+    * (last-writer-wins — the batch is the later write), unmatched
+    * existing rows survive. This is the incremental alternative to the
+    * reference's drop_old=True full refresh (seed_milvus.py:75): at
+    * 100 TB you cannot rewrite the collection to update one day's drop.
+    * Expressed as anti-join + union so Catalyst keeps both sides
+    * columnar: the anti-join's build side is just the incoming KEY
+    * column, broadcast when small (`broadcastKeys`, the landing-batch
+    * norm — no shuffle of the 100 TB side; flip it off when a backfill
+    * batch rivals the base table and AQE should plan the shuffle).
+    * `incoming` must carry one row per key (dedupe upstream — a landing
+    * batch with two writers for a key has no winner without a version
+    * column). */
+  def merge(existing: DataFrame, incoming: DataFrame, key: String,
+            broadcastKeys: Boolean = true): DataFrame = {
+    val keys = incoming.select(col(key))
+    val survivors = existing.join(
+      if (broadcastKeys) broadcast(keys) else keys, Seq(key), "left_anti")
+    incoming.unionByName(survivors)
+  }
+
+  /** [[merge]] against a parquet table in place: read, merge, write to a
+    * sibling temp dir, atomically swap (Spark cannot overwrite its own
+    * input). Creates the table when absent, so the first landing and
+    * every later one are the same call — and re-running the same batch
+    * is a no-op on the table's row multiset (PipelineSpec). At scale,
+    * swap the directory rename for a partition-scoped rewrite of only
+    * the partitions the incoming keys touch (same shape as
+    * [[Silver.refreshPartition]]). */
+  def upsert(spark: SparkSession, path: String, incoming: DataFrame,
+             key: String, broadcastKeys: Boolean = true): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(target)) {
+      incoming.write.mode("overwrite").parquet(path)
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp-upsert")
+      merge(spark.read.parquet(path), incoming, key, broadcastKeys)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(target, true)
+      fs.rename(tmp, target)
+    }
+  }
+
   /** Retrieval surface (S13 + A8): embed the query text and return the
     * top-k most similar gold rows. */
   def search(spark: SparkSession, goldPath: String, queryText: String, k: Int,

@@ -177,6 +177,21 @@ object Relational {
           expr("CAST(size(filter(split(text, ' '), w -> length(w) > 5)) AS BIGINT)").as("n_long_words"))
     }),
 
+    // Incremental MERGE/upsert (q79): the reference's drop_old=True full
+    // refresh (seed_milvus.py:75) replaced by key-based last-writer-wins —
+    // an updates batch (every 10th order, re-priced, status U) merges into
+    // the base via broadcast anti-join + union (Gold.merge). The 100 TB
+    // point: only the batch shuffles; the base table streams through the
+    // anti-join against a broadcast key set.
+    "q79_upsert_merge" -> ((s, dir) => {
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + lit(100000.0)).as("o_totalprice"))
+      graft.etl.Gold.merge(base, updates, "o_orderkey")
+    }),
+
     // Set ops: UNION + distinct (reference set-union dedup, crawl_web.py:114-117).
     "q16_union_distinct" -> ((s, dir) => {
       val customer = Tables(s, dir, "customer")
@@ -496,6 +511,16 @@ object Relational {
         |  SELECT c_nationkey AS nationkey FROM customer
         |  UNION ALL
         |  SELECT s_nationkey AS nationkey FROM supplier) t""".stripMargin,
+
+    "q79_upsert_merge" ->
+      """WITH updates AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 100000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM updates
+        |UNION ALL
+        |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+        |FROM orders o ANTI JOIN updates u ON o.o_orderkey = u.o_orderkey""".stripMargin,
 
     "q27_events_daily" ->
       s"""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,

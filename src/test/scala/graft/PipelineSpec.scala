@@ -239,6 +239,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).filter(col("crawl_date") === "2020-01-01").count() == nOld)
   }
 
+  test("gold upsert: key-based merge is last-writer-wins and idempotent on re-run") {
+    import spark.implicits._
+    val path = s"$tmp/gold-upsert"
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("pk", "payload", "score")
+    // first landing creates the table
+    Gold.upsert(spark, path, base, "pk")
+    assert(spark.read.parquet(path).count() == 3)
+    // batch updates pk=2 and inserts pk=4
+    val batch = Seq((2L, "b2", 25.0), (4L, "d", 40.0)).toDF("pk", "payload", "score")
+    Gold.upsert(spark, path, batch, "pk")
+    def state() = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val afterFirst = state()
+    assert(afterFirst == Set((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0), (4L, "d", 40.0)),
+      s"merge result wrong: $afterFirst")
+    // crash-retry of the SAME batch: table state unchanged (no dup keys,
+    // no lost rows) — the idempotence the reference's drop_old gets by
+    // rewriting everything
+    Gold.upsert(spark, path, batch, "pk")
+    assert(state() == afterFirst)
+  }
+
   test("silver: refreshPartition re-chunks one day without touching the other's files") {
     val bronzePath = s"$tmp/bronze-incr"; val silverPath = s"$tmp/silver-incr"
     val day1 = "2025-04-01"; val day2 = "2025-04-02"
