@@ -112,6 +112,49 @@ object ScaleProbe {
       return
     }
 
+    // `bloomshard` exercises the BEYOND-broadcast design point for q73:
+    // the bit array as a DataFrame of (blk, w) words co-partition-joined
+    // against the probe positions, instead of an m/64-word broadcast.
+    // Evidence reported: per-task word footprint (max words in any
+    // shard × 8 B — scales as m/(64·P), so the 1 B-n-gram / 10 Gbit
+    // point is ~1.3 MB/task at P=1000 where the broadcast needs 1.25 GB
+    // on EVERY executor) and candidate-set equality with the broadcast
+    // path on the same corpus.
+    if (bitsArg == "bloomshard") {
+      import graft.queries.TrainingOps
+      val bench = TrainingOps.benchGramHashes(spark, sfDir).cache()
+      val nGrams = bench.count()
+      val m = TrainingOps.BloomBitsPerElem * nGrams
+      val words = TrainingOps.bloomWordTable(bench, m)
+        .repartition(col("blk")).cache()
+      val nWords = words.count()
+      // the per-task memory bound: the fullest shard's word count
+      val maxShard = words.groupBy(spark_partition_id().as("pid"))
+        .count().agg(max(col("count"))).first().getLong(0)
+      val train = TrainingOps.trainGramHashes(spark, sfDir).cache()
+      train.count()
+      def sharded = TrainingOps.bloomProbeSharded(train, words, m)
+      val cand = sharded.count() // warmup + stat
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        sharded.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      // ground truth: the broadcast path's bloomHit on the same probes
+      val bits = TrainingOps.bloomBitArray(bench, m)
+      val posE = (j: Int) => TrainingOps.bloomPosExpr(m, j)
+      val hit = (0 until TrainingOps.BloomK).map { j =>
+        expr(s"(shiftright(element_at(bs, CAST((${posE(j)}) DIV 64 AS INT) + 1), " +
+          s"CAST((${posE(j)}) % 64 AS INT)) & 1) = 1")
+      }.reduce(_ && _)
+      val bcast = train.select(col("id"), col("h")).distinct()
+        .withColumn("bs", typedLit(bits.toSeq)).filter(hit).drop("bs")
+      val diff = sharded.exceptAll(bcast).count() + bcast.exceptAll(sharded).count()
+      println(f"""{"probe":"bloomshard","sf":"$sfDir","bench_ngrams":$nGrams,"m_bits":$m,"words":$nWords,"max_words_per_task":$maxShard,"task_bytes":${maxShard * 8},"candidates":$cand,"median_sec":${times(1)}%.3f,"matches_broadcast":${diff == 0L}}""")
+      spark.stop()
+      return
+    }
+
     // `bm25` times q75's DEPLOYMENT shape — a FIXED query batch (the
     // identity replica's doc_id % 250 docs, the same queries at every
     // scale factor) against the whole corpus: the evidence that q75's

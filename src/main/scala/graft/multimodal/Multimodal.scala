@@ -837,6 +837,37 @@ object Multimodal {
       .toDF("asset_id", "track_idx", "sample_idx", "width", "height", "feature")
   }
 
+  /** Per-asset video-codec boundary as a COUNTED column (the
+    * `extract_status` posture applied to video): which assets
+    * [[decodeVideoFrames]] decodes in-engine vs which it hands off.
+    *  - `decoded`: ≥1 video track in the MJPEG family — frames decode
+    *    here, no codec library;
+    *  - `external_decoder_handoff`: video tracks exist but none are
+    *    JDK-decodable (avc1/hvc1/…) — [[videoFrameSamples]] is the
+    *    exact per-sample fetch plan handed to an external decode stage;
+    *  - `no_video_track`: well-formed MP4, audio/other tracks only;
+    *  - `not_mp4`: demux failed (not ISO-BMFF or malformed boxes).
+    * `video_codecs` carries the fourccs so the handoff count is
+    * attributable per codec downstream. */
+  def videoCodecStatus(spark: SparkSession, assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("content")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        demuxMp4(bytes) match {
+          case None => (id, None: Option[String], "not_mp4")
+          case Some(meta) =>
+            val vts = meta.tracks.filter(_.trackType == "video")
+            if (vts.isEmpty) (id, None, "no_video_track")
+            else {
+              val codecs = Some(vts.map(_.codec).distinct.sorted.mkString(","))
+              if (vts.exists(t => MjpegCodecs.contains(t.codec))) (id, codecs, "decoded")
+              else (id, codecs, "external_decoder_handoff")
+            }
+        }
+      }
+      .toDF("asset_id", "video_codecs", "codec_status")
+  }
+
   /** Distributed compressed-audio metadata probe (frame-chain walks, no
     * decode): codec-dispatched MP3 then AAC/ADTS; null metadata for
     * assets that are neither. `variant` is the MPEG version for mp3 and

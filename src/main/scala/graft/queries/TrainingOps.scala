@@ -120,6 +120,46 @@ object TrainingOps {
     bits
   }
 
+  /** The Bloom filter as a DISTRIBUTED word table instead of a driver
+    * array — the beyond-broadcast design point. At a 1 B-n-gram
+    * blacklist, m = 10 B bits = ~1.2 GB of words: too big to broadcast
+    * to every executor, but fine as a DataFrame of (blk, w) rows
+    * hash-partitioned by block index, where each of P partitions holds
+    * m/(64·P) words. Same positions, same bit_or assembly as
+    * [[bloomBitArray]] — just never collected. */
+  private[graft] def bloomWordTable(bench: DataFrame, m: Long,
+                                    k: Int = BloomK): DataFrame =
+    bench
+      .select(explode(array((0 until k).map(j => expr(bloomPosExpr(m, j))): _*)).as("p"))
+      .groupBy(expr("p div 64").as("blk"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))").as("w"))
+
+  /** Membership probe against [[bloomWordTable]] via a co-partitioned
+    * join on the block index: each distinct probe hash (`id`, `h`)
+    * explodes to its ≤ k DISTINCT probe positions, routes to the shard
+    * holding that block (shuffle on blk — the 8-byte key), and the hash
+    * passes iff EVERY position's bit is set — the per-row semantics of
+    * q73's broadcast `bloomHit`. An absent block is an all-zero word,
+    * so the inner join dropping the row is exactly the bit-unset
+    * verdict. A probe-side shuffle replaces the broadcast of the whole
+    * array: per-task memory is bounded by the shard, not m. Returns the
+    * distinct passing (`id`, `h`) pairs. */
+  private[graft] def bloomProbeSharded(probes: DataFrame, words: DataFrame,
+                                       m: Long, k: Int = BloomK): DataFrame = {
+    val posArr = s"array_distinct(array(${(0 until k).map(j => bloomPosExpr(m, j)).mkString(",")}))"
+    probes.select(col("id"), col("h")).distinct()
+      .select(col("id"), col("h"), expr(posArr).as("ps"))
+      .select(col("id"), col("h"), size(col("ps")).as("npos"), explode(col("ps")).as("p"))
+      .select(col("id"), col("h"), col("npos"), expr("p div 64").as("blk"),
+        expr("CAST(p % 64 AS INT)").as("bit"))
+      .join(words.hint("shuffle_hash"), Seq("blk"))
+      .filter(expr("(shiftright(w, bit) & 1) = 1"))
+      .groupBy(col("id"), col("h"), col("npos"))
+      .agg(count(lit(1)).as("nset"))
+      .filter(col("nset") === col("npos"))
+      .select(col("id"), col("h"))
+  }
+
   /** q73's benchmark side as a standalone input: the distinct 60-bit
     * hashes of every 13-gram in the held-out (doc_id % 20 = 0) split —
     * the Bloom build's exact production input, exposed for the scale
@@ -130,6 +170,16 @@ object TrainingOps {
       .withColumn("toks", expr(toksExpr))
       .select(explode(expr(ngramsExpr)).as("g"))
       .select(hash60("g").as("h")).distinct()
+
+  /** q73's train side as a standalone probe input: (id, h) per training
+    * document × 13-gram — what [[bloomProbeSharded]] consumes in the
+    * scale probe. */
+  private[graft] def trainGramHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 20 =!= 0)
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), explode(expr(ngramsExpr)).as("g"))
+      .select(col("doc_id").as("id"), hash60("g").as("h"))
 
   /** q74 CCNet-style perplexity filtering (Wenzek et al., "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data",

@@ -578,6 +578,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(every2.toSeq == Seq(0L, 2L))
   }
 
+  test("videoCodecStatus counts the decode boundary per asset on a mixed fixture") {
+    import spark.implicits._
+    val jpegFrame = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(patterned(3)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out); out.toByteArray
+    }
+    val assets = Seq(
+      (1L, mp4Bytes(codec = "jpeg", samples = Some(Seq(jpegFrame)))),
+      (2L, mp4Bytes()),              // avc1: demux yes, JDK decode no
+      (3L, mp4Bytes(codec = "hvc1")),
+      (4L, "not a container".getBytes))
+      .toDF("asset_id", "content")
+    val rows = Multimodal.videoCodecStatus(spark, assets).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getString(2))).toMap
+    assert(rows(1L) == (Some("jpeg"), "decoded"), rows(1L))
+    assert(rows(2L) == (Some("avc1"), "external_decoder_handoff"), rows(2L))
+    assert(rows(3L) == (Some("hvc1"), "external_decoder_handoff"), rows(3L))
+    assert(rows(4L) == (None, "not_mp4"), rows(4L))
+    // the counted boundary: statuses aggregate like extract_status does
+    val counts = Multimodal.videoCodecStatus(spark, assets)
+      .groupBy("codec_status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("decoded" -> 1L, "external_decoder_handoff" -> 2L, "not_mp4" -> 1L))
+  }
+
   test("distributed video demux + frame sampling + audio probe over mixed assets") {
     import spark.implicits._
     val assets = Seq(

@@ -296,6 +296,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum > 0, "no true contamination confirmed")
   }
 
+  test("sharded bloom probe (co-partitioned join) equals the broadcast bit-array verdicts exactly") {
+    import graft.queries.TrainingOps
+    val bench = TrainingOps.benchGramHashes(spark, dir).cache()
+    val m = TrainingOps.BloomBitsPerElem * bench.count()
+    val words = TrainingOps.bloomWordTable(bench, m)
+    val train = TrainingOps.trainGramHashes(spark, dir)
+    val sharded = TrainingOps.bloomProbeSharded(train, words, m)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // broadcast-path ground truth over the same distinct (id, h) probes
+    val bits = TrainingOps.bloomBitArray(bench, m)
+    def positions(h: Long): Seq[Long] =
+      (0 until TrainingOps.BloomK).map(j => (h % m + j * ((h / m) % m)) % m)
+    val expected = train.distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, h) =>
+        positions(h).forall(p => (bits((p / 64).toInt) >> (p % 64).toInt & 1L) == 1L)
+      }.toSet
+    assert(sharded == expected,
+      s"extra=${(sharded -- expected).take(5)} missing=${(expected -- sharded).take(5)}")
+    assert(sharded.nonEmpty)
+    bench.unpersist()
+  }
+
   test("q55: two-level cumsum sharding equals the naive global window exactly") {
     val got = SparkEntry.queries("q55_token_shards")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
