@@ -45,16 +45,20 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   *  - LZWDecode streams decode via the spec's variable-width early-change
   *    algorithm (§7.4.4) — content, CMap, and ObjStm streams alike;
   *  - encrypted documents using the STANDARD security handler with an
-  *    empty user password (R2-R4: RC4 40-128 bit and AES-128/AESV2 —
-  *    the common crawled "protected but opens without prompting" case):
-  *    Algorithm-2 key derivation, per-object keys, streams decrypted
-  *    before filters.
+  *    empty user password (the common crawled "protected but opens
+  *    without prompting" case): R2-R4 (RC4 40-128 bit and AES-128/AESV2,
+  *    Algorithm-2 key derivation, per-object keys) AND R5/R6 AES-256
+  *    (SHA-256 / hardened Algorithm-2.B password hash, /UE-wrapped file
+  *    key, whole-file AES-256-CBC — no per-object derivation in V5).
+  *    R5/R6 documents whose empty-password validation fails (a real
+  *    user password AND a real owner password) are detected up front
+  *    and left encrypted rather than decrypted to garbage.
   *  Out of scope (returns whatever text is recoverable; the caller's
   *  `extract_status` column counts these as quarantined): Type0 fonts
   *  with NEITHER ToUnicode NOR a decodable embedded TrueType program
   *  (CFF/FontFile3-only embeddings, subsets whose cmap was stripped),
-  *  documents requiring a real user password (decrypt to garbage →
-  *  quarantined), R5/R6 AES-256, and non-Standard security handlers.
+  *  documents requiring a real user password (R2-R4 decrypt to garbage,
+  *  R5/R6 fail validation → quarantined), and non-Standard handlers.
   *
   * The byte→string bridge uses ISO-8859-1 throughout so string offsets
   * equal byte offsets and round-trip losslessly.
@@ -607,26 +611,66 @@ object PdfText {
     * decrypts to garbage, extracts nothing, and lands in the counted
     * `extract_status` quarantine — same posture as the other scope
     * boundaries. */
-  private[graft] final case class Decryptor(fileKey: Array[Byte], aes: Boolean) {
+  private[graft] final case class Decryptor(fileKey: Array[Byte], aes: Boolean,
+                                            v5: Boolean = false) {
     def decrypt(objNum: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      // V5 (R5/R6, /AESV3): the 256-bit file key encrypts every stream
+      // directly — the MD5 per-object derivation is gone from the spec.
+      if (v5) return aesCbcStrip(fileKey, data)
       val md = java.security.MessageDigest.getInstance("MD5")
       md.update(fileKey)
       md.update(Array[Byte]((objNum & 0xff).toByte, ((objNum >> 8) & 0xff).toByte,
         ((objNum >> 16) & 0xff).toByte, (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
       if (aes) md.update(Array[Byte](0x73, 0x41, 0x6c, 0x54))
       val okey = md.digest().take(math.min(fileKey.length + 5, 16))
-      if (aes) {
-        if (data.length < 32 || (data.length % 16) != 0) return Array.empty
-        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-        c.init(javax.crypto.Cipher.DECRYPT_MODE,
-          new javax.crypto.spec.SecretKeySpec(okey, "AES"),
-          new javax.crypto.spec.IvParameterSpec(data.take(16)))
-        val plain = c.doFinal(data.drop(16))
-        val pad = plain.last & 0xff
-        if (pad >= 1 && pad <= 16 && pad <= plain.length) plain.dropRight(pad)
-        else plain
-      } else rc4(okey, data)
+      if (aes) aesCbcStrip(okey, data) else rc4(okey, data)
     }
+  }
+
+  /** AES-CBC decrypt with the PDF stream layout: 16-byte IV prefix,
+    * PKCS#7 padding stripped when well-formed. */
+  private def aesCbcStrip(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    if (data.length < 32 || (data.length % 16) != 0) return Array.empty
+    val plain = aesCbc(encrypt = false, key, data.take(16), data.drop(16))
+    val pad = plain.last & 0xff
+    if (pad >= 1 && pad <= 16 && pad <= plain.length) plain.dropRight(pad)
+    else plain
+  }
+
+  /** Raw AES-CBC, no padding; key length selects AES-128/192/256. */
+  private def aesCbc(encrypt: Boolean, key: Array[Byte], iv: Array[Byte],
+                     data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+           else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** The R6 hardened password hash (ISO 32000-2 Algorithm 2.B): iterate
+    * SHA-256/384/512 selected by an AES-128-CBC encryption of the
+    * 64-fold repeated (password ‖ K ‖ udata) block, at least 64 rounds,
+    * stopping once the last cipher byte ≤ round − 32. */
+  private[graft] def hash2B(password: Array[Byte], salt: Array[Byte],
+                            udata: Array[Byte]): Array[Byte] = {
+    def sha(bits: Int, d: Array[Byte]) =
+      java.security.MessageDigest.getInstance("SHA-" + bits).digest(d)
+    var k = sha(256, password ++ salt ++ udata)
+    var round = 0
+    var stop = false
+    while (!stop) {
+      val block = password ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var j = 0
+      while (j < 64) { System.arraycopy(block, 0, k1, j * block.length, block.length); j += 1 }
+      val e = aesCbc(encrypt = true, k.take(16), k.slice(16, 32), k1)
+      val mod = e.take(16).foldLeft(0)((a, b) => a + (b & 0xff)) % 3
+      k = sha(if (mod == 0) 256 else if (mod == 1) 384 else 512, e)
+      round += 1
+      if (round >= 64 && (e(e.length - 1) & 0xff) <= round - 32) stop = true
+    }
+    k.take(32)
   }
 
   /** The Algorithm-2 padding string (PDF 32000 Table 21 / §7.6.3.3). */
@@ -700,6 +744,7 @@ object PdfText {
       ("/" + key + "\\s+(-?\\d+)").r.findFirstMatchIn(body)
         .map(_.group(1).toInt).getOrElse(dflt)
     val r = intOf("R", 0)
+    if (r == 5 || r == 6) return decryptorV5(body, r)
     if (r < 2 || r > 4) return None
     val aes = body.contains("/AESV2")
     // the top-level /Length is in BITS (40-256); crypt-filter dicts carry
@@ -741,6 +786,50 @@ object PdfText {
       }
     }
     Some(Decryptor(key.take(keyLen), aes))
+  }
+
+  /** Dict string entry `/key (…)` or `/key <…>`, with a name-boundary
+    * guard so `/O` never matches the prefix of `/OE`. */
+  private def strEntry(body: String, key: String): Option[Array[Byte]] = {
+    ("/" + key + "(?![A-Za-z])").r.findFirstMatchIn(body)
+      .flatMap(m => pdfStringAt(body, m.end))
+  }
+
+  /** R5 (Adobe ext. 3, /AESV3) and R6 (ISO 32000-2) file-key recovery
+    * with the empty password. /U and /O are 48 bytes: 32-byte password
+    * hash ‖ 8-byte validation salt ‖ 8-byte key salt; the 256-bit file
+    * key is AES-256-CBC-wrapped (zero IV) in /UE (user) or /OE (owner).
+    * R5 hashes with one SHA-256 pass; R6 with Algorithm 2.B. A document
+    * failing BOTH empty-password validations needs a real interactive
+    * password: return None so the caller quarantines instead of
+    * decrypting to garbage. */
+  private def decryptorV5(body: String, r: Int): Option[Decryptor] = {
+    val u = strEntry(body, "U").getOrElse(return None)
+    if (u.length < 48) return None
+    val empty = Array.empty[Byte]
+    def h(salt: Array[Byte], udata: Array[Byte]): Array[Byte] =
+      if (r == 6) hash2B(empty, salt, udata)
+      else java.security.MessageDigest.getInstance("SHA-256")
+        .digest(salt ++ udata)
+    val fileKey: Array[Byte] =
+      if (java.util.Arrays.equals(h(u.slice(32, 40), empty), u.take(32))) {
+        val ue = strEntry(body, "UE").getOrElse(return None)
+        if (ue.length < 32) return None
+        aesCbc(encrypt = false, h(u.slice(40, 48), empty),
+          new Array[Byte](16), ue.take(32))
+      } else {
+        // owner path: udata = the full 48-byte /U string (Algorithm 12)
+        val o = strEntry(body, "O").getOrElse(return None)
+        if (o.length < 48) return None
+        val u48 = u.take(48)
+        if (!java.util.Arrays.equals(h(o.slice(32, 40), u48), o.take(32)))
+          return None // real user AND owner passwords → quarantine
+        val oe = strEntry(body, "OE").getOrElse(return None)
+        if (oe.length < 32) return None
+        aesCbc(encrypt = false, h(o.slice(40, 48), u48),
+          new Array[Byte](16), oe.take(32))
+      }
+    Some(Decryptor(fileKey, aes = true, v5 = true))
   }
 
   /** The `N G` pair immediately before an `obj` token at `objTokenStart`. */
