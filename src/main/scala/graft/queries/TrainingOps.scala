@@ -52,6 +52,16 @@ object TrainingOps {
   /** Bucket width for the two-level cumulative sum (see q55 notes). */
   private val ShardBucket = 100L
 
+  /** q81 context-window length (tokens). 512 at test scale so window
+    * boundaries actually fall inside documents; at deployment this is
+    * the model's sequence length (2k/4k/8k) — the shape is unchanged. */
+  private val PackWindow = 512L
+
+  /** q80 Gopher top-2-gram coverage cutoff (Rae et al. 2021, table A1:
+    * documents whose most frequent 2-gram covers more than 20% are
+    * dropped). */
+  private val TopGramCut = 0.2
+
   /** q63 posting-list cap: bounds both output width AND the aggregation
     * buffer (MinKLongsAggregator holds at most this many longs). */
   private[graft] val PostingsK = 20
@@ -621,6 +631,76 @@ object TrainingOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
           sum(col("score")).as("sum_score"), min(col("score")).as("min_score"),
           max(col("score")).as("max_score"))
+    }),
+
+    // Top-n-gram coverage — the Gopher/RefinedWeb companion to q56's
+    // duplicate-fraction rules (Rae et al. 2021 §A1.1): the share of a
+    // document's 2-grams taken by its single most frequent 2-gram. q56
+    // catches diffuse repetition (many grams each repeated a little);
+    // this catches concentrated repetition (one boilerplate phrase
+    // dominating a page). Shape: explode → count per (doc_id, gram) →
+    // top-1 per doc via window. Both aggregations partial-combine
+    // map-side, and keying the count by (doc_id, gram) keeps a huge
+    // repetitive document skew-free — its grams spread over as many
+    // reducers as it has DISTINCT grams. The top-1 window partitions by
+    // doc_id (never global). Ties break on gram ASC so both engines
+    // pick the same witness.
+    "q80_topgram_coverage" -> ((s, dir) => {
+      val g = Tables(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("grams", expr(Idioms.ngramsExpr("toks", 2)))
+        .select(col("doc_id"),
+          expr("CAST(size(grams) AS BIGINT)").as("n_grams"), col("grams"))
+        .filter(col("n_grams") > 0)
+      val cnt = g.select(col("doc_id"), col("n_grams"),
+          explode(col("grams")).as("gram"))
+        .groupBy(col("doc_id"), col("n_grams"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("gram").asc)
+      cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("n_grams"), col("gram").as("top_gram"),
+          col("cnt").as("top_count"),
+          (col("cnt").cast("double") / col("n_grams")).as("top_frac"),
+          (col("cnt").cast("double") / col("n_grams") < TopGramCut).as("keep"))
+    }),
+
+    // Fixed-context-window sequence packing — what a pretraining
+    // dataloader does downstream of q55's sharding: the corpus token
+    // stream (documents concatenated in doc_id order) is cut into
+    // back-to-back windows of PackWindow tokens, and each document is
+    // emitted as one (seq_id, tok_offset, seg_len) segment per window
+    // it overlaps. Unlike q55 (whole docs binned by cumsum), documents
+    // here SPLIT across window boundaries — exactly the layout a
+    // packed-batch trainer consumes, and the output stays linear: a doc
+    // yields at most 1 + n_tokens/PackWindow segments. The global
+    // cumulative sum reuses q55's two-level shape (per-bucket window +
+    // broadcast bucket offsets) so no single-partition global sort ever
+    // materialises at corpus scale.
+    "q81_sequence_pack" -> ((s, dir) => {
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"CAST(size($toksExpr) AS BIGINT)").as("n_tokens"),
+          (col("doc_id") / ShardBucket).cast("long").as("bucket"))
+        .filter(col("n_tokens") > 0)
+      val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = t.withColumn("local_before",
+        coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      val wBucket = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = t.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bt"))
+        .withColumn("offset", coalesce(sum(col("bt")).over(wBucket), lit(0L)))
+        .select(col("bucket"), col("offset"))
+      local.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("cum", col("offset") + col("local_before"))
+        .withColumn("seq_id", explode(expr(
+          s"sequence(cum div $PackWindow, (cum + n_tokens - 1) div $PackWindow)")))
+        .select(col("doc_id"), col("seq_id"),
+          expr(s"CAST(greatest(seq_id * $PackWindow - cum, 0) AS BIGINT)")
+            .as("tok_offset"),
+          expr(s"CAST(least(cum + n_tokens, (seq_id + 1) * $PackWindow)" +
+            s" - greatest(seq_id * $PackWindow, cum) AS BIGINT)").as("seg_len"))
     })
   )
 
@@ -898,6 +978,37 @@ object TrainingOps {
          |  CAST(sum(score) AS BIGINT) AS sum_score,
          |  CAST(min(score) AS BIGINT) AS min_score,
          |  CAST(max(score) AS BIGINT) AS max_score
-         |FROM d GROUP BY 1, 2""".stripMargin
+         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    "q80_topgram_coverage" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id, ${Idioms.ngramsSql("tk", 2)} AS gr FROM t),
+         |e AS (SELECT doc_id, CAST(len(gr) AS BIGINT) AS n_grams,
+         |        unnest(gr) AS gram FROM g WHERE len(gr) > 0),
+         |c AS (SELECT doc_id, n_grams, gram, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM e GROUP BY 1, 2, 3),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY cnt DESC, gram ASC) AS rn FROM c)
+         |SELECT doc_id, n_grams, gram AS top_gram, cnt AS top_count,
+         |  CAST(cnt AS DOUBLE) / n_grams AS top_frac,
+         |  CAST(cnt AS DOUBLE) / n_grams < $TopGramCut AS keep
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q81_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |      FROM documents),
+         |f AS (SELECT doc_id, n_tokens FROM t WHERE n_tokens > 0),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |  FROM f),
+         |e AS (SELECT doc_id, n_tokens, cum,
+         |  CAST(unnest(generate_series(cum // $PackWindow,
+         |    (cum + n_tokens - 1) // $PackWindow)) AS BIGINT) AS seq_id FROM c)
+         |SELECT doc_id, seq_id,
+         |  CAST(greatest(seq_id * $PackWindow - cum, 0) AS BIGINT) AS tok_offset,
+         |  CAST(least(cum + n_tokens, (seq_id + 1) * $PackWindow)
+         |    - greatest(seq_id * $PackWindow, cum) AS BIGINT) AS seg_len
+         |FROM e""".stripMargin
   )
 }

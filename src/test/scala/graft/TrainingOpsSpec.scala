@@ -41,6 +41,61 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"disjoint tiles should MISS this alignment (the documented gap): $q70")
   }
 
+  test("q81: segments tile every document exactly and fill every interior window") {
+    val segs = SparkEntry.queries("q81_sequence_pack")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val w = 512L
+    // per doc: offsets start at 0, are contiguous, and seg_lens sum to
+    // the doc's token count (recomputed straight from the parquet)
+    val nToks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), expr(
+        "CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    segs.groupBy(_._1).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"doc $doc first segment offset != 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3,
+          s"doc $doc segments not contiguous at ${b._3}")
+        case _ => ()
+      }
+      assert(sorted.map(_._4).sum == nToks(doc),
+        s"doc $doc seg_len sum ${sorted.map(_._4).sum} != n_tokens ${nToks(doc)}")
+      // consecutive doc segments land in consecutive windows
+      assert(sorted.map(_._2).toSeq ==
+        (sorted.head._2 until sorted.head._2 + sorted.length).toSeq,
+        s"doc $doc does not occupy consecutive windows: ${sorted.map(_._2).toSeq}")
+    }
+    // per window: every window except the last holds exactly W tokens
+    val byWin = segs.groupBy(_._2).map { case (k, v) => k -> v.map(_._4).sum }
+    val lastWin = byWin.keys.max
+    byWin.foreach { case (win, tot) =>
+      if (win != lastWin) assert(tot == w, s"window $win holds $tot != $w")
+      else assert(tot >= 1 && tot <= w, s"last window $win holds $tot")
+    }
+    assert(segs.forall(_._4 >= 1) && segs.forall(_._4 <= w))
+  }
+
+  test("q80: top-gram coverage matches a per-doc Scala recount, ties broken on gram ASC") {
+    val got = SparkEntry.queries("q80_topgram_coverage")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
+      .toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    docs.foreach { case (id, text) =>
+      val tk = text.split(" ").filter(_.nonEmpty)
+      val grams = tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      if (grams.isEmpty) assert(!got.contains(id), s"doc $id should be absent")
+      else {
+        val counts = grams.groupBy(identity).map { case (g, o) => (g, o.length.toLong) }
+        val best = counts.toSeq.minBy { case (g, c) => (-c, g) }
+        assert(got(id) == ((grams.length.toLong, best._1, best._2)),
+          s"doc $id: got ${got(id)}, expected ($best over ${grams.length})")
+      }
+    }
+  }
+
   test("q52: every flagged doc really shares a verbatim 13-gram with a benchmark doc") {
     val flagged = SparkEntry.queries("q52_decontaminate")(spark, dir).collect()
     assert(flagged.nonEmpty, "decontamination found nothing at sf0.01 (expected planted dups)")
