@@ -291,6 +291,30 @@ object ScaleProbe {
       return
     }
 
+    // `spanstride` charts q78's recall/cost knob: the strided span
+    // detector at stride 4 (shipped) / 2 / 1 (full positional recall) —
+    // span rows grow as 1/stride, duplicate detections monotonically
+    // include the coarser stride's
+    if (bitsArg == "spanstride") {
+      val docs = Tables(spark, sfDir, "documents")
+      val n = docs.count()
+      for (stride <- Seq(4, 2, 1)) {
+        def run = graft.queries.TrainingOps.overlapSpanDetect(docs, stride)
+        val agg = run.agg(sum(col("n_spans")), sum(col("n_dup_spans")),
+          count(org.apache.spark.sql.functions.when(col("n_dup_spans") > 0, 1)))
+          .head()
+        val (spans, dups, flagged) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          run.count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"""{"probe":"spanstride","sf":"$sfDir","docs":$n,"stride":$stride,"span_rows":$spans,"dup_spans":$dups,"docs_flagged":$flagged,"median_sec":${times(1)}%.3f}""")
+      }
+      spark.stop()
+      return
+    }
+
     // `auto2` = auto-sized width with TWO-SIDED probing (either endpoint's
     // probe set may contain the other's key) — the recall-vs-cost twin of
     // the shipped one-sided default

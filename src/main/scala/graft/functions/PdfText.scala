@@ -52,12 +52,16 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   *    key, whole-file AES-256-CBC — no per-object derivation in V5).
   *    R5/R6 documents whose empty-password validation fails (a real
   *    user password AND a real owner password) are detected up front
-  *    and left encrypted rather than decrypted to garbage.
+  *    and left encrypted rather than decrypted to garbage. When the
+  *    caller KNOWS a password, `extract(bytes, password)` threads it
+  *    through both derivations (R2-R4 Algorithm-2 padding; R5/R6
+  *    user-then-owner validation, so an owner password unlocks via
+  *    /OE).
   *  Out of scope (returns whatever text is recoverable; the caller's
   *  `extract_status` column counts these as quarantined): Type0 fonts
   *  with NEITHER ToUnicode NOR a decodable embedded TrueType program
   *  (CFF/FontFile3-only embeddings, subsets whose cmap was stripped),
-  *  documents requiring a real user password (R2-R4 decrypt to garbage,
+  *  documents whose password is not supplied (R2-R4 decrypt to garbage,
   *  R5/R6 fail validation → quarantined), and non-Standard handlers.
   *
   * The byte→string bridge uses ISO-8859-1 throughout so string offsets
@@ -66,8 +70,12 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
 object PdfText {
 
   /** Extract text from PDF bytes. Null-safe; returns "" when no text
-    * operators are recoverable (never throws on malformed input). */
-  def extract(bytes: Array[Byte]): String = extractDetail(bytes)._1
+    * operators are recoverable (never throws on malformed input).
+    * `password` is the user (or owner) password for encrypted documents
+    * — "" (the default) covers the common crawled case of documents
+    * every viewer opens without prompting. */
+  def extract(bytes: Array[Byte], password: String = ""): String =
+    extractDetail(bytes, password)._1
 
   /** [[extract]] plus a flag: true when at least one Type0 font WITHOUT a
     * /ToUnicode CMap was decoded through its embedded font program's cmap
@@ -75,7 +83,7 @@ object PdfText {
     * `no_tounicode_decoded` rather than plain `ok`, because the decode
     * rests on the font's glyph→unicode claim instead of the writer's
     * explicit text mapping. */
-  def extractDetail(bytes: Array[Byte]): (String, Boolean) = {
+  def extractDetail(bytes: Array[Byte], password: String = ""): (String, Boolean) = {
     if (bytes == null) return (null, false)
     val s = new String(bytes, ISO_8859_1)
     // Modern writers park font/page/resource DICTS inside compressed
@@ -86,7 +94,7 @@ object PdfText {
     // aligned between expandedS and expandedBytes.)
     // Encrypted documents (standard handler, empty user password): every
     // stream decrypts with its owning object's key BEFORE filters apply.
-    val dec = try decryptorOf(s) catch { case _: Exception => None }
+    val dec = try decryptorOf(s, password) catch { case _: Exception => None }
     val expandedBytes =
       try bytes ++ expandObjStm(s, bytes, dec).getBytes(ISO_8859_1)
       catch { case _: Exception => bytes }
@@ -725,10 +733,13 @@ object PdfText {
   }
 
   /** Build the standard-handler decryptor for an encrypted document
-    * (Algorithm 2 with the empty user password). None when the document
-    * is unencrypted, uses a non-Standard handler, or an unsupported
-    * revision. */
-  private[graft] def decryptorOf(s: String): Option[Decryptor] = {
+    * (Algorithm 2 with the given user password, "" by default). None
+    * when the document is unencrypted, uses a non-Standard handler, or
+    * an unsupported revision. R2-R4 use the password latin-1-padded per
+    * Algorithm 2 (a wrong password yields a wrong key → garbage →
+    * quarantine downstream); R5/R6 use the UTF-8 bytes (≤127) and
+    * VALIDATE before decrypting. */
+  private[graft] def decryptorOf(s: String, password: String = ""): Option[Decryptor] = {
     val encRef = "/Encrypt\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(s)
     if (encRef.isEmpty) return None
     val num = encRef.get.group(1).toInt
@@ -744,7 +755,9 @@ object PdfText {
       ("/" + key + "\\s+(-?\\d+)").r.findFirstMatchIn(body)
         .map(_.group(1).toInt).getOrElse(dflt)
     val r = intOf("R", 0)
-    if (r == 5 || r == 6) return decryptorV5(body, r)
+    if (r == 5 || r == 6)
+      return decryptorV5(body, r,
+        password.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(127))
     if (r < 2 || r > 4) return None
     val aes = body.contains("/AESV2")
     // the top-level /Length is in BITS (40-256); crypt-filter dicts carry
@@ -769,7 +782,9 @@ object PdfText {
       }
     val keyLen = if (r == 2) 5 else math.max(5, math.min(16, length / 8))
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(PwPad) // empty user password = pad alone
+    // Algorithm 2 step a: the password latin-1 bytes padded (or for the
+    // empty password, the pad string alone)
+    md.update((password.getBytes(ISO_8859_1) ++ PwPad).take(32))
     md.update(o, 0, 32)
     md.update(Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
       ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte))
@@ -799,18 +814,20 @@ object PdfText {
     * with the empty password. /U and /O are 48 bytes: 32-byte password
     * hash ‖ 8-byte validation salt ‖ 8-byte key salt; the 256-bit file
     * key is AES-256-CBC-wrapped (zero IV) in /UE (user) or /OE (owner).
-    * R5 hashes with one SHA-256 pass; R6 with Algorithm 2.B. A document
-    * failing BOTH empty-password validations needs a real interactive
+    * R5 hashes with one SHA-256 pass; R6 with Algorithm 2.B. The given
+    * password is tried as the user password first, then as the owner
+    * password; a document failing BOTH validations needs a different
     * password: return None so the caller quarantines instead of
     * decrypting to garbage. */
-  private def decryptorV5(body: String, r: Int): Option[Decryptor] = {
+  private def decryptorV5(body: String, r: Int,
+                          pw: Array[Byte]): Option[Decryptor] = {
     val u = strEntry(body, "U").getOrElse(return None)
     if (u.length < 48) return None
     val empty = Array.empty[Byte]
     def h(salt: Array[Byte], udata: Array[Byte]): Array[Byte] =
-      if (r == 6) hash2B(empty, salt, udata)
+      if (r == 6) hash2B(pw, salt, udata)
       else java.security.MessageDigest.getInstance("SHA-256")
-        .digest(salt ++ udata)
+        .digest(pw ++ salt ++ udata)
     val fileKey: Array[Byte] =
       if (java.util.Arrays.equals(h(u.slice(32, 40), empty), u.take(32))) {
         val ue = strEntry(body, "UE").getOrElse(return None)

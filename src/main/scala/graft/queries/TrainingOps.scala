@@ -541,28 +541,8 @@ object TrainingOps {
     // production use is flagging docs for the q70/q51 pipelines. Same
     // scale shape as q70: tile rows ∝ corpus tokens / SpanStride, one
     // 8-byte-keyed groupBy + semi-join, no pair explosion.
-    "q78_overlap_span_detect" -> ((s, dir) => {
-      val base = Tables(s, dir, "documents")
-        .withColumn("toks", expr(toksExpr))
-        .withColumn("ntok", expr("size(toks)"))
-        .withColumn("nspans", expr(
-          s"CASE WHEN ntok >= $SpanW THEN (ntok - $SpanW) div $SpanStride + 1 ELSE 0 END"))
-      val spans = base.select(col("doc_id"),
-          posexplode(expr(
-            s"""CASE WHEN nspans >= 1
-               | THEN transform(sequence(0, nspans - 1),
-               |   i -> concat_ws(' ', slice(toks, CAST(i * $SpanStride + 1 AS INT), $SpanW)))
-               | ELSE array() END""".stripMargin)))
-        .select(col("doc_id"), col("pos").as("idx"), hash60("col").as("h"))
-      val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 2).select(col("h"))
-      val perDoc = spans.join(dup, Seq("h"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("dups"))
-      base.select(col("doc_id"), col("nspans").cast("long").as("n_spans"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_spans"),
-          coalesce(col("dups"), lit(0L)).as("n_dup_spans"))
-    }),
+    "q78_overlap_span_detect" ->
+      ((s, dir) => overlapSpanDetect(Tables(s, dir, "documents"), SpanStride)),
 
     // Exact-substring span dedup (Lee et al., "Deduplicating Training
     // Data Makes Language Models Better", ACL 2022): REWRITE documents
@@ -703,6 +683,34 @@ object TrainingOps {
             s" - greatest(seq_id * $PackWindow, cum) AS BIGINT)").as("seg_len"))
     })
   )
+
+  /** The q78 body with the stride as a real parameter (q78 fixes it at
+    * [[SpanStride]]; `ScaleProbe spanstride` charts the recall/cost
+    * knob at 4/2/1): per-doc counts of SpanW-token spans starting at
+    * every multiple of `stride`, and how many of them occur ≥2× in the
+    * corpus by 60-bit span hash. */
+  private[graft] def overlapSpanDetect(docs: DataFrame, stride: Int): DataFrame = {
+    val base = docs
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("ntok", expr("size(toks)"))
+      .withColumn("nspans", expr(
+        s"CASE WHEN ntok >= $SpanW THEN (ntok - $SpanW) div $stride + 1 ELSE 0 END"))
+    val spans = base.select(col("doc_id"),
+        posexplode(expr(
+          s"""CASE WHEN nspans >= 1
+             | THEN transform(sequence(0, nspans - 1),
+             |   i -> concat_ws(' ', slice(toks, CAST(i * $stride + 1 AS INT), $SpanW)))
+             | ELSE array() END""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("idx"), hash60("col").as("h"))
+    val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("h"))
+    val perDoc = spans.join(dup, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dups"))
+    base.select(col("doc_id"), col("nspans").cast("long").as("n_spans"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("dups"), lit(0L)).as("n_dup_spans"))
+  }
 
   /** The q74 reference LM: per-(lang, token) min-count-pruned counts +
     * per-lang totals over `refDocs` (needs doc_id/lang/text). Shared

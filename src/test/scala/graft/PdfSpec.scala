@@ -435,7 +435,8 @@ class PdfSpec extends AnyFunSuite {
     * agreement with the extractor is two independent readings of the
     * spec, not code reuse. */
   private def encryptedPdf(text: String, r: Int, lengthBits: Int,
-                           aes: Boolean, oBytes: Array[Byte]): Array[Byte] = {
+                           aes: Boolean, oBytes: Array[Byte],
+                           userPw: String = ""): Array[Byte] = {
     val pad = Array(0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00,
       0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
       0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
@@ -446,7 +447,7 @@ class PdfSpec extends AnyFunSuite {
       parts.foreach(md.update); md.digest()
     }
     val keyLen = if (r == 2) 5 else lengthBits / 8
-    var key = md5(pad, oBytes.take(32),
+    var key = md5((userPw.getBytes(ISO_8859_1) ++ pad).take(32), oBytes.take(32),
       Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
         ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte), id)
     if (r >= 3) (1 to 50).foreach(_ => key = md5(key.take(keyLen)))
@@ -600,6 +601,26 @@ class PdfSpec extends AnyFunSuite {
     val pdf = encryptedPdfV5("locked away", r = 6, userPw = "real-password")
     val txt = PdfText.extract(pdf)
     assert(!txt.contains("locked"), s"must not extract without the password: $txt")
+  }
+
+  test("supplying the user password unlocks an R6 AES-256 document") {
+    val pdf = encryptedPdfV5("unlocked by password", r = 6, userPw = "real-password")
+    assert(PdfText.extract(pdf, "real-password") == "unlocked by password")
+    assert(PdfText.extract(pdf, "wrong-password") == "")
+  }
+
+  test("supplying the OWNER password unlocks an R6 document via the /OE path") {
+    // every encryptedPdfV5 fixture carries owner password "owner-secret"
+    val pdf = encryptedPdfV5("owner can read", r = 6, userPw = "real-password")
+    assert(PdfText.extract(pdf, "owner-secret") == "owner can read")
+  }
+
+  test("supplying the user password unlocks an R3 RC4 document") {
+    val pdf = encryptedPdf("classic protected text", r = 3, lengthBits = 128,
+      aes = false, oBytes = oFixture, userPw = "hunter2")
+    assert(PdfText.extract(pdf, "hunter2") == "classic protected text")
+    // wrong password → wrong key → garbage → nothing extractable
+    assert(!PdfText.extract(pdf).contains("classic"))
   }
 
   test("pdfToTextUdf extracts over a binary column") {
