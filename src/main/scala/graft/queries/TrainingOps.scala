@@ -657,32 +657,43 @@ object TrainingOps {
     // cumulative sum reuses q55's two-level shape (per-bucket window +
     // broadcast bucket offsets) so no single-partition global sort ever
     // materialises at corpus scale.
-    "q81_sequence_pack" -> ((s, dir) => {
-      val t = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          expr(s"CAST(size($toksExpr) AS BIGINT)").as("n_tokens"),
-          (col("doc_id") / ShardBucket).cast("long").as("bucket"))
-        .filter(col("n_tokens") > 0)
-      val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val local = t.withColumn("local_before",
-        coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
-      val wBucket = Window.orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = t.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bt"))
-        .withColumn("offset", coalesce(sum(col("bt")).over(wBucket), lit(0L)))
-        .select(col("bucket"), col("offset"))
-      local.join(broadcast(offsets), Seq("bucket"))
-        .withColumn("cum", col("offset") + col("local_before"))
-        .withColumn("seq_id", explode(expr(
-          s"sequence(cum div $PackWindow, (cum + n_tokens - 1) div $PackWindow)")))
-        .select(col("doc_id"), col("seq_id"),
-          expr(s"CAST(greatest(seq_id * $PackWindow - cum, 0) AS BIGINT)")
-            .as("tok_offset"),
-          expr(s"CAST(least(cum + n_tokens, (seq_id + 1) * $PackWindow)" +
-            s" - greatest(seq_id * $PackWindow, cum) AS BIGINT)").as("seg_len"))
-    })
+    "q81_sequence_pack" ->
+      ((s, dir) => sequencePack(Tables(s, dir, "documents"), baseOffset = 0L))
   )
+
+  /** The q81 body with the stream-carry as a real parameter: pack
+    * `docs` (doc_id-ordered) into back-to-back [[PackWindow]]-token
+    * context windows starting `baseOffset` tokens into the corpus
+    * stream. q81 fixes baseOffset = 0;
+    * [[graft.streaming.PackStream.ingest]] passes the running total of
+    * every previously packed batch, so windows continue seamlessly
+    * across micro-batches. Returns (doc_id, seq_id, tok_offset,
+    * seg_len). */
+  private[graft] def sequencePack(docs: DataFrame, baseOffset: Long): DataFrame = {
+    val t = docs
+      .select(col("doc_id"),
+        expr(s"CAST(size($toksExpr) AS BIGINT)").as("n_tokens"),
+        (col("doc_id") / ShardBucket).cast("long").as("bucket"))
+      .filter(col("n_tokens") > 0)
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = t.withColumn("local_before",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    val wBucket = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("offset", coalesce(sum(col("bt")).over(wBucket), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    local.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", col("offset") + col("local_before") + lit(baseOffset))
+      .withColumn("seq_id", explode(expr(
+        s"sequence(cum div $PackWindow, (cum + n_tokens - 1) div $PackWindow)")))
+      .select(col("doc_id"), col("seq_id"),
+        expr(s"CAST(greatest(seq_id * $PackWindow - cum, 0) AS BIGINT)")
+          .as("tok_offset"),
+        expr(s"CAST(least(cum + n_tokens, (seq_id + 1) * $PackWindow)" +
+          s" - greatest(seq_id * $PackWindow, cum) AS BIGINT)").as("seg_len"))
+  }
 
   /** The q78 body with the stride as a real parameter (q78 fixes it at
     * [[SpanStride]]; `ScaleProbe spanstride` charts the recall/cost

@@ -360,6 +360,45 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("incremental sequence packing equals the batch q81 layout; replays are no-ops") {
+    import graft.streaming.PackStream
+    val src = Files.createTempDirectory("graft-pack-src").toString
+    val packDir = Files.createTempDirectory("graft-pack-out").toString + "/pack"
+    val ckpt = Files.createTempDirectory("graft-pack-ckpt").toString
+    val docs = Tables(spark, sfDir, "documents").cache()
+    // the stream arrives as doc_id-ordered RANGES (the landing-layer
+    // contract: drops are produced in crawl order) — three drops
+    docs.filter(col("doc_id") < 100).write.mode("append").parquet(src)
+    PackStream.ingest(spark, src, packDir, ckpt)
+    val afterFirst = PackStream.segments(spark, packDir).count()
+    val tokensFirst = PackStream.totalTokens(spark, packDir)
+    assert(afterFirst > 0 && tokensFirst > 0)
+    // replay with nothing new: exactly-once over files
+    PackStream.ingest(spark, src, packDir, ckpt)
+    assert(PackStream.segments(spark, packDir).count() == afterFirst)
+    assert(PackStream.totalTokens(spark, packDir) == tokensFirst)
+    docs.filter(col("doc_id") >= 100 && col("doc_id") < 250)
+      .write.mode("append").parquet(src)
+    PackStream.ingest(spark, src, packDir, ckpt)
+    docs.filter(col("doc_id") >= 250).write.mode("append").parquet(src)
+    PackStream.ingest(spark, src, packDir, ckpt)
+    // row-for-row equal to the batch q81 over the whole corpus: a doc
+    // arriving at a window boundary in drop 2 splits exactly as the
+    // batch build would have split it
+    val streamed = PackStream.segments(spark, packDir)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q81_sequence_pack")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream/batch diverge: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    // the carried offset is an aggregate over batch-count rows
+    assert(spark.read.parquet(s"$packDir/state").count() == 3)
+    assert(PackStream.totalTokens(spark, packDir) ==
+      docs.select(sum(expr("size(filter(split(text, ' '), x -> x <> ''))")))
+        .head.getLong(0))
+    docs.unpersist()
+  }
+
   test("empty text index (whitespace-only corpus) fails search with a clear message, not an NPE") {
     import graft.streaming.TextIndexStream
     import spark.implicits._
