@@ -59,10 +59,13 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   *    /OE).
   *  Out of scope (returns whatever text is recoverable; the caller's
   *  `extract_status` column counts these as quarantined): Type0 fonts
-  *  with NEITHER ToUnicode NOR a decodable embedded TrueType program
-  *  (CFF/FontFile3-only embeddings, subsets whose cmap was stripped),
-  *  documents whose password is not supplied (R2-R4 decrypt to garbage,
-  *  R5/R6 fail validation → quarantined), and non-Standard handlers.
+  *  with NEITHER ToUnicode NOR a decodable embedded font program
+  *  (CID-keyed CFFs carry CIDs where glyph names would be; TrueType
+  *  subsets whose cmap was stripped), documents whose password is not
+  *  supplied (R2-R4 decrypt to garbage, R5/R6 fail validation →
+  *  quarantined), and non-Standard handlers. Non-CID bare-CFF
+  *  (/FontFile3 /Type1C) embeddings DO decode via their charset glyph
+  *  names (standard-strings ASCII + AGL uniXXXX forms).
   *
   * The byte→string bridge uses ISO-8859-1 throughout so string offsets
   * equal byte offsets and round-trip losslessly.
@@ -369,16 +372,20 @@ object PdfText {
           "(?s)/DescendantFonts\\s+(\\d+)\\s+0\\s+R".r.findFirstMatchIn(fontBody)
             .map(_.group(1).toInt).flatMap(bodyOf)
             .flatMap(b => "(\\d+)\\s+0\\s+R".r.findFirstMatchIn(b).map(_.group(1).toInt)))
+      def progGidUni(fdBody: String, key: String,
+                     f: Array[Byte] => Map[Int, String]): Option[Map[Int, String]] =
+        (key + "\\s+(\\d+)\\s+0\\s+R").r.findFirstMatchIn(fdBody)
+          .map(_.group(1).toInt).flatMap(decodedStreamOf)
+          .map(f).filter(_.nonEmpty)
       for {
         dBody <- descObj.flatMap(bodyOf)
         fdNum <- "/FontDescriptor\\s+(\\d+)\\s+0\\s+R".r.findFirstMatchIn(dBody)
           .map(_.group(1).toInt)
         fdBody <- bodyOf(fdNum)
-        ffNum <- "/FontFile2\\s+(\\d+)\\s+0\\s+R".r.findFirstMatchIn(fdBody)
-          .map(_.group(1).toInt)
-        prog <- decodedStreamOf(ffNum)
-        gidUni = ttfGidToUnicode(prog)
-        if gidUni.nonEmpty
+        // embedded TrueType (/FontFile2, cmap table) first; bare-CFF
+        // (/FontFile3, charset glyph names) when that's what's embedded
+        gidUni <- progGidUni(fdBody, "/FontFile2", ttfGidToUnicode)
+          .orElse(progGidUni(fdBody, "/FontFile3", cffGidToUnicode))
       } yield {
         // /CIDToGIDMap: a stream of big-endian GIDs indexed by CID;
         // absent or /Identity means CID == GID (the Identity-H norm)
@@ -450,6 +457,174 @@ object PdfText {
       }
     }
     FontScope(global.toMap, byContent.toMap, fallbackUsed)
+  }
+
+  /** The CFF standard-strings prefix (Adobe TN #5176 Appendix A): SIDs
+    * 1-95 are the glyph names of printable ASCII in order, except SID 8
+    * `quoteright` (U+2019) and SID 65 `quoteleft` (U+2018) where Adobe's
+    * StandardEncoding substitutes typographic quotes. */
+  private def cffSidChar(sid: Int): String =
+    if (sid == 8) "’" else if (sid == 65) "‘"
+    else (31 + sid).toChar.toString
+
+  private lazy val CffStdByName: Map[String, String] = {
+    val names = Array("space", "exclam", "quotedbl", "numbersign", "dollar",
+      "percent", "ampersand", "quoteright", "parenleft", "parenright",
+      "asterisk", "plus", "comma", "hyphen", "period", "slash",
+      "zero", "one", "two", "three", "four", "five", "six", "seven",
+      "eight", "nine", "colon", "semicolon", "less", "equal", "greater",
+      "question", "at") ++ ('A' to 'Z').map(_.toString) ++
+      Array("bracketleft", "backslash", "bracketright", "asciicircum",
+        "underscore", "quoteleft") ++ ('a' to 'z').map(_.toString) ++
+      Array("braceleft", "bar", "braceright", "asciitilde")
+    names.zipWithIndex.map { case (n, i) => n -> cffSidChar(i + 1) }.toMap
+  }
+
+  /** A charset glyph NAME → unicode: the AGL `uniXXXX`/`uXXXXXX` forms,
+    * then the standard-strings names. */
+  private def cffNameToUni(name: String): Option[String] = {
+    def cp(hex: String): Option[String] =
+      try {
+        val c = Integer.parseInt(hex, 16)
+        if (c >= 0 && c <= 0x10FFFF) Some(new String(Character.toChars(c)))
+        else None
+      } catch { case _: Exception => None }
+    if (name.length >= 7 && name.startsWith("uni")) cp(name.substring(3, 7))
+    else if (name.length >= 5 && name.length <= 7 && name.startsWith("u") &&
+      name.drop(1).forall(c => Character.digit(c, 16) >= 0)) cp(name.drop(1))
+    else CffStdByName.get(name)
+  }
+
+  /** Glyph-ID → unicode via a bare-CFF font program (/FontFile3,
+    * /Subtype /Type1C): INDEX-walk to the Top DICT, read the charset
+    * (formats 0/1/2 or the ISOAdobe predefined identity) mapping each
+    * glyph to its SID, and resolve SIDs through the standard strings
+    * (1-95 = printable ASCII) or the font's own String INDEX (`uniXXXX`
+    * names and friends). CID-keyed CFFs (/ROS present — CIDFontType0C)
+    * carry CIDs where names would be, so there is nothing to resolve:
+    * return empty and let the caller quarantine. Returns empty on any
+    * malformed input rather than throwing (reference behavior parity:
+    * crawl_web.py:41-47 delegates these to poppler). */
+  private[graft] def cffGidToUnicode(font: Array[Byte]): Map[Int, String] = {
+    try {
+      if (font == null || font.length < 4) return Map.empty
+      val hdrSize = font(2) & 0xff
+      // INDEX at `off` → (items, offset just past the INDEX)
+      def index(off: Int): (Array[Array[Byte]], Int) = {
+        if (off < 0 || off + 2 > font.length) return (Array.empty, font.length)
+        val count = u16(font, off)
+        if (count == 0) return (Array.empty, off + 2)
+        val offSize = font(off + 2) & 0xff
+        if (offSize < 1 || offSize > 4) return (Array.empty, font.length)
+        def rd(p: Int): Int = {
+          var v = 0; var i = 0
+          while (i < offSize) { v = (v << 8) | (font(p + i) & 0xff); i += 1 }
+          v
+        }
+        val offA = off + 3
+        val dataStart = offA + (count + 1) * offSize - 1
+        if (dataStart >= font.length) return (Array.empty, font.length)
+        val items = Array.tabulate(count) { i =>
+          val a = dataStart + rd(offA + i * offSize)
+          val b = dataStart + rd(offA + (i + 1) * offSize)
+          if (a >= 0 && a <= b && b <= font.length)
+            java.util.Arrays.copyOfRange(font, a, b)
+          else Array.empty[Byte]
+        }
+        (items, dataStart + rd(offA + count * offSize))
+      }
+      val (_, afterName) = index(hdrSize)
+      val (topDicts, afterTop) = index(afterName)
+      val (strings, _) = index(afterTop)
+      if (topDicts.isEmpty) return Map.empty
+      val td = topDicts(0)
+      // Top DICT walk: integer operands accumulate, operators dispatch
+      var charsetOff = 0 // 0 = ISOAdobe predefined → sid == gid
+      var charStringsOff = -1
+      var cidKeyed = false
+      var i = 0
+      val ops = collection.mutable.ArrayBuffer.empty[Long]
+      while (i < td.length) {
+        val b0 = td(i) & 0xff
+        if (b0 <= 21) {
+          val op = if (b0 == 12 && i + 1 < td.length) { i += 1; 1200 + (td(i) & 0xff) } else b0
+          op match {
+            case 15 => if (ops.nonEmpty) charsetOff = ops.last.toInt
+            case 17 => if (ops.nonEmpty) charStringsOff = ops.last.toInt
+            case 1230 => cidKeyed = true // ROS
+            case _ => ()
+          }
+          ops.clear(); i += 1
+        } else if (b0 == 28 && i + 2 < td.length) {
+          ops += (((td(i + 1) & 0xff) << 8) | (td(i + 2) & 0xff)).toShort.toLong
+          i += 3
+        } else if (b0 == 29 && i + 4 < td.length) {
+          ops += (((td(i + 1) & 0xff).toLong << 24) | ((td(i + 2) & 0xff) << 16) |
+            ((td(i + 3) & 0xff) << 8) | (td(i + 4) & 0xff))
+          i += 5
+        } else if (b0 == 30) { // real number: nibbles to the 0xf terminator
+          i += 1
+          var done = false
+          while (i < td.length && !done) {
+            val b = td(i) & 0xff
+            if ((b >> 4) == 0xf || (b & 0xf) == 0xf) done = true
+            i += 1
+          }
+          ops += 0L
+        } else if (b0 >= 32 && b0 <= 246) { ops += (b0 - 139).toLong; i += 1 }
+        else if (b0 >= 247 && b0 <= 250 && i + 1 < td.length) {
+          ops += ((b0 - 247) * 256 + (td(i + 1) & 0xff) + 108).toLong; i += 2
+        } else if (b0 >= 251 && b0 <= 254 && i + 1 < td.length) {
+          ops += (-(b0 - 251) * 256 - (td(i + 1) & 0xff) - 108).toLong; i += 2
+        } else i += 1
+      }
+      if (cidKeyed || charStringsOff < 0) return Map.empty
+      val (charStrings, _) = index(charStringsOff)
+      val nGlyphs = math.min(charStrings.length, MaxCMapEntries)
+      if (nGlyphs == 0) return Map.empty
+      // gid → SID
+      val sids = new Array[Int](nGlyphs)
+      if (charsetOff == 0) {
+        var g = 1; while (g < nGlyphs) { sids(g) = g; g += 1 }
+      } else if (charsetOff == 1 || charsetOff == 2) {
+        return Map.empty // Expert charsets: no text-relevant mapping
+      } else {
+        if (charsetOff >= font.length) return Map.empty
+        val fmt = font(charsetOff) & 0xff
+        fmt match {
+          case 0 =>
+            var g = 1
+            while (g < nGlyphs && charsetOff + 1 + 2 * g <= font.length) {
+              sids(g) = u16(font, charsetOff + 1 + 2 * (g - 1)); g += 1
+            }
+          case 1 | 2 =>
+            val leftW = if (fmt == 1) 1 else 2
+            var g = 1
+            var p = charsetOff + 1
+            while (g < nGlyphs && p + 2 + leftW <= font.length) {
+              val first = u16(font, p)
+              val nLeft = if (fmt == 1) font(p + 2) & 0xff else u16(font, p + 2)
+              var k = 0
+              while (k <= nLeft && g < nGlyphs) { sids(g) = first + k; g += 1; k += 1 }
+              p += 2 + leftW
+            }
+          case _ => return Map.empty
+        }
+      }
+      val out = collection.mutable.HashMap.empty[Int, String]
+      var g = 1 // gid 0 = .notdef never maps
+      while (g < nGlyphs) {
+        val sid = sids(g)
+        val uni: Option[String] =
+          if (sid >= 1 && sid <= 95) Some(cffSidChar(sid))
+          else if (sid >= 391 && sid - 391 < strings.length)
+            cffNameToUni(new String(strings(sid - 391), ISO_8859_1))
+          else None // other standard SIDs: non-ASCII names, out of scope
+        uni.foreach(u => out(g) = u)
+        g += 1
+      }
+      out.toMap
+    } catch { case _: Exception => Map.empty }
   }
 
   /** Glyph-ID → unicode string, inverted from a TrueType font program's

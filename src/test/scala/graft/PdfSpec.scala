@@ -131,7 +131,8 @@ class PdfSpec extends AnyFunSuite {
   private def cidPdf(cmapBytes: Array[Byte], cmapFlate: Boolean,
                      contentOps: String, withToUnicode: Boolean = true,
                      fontFile2: Option[Array[Byte]] = None,
-                     cidToGid: Option[Array[Byte]] = None): Array[Byte] = {
+                     cidToGid: Option[Array[Byte]] = None,
+                     fontFile3: Option[Array[Byte]] = None): Array[Byte] = {
     def obj(n: Int, body: String): String = s"$n 0 obj $body\nendobj\n"
     def streamObj(n: Int, data: Array[Byte], flate: Boolean): Array[Byte] = {
       val filter = if (flate) " /Filter /FlateDecode" else ""
@@ -139,11 +140,13 @@ class PdfSpec extends AnyFunSuite {
         data ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1)
     }
     val toUni = if (withToUnicode) " /ToUnicode 3 0 R" else ""
-    val descExtra = (if (fontFile2.isDefined) " /FontDescriptor 6 0 R" else "") +
+    val anyProg = fontFile2.orElse(fontFile3)
+    val descExtra = (if (anyProg.isDefined) " /FontDescriptor 6 0 R" else "") +
       (if (cidToGid.isDefined) " /CIDToGIDMap 8 0 R" else "")
-    val fontObjs: Array[Byte] = fontFile2.map { ttf =>
-      obj(6, "<< /Type /FontDescriptor /FontName /TestCJK /FontFile2 7 0 R >>")
-        .getBytes(ISO_8859_1) ++ streamObj(7, ttf, flate = false) ++
+    val ffKey = if (fontFile2.isDefined) "FontFile2" else "FontFile3"
+    val fontObjs: Array[Byte] = anyProg.map { prog =>
+      obj(6, s"<< /Type /FontDescriptor /FontName /TestCJK /$ffKey 7 0 R >>")
+        .getBytes(ISO_8859_1) ++ streamObj(7, prog, flate = false) ++
         cidToGid.map(streamObj(8, _, flate = false)).getOrElse(Array.empty[Byte])
     }.getOrElse(Array.empty[Byte])
     "%PDF-1.4\n".getBytes(ISO_8859_1) ++
@@ -152,7 +155,8 @@ class PdfSpec extends AnyFunSuite {
       obj(2, s"<< /Type /Font /Subtype /Type0 /BaseFont /TestCJK /Encoding /Identity-H$toUni /DescendantFonts [4 0 R] >>")
         .getBytes(ISO_8859_1) ++
       streamObj(3, cmapBytes, cmapFlate) ++
-      obj(4, s"<< /Subtype /CIDFontType2$descExtra >>").getBytes(ISO_8859_1) ++
+      obj(4, s"<< /Subtype /${if (fontFile3.isDefined) "CIDFontType0" else "CIDFontType2"}$descExtra >>")
+        .getBytes(ISO_8859_1) ++
       streamObj(5, contentOps.getBytes(ISO_8859_1), flate = false) ++
       fontObjs ++
       "%%EOF".getBytes(ISO_8859_1)
@@ -265,6 +269,73 @@ class PdfSpec extends AnyFunSuite {
     val (txt, viaFontProgram) = PdfText.extractDetail(pdf)
     assert(txt == "😀😁😂", txt.map(_.toInt.toHexString))
     assert(viaFontProgram)
+  }
+
+  /** Minimal bare-CFF built straight from TN #5176's table layout:
+    * header, Name INDEX, Top DICT INDEX (5-byte-int charset/CharStrings
+    * offsets), String INDEX of `customNames`, charset format 0 with the
+    * given per-glyph SIDs, CharStrings INDEX of 1-byte dummy glyphs.
+    * `extraTopDict` prepends raw dict bytes (e.g. a /ROS to make the
+    * font CID-keyed). */
+  private def cff(sids: Seq[Int], customNames: Seq[String] = Nil,
+                  extraTopDict: Array[Byte] = Array.empty): Array[Byte] = {
+    def int5(v: Int): Array[Byte] =
+      Array(29, (v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+        .map(_.toByte)
+    def idx(items: Seq[Array[Byte]]): Array[Byte] = {
+      if (items.isEmpty) return be16(0)
+      val offs = items.scanLeft(1)((a, it) => a + it.length)
+      be16(items.length) ++ Array(1.toByte) ++ offs.map(_.toByte).toArray ++
+        items.toArray.flatten
+    }
+    val nameIdx = idx(Seq("TestCFF".getBytes(ISO_8859_1)))
+    val strIdx = idx(customNames.map(_.getBytes(ISO_8859_1)))
+    // top dict = extra bytes + charset(15) + CharStrings(17): its length
+    // is known before the offsets it carries, so one pass suffices
+    val dictLen = extraTopDict.length + 12
+    val topIdxLen = 2 + 1 + 2 + dictLen
+    val header = Array(1, 0, 4, 1).map(_.toByte)
+    val charsetOff = header.length + nameIdx.length + topIdxLen + strIdx.length
+    val charset = Array(0.toByte) ++ sids.flatMap(be16) // format 0
+    val charStringsOff = charsetOff + charset.length
+    val dict = extraTopDict ++ int5(charsetOff) ++ Array(15.toByte) ++
+      int5(charStringsOff) ++ Array(17.toByte)
+    val topIdx = idx(Seq(dict))
+    val charStrings = idx(Seq.fill(sids.length + 1)(Array(0x0e.toByte)))
+    header ++ nameIdx ++ topIdx ++ strIdx ++ charset ++ charStrings
+  }
+
+  test("cffGidToUnicode: standard-string SIDs, custom uniXXXX names, CID-keyed rejection") {
+    // glyphs 1..4 -> SIDs: 'H' (34+7), 'i' (66+8), space (1), custom
+    // name "uni1EC7" at SID 391
+    val m = PdfText.cffGidToUnicode(cff(Seq(41, 74, 1, 391), Seq("uni1EC7")))
+    assert(m == Map(1 -> "H", 2 -> "i", 3 -> " ", 4 -> "ệ"), m)
+    // a CID-keyed CFF (/ROS) has CIDs, not names: nothing to resolve
+    val ros = Array(139, 139, 139, 12, 30).map(_.toByte) // 0 0 0 ROS
+    assert(PdfText.cffGidToUnicode(cff(Seq(41, 74), extraTopDict = ros)).isEmpty)
+    // malformed input never throws
+    assert(PdfText.cffGidToUnicode("junk".getBytes(ISO_8859_1)).isEmpty)
+    assert(PdfText.cffGidToUnicode(Array.empty[Byte]).isEmpty)
+  }
+
+  test("Type0 WITHOUT ToUnicode decodes via an embedded bare CFF (/FontFile3 charset names)") {
+    // "Hi CFF" through standard-string SIDs only
+    val sids = Seq(41, 74, 1, 36, 39, 39) // H i space C F F
+    val ops = "BT /F7 12 Tf <000100020003000400050006> Tj ET"
+    val pdf = cidPdf(cmapText.getBytes(ISO_8859_1), cmapFlate = false,
+      contentOps = ops, withToUnicode = false, fontFile3 = Some(cff(sids)))
+    val (txt, viaFontProgram) = PdfText.extractDetail(pdf)
+    assert(txt == "Hi CFF", txt.map(_.toInt.toHexString))
+    assert(viaFontProgram, "CFF fallback must raise the no_tounicode_decoded signal")
+  }
+
+  test("CID-keyed CFF without ToUnicode still quarantines (no names to decode through)") {
+    val ros = Array(139, 139, 139, 12, 30).map(_.toByte)
+    val pdf = cidPdf(cmapText.getBytes(ISO_8859_1), cmapFlate = false,
+      contentOps = "BT /F7 12 Tf <00010002> Tj ET", withToUnicode = false,
+      fontFile3 = Some(cff(Seq(41, 74), extraTopDict = ros)))
+    val (txt, viaFontProgram) = PdfText.extractDetail(pdf)
+    assert(txt == "" && !viaFontProgram, txt)
   }
 
   test("ttfGidToUnicode: format 4 glyphIdArray path (idRangeOffset != 0) and malformed fonts") {
