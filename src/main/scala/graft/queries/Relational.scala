@@ -192,6 +192,37 @@ object Relational {
       graft.etl.Gold.merge(base, updates, "o_orderkey")
     }),
 
+    // Snapshot diff (q82): q79's audit-side complement — dataset
+    // versioning between two corpus snapshots by content hash: which
+    // docs were added / removed / modified since the last landing (the
+    // lakehouse question the reference's drop_old full refresh throws
+    // away). Snapshots derived deterministically so the oracle sees the
+    // same two tables: old = doc_id % 10 <> 0; new = doc_id % 13 <> 0,
+    // with doc_id % 7 = 0 re-crawled (text changed) — so added, removed,
+    // modified and unchanged all occur. Full outer join on the
+    // key (hash-partitioned — both sides are corpus-sized, so neither
+    // broadcasts; at 100 TB this is ONE co-partitioned shuffle each),
+    // status from null-sides + hash compare; output the per-status
+    // counts and a deterministic sample of changed keys.
+    "q82_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), sha2(col("text"), 256).as("h_old"))
+      val neu = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          sha2(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")), 256).as("h_new"))
+      old.join(neu, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "modified")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+    }),
+
     // Set ops: UNION + distinct (reference set-union dedup, crawl_web.py:114-117).
     "q16_union_distinct" -> ((s, dir) => {
       val customer = Tables(s, dir, "customer")
@@ -521,6 +552,24 @@ object Relational {
         |UNION ALL
         |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
         |FROM orders o ANTI JOIN updates u ON o.o_orderkey = u.o_orderkey""".stripMargin,
+
+    "q82_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, sha256(text) AS h_old FROM documents WHERE doc_id % 10 <> 0),
+        |neu AS (
+        |  SELECT doc_id,
+        |    sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h_new
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |d AS (
+        |  SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+        |    CASE WHEN h_old IS NULL THEN 'added'
+        |         WHEN h_new IS NULL THEN 'removed'
+        |         WHEN h_old <> h_new THEN 'modified'
+        |         ELSE 'unchanged' END AS status
+        |  FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id)
+        |SELECT status, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+        |  MAX(doc_id) AS last_doc
+        |FROM d GROUP BY status""".stripMargin,
 
     "q27_events_daily" ->
       s"""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
