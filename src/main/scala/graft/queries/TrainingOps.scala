@@ -619,12 +619,14 @@ object TrainingOps {
     // catches diffuse repetition (many grams each repeated a little);
     // this catches concentrated repetition (one boilerplate phrase
     // dominating a page). Shape: explode → count per (doc_id, gram) →
-    // top-1 per doc via window. Both aggregations partial-combine
-    // map-side, and keying the count by (doc_id, gram) keeps a huge
-    // repetitive document skew-free — its grams spread over as many
-    // reducers as it has DISTINCT grams. The top-1 window partitions by
-    // doc_id (never global). Ties break on gram ASC so both engines
-    // pick the same witness.
+    // top-1 per doc via the q35 agg-min idiom, min(struct(-cnt, gram))
+    // — both aggregations partial-combine map-side (the second shuffles
+    // ONE candidate row per doc per mapper, and no per-doc sort ever
+    // runs, unlike a window top-1), and keying the count by (doc_id,
+    // gram) keeps a huge repetitive document skew-free — its grams
+    // spread over as many reducers as it has DISTINCT grams. The
+    // struct's field order IS the tie-break: cnt desc, then gram ASC,
+    // so both engines pick the same witness.
     "q80_topgram_coverage" -> ((s, dir) => {
       val g = Tables(s, dir, "documents")
         .withColumn("toks", expr(toksExpr))
@@ -632,17 +634,15 @@ object TrainingOps {
         .select(col("doc_id"),
           expr("CAST(size(grams) AS BIGINT)").as("n_grams"), col("grams"))
         .filter(col("n_grams") > 0)
-      val cnt = g.select(col("doc_id"), col("n_grams"),
-          explode(col("grams")).as("gram"))
+      g.select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
         .groupBy(col("doc_id"), col("n_grams"), col("gram"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("cnt").desc, col("gram").asc)
-      cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("n_grams"), col("gram").as("top_gram"),
-          col("cnt").as("top_count"),
-          (col("cnt").cast("double") / col("n_grams")).as("top_frac"),
-          (col("cnt").cast("double") / col("n_grams") < TopGramCut).as("keep"))
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("gram"))).as("top"))
+        .select(col("doc_id"), col("n_grams"), col("top.gram").as("top_gram"),
+          (-col("top.nc")).as("top_count"),
+          ((-col("top.nc")).cast("double") / col("n_grams")).as("top_frac"),
+          ((-col("top.nc")).cast("double") / col("n_grams") < TopGramCut).as("keep"))
     }),
 
     // Fixed-context-window sequence packing — what a pretraining
