@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming change-data-capture over the landing layer: the
+  * streaming complement of the batch q82 snapshot diff. q82 compares
+  * two complete snapshots; here drops arrive incrementally, so each
+  * arriving document is classified against a STANDING (doc_id →
+  * content-hash) state instead: `added` (key never seen), `modified`
+  * (key seen, content changed), `unchanged` (a byte-identical re-drop —
+  * the crawler re-fetched an unchanged page). Removals are not
+  * observable in a drop stream (a batch carries what WAS crawled, not
+  * what wasn't) — that question stays with the batch q82 over full
+  * snapshots.
+  *
+  *  - [[ingest]]: per micro-batch, one right-outer join with the batch
+  *    broadcast (the batch is the small side by construction; the
+  *    standing key/hash table streams through unshuffled), an appended
+  *    change log row per document, and a key-based last-writer-wins
+  *    upsert of the state via [[graft.etl.Gold.upsert]] (write-temp +
+  *    atomic rename, so a crash mid-batch leaves the previous state
+  *    intact).
+  *  - [[changes]] / [[state]]: read the log and the current state back.
+  *
+  * Exactly-once: the file-source checkpoint replays only new files
+  * (same contract as [[TextIndexStream.ingest]]); a byte-identical
+  * re-drop in a NEW file is not an error but data — it logs as
+  * `unchanged`, which is exactly what a crawler's conditional-GET
+  * accounting wants to count.
+  *
+  * Scale shape: state grows with |distinct keys| but each batch touches
+  * it once, hash-joined on the key; the change log is append-only. At
+  * 100 TB the upsert rewrite is the cost to watch — `Gold.upsert`
+  * rewrites only the partitions the incoming keys touch when the state
+  * is partitioned, and the log itself never rewrites.
+  */
+object ChangeStream {
+
+  /** File-stream source over a directory of parquet document drops. */
+  def source(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(TextIndexStream.docSchema).parquet(dir)
+
+  /** The appended change log: (batch_id, doc_id, status, h). */
+  def changes(spark: SparkSession, cdcDir: String): DataFrame =
+    spark.read.parquet(s"$cdcDir/changes")
+
+  /** The standing (doc_id, h) state after all ingested drops. */
+  def state(spark: SparkSession, cdcDir: String): DataFrame =
+    spark.read.parquet(s"$cdcDir/hashes")
+
+  /** Drain available drops from `srcDir`, appending per-doc change rows
+    * to `cdcDir/changes` and upserting `cdcDir/hashes`. */
+  def ingest(spark: SparkSession, srcDir: String, cdcDir: String,
+             checkpointDir: String): StreamingQuery = {
+    val q = source(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val statePath = s"$cdcDir/hashes"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(statePath), ss.sparkContext.hadoopConfiguration)
+        val cur = batch
+          .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+          .dropDuplicates("doc_id") // within-batch: one verdict per key
+          .cache()
+        try {
+          val diffed =
+            if (!fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+              cur.withColumn("status", lit("added"))
+            else {
+              // the batch is the small side: RIGHT outer with the batch
+              // broadcast (a right-outer BHJ builds on the left), so the
+              // standing state streams through the join unshuffled
+              val prev = ss.read.parquet(statePath)
+                .withColumnRenamed("h", "h_prev")
+              prev.join(broadcast(cur), Seq("doc_id"), "right")
+                .select(col("doc_id"), col("h"),
+                  when(col("h_prev").isNull, "added")
+                    .when(col("h_prev") =!= col("h"), "modified")
+                    .otherwise("unchanged").as("status"))
+            }
+          diffed.select(lit(batchId).as("batch_id"), col("doc_id"),
+              col("status"), col("h"))
+            .write.mode("append").parquet(s"$cdcDir/changes")
+          graft.etl.Gold.upsert(ss, statePath, cur, "doc_id")
+        } finally cur.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -103,6 +103,23 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side combine in assignment:\n$p")
   }
 
+  test("q80 top-gram pick is agg-min partial aggregation, not a per-doc window sort") {
+    val p = planOf("q80_topgram_coverage")
+    assert(!p.contains("Window"), s"top-1 degraded to a window sort:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"no map-side combine in the top-gram pick:\n$p")
+  }
+
+  test("q82 snapshot diff co-partitions both corpus-sized sides (SMJ, filters pushed)") {
+    val p = planOf("q82_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"diff join must be a full-outer SMJ (neither snapshot broadcasts at scale):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    val f = formatted(SparkEntry.queries("q82_snapshot_diff")(spark, dir))
+    assert(f.split("PushedFilters: \\[IsNotNull").length >= 2,
+      s"snapshot filters not pushed to the scans:\n$f")
+  }
+
   test("q52 broadcasts the benchmark n-grams and never shuffles raw train n-grams") {
     val p = planOf("q52_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"contamination join not broadcast:\n$p")

@@ -399,6 +399,48 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("CDC stream classifies drops as added/modified/unchanged against standing state") {
+    import graft.streaming.ChangeStream
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-cdc-src").toString
+    val cdc = Files.createTempDirectory("graft-cdc-out").toString + "/cdc"
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("syn"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("append").parquet(src)
+    // drop 1: docs 0-9
+    drop((0L until 10L).map(i => i -> s"text $i"))
+    ChangeStream.ingest(spark, src, cdc, ckpt)
+    val c1 = ChangeStream.changes(spark, cdc)
+      .groupBy("status").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c1 == Map("added" -> 10L), c1)
+    // checkpoint replay: nothing new, nothing logged
+    ChangeStream.ingest(spark, src, cdc, ckpt)
+    assert(ChangeStream.changes(spark, cdc).count() == 10)
+    // drop 2: docs 5-14; 6 and 9 re-crawled with changed text
+    drop((5L until 15L).map(i =>
+      i -> (if (i == 6 || i == 9) s"text $i v2" else s"text $i")))
+    ChangeStream.ingest(spark, src, cdc, ckpt)
+    val c2 = ChangeStream.changes(spark, cdc).filter(col("batch_id") > 0)
+      .groupBy("status").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c2 == Map("added" -> 5L, "modified" -> 2L, "unchanged" -> 3L), c2)
+    // standing state is last-writer-wins: 15 keys, 6/9 carry the v2 hash
+    val st = ChangeStream.state(spark, cdc).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st.size == 15)
+    assert(st(6L) == org.apache.commons.codec.digest.DigestUtils.sha256Hex("text 6 v2"))
+    assert(st(3L) == org.apache.commons.codec.digest.DigestUtils.sha256Hex("text 3"))
+    // a byte-identical re-drop in a NEW file logs as all-unchanged
+    drop(Seq(7L -> "text 7"))
+    ChangeStream.ingest(spark, src, cdc, ckpt)
+    val c3 = ChangeStream.changes(spark, cdc).filter(col("batch_id") > 1)
+      .groupBy("status").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c3 == Map("unchanged" -> 1L), c3)
+    assert(ChangeStream.state(spark, cdc).count() == 15)
+  }
+
   test("empty text index (whitespace-only corpus) fails search with a clear message, not an NPE") {
     import graft.streaming.TextIndexStream
     import spark.implicits._
