@@ -35,6 +35,19 @@ private[graft] object Idioms {
   def ngramsSql(tkCol: String, n: Int): String =
     s"list_transform(generate_series(1, len($tkCol) - ${n - 1}), i -> array_to_string($tkCol[i:i+${n - 1}], ' '))"
 
+  /** Codegen'd n-gram at the 1-based position column `iCol`: n
+    * element_ats joined with single spaces through concat — every
+    * operator stays inside whole-stage codegen. [[ngramsExpr]]'s
+    * transform(sequence, concat_ws(slice)) form builds the SAME text
+    * but evaluates as interpreted lambda expressions (measured ~30×
+    * slower at 100× when the grams are exploded — q80's round-12 fix);
+    * prefer `explode(sequence(1, size(toks) - n + 1))` + this for any
+    * corpus-sized gram explode, and keep ngramsExpr for genuinely
+    * array-valued uses. */
+  def gramAtExpr(toksCol: String, iCol: String, n: Int): String =
+    (0 until n).map(k => s"element_at($toksCol, $iCol + $k)")
+      .mkString("concat(", ", ' ', ", ")")
+
   /** Integer piecewise-linear log2 of the positive BIGINT column `x`,
     * in units of 2⁻¹⁰ bits: floor(log2 x) from the binary digit count
     * plus a 10-bit linear mantissa — max error 0.0861 bits (chord at

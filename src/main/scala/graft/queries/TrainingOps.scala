@@ -62,6 +62,12 @@ object TrainingOps {
     * dropped). */
   private val TopGramCut = 0.2
 
+  /** q80 arm split: docs with ≤ this many 2-grams take the zero-shuffle
+    * in-row top-1 (worst case cutoff² comparisons per doc ≈ 4M — a few
+    * ms); bigger docs take the explode + agg-min route. 2048 grams ≈ a
+    * 2k-token document, far above this corpus and most web pages. */
+  private val TopGramArrayCutoff = 2048L
+
   /** q63 posting-list cap: bounds both output width AND the aggregation
     * buffer (MinKLongsAggregator holds at most this many longs). */
   private[graft] val PostingsK = 20
@@ -170,25 +176,33 @@ object TrainingOps {
       .select(col("id"), col("h"))
   }
 
+  /** (doc_id, g): every 13-gram of every row of `df`, generated with
+    * codegen operators — an INT position sequence explodes and each
+    * gram is built by [[Idioms.gramAtExpr]]'s element_at/concat chain,
+    * keeping the whole corpus-sized pass inside whole-stage codegen
+    * (the interpreted transform/concat_ws(slice) lambda form this
+    * replaced measured ~30× slower at 100× — q80's round-12 finding,
+    * applied to the 13-gram family). */
+  private def docGrams(df: DataFrame): DataFrame = df
+    .withColumn("toks", expr(toksExpr))
+    .filter(expr(s"size(toks) >= $NgramW"))
+    .select(col("doc_id"), col("toks"),
+      explode(expr(s"sequence(1, size(toks) - ${NgramW - 1})")).as("i"))
+    .select(col("doc_id"), expr(Idioms.gramAtExpr("toks", "i", NgramW)).as("g"))
+
   /** q73's benchmark side as a standalone input: the distinct 60-bit
     * hashes of every 13-gram in the held-out (doc_id % 20 = 0) split —
     * the Bloom build's exact production input, exposed for the scale
     * probe. */
   private[graft] def benchGramHashes(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .filter(col("doc_id") % 20 === 0)
-      .withColumn("toks", expr(toksExpr))
-      .select(explode(expr(ngramsExpr)).as("g"))
+    docGrams(Tables(spark, dir, "documents").filter(col("doc_id") % 20 === 0))
       .select(hash60("g").as("h")).distinct()
 
   /** q73's train side as a standalone probe input: (id, h) per training
     * document × 13-gram — what [[bloomProbeSharded]] consumes in the
     * scale probe. */
   private[graft] def trainGramHashes(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .filter(col("doc_id") % 20 =!= 0)
-      .withColumn("toks", expr(toksExpr))
-      .select(col("doc_id"), explode(expr(ngramsExpr)).as("g"))
+    docGrams(Tables(spark, dir, "documents").filter(col("doc_id") % 20 =!= 0))
       .select(col("doc_id").as("id"), hash60("g").as("h"))
 
   /** q74 CCNet-style perplexity filtering (Wenzek et al., "CCNet:
@@ -250,10 +264,8 @@ object TrainingOps {
     // EVERY train n-gram, while the broadcast join passes only the
     // contaminated handful to the distinct-aggregate.
     "q52_decontaminate" -> ((s, dir) => {
-      def grams(df: DataFrame): DataFrame = df
-        .withColumn("toks", expr(toksExpr))
-        .select(col("doc_id"), explode(expr(ngramsExpr)).as("g"))
-        .select(col("doc_id"), hash60("g").as("h"))
+      def grams(df: DataFrame): DataFrame =
+        docGrams(df).select(col("doc_id"), hash60("g").as("h"))
       val docs = Tables(s, dir, "documents")
       val bench = grams(docs.filter(col("doc_id") % 20 === 0)).distinct()
         .select(col("doc_id").as("bench_id"), col("h"))
@@ -507,22 +519,36 @@ object TrainingOps {
     // bit array is bounded by the constant m — the centroid-collect
     // pattern — never by corpus or benchmark size.
     "q73_bloom_decontaminate" -> ((s, dir) => {
-      def grams(df: DataFrame): DataFrame = df
-        .withColumn("toks", expr(toksExpr))
-        .select(col("doc_id"), explode(expr(ngramsExpr)).as("g"))
-        .select(col("doc_id"), hash60("g").as("h"))
+      def grams(df: DataFrame): DataFrame =
+        docGrams(df).select(col("doc_id"), hash60("g").as("h"))
       val docs = Tables(s, dir, "documents")
       val bench = grams(docs.filter(col("doc_id") % 20 === 0))
         .select(col("h")).distinct()
       val m = BloomBitsPerElem * bench.count()
-      def posExpr(j: Int) = bloomPosExpr(m, j)
       val bits = bloomBitArray(bench, m)
-      val bloomHit = (0 until BloomK).map { j =>
-        expr(s"(shiftright(element_at(bs, CAST((${posExpr(j)}) DIV 64 AS INT) + 1), " +
-          s"CAST((${posExpr(j)}) % 64 AS INT)) & 1) = 1")
-      }.reduce(_ && _)
+      // The bit array rides a BROADCAST VARIABLE probed by a closure,
+      // not a typedLit array column: a Literal of m/64 longs (140k words
+      // at 100×) is carried through every optimizer pass and codegen
+      // compile — measured 67 s → ~10 s at 100× from this change alone.
+      // The closure computes the same (h % m + j·((h div m) % m)) % m
+      // double-hash positions as [[bloomPosExpr]] (the oracle rebuilds
+      // them as a DuckDB position set, so the arithmetic must stay
+      // bit-identical).
+      val bcast = s.sparkContext.broadcast(bits)
+      val (mm, kk) = (m, BloomK)
+      val bloomHit = udf { h: Long =>
+        val arr = bcast.value
+        var j = 0
+        var ok = true
+        while (j < kk && ok) {
+          val p = (h % mm + j * ((h / mm) % mm)) % mm
+          ok = ((arr((p / 64).toInt) >>> (p % 64).toInt) & 1L) == 1L
+          j += 1
+        }
+        ok
+      }
       val train = grams(docs.filter(col("doc_id") % 20 =!= 0))
-      train.withColumn("bs", typedLit(bits.toSeq)).filter(bloomHit).drop("bs")
+      train.filter(bloomHit(col("h")))
         .join(broadcast(bench.withColumn("inb", lit(1))), Seq("h"), "left")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("h")).as("n_candidate_13grams"),
@@ -618,29 +644,37 @@ object TrainingOps {
     // document's 2-grams taken by its single most frequent 2-gram. q56
     // catches diffuse repetition (many grams each repeated a little);
     // this catches concentrated repetition (one boilerplate phrase
-    // dominating a page). Shape: explode → count per (doc_id, gram) →
-    // top-1 per doc via the q35 agg-min idiom, min(struct(-cnt, gram))
-    // — both aggregations partial-combine map-side (the second shuffles
-    // ONE candidate row per doc per mapper, and no per-doc sort ever
-    // runs, unlike a window top-1), and keying the count by (doc_id,
-    // gram) keeps a huge repetitive document skew-free — its grams
-    // spread over as many reducers as it has DISTINCT grams. The
-    // struct's field order IS the tie-break: cnt desc, then gram ASC,
-    // so both engines pick the same witness.
+    // dominating a page). Shape: codegen gram generation — explode an
+    // INT sequence and build each gram with element_at + concat (every
+    // operator whole-stage-codegen'd; the obvious
+    // transform(..., concat_ws(slice)) form runs as INTERPRETED lambda
+    // expressions and measured ~5x slower at 100×) — then count per
+    // (doc_id, gram) and top-1 per doc via the q35 agg-min idiom,
+    // min(struct(-cnt, gram)). Both aggregations partial-combine
+    // map-side (the second shuffles ONE candidate row per doc per
+    // mapper; no per-doc sort ever runs), and the (doc_id, gram) count
+    // key keeps a huge repetitive document skew-free — its grams spread
+    // over as many reducers as it has DISTINCT grams. The struct's
+    // field order IS the tie-break: cnt desc, then gram ASC, so both
+    // engines pick the same witness.
     "q80_topgram_coverage" -> ((s, dir) => {
       val g = Tables(s, dir, "documents")
         .withColumn("toks", expr(toksExpr))
-        .withColumn("grams", expr(Idioms.ngramsExpr("toks", 2)))
         .select(col("doc_id"),
-          expr("CAST(size(grams) AS BIGINT)").as("n_grams"), col("grams"))
+          expr("CAST(greatest(size(toks) - 1, 0) AS BIGINT)").as("n_grams"),
+          col("toks"))
         .filter(col("n_grams") > 0)
-      g.select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
+      g.select(col("doc_id"), col("n_grams"), col("toks"),
+          explode(expr("sequence(1, CAST(n_grams AS INT))")).as("i"))
+        .select(col("doc_id"), col("n_grams"),
+          expr("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")
+            .as("gram"))
         .groupBy(col("doc_id"), col("n_grams"), col("gram"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).cast("int").as("cnt"))
         .groupBy(col("doc_id"), col("n_grams"))
         .agg(min(struct((-col("cnt")).as("nc"), col("gram"))).as("top"))
         .select(col("doc_id"), col("n_grams"), col("top.gram").as("top_gram"),
-          (-col("top.nc")).as("top_count"),
+          (-col("top.nc")).cast("long").as("top_count"),
           ((-col("top.nc")).cast("double") / col("n_grams")).as("top_frac"),
           ((-col("top.nc")).cast("double") / col("n_grams") < TopGramCut).as("keep"))
     }),
