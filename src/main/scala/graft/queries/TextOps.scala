@@ -421,17 +421,28 @@ object TextOps {
     // of 4 over the hash sequence keeping each window's minimum, emit
     // the distinct minima. Shared minima between docs localize copied
     // passages — the position-robust complement to the whole-doc hash
-    // (q20). Pure HOF arithmetic on both engines, bit-exact.
+    // (q20). Bit-exact with the DuckDB HOF twin; the Spark side runs
+    // CODEGEN end to end — position explode + gramAtExpr hash in a
+    // generated projection, the sliding min as a rows-frame window —
+    // because the transform(...sha2(slice)...) lambda form this
+    // replaced evaluates interpreted per element (the q80 round-12
+    // finding; nested lambdas made q42 the worst of the family).
     "q42_winnow_fingerprint" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      import org.apache.spark.sql.expressions.Window
+      val hs = Tables(s, dir, "documents")
         .withColumn("toks", expr(toksExpr))
         .filter(expr("size(toks) >= 7")) // >= 4 grams -> >= 1 window
-        .withColumn("hs", expr(
-          s"""transform(sequence(1, size(toks) - 3),
-             | i -> CAST(conv(substr(sha2(array_join(slice(toks, i, 4), ' '), 256), 1, 15), 16, 10) AS BIGINT) % 2147483647)""".stripMargin))
-        .withColumn("fp", explode(expr(
-          "array_distinct(transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4))))")))
-        .select(col("doc_id"), col("fp"))
+        .select(col("doc_id"), expr("size(toks)").as("ntok"), col("toks"))
+        .select(col("doc_id"), col("ntok"),
+          explode(expr("sequence(1, size(toks) - 3)")).as("i"), col("toks"))
+        .select(col("doc_id"), col("ntok"), col("i"),
+          expr(s"CAST(conv(substr(sha2(${Idioms.gramAtExpr("toks", "i", 4)}, 256)," +
+            " 1, 15), 16, 10) AS BIGINT) % 2147483647").as("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(0, 3)
+      hs.withColumn("fp", min(col("h")).over(w))
+        .filter(col("i") <= col("ntok") - 6) // only full 4-hash windows
+        .select(col("doc_id"), col("fp")).distinct()
     }),
 
     // Multimodal plumbing (training-data op): text treated as an opaque
