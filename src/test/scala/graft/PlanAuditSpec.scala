@@ -51,10 +51,13 @@ class PlanAuditSpec extends AnyFunSuite {
 
   /** Full-outer / outer fusion joins whose BOTH inputs are rank-bounded
     * (|queries|·k rows) — they cannot broadcast (outer side), so a
-    * SortMergeJoin on tiny inputs is the correct physical choice. */
+    * SortMergeJoin on tiny inputs is the correct physical choice.
+    * q82's snapshot diff is the other legitimate SMJ: BOTH sides are
+    * corpus-sized snapshots (full-outer, neither can broadcast at
+    * scale) — PlanSpec pins that shape explicitly. */
   private val rankBoundedSmj: Set[String] = Set(
     "q68_semdedup", "q72_target_affinity_select",
-    "q76_hybrid_rrf", "q77_retrieval_eval")
+    "q76_hybrid_rrf", "q77_retrieval_eval", "q82_snapshot_diff")
 
   test("no query's executed plan contains a CartesianProduct") {
     val bad = audits.filter(_._2("cartesian_product") > 0).keys.toSeq.sorted
