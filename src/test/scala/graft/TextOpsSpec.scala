@@ -19,6 +19,30 @@ class TextOpsSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.01"
 
+  test("codegen gramAtExpr emits exactly ngramsExpr's grams, for every n and every doc") {
+    // the round-12 perf path (position explode + element_at/concat) and
+    // the interpreted array form must never drift — q52/q73/q80/q42 hash
+    // what this generates
+    for (n <- Seq(2, 4, 13)) {
+      val base = Tables(spark, dir, "documents")
+        .withColumn("toks", expr(graft.queries.Idioms.toksExpr))
+      val viaArray = base
+        .select(col("doc_id"), explode(expr(
+          graft.queries.Idioms.ngramsExpr("toks", n))).as("g"))
+        .groupBy("doc_id", "g").count()
+      val viaCodegen = base
+        .filter(expr(s"size(toks) >= $n"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(1, size(toks) - ${n - 1})")).as("i"))
+        .select(col("doc_id"), expr(
+          graft.queries.Idioms.gramAtExpr("toks", "i", n)).as("g"))
+        .groupBy("doc_id", "g").count()
+      assert(viaArray.exceptAll(viaCodegen).isEmpty &&
+        viaCodegen.exceptAll(viaArray).isEmpty,
+        s"gram idioms drift at n=$n")
+    }
+  }
+
   test("hot-key caps keep >=10x headroom in the oracle data") {
     val sh = Tables(spark, dir, "documents")
       .select(col("doc_id"),
