@@ -69,6 +69,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Ambient load must be sampled BEFORE the warmup pass: warmup itself
+    // runs every query on 32 threads and drives the 1-min loadavg past
+    // the contention threshold, which would stamp every artifact
+    // `contended` regardless of what else the box was doing.
+    val loadBefore = loadavg()
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
@@ -96,7 +102,6 @@ object Bench {
     }
 
     spark.sparkContext.setLogLevel("ERROR") // WARN spam must not dilute the stdout tail
-    val loadBefore = loadavg()
     // (median, spread=max/min of the reps that produced it). A spread > 3x
     // means one rep saw a different box than the others — re-time with two
     // extra reps so the transient must out-vote three clean ones.
