@@ -70,11 +70,20 @@ object Multimodal {
     * Downstream keeps a corpus-health metric
     * (`count(extract_status = 'quarantined')`) instead of mistaking
     * extractor scope for genuinely empty documents. */
-  def extractText(assets: DataFrame): DataFrame = {
+  def extractText(assets: DataFrame): DataFrame = extractText(assets, None)
+
+  /** [[extractText]] with a per-document password column (null/"" rows
+    * fall back to the empty-password default): crawled corpora sometimes
+    * carry known credentials per source, and threading them through
+    * unlocks R2-R6 protected documents that would otherwise land in the
+    * quarantine count. */
+  def extractText(assets: DataFrame, passwordCol: Option[String]): DataFrame = {
     import graft.functions.{PdfText, TextFunctions}
-    val pdfDetail = udf((b: Array[Byte]) => PdfText.extractDetail(b))
+    val pdfDetail = udf((b: Array[Byte], pw: String) =>
+      PdfText.extractDetail(b, if (pw == null) "" else pw))
+    val pw = passwordCol.map(col).getOrElse(lit(""))
     assets.withColumn("_pdf",
-        when(col("modality") === "pdf", pdfDetail(col("content"))))
+        when(col("modality") === "pdf", pdfDetail(col("content"), pw)))
       .withColumn("text",
         when(col("modality") === "html", TextFunctions.htmlToTextUdf(col("content").cast("string")))
           .when(col("modality") === "pdf", col("_pdf._1"))

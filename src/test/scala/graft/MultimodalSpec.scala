@@ -74,6 +74,29 @@ class MultimodalSpec extends AnyFunSuite {
       s"extract-or-quarantine statuses wrong: $st")
   }
 
+  test("extractText with a password column unlocks protected PDFs; without it they quarantine") {
+    import spark.implicits._
+    val locked = PdfFixtures.encryptedPdfV5("credentialed text", r = 6,
+      userPw = "site-password")
+    val open = pdfBytes("open text")
+    val assets = Seq(
+      (1L, "pdf", locked, "site-password"),
+      (2L, "pdf", locked, null.asInstanceOf[String]), // no password known
+      (3L, "pdf", open, null.asInstanceOf[String]))
+      .toDF("asset_id", "modality", "content", "pdf_password")
+    val out = Multimodal.extractText(assets, Some("pdf_password"))
+      .select(col("asset_id"), col("text"), col("extract_status")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L) == (("credentialed text", "ok")), out(1L))
+    assert(out(2L)._2 == "quarantined", out(2L))
+    assert(out(3L) == (("open text", "ok")), out(3L))
+    // the no-password overload still treats every doc as empty-password
+    val plain = Multimodal.extractText(assets.drop("pdf_password"))
+      .select(col("asset_id"), col("extract_status")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(plain == Map(1L -> "quarantined", 2L -> "quarantined", 3L -> "ok"), plain)
+  }
+
   test("extract_status distinguishes no_tounicode_decoded from ok and quarantined") {
     import spark.implicits._
     val iso = java.nio.charset.StandardCharsets.ISO_8859_1

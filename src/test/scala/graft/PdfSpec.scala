@@ -586,77 +586,7 @@ class PdfSpec extends AnyFunSuite {
     assert(!txt.contains("secret"), s"wrong key must not extract: $txt")
   }
 
-  /** Independent reading of the R5/R6 password hash: R5 = one SHA-256
-    * pass; R6 = ISO 32000-2 Algorithm 2.B (SHA-256/384/512 picked by an
-    * AES-128-CBC pass over the 64× repeated block, ≥64 rounds). */
-  private def pwHash(r: Int, pw: Array[Byte], salt: Array[Byte],
-                     udata: Array[Byte]): Array[Byte] = {
-    def dg(alg: String, d: Array[Byte]) =
-      java.security.MessageDigest.getInstance(alg).digest(d)
-    if (r == 5) return dg("SHA-256", pw ++ salt ++ udata)
-    var k = dg("SHA-256", pw ++ salt ++ udata)
-    var i = 0
-    var last = 0
-    while (i < 64 || last > i - 32) {
-      val block = pw ++ k ++ udata
-      val k1 = Array.fill(64)(block).flatten
-      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
-        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
-        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
-      val e = c.doFinal(k1)
-      val alg = (e.take(16).map(_ & 0xff).sum % 3) match {
-        case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512"
-      }
-      k = dg(alg, e)
-      last = e.last & 0xff
-      i += 1
-    }
-    k.take(32)
-  }
-
-  private def aes(encrypt: Boolean, key: Array[Byte], iv: Array[Byte],
-                  data: Array[Byte]): Array[Byte] = {
-    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-    c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
-           else javax.crypto.Cipher.DECRYPT_MODE,
-      new javax.crypto.spec.SecretKeySpec(key, "AES"),
-      new javax.crypto.spec.IvParameterSpec(iv))
-    c.doFinal(data)
-  }
-
-  /** Build an AES-256 (V5) encrypted PDF for revision 5 or 6 with the
-    * given user password ("" = the crawled no-prompt case) and a real
-    * owner password. U/UE/O/OE are constructed per Algorithms 8-9; the
-    * content stream is AES-256-CBC under the file key directly. */
-  private def encryptedPdfV5(text: String, r: Int, userPw: String): Array[Byte] = {
-    val pw = userPw.getBytes(ISO_8859_1)
-    val fileKey = Array.tabulate(32)(i => (i * 13 + 5).toByte)
-    val uvs = Array.tabulate(8)(i => (i * 3 + 1).toByte)  // user validation salt
-    val uks = Array.tabulate(8)(i => (i * 5 + 2).toByte)  // user key salt
-    val u = pwHash(r, pw, uvs, Array.empty) ++ uvs ++ uks
-    val ue = aes(encrypt = true, pwHash(r, pw, uks, Array.empty),
-      new Array[Byte](16), fileKey)
-    val opw = "owner-secret".getBytes(ISO_8859_1)
-    val ovs = Array.tabulate(8)(i => (i * 7 + 3).toByte)
-    val oks = Array.tabulate(8)(i => (i * 11 + 4).toByte)
-    val o = pwHash(r, opw, ovs, u) ++ ovs ++ oks
-    val oe = aes(encrypt = true, pwHash(r, opw, oks, u),
-      new Array[Byte](16), fileKey)
-    val ops = s"BT ($text) Tj ET".getBytes(ISO_8859_1)
-    val iv = Array.tabulate(16)(i => (i * 9 + 1).toByte)
-    val padLen = 16 - (ops.length % 16)
-    val enc = iv ++ aes(encrypt = true, fileKey, iv,
-      ops ++ Array.fill(padLen)(padLen.toByte))
-    def hex(b: Array[Byte]) = b.map("%02X".format(_)).mkString
-    (s"%PDF-1.7\n1 0 obj << /Length ${enc.length} >>\nstream\n").getBytes(ISO_8859_1) ++
-      enc ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1) ++
-      (s"2 0 obj << /Filter /Standard /V 5 /R $r /Length 256" +
-        " /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF" +
-        s" /P -44 /O <${hex(o)}> /U <${hex(u)}> /OE <${hex(oe)}> /UE <${hex(ue)}>" +
-        " >>\nendobj\n").getBytes(ISO_8859_1) ++
-      "trailer << /Root 1 0 R /Encrypt 2 0 R >>\n%%EOF".getBytes(ISO_8859_1)
-  }
+  import PdfFixtures.encryptedPdfV5
 
   test("encrypted PDF (R6 AES-256, empty user password) extracts") {
     val pdf = encryptedPdfV5("aes256 revision six", r = 6, userPw = "")
@@ -701,4 +631,81 @@ class PdfSpec extends AnyFunSuite {
       .select(PdfText.pdfToTextUdf(col("content")).as("text"))
     checkText(df.head.getString(0))
   }
+}
+
+/** Shared encrypted-PDF fixture builders (independent spec readings,
+  * NOT reusing production code) — used by PdfSpec and MultimodalSpec. */
+object PdfFixtures {
+  /** Independent reading of the R5/R6 password hash: R5 = one SHA-256
+    * pass; R6 = ISO 32000-2 Algorithm 2.B (SHA-256/384/512 picked by an
+    * AES-128-CBC pass over the 64× repeated block, ≥64 rounds). */
+  def pwHash(r: Int, pw: Array[Byte], salt: Array[Byte],
+                     udata: Array[Byte]): Array[Byte] = {
+    def dg(alg: String, d: Array[Byte]) =
+      java.security.MessageDigest.getInstance(alg).digest(d)
+    if (r == 5) return dg("SHA-256", pw ++ salt ++ udata)
+    var k = dg("SHA-256", pw ++ salt ++ udata)
+    var i = 0
+    var last = 0
+    while (i < 64 || last > i - 32) {
+      val block = pw ++ k ++ udata
+      val k1 = Array.fill(64)(block).flatten
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      val e = c.doFinal(k1)
+      val alg = (e.take(16).map(_ & 0xff).sum % 3) match {
+        case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512"
+      }
+      k = dg(alg, e)
+      last = e.last & 0xff
+      i += 1
+    }
+    k.take(32)
+  }
+
+  def aes(encrypt: Boolean, key: Array[Byte], iv: Array[Byte],
+                  data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+           else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** Build an AES-256 (V5) encrypted PDF for revision 5 or 6 with the
+    * given user password ("" = the crawled no-prompt case) and a real
+    * owner password. U/UE/O/OE are constructed per Algorithms 8-9; the
+    * content stream is AES-256-CBC under the file key directly. */
+  def encryptedPdfV5(text: String, r: Int, userPw: String): Array[Byte] = {
+    val pw = userPw.getBytes(ISO_8859_1)
+    val fileKey = Array.tabulate(32)(i => (i * 13 + 5).toByte)
+    val uvs = Array.tabulate(8)(i => (i * 3 + 1).toByte)  // user validation salt
+    val uks = Array.tabulate(8)(i => (i * 5 + 2).toByte)  // user key salt
+    val u = pwHash(r, pw, uvs, Array.empty) ++ uvs ++ uks
+    val ue = aes(encrypt = true, pwHash(r, pw, uks, Array.empty),
+      new Array[Byte](16), fileKey)
+    val opw = "owner-secret".getBytes(ISO_8859_1)
+    val ovs = Array.tabulate(8)(i => (i * 7 + 3).toByte)
+    val oks = Array.tabulate(8)(i => (i * 11 + 4).toByte)
+    val o = pwHash(r, opw, ovs, u) ++ ovs ++ oks
+    val oe = aes(encrypt = true, pwHash(r, opw, oks, u),
+      new Array[Byte](16), fileKey)
+    val ops = s"BT ($text) Tj ET".getBytes(ISO_8859_1)
+    val iv = Array.tabulate(16)(i => (i * 9 + 1).toByte)
+    val padLen = 16 - (ops.length % 16)
+    val enc = iv ++ aes(encrypt = true, fileKey, iv,
+      ops ++ Array.fill(padLen)(padLen.toByte))
+    def hex(b: Array[Byte]) = b.map("%02X".format(_)).mkString
+    (s"%PDF-1.7\n1 0 obj << /Length ${enc.length} >>\nstream\n").getBytes(ISO_8859_1) ++
+      enc ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1) ++
+      (s"2 0 obj << /Filter /Standard /V 5 /R $r /Length 256" +
+        " /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF" +
+        s" /P -44 /O <${hex(o)}> /U <${hex(u)}> /OE <${hex(oe)}> /UE <${hex(ue)}>" +
+        " >>\nendobj\n").getBytes(ISO_8859_1) ++
+      "trailer << /Root 1 0 R /Encrypt 2 0 R >>\n%%EOF".getBytes(ISO_8859_1)
+  }
+
 }

@@ -41,6 +41,26 @@ class TextOpsSpec extends AnyFunSuite {
         viaCodegen.exceptAll(viaArray).isEmpty,
         s"gram idioms drift at n=$n")
     }
+    // edge shapes the corpus can't exercise: empty, single-token,
+    // exactly-n, repeated tokens, unicode, multi-space runs
+    import spark.implicits._
+    val edge = Seq(
+      (1L, ""), (2L, "solo"), (3L, "a b"), (4L, "x x x x"),
+      (5L, "việt nam 越南 ☃"), (6L, "a  b   c"), (7L, " lead trail "))
+      .toDF("doc_id", "text")
+      .withColumn("toks", expr(graft.queries.Idioms.toksExpr))
+    for (n <- Seq(2, 3)) {
+      val a = edge.select(col("doc_id"), explode(expr(
+        graft.queries.Idioms.ngramsExpr("toks", n))).as("g"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val b = edge.filter(expr(s"size(toks) >= $n"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(1, size(toks) - ${n - 1})")).as("i"))
+        .select(col("doc_id"), expr(
+          graft.queries.Idioms.gramAtExpr("toks", "i", n)).as("g"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(a == b, s"edge-doc drift at n=$n: $a vs $b")
+    }
   }
 
   test("hot-key caps keep >=10x headroom in the oracle data") {
