@@ -279,6 +279,32 @@ object TextOps {
           col("w.q").as("best_quality"), col("n_members"))
     }),
 
+    // Leakage-safe train/val/test split (q83): assignment by NEAR-DUP
+    // CLUSTER, not by document — a per-doc random split puts one copy of
+    // a near-duplicated page in train and another in test, leaking eval
+    // data into training through paraphrase-level duplication (the
+    // failure mode dedup-aware eval protocols exist for). Every doc
+    // inherits its q51 component's id (singletons are their own
+    // cluster), and the 8/1/1 split hashes the CLUSTER id, so near-dup
+    // docs land in the same split by construction (TextOpsSpec asserts
+    // it over every q48 pair). Scale shape: the cluster labeling (only
+    // docs WITH near-dup edges) broadcasts into the corpus frame — the
+    // corpus-sized side never shuffles, and the hash split is a pure
+    // projection.
+    "q83_leakage_safe_split" -> ((s, dir) => {
+      val clusters = graft.operators.Components.connectedComponents(
+        q48NearDup(s, dir).select(col("doc_a"), col("doc_b")))
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(broadcast(clusters), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("bucket",
+          expr(Idioms.hash60Expr("CAST(cluster_id AS STRING)") + " % 10"))
+        .select(col("doc_id"), col("cluster_id"),
+          when(col("bucket") <= 7, "train")
+            .when(col("bucket") === 8, "val")
+            .otherwise("test").as("split"))
+    }),
+
     // SimHash (training-data op): 16-bit signature; per-bit signed vote
     // over token hashes, one-pass conditional aggregation ([[simhashSig]]).
     "q23_simhash" -> ((s, dir) =>
@@ -646,6 +672,32 @@ object TextOps {
            |SELECT cluster_id, doc_id AS survivor_id, quality_score AS best_quality,
            |  CAST(n_members AS BIGINT) AS n_members
            |FROM r2 WHERE rk = 1""".stripMargin,
+
+      "q83_leakage_safe_split" ->
+        s"""WITH pairs AS (
+           |$q48Sql),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+           |reach AS (
+           |  WITH RECURSIVE r(a, b) AS (
+           |    SELECT doc_id, doc_id FROM nodes
+           |    UNION
+           |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+           |  SELECT * FROM r),
+           |clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+           |alldocs AS (
+           |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+           |b AS (SELECT doc_id, cluster_id,
+           |  ${Idioms.hash60Sql("CAST(cluster_id AS VARCHAR)")} % 10 AS bucket
+           |  FROM alldocs)
+           |SELECT doc_id, cluster_id,
+           |  CASE WHEN bucket <= 7 THEN 'train'
+           |       WHEN bucket = 8 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM b""".stripMargin,
 
       "q23_simhash" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS s FROM documents),

@@ -63,6 +63,29 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q83: no near-dup pair ever straddles a split boundary; every doc is assigned once") {
+    val split = SparkEntry.queries("q83_leakage_safe_split")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // total assignment: every corpus doc appears exactly once
+    val n = Tables(spark, dir, "documents").count()
+    assert(split.size == n, s"${split.size} assignments for $n docs")
+    assert(split.values.map(_._2).toSet == Set("train", "val", "test"),
+      "all three splits must be populated at sf0.01")
+    // THE leakage property: both ends of every q48 near-dup pair share a
+    // cluster and therefore a split
+    val pairs = SparkEntry.queries("q48_neardup_pipeline")(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture corpus must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._1 == split(b)._1 && split(a)._2 == split(b)._2,
+        s"near-dup pair ($a, $b) split across ${split(a)} / ${split(b)} — leakage")
+    }
+    // determinism: a re-run assigns identically
+    val again = SparkEntry.queries("q83_leakage_safe_split")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(again == split)
+  }
+
   test("hot-key caps keep >=10x headroom in the oracle data") {
     val sh = Tables(spark, dir, "documents")
       .select(col("doc_id"),
