@@ -78,17 +78,23 @@ object TextOps {
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
-  /** Band a 16-minhash signature into `bands` bands of 16/`bands` rows
-    * and emit capped candidate pairs via [[bucketPairs]]. */
-  private[graft] def lshCandidatePairs(sig: DataFrame, bands: Int): DataFrame = {
+  /** The (doc_id, band, bucket) banding of a 16-minhash signature —
+    * shared by the batch pair expansion and the standing stream index
+    * ([[graft.streaming.NearDupStream]]), so both derive identical band
+    * keys from identical signatures. */
+  private[graft] def bandedRows(sig: DataFrame, bands: Int): DataFrame = {
     val rows = 16 / bands
     val bandStructs = (0 until bands).map(bnd =>
       struct(lit(bnd).as("band"),
         concat_ws(",", (0 until rows).map(j => col(s"mh${bnd * rows + j}")): _*).as("bucket")))
-    bucketPairs(
-      sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
+
+  /** Band a 16-minhash signature into `bands` bands of 16/`bands` rows
+    * and emit capped candidate pairs via [[bucketPairs]]. */
+  private[graft] def lshCandidatePairs(sig: DataFrame, bands: Int): DataFrame =
+    bucketPairs(bandedRows(sig, bands))
 
   /** `bits`-bit SimHash signature in ONE aggregation pass: per-bit signed
     * votes over `hashExpr` token hashes (q23 uses the mod-P 31-bit hash

@@ -441,6 +441,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(ChangeStream.state(spark, cdc).count() == 15)
   }
 
+  test("standing near-dup index: streamed matches equal the batch banding over all drops") {
+    import graft.streaming.NearDupStream
+    val src = Files.createTempDirectory("graft-ndup-src").toString
+    val dup = Files.createTempDirectory("graft-ndup-out").toString + "/dup"
+    val ckpt = Files.createTempDirectory("graft-ndup-ckpt").toString
+    val docs = Tables(spark, sfDir, "documents").cache()
+    // two doc_id-range drops (arrival order = id order)
+    val mid = 250L
+    docs.filter(col("doc_id") < mid).write.mode("append").parquet(src)
+    NearDupStream.ingest(spark, src, dup, ckpt)
+    val afterFirst = NearDupStream.matches(spark, dup).count()
+    // replay: no new files, nothing appended
+    NearDupStream.ingest(spark, src, dup, ckpt)
+    assert(NearDupStream.matches(spark, dup).count() == afterFirst)
+    docs.filter(col("doc_id") >= mid).write.mode("append").parquet(src)
+    NearDupStream.ingest(spark, src, dup, ckpt)
+    val streamed = NearDupStream.matches(spark, dup)
+      .select("doc_id", "matched_id", "n_agree").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch reference: band-candidate pairs over the WHOLE corpus with
+    // the same signatures, oriented greater -> lesser, n_agree recounted
+    val sig = graft.queries.TextOps.minhashSig(
+      docs.withColumn("arr",
+          graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3)))
+        .select(col("doc_id"), explode(col("arr")).as("s"))).cache()
+    val sigMap = sig.collect().map(r =>
+      r.getLong(0) -> (1 to 16).map(i => r.getLong(i)).toSeq).toMap
+    val expected = graft.queries.TextOps.lshCandidatePairs(sig, bands = 8).collect()
+      .map(r => (r.getLong(0) max r.getLong(1), r.getLong(0) min r.getLong(1)))
+      .toSet[(Long, Long)]
+      .map { case (a, b) =>
+        (a, b, sigMap(a).zip(sigMap(b)).count { case (x, y) => x == y }.toLong)
+      }
+    assert(streamed == expected,
+      s"stream/batch near-dup divergence: extra=${(streamed diff expected).take(3)} missing=${(expected diff streamed).take(3)}")
+    // the estimator is honest: every exact-duplicate content agrees on all 16
+    assert(streamed.exists(_._3 == 16L),
+      "fixture corpus contains exact dups — some match must agree on all 16")
+    sig.unpersist(); docs.unpersist()
+  }
+
   test("empty text index (whitespace-only corpus) fails search with a clear message, not an NPE") {
     import graft.streaming.TextIndexStream
     import spark.implicits._
