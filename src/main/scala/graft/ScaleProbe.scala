@@ -291,6 +291,41 @@ object ScaleProbe {
       return
     }
 
+    // `ndupindex` measures the standing near-dup index's deployment
+    // claim: once the band index stands, an arriving ~1% drop costs the
+    // PROBE (DPP-pruned band join + within-batch pairs + append), not
+    // the full-corpus candidate recompute a batch-only pipeline pays
+    // per run — the textindex probe's argument applied to dedup
+    if (bitsArg == "ndupindex") {
+      import java.nio.file.Files
+      val docs = Tables(spark, sfDir, "documents")
+      val n = docs.count()
+      val src = Files.createTempDirectory("ndup-src").toString
+      val dup = Files.createTempDirectory("ndup-idx").toString + "/dup"
+      val ckpt = Files.createTempDirectory("ndup-ckpt").toString
+      val probe = docs.filter(col("doc_id") % 97 === 0)
+      val nb = probe.count()
+      docs.filter(col("doc_id") % 97 =!= 0).write.mode("append").parquet(src)
+      val t0 = System.nanoTime()
+      graft.streaming.NearDupStream.ingest(spark, src, dup, ckpt)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      probe.write.mode("append").parquet(src)
+      val t1 = System.nanoTime()
+      graft.streaming.NearDupStream.ingest(spark, src, dup, ckpt)
+      val probeSec = (System.nanoTime() - t1) / 1e9
+      val matches = graft.streaming.NearDupStream.matches(spark, dup).count()
+      val sig = graft.queries.TextOps.minhashSig(
+        docs.withColumn("arr",
+            graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3)))
+          .select(col("doc_id"), explode(col("arr")).as("s")))
+      val t2 = System.nanoTime()
+      val fullCand = graft.queries.TextOps.lshCandidatePairs(sig, 8).count()
+      val fullSec = (System.nanoTime() - t2) / 1e9
+      println(f"""{"probe":"ndupindex","sf":"$sfDir","corpus":$n,"drop":$nb,"build_sec":$buildSec%.3f,"drop_probe_sec":$probeSec%.3f,"full_recompute_sec":$fullSec%.3f,"matches":$matches,"full_candidates":$fullCand}""")
+      spark.stop()
+      return
+    }
+
     // `spanstride` charts q78's recall/cost knob: the strided span
     // detector at stride 4 (shipped) / 2 / 1 (full positional recall) —
     // span rows grow as 1/stride, duplicate detections monotonically
