@@ -98,9 +98,12 @@ object NearDupStream {
               if (!exists(s"$dupDir/bands")) None
               else Some(ss.read.parquet(s"$dupDir/bands"))
             val vsPrior = prior.map { p =>
+              // the drop is small BY DEFINITION — broadcast it so the
+              // standing index streams through the probe join with no
+              // shuffle of its (corpus × 8)-row band table
               p.select(col("pband"), col("band"), col("bucket"),
                   col("doc_id").as("matched_id"))
-                .join(banded, Seq("pband", "band", "bucket"))
+                .join(broadcast(banded), Seq("pband", "band", "bucket"))
                 .select(col("doc_id"), col("matched_id")).distinct()
             }
             // 2. within-batch pairs, capped exactly like the batch path
