@@ -30,6 +30,10 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   *    page structure is recoverable (a later page reusing /F1 for a
   *    different font decodes through ITS font), with the document-wide
   *    first-wins map as the fallback for unclaimed streams.
+  *  - Type0 fonts with a non-Identity /Encoding shipped as an embedded
+  *    CMap STREAM decode through it: begincidchar/begincidrange map
+  *    show codes to CIDs before the CID→unicode stage (Identity-H, the
+  *    norm, keeps code == CID).
   *  - Type0 fonts WITHOUT ToUnicode (Identity-H with only an external
   *    CIDSystemInfo): decoded via the embedded CIDFontType2 program —
   *    the TrueType `cmap` table (formats 4/12) inverts to
@@ -229,6 +233,31 @@ object PdfText {
     CMap(codes.toMap)
   }
 
+  /** code→CID mapping from an embedded /Encoding CMap stream
+    * (begincidchar/begincidrange — the non-Identity-H Type0 case, e.g.
+    * a predefined-ordering font shipped with its own encoding CMap).
+    * CIDs are decimal per the CMap grammar; first definition wins;
+    * entry-capped like [[parseCMap]]. */
+  private[graft] def parseCidCMap(text: String): Map[Int, Int] = {
+    val out = collection.mutable.HashMap.empty[Int, Int]
+    for (sec <- "(?s)begincidchar(.*?)endcidchar".r.findAllMatchIn(text);
+         m <- "<([0-9A-Fa-f]+)>\\s+(\\d+)".r.findAllMatchIn(sec.group(1)))
+      if (out.size < MaxCMapEntries)
+        out.getOrElseUpdate(Integer.parseInt(m.group(1), 16), m.group(2).toInt)
+    for (sec <- "(?s)begincidrange(.*?)endcidrange".r.findAllMatchIn(text);
+         m <- "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s+(\\d+)".r
+           .findAllMatchIn(sec.group(1))) {
+      val lo = Integer.parseInt(m.group(1), 16)
+      val hi = Integer.parseInt(m.group(2), 16)
+      val cid0 = m.group(3).toInt
+      var c = lo
+      while (c <= hi && out.size < MaxCMapEntries) {
+        out.getOrElseUpdate(c, cid0 + (c - lo)); c += 1
+      }
+    }
+    out.toMap
+  }
+
   /** Expand every /Type /ObjStm stream into plain `n 0 obj …\nendobj`
     * text (PDF 1.5 compressed object streams: the dict's /N pair-count
     * and /First byte offset frame a header of `objNum relOffset` integer
@@ -398,7 +427,21 @@ object PdfText {
             }.toMap
           case None => gidUni
         }
-        CMap(codes)
+        // non-Identity /Encoding: an embedded CMap STREAM maps show
+        // codes to CIDs (begincidchar/begincidrange) — compose it in
+        // front of the CID→unicode map just built. /Encoding as a NAME
+        // (/Identity-H, the norm) doesn't match the indirect-ref regex
+        // and keeps code == CID.
+        val composed =
+          "(?s)/Encoding\\s+(\\d+)\\s+0\\s+R".r.findFirstMatchIn(fontBody)
+            .map(_.group(1).toInt).flatMap(decodedStreamOf)
+            .map(b => parseCidCMap(new String(b, ISO_8859_1)))
+            .filter(_.nonEmpty) match {
+            case Some(enc) =>
+              enc.flatMap { case (code, cid) => codes.get(cid).map(code -> _) }
+            case None => codes
+          }
+        CMap(composed)
       }
     }
     // resolve each Type0 font object's CMap once

@@ -111,17 +111,20 @@ object NearDupStream {
               .select(col("doc_b").as("doc_id"), col("doc_a").as("matched_id"))
             val cand = vsPrior.map(_.union(inBatch)).getOrElse(inBatch)
               .distinct()
-            // 3. confirm estimate from standing + batch signatures
+            // 3. confirm estimate: the NEW side's signatures are the
+            // batch's own (already in hand — no table read); the
+            // matched side may be a prior doc (standing table) or a
+            // same-batch doc (the batch again)
             val allSigs =
               if (exists(s"$dupDir/minhash"))
                 ss.read.parquet(s"$dupDir/minhash").unionByName(sig)
               else sig
-            def side(p: String) = allSigs.select(
+            def side(src: DataFrame, p: String) = src.select(
               col("doc_id").as(s"${p}_id") +:
                 (0 until 16).map(i => col(s"mh$i").as(s"${p}_mh$i")): _*)
             val out = cand
-              .join(side("a"), col("doc_id") === col("a_id"))
-              .join(side("b"), col("matched_id") === col("b_id"))
+              .join(side(sig, "a"), col("doc_id") === col("a_id"))
+              .join(side(allSigs, "b"), col("matched_id") === col("b_id"))
               .select(lit(batchId).as("batch_id"), col("doc_id"),
                 col("matched_id"), agreeExpr.as("n_agree"))
             out.write.mode("append").parquet(s"$dupDir/matches")

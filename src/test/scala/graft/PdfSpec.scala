@@ -132,7 +132,8 @@ class PdfSpec extends AnyFunSuite {
                      contentOps: String, withToUnicode: Boolean = true,
                      fontFile2: Option[Array[Byte]] = None,
                      cidToGid: Option[Array[Byte]] = None,
-                     fontFile3: Option[Array[Byte]] = None): Array[Byte] = {
+                     fontFile3: Option[Array[Byte]] = None,
+                     encodingCMap: Option[Array[Byte]] = None): Array[Byte] = {
     def obj(n: Int, body: String): String = s"$n 0 obj $body\nendobj\n"
     def streamObj(n: Int, data: Array[Byte], flate: Boolean): Array[Byte] = {
       val filter = if (flate) " /Filter /FlateDecode" else ""
@@ -148,11 +149,13 @@ class PdfSpec extends AnyFunSuite {
       obj(6, s"<< /Type /FontDescriptor /FontName /TestCJK /$ffKey 7 0 R >>")
         .getBytes(ISO_8859_1) ++ streamObj(7, prog, flate = false) ++
         cidToGid.map(streamObj(8, _, flate = false)).getOrElse(Array.empty[Byte])
-    }.getOrElse(Array.empty[Byte])
+    }.getOrElse(Array.empty[Byte]) ++
+      encodingCMap.map(streamObj(9, _, flate = false)).getOrElse(Array.empty[Byte])
+    val encoding = if (encodingCMap.isDefined) "9 0 R" else "/Identity-H"
     "%PDF-1.4\n".getBytes(ISO_8859_1) ++
       obj(1, "<< /Type /Page /Resources << /Font << /F7 2 0 R >> >> /Contents 5 0 R >>")
         .getBytes(ISO_8859_1) ++
-      obj(2, s"<< /Type /Font /Subtype /Type0 /BaseFont /TestCJK /Encoding /Identity-H$toUni /DescendantFonts [4 0 R] >>")
+      obj(2, s"<< /Type /Font /Subtype /Type0 /BaseFont /TestCJK /Encoding $encoding$toUni /DescendantFonts [4 0 R] >>")
         .getBytes(ISO_8859_1) ++
       streamObj(3, cmapBytes, cmapFlate) ++
       obj(4, s"<< /Subtype /${if (fontFile3.isDefined) "CIDFontType0" else "CIDFontType2"}$descExtra >>")
@@ -336,6 +339,47 @@ class PdfSpec extends AnyFunSuite {
       fontFile3 = Some(cff(Seq(41, 74), extraTopDict = ros)))
     val (txt, viaFontProgram) = PdfText.extractDetail(pdf)
     assert(txt == "" && !viaFontProgram, txt)
+  }
+
+  test("parseCidCMap: cidchar entries, cidrange expansion, first-definition-wins") {
+    val m = PdfText.parseCidCMap(
+      """2 begincidchar
+        |<0041> 100
+        |<0042> 200
+        |endcidchar
+        |1 begincidrange
+        |<0060> <0063> 10
+        |endcidrange
+        |1 begincidchar
+        |<0041> 999
+        |endcidchar""".stripMargin)
+    assert(m == Map(0x41 -> 100, 0x42 -> 200,
+      0x60 -> 10, 0x61 -> 11, 0x62 -> 12, 0x63 -> 13), m)
+    assert(PdfText.parseCidCMap("no cmap here").isEmpty)
+  }
+
+  test("Type0 with a non-Identity /Encoding CMap stream composes code→CID→unicode") {
+    // encoding: show codes <0010>..<0012> -> CIDs 1..3; the TrueType
+    // cmap maps 'A','B','C' -> gids 1,2,3 (Identity CIDToGIDMap), so
+    // the composed chain decodes <001000110012> as ABC
+    val delta = (1 - 0x41) & 0xffff
+    val prog = ttf(3, 1, cmap4((0x41, 0x43, delta)))
+    val enc =
+      """1 begincidrange
+        |<0010> <0012> 1
+        |endcidrange""".stripMargin.getBytes(ISO_8859_1)
+    val pdf = cidPdf(cmapText.getBytes(ISO_8859_1), cmapFlate = false,
+      contentOps = "BT /F7 12 Tf <001000110012> Tj ET", withToUnicode = false,
+      fontFile2 = Some(prog), encodingCMap = Some(enc))
+    val (txt, viaFontProgram) = PdfText.extractDetail(pdf)
+    assert(txt == "ABC", txt.map(_.toInt.toHexString))
+    assert(viaFontProgram)
+    // the raw CID codes (no encoding indirection) must NOT decode here:
+    // <0041> is a code the encoding CMap doesn't define
+    val undefCode = cidPdf(cmapText.getBytes(ISO_8859_1), cmapFlate = false,
+      contentOps = "BT /F7 12 Tf <0041> Tj ET", withToUnicode = false,
+      fontFile2 = Some(prog), encodingCMap = Some(enc))
+    assert(!PdfText.extract(undefCode).contains("A"))
   }
 
   test("ttfGidToUnicode: format 4 glyphIdArray path (idRangeOffset != 0) and malformed fonts") {
