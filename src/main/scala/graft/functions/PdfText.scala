@@ -82,7 +82,7 @@ object PdfText {
     * — "" (the default) covers the common crawled case of documents
     * every viewer opens without prompting. */
   def extract(bytes: Array[Byte], password: String = ""): String =
-    extractDetail(bytes, password)._1
+    extractFull(bytes, password).text
 
   /** [[extract]] plus a flag: true when at least one Type0 font WITHOUT a
     * /ToUnicode CMap was decoded through its embedded font program's cmap
@@ -91,7 +91,21 @@ object PdfText {
     * rests on the font's glyph→unicode claim instead of the writer's
     * explicit text mapping. */
   def extractDetail(bytes: Array[Byte], password: String = ""): (String, Boolean) = {
-    if (bytes == null) return (null, false)
+    val r = extractFull(bytes, password)
+    (r.text, r.viaFontProgram)
+  }
+
+  /** The full extraction verdict: the text, the font-program-fallback
+    * flag (see [[extractDetail]]), and `passwordRequired` — the document
+    * is encrypted and THIS password cannot open it (validation against
+    * /U or /UE failed, or the handler is unsupported), so the caller can
+    * count `password_required` separately from ordinary quarantine and
+    * route the asset to a credential lookup instead of the bin. */
+  final case class ExtractResult(text: String, viaFontProgram: Boolean,
+                                 passwordRequired: Boolean)
+
+  def extractFull(bytes: Array[Byte], password: String = ""): ExtractResult = {
+    if (bytes == null) return ExtractResult(null, viaFontProgram = false, passwordRequired = false)
     val s = new String(bytes, ISO_8859_1)
     // Modern writers park font/page/resource DICTS inside compressed
     // object streams; expand those into appended plain objects so the
@@ -101,7 +115,8 @@ object PdfText {
     // aligned between expandedS and expandedBytes.)
     // Encrypted documents (standard handler, empty user password): every
     // stream decrypts with its owning object's key BEFORE filters apply.
-    val dec = try decryptorOf(s, password) catch { case _: Exception => None }
+    val (dec, lockedOut) =
+      try decryptorStatus(s, password) catch { case _: Exception => (None, true) }
     val expandedBytes =
       try bytes ++ expandObjStm(s, bytes, dec).getBytes(ISO_8859_1)
       catch { case _: Exception => bytes }
@@ -146,7 +161,8 @@ object PdfText {
         } else idx = -1
       } catch { case _: Exception => idx = s.indexOf("stream", idx + 6) }
     }
-    (TextFunctions.normalizeWs(out.result()), scope.fontProgramFallback)
+    ExtractResult(TextFunctions.normalizeWs(out.result()),
+      scope.fontProgramFallback, lockedOut)
   }
 
   /** CID→Unicode mapping from a /ToUnicode CMap: 2-byte source codes
@@ -957,26 +973,40 @@ object PdfText {
     * Algorithm 2 (a wrong password yields a wrong key → garbage →
     * quarantine downstream); R5/R6 use the UTF-8 bytes (≤127) and
     * VALIDATE before decrypting. */
-  private[graft] def decryptorOf(s: String, password: String = ""): Option[Decryptor] = {
+  private[graft] def decryptorOf(s: String, password: String = ""): Option[Decryptor] =
+    decryptorStatus(s, password)._1
+
+  /** [[decryptorOf]] plus the LOCKED signal: (decryptor, locked) where
+    * `locked` is true when the document IS encrypted but this password
+    * cannot open it — R5/R6 validation failure, an R2-R4 key whose
+    * Algorithm-4/5 check against /U fails (wrong password), or a
+    * non-Standard/unknown handler. Callers surface it as the counted
+    * `password_required` status instead of a silent garbage-decrypt
+    * quarantine. */
+  private[graft] def decryptorStatus(s: String,
+                                     password: String = ""): (Option[Decryptor], Boolean) = {
     val encRef = "/Encrypt\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(s)
-    if (encRef.isEmpty) return None
+    if (encRef.isEmpty) return (None, false) // not encrypted
+    def locked: (Option[Decryptor], Boolean) = (None, true)
     val num = encRef.get.group(1).toInt
     val m = ("(?s)\\b" + num + "\\s+\\d+\\s+obj(.{0,2048})").r.findFirstMatchIn(s)
-    val bodyAll = m.map(_.group(1)).getOrElse(return None)
+    val bodyAll = m.map(_.group(1)).getOrElse(return locked)
     // cut at endobj so a following object's entries can't bleed in
     val body = bodyAll.indexOf("endobj") match {
       case -1 => bodyAll
       case e => bodyAll.substring(0, e)
     }
-    if (!body.contains("/Standard")) return None
+    if (!body.contains("/Standard")) return locked
     def intOf(key: String, dflt: Int): Int =
       ("/" + key + "\\s+(-?\\d+)").r.findFirstMatchIn(body)
         .map(_.group(1).toInt).getOrElse(dflt)
     val r = intOf("R", 0)
-    if (r == 5 || r == 6)
-      return decryptorV5(body, r,
+    if (r == 5 || r == 6) {
+      val d = decryptorV5(body, r,
         password.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(127))
-    if (r < 2 || r > 4) return None
+      return (d, d.isEmpty)
+    }
+    if (r < 2 || r > 4) return locked
     val aes = body.contains("/AESV2")
     // the top-level /Length is in BITS (40-256); crypt-filter dicts carry
     // a /Length in BYTES (e.g. 16) that can appear FIRST in the dict —
@@ -987,9 +1017,9 @@ object PdfText {
         .find(_ >= 40).getOrElse(40)
     val p = intOf("P", -1)
     val oAt = body.indexOf("/O")
-    if (oAt < 0) return None
-    val o = pdfStringAt(body, oAt + 2).getOrElse(return None)
-    if (o.length < 32) return None
+    if (oAt < 0) return locked
+    val o = pdfStringAt(body, oAt + 2).getOrElse(return locked)
+    if (o.length < 32) return locked
     val idAt = s.lastIndexOf("/ID")
     val id: Array[Byte] =
       if (idAt < 0) Array.empty
@@ -1018,7 +1048,30 @@ object PdfText {
         i += 1
       }
     }
-    Some(Decryptor(key.take(keyLen), aes))
+    val fileKey = key.take(keyLen)
+    // Algorithm 4/5 password check against the stored /U: a key derived
+    // from the WRONG password must not silently decrypt to garbage. A
+    // document with no /U entry (some hand-rolled writers) proceeds
+    // unvalidated — the pre-round-12 behavior.
+    val uStored = strEntry(body, "U")
+    val valid = uStored match {
+      case Some(u) if u.length >= 16 =>
+        if (r == 2) {
+          java.util.Arrays.equals(rc4(fileKey, PwPad), u.take(32))
+        } else {
+          val md2 = java.security.MessageDigest.getInstance("MD5")
+          md2.update(PwPad); md2.update(id)
+          var uc = rc4(fileKey, md2.digest())
+          var i = 1
+          while (i <= 19) {
+            uc = rc4(fileKey.map(b => (b ^ i).toByte), uc)
+            i += 1
+          }
+          java.util.Arrays.equals(uc.take(16), u.take(16))
+        }
+      case _ => true
+    }
+    if (!valid) locked else (Some(Decryptor(fileKey, aes)), false)
   }
 
   /** Dict string entry `/key (…)` or `/key <…>`, with a name-boundary

@@ -79,8 +79,10 @@ object Multimodal {
     * quarantine count. */
   def extractText(assets: DataFrame, passwordCol: Option[String]): DataFrame = {
     import graft.functions.{PdfText, TextFunctions}
-    val pdfDetail = udf((b: Array[Byte], pw: String) =>
-      PdfText.extractDetail(b, if (pw == null) "" else pw))
+    val pdfDetail = udf((b: Array[Byte], pw: String) => {
+      val r = PdfText.extractFull(b, if (pw == null) "" else pw)
+      (r.text, r.viaFontProgram, r.passwordRequired)
+    })
     val pw = passwordCol.map(col).getOrElse(lit(""))
     assets.withColumn("_pdf",
         when(col("modality") === "pdf", pdfDetail(col("content"), pw)))
@@ -92,6 +94,9 @@ object Multimodal {
         when(length(trim(col("text"))) > 0,
           when(col("modality") === "pdf" && col("_pdf._2"), "no_tounicode_decoded")
             .otherwise("ok"))
+          // encrypted + this password can't open it: count separately so
+          // the crawl team routes these to a credential lookup, not the bin
+          .when(col("modality") === "pdf" && col("_pdf._3"), "password_required")
           .when(col("content").isNotNull && length(col("content")) > 0, "quarantined")
           .otherwise("empty"))
       .drop("_pdf")

@@ -88,13 +88,14 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("asset_id"), col("text"), col("extract_status")).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
     assert(out(1L) == (("credentialed text", "ok")), out(1L))
-    assert(out(2L)._2 == "quarantined", out(2L))
+    assert(out(2L)._2 == "password_required", out(2L))
     assert(out(3L) == (("open text", "ok")), out(3L))
-    // the no-password overload still treats every doc as empty-password
+    // the no-password overload still treats every doc as empty-password;
+    // locked docs count as password_required, not generic quarantine
     val plain = Multimodal.extractText(assets.drop("pdf_password"))
       .select(col("asset_id"), col("extract_status")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(plain == Map(1L -> "quarantined", 2L -> "quarantined", 3L -> "ok"), plain)
+    assert(plain == Map(1L -> "password_required", 2L -> "password_required", 3L -> "ok"), plain)
   }
 
   test("extract_status distinguishes no_tounicode_decoded from ok and quarantined") {

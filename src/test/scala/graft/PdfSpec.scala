@@ -588,12 +588,23 @@ class PdfSpec extends AnyFunSuite {
     val cf = if (aes)
       " /V 4 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF"
     else s" /V 2"
+    // /U per Algorithm 4 (R2: RC4 of the pad) / Algorithm 5 (R>=3:
+    // MD5(pad ++ id) through 20 xor-keyed RC4 passes, zero-padded) — an
+    // independent spec reading; the extractor validates against it
+    val uBytes: Array[Byte] =
+      if (r == 2) PdfText.rc4(fileKey, pad)
+      else {
+        var uc = PdfText.rc4(fileKey, md5(pad, id))
+        for (i <- 1 to 19) uc = PdfText.rc4(fileKey.map(b => (b ^ i).toByte), uc)
+        uc ++ new Array[Byte](16)
+      }
     val oHex = oBytes.map("%02X".format(_)).mkString
+    val uHex = uBytes.map("%02X".format(_)).mkString
     val idHex = id.map("%02X".format(_)).mkString
     (s"%PDF-1.4\n1 0 obj << /Length ${encOps.length} >>\nstream\n").getBytes(ISO_8859_1) ++
       encOps ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1) ++
       (s"2 0 obj << /Filter /Standard /R $r$cf /Length $lengthBits /P $p /O <$oHex> " +
-        "/U <00000000000000000000000000000000> >>\nendobj\n").getBytes(ISO_8859_1) ++
+        s"/U <$uHex> >>\nendobj\n").getBytes(ISO_8859_1) ++
       (s"trailer << /Root 1 0 R /Encrypt 2 0 R /ID [<$idHex> <$idHex>] >>\n%%EOF")
         .getBytes(ISO_8859_1)
   }
@@ -666,6 +677,27 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfText.extract(pdf, "hunter2") == "classic protected text")
     // wrong password → wrong key → garbage → nothing extractable
     assert(!PdfText.extract(pdf).contains("classic"))
+  }
+
+  test("passwordRequired flags encrypted-and-locked across revisions, never plain docs") {
+    // R3 RC4 with a real password: locked without it, open with it —
+    // and the Algorithm-5 /U check blocks the garbage-decrypt path
+    val r3 = encryptedPdf("validated text", r = 3, lengthBits = 128,
+      aes = false, oBytes = oFixture, userPw = "pw3")
+    assert(PdfText.extractFull(r3).passwordRequired)
+    assert(PdfText.extractFull(r3).text == "")
+    val withPw = PdfText.extractFull(r3, "pw3")
+    assert(!withPw.passwordRequired && withPw.text == "validated text")
+    // R6 AES-256 the same
+    val r6 = encryptedPdfV5("v5 text", r = 6, userPw = "pw6")
+    assert(PdfText.extractFull(r6).passwordRequired)
+    assert(!PdfText.extractFull(r6, "pw6").passwordRequired)
+    // empty-password encrypted docs open: NOT password_required
+    assert(!PdfText.extractFull(encryptedPdf("open enc", r = 3,
+      lengthBits = 128, aes = false, oBytes = oFixture)).passwordRequired)
+    // unencrypted docs: never
+    assert(!PdfText.extractFull(wrap(content.getBytes(ISO_8859_1),
+      flate = false)).passwordRequired)
   }
 
   test("pdfToTextUdf extracts over a binary column") {
