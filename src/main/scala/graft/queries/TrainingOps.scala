@@ -72,6 +72,30 @@ object TrainingOps {
     * buffer (MinKLongsAggregator holds at most this many longs). */
   private[graft] val PostingsK = 20
 
+  /** q84 KMV sketch size: k = 64 keeps the per-group aggregation buffer
+    * at 64 longs whatever the corpus, with standard error 1/√(k−1) ≈
+    * 12.7% (Beyer et al., SIGMOD 2007) — the distinct-counter you run
+    * per group at 100 TB where exact distinct would shuffle every value.
+    * The hash space is the shared 60-bit hash's [0, 2⁶⁰). */
+  private[graft] val KmvK = 64
+  private[graft] val KmvH = 1L << 60
+
+  /** q85 count–min sketch geometry (Cormode & Muthukrishnan 2005):
+    * d=4 rows × w=1024 buckets = 4096 counters TOTAL regardless of how
+    * many distinct 2-grams the corpus holds — ε = e/w ≈ 0.27% of the
+    * stream length per estimate at δ = e^−4 ≈ 1.8%. Probe positions
+    * reuse the Bloom double-hash family ([[bloomPosExpr]]'s shape with
+    * m = w), so the oracle rebuilds the identical sketch. */
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 1024L
+  private[graft] val CmsTopK = 20
+
+  /** CMS probe position for row `j` over the 60-bit hash column `h` —
+    * the same Kirsch–Mitzenmacher double hash as [[bloomPosExpr]],
+    * width [[CmsW]]. */
+  private[graft] def cmsPosExpr(j: Int): String =
+    s"(h % $CmsW + $j * ((h DIV $CmsW) % $CmsW)) % $CmsW"
+
   /** q70 tile width (tokens). Lee et al. delete 50-token repeated
     * substrings from web-scale corpora; 8 is the proportionate width for
     * this dataset's tens-of-tokens documents. Smaller = more aggressive
@@ -692,7 +716,115 @@ object TrainingOps {
     // broadcast bucket offsets) so no single-partition global sort ever
     // materialises at corpus scale.
     "q81_sequence_pack" ->
-      ((s, dir) => sequencePack(Tables(s, dir, "documents"), baseOffset = 0L))
+      ((s, dir) => sequencePack(Tables(s, dir, "documents"), baseOffset = 0L)),
+
+    // KMV distinct-vocabulary sketch per data-card cell — approximate
+    // distinct counting with a MERGEABLE bounded synopsis, the way a
+    // 100 TB pipeline tracks per-(lang, source) vocabulary size without
+    // ever shuffling the token stream: KmvSketchAggregator's buffer is
+    // the k smallest distinct 60-bit token hashes (k longs, however hot
+    // the group), merge folds sketch into sketch, so map-side partial
+    // aggregation ships ONE ≤k array per (group, partition). The
+    // estimate (k−1)·2⁶⁰ div h_(k) — or the sketch size itself when the
+    // sketch isn't full, in which case it IS the distinct set — is
+    // integer-exact via one DECIMAL(38,0) product (the 63·2⁶⁰ numerator
+    // overflows BIGINT; DuckDB's twin uses HUGEINT), so the oracle
+    // checks the estimator itself, not just the machinery. The exact
+    // countDistinct rides along as the oracle-checked error funnel
+    // (err_ppm) — at deployment you'd drop it; the sketch alone is the
+    // artifact. TrainingOpsSpec pins mergeability (shard-sketch union ≡
+    // global sketch) and the duplicate-drop rule.
+    "q84_kmv_distinct" -> ((s, dir) => {
+      val kmv = udaf(graft.functions.KmvSketchAggregator(KmvK))
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          explode(expr(s"array_distinct($toksExpr)")).as("tok"))
+        .select(col("lang"), col("source"), hash60("tok").as("h"))
+        .groupBy(col("lang"), col("source"))
+        .agg(kmv(col("h")).as("sketch"), countDistinct(col("h")).as("n_exact"))
+        .select(col("lang"), col("source"), col("n_exact"),
+          expr("CAST(size(sketch) AS BIGINT)").as("sk_size"),
+          expr("element_at(sketch, -1)").as("kth_min"))
+        .withColumn("n_est", expr(
+          s"""CASE WHEN sk_size < $KmvK THEN sk_size
+             | ELSE CAST(${KmvK - 1} AS DECIMAL(38,0)) * $KmvH div kth_min
+             | END""".stripMargin))
+        .withColumn("err_ppm", expr("abs(n_est - n_exact) * 1000000 div n_exact"))
+    }),
+
+    // Count–min heavy-hitter estimation — frequency of the corpus's hot
+    // 2-grams read from a FIXED 4×1024-counter sketch (Cormode &
+    // Muthukrishnan 2005), the bounded-memory shape for "what phrases
+    // dominate this 100 TB crawl": the cell build is one map-side-
+    // combined groupBy of 4·|gram occurrences| rows into ≤4096 cells
+    // (the shuffle carries at most d·w rows per mapper), probing is a
+    // broadcast join of those 4096 cells against the probe set, and the
+    // gram generation reuses q80's codegen element_at+concat idiom so
+    // the corpus-sized explode stays inside whole-stage codegen. The
+    // probe set is the exact top-20 (count desc, gram asc — a
+    // TakeOrderedAndProject, never a global sort), kept exact so the
+    // oracle checks the sketch's one-sided error contract: cms_est ≥
+    // exact always (overcount ≥ 0 is part of the output), with
+    // collisions from the full gram population folded in. min over the
+    // d row estimates per gram is the CMS read.
+    "q85_cms_heavy" -> ((s, dir) => {
+      val grams = Tables(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n", expr("size(toks) - 1"))
+        .filter(col("n") > 0)
+        .select(explode(expr("sequence(1, n)")).as("i"), col("toks"))
+        .select(expr(Idioms.gramAtExpr("toks", "i", 2)).as("gram"))
+        .select(col("gram"), hash60("gram").as("h"))
+      val probe = array((0 until CmsD).map(j =>
+        struct(lit(j).as("j"), expr(cmsPosExpr(j)).as("pos"))): _*)
+      val cells = grams.select(explode(probe).as("c"))
+        .groupBy(col("c.j").as("j"), col("c.pos").as("pos"))
+        .agg(count(lit(1)).as("cell_cnt"))
+      val exact = grams.groupBy(col("gram"), col("h"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("gram").asc)
+        .limit(CmsTopK)
+      exact.select(col("gram"), col("exact_cnt"), explode(probe).as("c"))
+        .join(broadcast(cells),
+          col("c.j") === cells("j") && col("c.pos") === cells("pos"))
+        .groupBy(col("gram"), col("exact_cnt"))
+        .agg(min(col("cell_cnt")).as("cms_est"))
+        .select(col("gram"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") - col("exact_cnt")).as("overcount"))
+    }),
+
+    // Temperature (α = 0.5) multilingual mix sampling — the mT5/XLM-R
+    // rebalancing rule between q58's flatten-to-min (α = 0) and no
+    // rebalancing (α = 1): each language keeps target = isqrt(n_lang ·
+    // n_min) docs, the geometric mean of its size and the smallest
+    // language's, so resource ratios compress by square root (4× the
+    // docs → 2× the sample) while every target stays in [n_min,
+    // n_lang] — sampling without replacement stays well-defined.
+    // isqrt is the ±1-corrected floor(ieee_sqrt) — exact whatever the
+    // sqrt rounding, so both engines derive identical targets — and
+    // selection is the deterministic q64 idiom: rank per language by
+    // (hash60(doc_id), doc_id), keep rank ≤ target, targets broadcast.
+    // The corpus shuffles once, on lang, to rank.
+    "q86_temperature_mix" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val targets = counts
+        .crossJoin(counts.agg(min(col("n_lang")).as("n_min")))
+        .withColumn("x", col("n_lang") * col("n_min"))
+        .withColumn("g", expr("CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT)"))
+        .withColumn("target", expr(
+          """CASE WHEN (g + 1) * (g + 1) <= x THEN g + 1
+            | WHEN g * g > x THEN g - 1 ELSE g END""".stripMargin))
+        .select(col("lang"), col("n_lang"), col("target"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      docs.select(col("doc_id"), col("lang"),
+          hash60("CAST(doc_id AS STRING)").as("h"))
+        .withColumn("rk", row_number().over(w))
+        .join(broadcast(targets), Seq("lang"))
+        .filter(col("rk") <= col("target"))
+        .select(col("doc_id"), col("lang"), col("n_lang"), col("target"))
+    })
   )
 
   /** The q81 body with the stream-carry as a real parameter: pack
@@ -1062,6 +1194,66 @@ object TrainingOps {
          |  CAST(greatest(seq_id * $PackWindow - cum, 0) AS BIGINT) AS tok_offset,
          |  CAST(least(cum + n_tokens, (seq_id + 1) * $PackWindow)
          |    - greatest(seq_id * $PackWindow, cum) AS BIGINT) AS seg_len
-         |FROM e""".stripMargin
+         |FROM e""".stripMargin,
+
+    // DuckDB rebuilds the sketch definitionally: the k smallest distinct
+    // hashes per cell via row_number, HUGEINT for the 63·2⁶⁰ numerator.
+    "q84_kmv_distinct" ->
+      s"""WITH t AS (
+         |  SELECT DISTINCT lang, source, ${hash60Sql("tok")} AS h
+         |  FROM (SELECT lang, source, unnest(list_distinct($toksSql)) AS tok
+         |        FROM documents)),
+         |r AS (SELECT lang, source, h, row_number() OVER (
+         |        PARTITION BY lang, source ORDER BY h ASC) AS rn FROM t),
+         |e AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_exact
+         |      FROM t GROUP BY 1, 2),
+         |s AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS sk_size,
+         |        CAST(max(h) AS BIGINT) AS kth_min
+         |      FROM r WHERE rn <= $KmvK GROUP BY 1, 2),
+         |j AS (SELECT lang, source, n_exact, sk_size, kth_min,
+         |        CASE WHEN sk_size < $KmvK THEN sk_size
+         |          ELSE CAST((${KmvK - 1}::HUGEINT * (1::HUGEINT << 60))
+         |                    // kth_min AS BIGINT) END AS n_est
+         |      FROM e JOIN s USING (lang, source))
+         |SELECT lang, source, n_exact, sk_size, kth_min, n_est,
+         |  abs(n_est - n_exact) * 1000000 // n_exact AS err_ppm
+         |FROM j""".stripMargin,
+
+    "q85_cms_heavy" ->
+      s"""WITH t AS (SELECT $toksSql AS tk FROM documents WHERE len($toksSql) >= 2),
+         |g AS (SELECT unnest(${Idioms.ngramsSql("tk", 2)}) AS gram FROM t),
+         |wh AS (SELECT gram, ${hash60Sql("gram")} AS h FROM g),
+         |js AS (SELECT unnest(generate_series(0, ${CmsD - 1})) AS j),
+         |cells AS (
+         |  SELECT j, (h % $CmsW + j * ((h // $CmsW) % $CmsW)) % $CmsW AS pos,
+         |    CAST(count(*) AS BIGINT) AS cell_cnt
+         |  FROM wh CROSS JOIN js GROUP BY 1, 2),
+         |exact AS (SELECT gram, h, CAST(count(*) AS BIGINT) AS exact_cnt
+         |  FROM wh GROUP BY 1, 2 ORDER BY exact_cnt DESC, gram ASC
+         |  LIMIT $CmsTopK),
+         |est AS (
+         |  SELECT e.gram, e.exact_cnt, CAST(min(c.cell_cnt) AS BIGINT) AS cms_est
+         |  FROM exact e CROSS JOIN js JOIN cells c ON c.j = js.j
+         |    AND c.pos = (e.h % $CmsW + js.j * ((e.h // $CmsW) % $CmsW)) % $CmsW
+         |  GROUP BY 1, 2)
+         |SELECT gram, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+         |FROM est""".stripMargin,
+
+    "q86_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+         |      FROM documents GROUP BY 1),
+         |t AS (SELECT lang, n_lang, n_lang * n_min AS x,
+         |        CAST(FLOOR(SQRT(CAST(n_lang * n_min AS DOUBLE))) AS BIGINT) AS g
+         |      FROM c CROSS JOIN (SELECT min(n_lang) AS n_min FROM c)),
+         |tg AS (SELECT lang, n_lang,
+         |         CASE WHEN (g + 1) * (g + 1) <= x THEN g + 1
+         |           WHEN g * g > x THEN g - 1 ELSE g END AS target
+         |       FROM t),
+         |r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+         |        ORDER BY ${hash60Sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC)
+         |        AS BIGINT) AS rk
+         |      FROM documents)
+         |SELECT r.doc_id, r.lang, tg.n_lang, tg.target
+         |FROM r JOIN tg USING (lang) WHERE r.rk <= tg.target""".stripMargin
   )
 }

@@ -348,6 +348,40 @@ class PlanSpec extends AnyFunSuite {
       s"dense cross join materialized more than once:\n$p")
   }
 
+  test("q84's sketch-only deployment shape aggregates in one exchange with map-side sketch merge") {
+    // q84's output carries the exact countDistinct as the oracle-checked
+    // error funnel, and Spark plans the combined (udaf + count distinct)
+    // aggregate with the distinct's extra per-hash exchange. The
+    // DEPLOYMENT shape — the sketch alone — must keep KMV's whole point:
+    // one exchange, with partial sketches merged map-side so each
+    // (group, partition) ships one ≤k array, never the hash stream.
+    import org.apache.spark.sql.functions._
+    val kmv = udaf(graft.functions.KmvSketchAggregator(64))
+    val df = Tables(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        explode(expr("array_distinct(filter(split(text, ' '), w -> w <> ''))")).as("tok"))
+      .select(col("lang"), col("source"),
+        expr(graft.queries.Idioms.hash60Expr("tok")).as("h"))
+      .groupBy(col("lang"), col("source")).agg(kmv(col("h")).as("sketch"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"sketch-only aggregation must shuffle exactly once:\n$p")
+    assert(p.contains("partial_kmvsketchaggregator"),
+      s"no map-side sketch combine:\n$p")
+  }
+
+  test("q85 probes the CMS as a broadcast of the fixed 4096-cell table; probe set is TakeOrdered") {
+    val p = planOf("q85_cms_heavy")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell lookup must broadcast the d×w sketch, not shuffle the probes:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"sketch probe degraded to a shuffle join:\n$p")
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      s"top-k probe selection must be TakeOrdered, never a global sort:\n$p")
+    // the corpus-sized cell build partial-aggregates before its exchange
+    assert(p.contains("partial_count"), s"no map-side combine in the cell build:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path of q01") {
     // AQE shows codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)

@@ -498,4 +498,122 @@ class TrainingOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("KmvSketchAggregator: distinct min-k, bounded buffer, shard-merge ≡ global sketch") {
+    val agg = graft.functions.KmvSketchAggregator(5)
+    // duplicates are DROPPED (the one rule that differs from MinKLongs)
+    val vals = Seq(9L, 3L, 7L, 3L, 100L, 1L, 50L, 2L, 8L, 4L, 1L, 2L)
+    val buf = vals.foldLeft(agg.zero) { (b, v) =>
+      val nb = agg.reduce(b, v); assert(nb.length <= 5); nb
+    }
+    assert(buf.toSeq == Seq(1L, 2L, 3L, 4L, 7L),
+      "k smallest DISTINCT values, sorted ascending")
+    // KMV mergeability: folding per-shard sketches reconstructs the
+    // global sketch exactly — the property that makes map-side partial
+    // aggregation (and federated sketch union) lossless
+    val shards = vals.grouped(3).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val merged = shards.foldLeft(agg.zero)(agg.merge)
+    assert(merged.toSeq == vals.distinct.sorted.take(5))
+    // under-full sketch IS the distinct set
+    assert(Seq(6L, 5L, 6L).foldLeft(agg.zero)(agg.reduce).toSeq == Seq(5L, 6L))
+  }
+
+  test("q84: under-full sketches estimate exactly; full sketches carry the k-th distinct min") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q84").toString
+    // cell (en, small): 3 distinct tokens < k=64 → n_est must equal
+    // n_exact by the under-full rule; cell (en, big): 200 distinct
+    // tokens > k → sketch full, kth_min = 64th smallest distinct hash
+    val small = (0L, "a b c a b", "en", "small")
+    val big = (1L, (1 to 200).map(i => s"w$i").mkString(" "), "en", "big")
+    Seq(small, big).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("q84_kmv_distinct")(spark, tmp).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val (exS, szS, _, estS) = rows("small")
+    assert(exS == 3L && szS == 3L && estS == 3L, s"under-full cell: ${rows("small")}")
+    val (exB, szB, kthB, estB) = rows("big")
+    assert(exB == 200L && szB == 64L, s"full cell shape: ${rows("big")}")
+    // kth_min recomputed definitionally from the same hash
+    val hashes = (1 to 200).map { i =>
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"w$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }.distinct.sorted
+    assert(kthB == hashes(63), "k-th smallest distinct hash")
+    assert(estB == (BigInt(63) * (BigInt(1) << 60) / hashes(63)).toLong,
+      "estimator arithmetic is the exact integer formula")
+  }
+
+  test("q85: CMS never underestimates, and the sketch cells match a Scala rebuild") {
+    val rows = SparkEntry.queries("q85_cms_heavy")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20, "exactly the top-20 probe grams")
+    rows.foreach { case (g, exact, est, over) =>
+      assert(est >= exact, s"CMS one-sided error violated on '$g': $est < $exact")
+      assert(over == est - exact, s"overcount column inconsistent on '$g'")
+    }
+    // rebuild the 4×1024 sketch in plain Scala from the corpus grams and
+    // re-read the probes: the min-over-rows estimate must match exactly
+    val w = 1024L
+    val grams = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap { t =>
+        val tk = t.split(" ").filter(_.nonEmpty)
+        tk.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      }
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    grams.foreach { g =>
+      val h = h60(g)
+      (0 until 4).foreach { j =>
+        val pos = (h % w + j * ((h / w) % w)) % w
+        cells((j, pos)) = cells.getOrElse((j, pos), 0L) + 1L
+      }
+    }
+    rows.foreach { case (g, _, est, _) =>
+      val h = h60(g)
+      val want = (0 until 4).map(j => cells((j, (h % w + j * ((h / w) % w)) % w))).min
+      assert(est == want, s"sketch read mismatch on '$g': $est != $want")
+    }
+  }
+
+  test("q86: targets are exact isqrt(n_lang·n_min), bounded by [n_min, n_lang], sample sizes match") {
+    val sample = SparkEntry.queries("q86_temperature_mix")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val perLang = sample.groupBy(_._2)
+    val nLang = perLang.map { case (l, rs) => l -> rs.head._3 }
+    val nMin = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("lang")).count().collect().map(_.getLong(1)).min
+    perLang.foreach { case (l, rs) =>
+      val target = rs.head._4
+      val x = nLang(l) * nMin
+      assert(target * target <= x && (target + 1) * (target + 1) > x,
+        s"$l: target $target is not isqrt($x)")
+      assert(target >= nMin && target <= nLang(l),
+        s"$l: target $target outside [$nMin, ${nLang(l)}]")
+      assert(rs.length.toLong == target, s"$l: sampled ${rs.length} != target $target")
+      assert(rs.map(_._1).distinct.length == rs.length, s"$l: duplicate doc_ids")
+    }
+    // α = 0.5 compresses ratios by square root: a language 4× the size
+    // of the smallest keeps ~2× the smallest's docs — monotone, never
+    // inverted
+    val byN = nLang.toSeq.sortBy(_._2)
+    byN.sliding(2).foreach {
+      case Seq((_, n1), (_, n2)) if n1 < n2 =>
+        val (l1, l2) = (byN.find(_._2 == n1).get._1, byN.find(_._2 == n2).get._1)
+        assert(perLang(l1).head._4 <= perLang(l2).head._4, "targets not monotone in n_lang")
+      case _ => ()
+    }
+    // determinism: a second run selects the identical doc set
+    val again = SparkEntry.queries("q86_temperature_mix")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(sample.toSet == again.toSet, "hash sampling must be reproducible")
+  }
 }
