@@ -1,0 +1,160 @@
+package graft.streaming
+
+import graft.queries.{Idioms, TrainingOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming corpus-statistics sketches — the standing twin
+  * of batch q84 (KMV distinct vocabulary) and q85 (count–min gram
+  * frequencies), and the use case mergeable sketches exist for: at
+  * 100 TB you cannot re-scan the corpus per drop to keep "distinct
+  * tokens per (lang, source)" or "hot 2-grams" current, but both
+  * sketches fold batch-into-state losslessly, so the standing state
+  * after N drops is BIT-IDENTICAL to the batch sketch over the union
+  * (StreamingSpec pins both equalities exactly — not approximately):
+  *
+  *  - KMV: the k smallest distinct hashes of (state ∪ batch) is
+  *    kmv(state-sketch ∪ batch-hashes) — one [[graft.functions
+  *    .KmvSketchAggregator]] pass over the exploded standing sketches
+  *    (≤ groups·k rows) unioned with the batch's own hash stream.
+  *  - CMS: the sketch is LINEAR (Cormode & Muthukrishnan §4.1), so
+  *    cells add: state cells + batch cells, grouped sum, never more
+  *    than d·w = 4096 rows standing.
+  *
+  * Both states are tiny by construction (groups·k longs; 4096 cells),
+  * which is the whole point: per micro-batch the corpus-sized work is
+  * one aggregation of the BATCH, and the standing merge touches only
+  * sketch-sized data. Updates go through the write-temp + atomic-rename
+  * swap ([[graft.etl.Gold.upsert]]'s crash contract: a failure
+  * mid-batch leaves the previous state intact).
+  *
+  * Exactly-once: the file-source checkpoint replays only new files
+  * (the [[TextIndexStream]] contract; the spec asserts a replay
+  * leaves both states byte-identical).
+  */
+object SketchStream {
+
+  def source(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(TextIndexStream.docSchema).parquet(dir)
+
+  /** Standing KMV state: (lang, source, sketch ARRAY<BIGINT> sorted
+    * ascending, ≤ [[TrainingOps.KmvK]] elements). */
+  def kmvState(spark: SparkSession, sketchDir: String): DataFrame =
+    spark.read.parquet(s"$sketchDir/kmv")
+
+  /** Standing CMS state: (j, pos, cell_cnt), ≤ d·w rows. */
+  def cmsCells(spark: SparkSession, sketchDir: String): DataFrame =
+    spark.read.parquet(s"$sketchDir/cms")
+
+  /** Distinct-vocabulary estimates read off the standing KMV state —
+    * q84's estimator columns (without q84's exact-count audit rail,
+    * which is precisely what a standing sketch exists to avoid). */
+  def distinctEstimates(spark: SparkSession, sketchDir: String): DataFrame =
+    kmvState(spark, sketchDir)
+      .select(col("lang"), col("source"),
+        expr("CAST(size(sketch) AS BIGINT)").as("sk_size"),
+        expr("element_at(sketch, -1)").as("kth_min"))
+      .withColumn("n_est", expr(
+        s"""CASE WHEN sk_size < ${TrainingOps.KmvK} THEN sk_size
+           | ELSE CAST(${TrainingOps.KmvK - 1} AS DECIMAL(38,0))
+           |   * ${TrainingOps.KmvH} div kth_min
+           | END""".stripMargin))
+
+  /** CMS frequency read for caller-supplied grams against the standing
+    * cells: min over the d row estimates (q85's read, any gram). */
+  def estimateGrams(spark: SparkSession, sketchDir: String,
+                    grams: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val probes = grams.toDF("gram")
+      .select(col("gram"), expr(Idioms.hash60Expr("gram")).as("h"))
+      .select(col("gram"), explode(posArray).as("c"))
+    val cells = cmsCells(spark, sketchDir)
+    probes
+      .join(broadcast(cells),
+        col("c.j") === cells("j") && col("c.pos") === cells("pos"), "left")
+      .groupBy(col("gram"))
+      // a position no gram ever touched means count 0, not "unknown"
+      .agg(min(coalesce(col("cell_cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** The d probe positions of hash column `h` as (j, pos) structs. */
+  private def posArray =
+    array((0 until TrainingOps.CmsD).map(j =>
+      struct(lit(j).as("j"), expr(TrainingOps.cmsPosExpr(j)).as("pos"))): _*)
+
+  /** Batch-side (lang, source, h) token-hash rows — q84's input shape. */
+  private def tokenHashes(batch: DataFrame): DataFrame =
+    batch
+      .select(col("lang"), col("source"),
+        explode(expr(s"array_distinct(${Idioms.toksExpr})")).as("tok"))
+      .select(col("lang"), col("source"),
+        expr(Idioms.hash60Expr("tok")).as("h"))
+
+  /** Batch-side CMS cells — q85's codegen gram pipeline. */
+  private def batchCells(batch: DataFrame): DataFrame =
+    batch
+      .withColumn("toks", expr(Idioms.toksExpr))
+      .withColumn("n", expr("size(toks) - 1"))
+      .filter(col("n") > 0)
+      .select(explode(expr("sequence(1, n)")).as("i"), col("toks"))
+      .select(expr(Idioms.gramAtExpr("toks", "i", 2)).as("gram"))
+      .select(expr(Idioms.hash60Expr("gram")).as("h"))
+      .select(explode(posArray).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.pos").as("pos"))
+      .agg(count(lit(1)).as("cell_cnt"))
+
+  /** Write `df` to `path` via temp + atomic rename (previous state
+    * survives a crash mid-write; `df` may read the old `path`). */
+  private def swapIn(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(target)) {
+      df.write.mode("overwrite").parquet(path)
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp-swap")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(target, true)
+      fs.rename(tmp, target)
+    }
+  }
+
+  /** Drain available drops from `srcDir`, folding each batch into the
+    * standing KMV and CMS states under `sketchDir`. */
+  def ingest(spark: SparkSession, srcDir: String, sketchDir: String,
+             checkpointDir: String): StreamingQuery = {
+    val q = source(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(sketchDir), ss.sparkContext.hadoopConfiguration)
+        def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+        val kmv = udaf(graft.functions.KmvSketchAggregator(TrainingOps.KmvK))
+        // KMV: standing sketches re-enter as plain hash rows — kmv() of
+        // the union IS the merged sketch (mergeability), so the standing
+        // side costs ≤ groups·k rows, not a corpus re-scan
+        val kmvIn =
+          if (!exists(s"$sketchDir/kmv")) tokenHashes(batch)
+          else kmvState(ss, s"$sketchDir")
+            .select(col("lang"), col("source"), explode(col("sketch")).as("h"))
+            .unionByName(tokenHashes(batch))
+        swapIn(ss, s"$sketchDir/kmv",
+          kmvIn.groupBy(col("lang"), col("source")).agg(kmv(col("h")).as("sketch")))
+        // CMS: linearity — cells add
+        val cmsIn =
+          if (!exists(s"$sketchDir/cms")) batchCells(batch)
+          else cmsCells(ss, sketchDir).unionByName(batchCells(batch))
+        swapIn(ss, s"$sketchDir/cms",
+          cmsIn.groupBy(col("j"), col("pos"))
+            .agg(sum(col("cell_cnt")).as("cell_cnt")))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

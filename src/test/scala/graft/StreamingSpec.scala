@@ -499,4 +499,59 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("empty"), e.getMessage)
   }
+
+  test("standing sketches: streamed KMV and CMS states are BIT-identical to the batch sketches") {
+    import graft.streaming.SketchStream
+    val src = Files.createTempDirectory("graft-sk-src").toString
+    val skDir = Files.createTempDirectory("graft-sk-out").toString + "/sketch"
+    val ckpt = Files.createTempDirectory("graft-sk-ckpt").toString
+    val docs = Tables(spark, sfDir, "documents").cache()
+    docs.filter(col("doc_id") < 100).write.mode("append").parquet(src)
+    SketchStream.ingest(spark, src, skDir, ckpt)
+    val kmvFirst = SketchStream.kmvState(spark, skDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+    // replay with nothing new: exactly-once over files, states untouched
+    SketchStream.ingest(spark, src, skDir, ckpt)
+    val kmvReplay = SketchStream.kmvState(spark, skDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+    assert(kmvReplay == kmvFirst, "replay must not change the KMV state")
+    docs.filter(col("doc_id") >= 100 && col("doc_id") < 250)
+      .write.mode("append").parquet(src)
+    SketchStream.ingest(spark, src, skDir, ckpt)
+    docs.filter(col("doc_id") >= 250).write.mode("append").parquet(src)
+    SketchStream.ingest(spark, src, skDir, ckpt)
+    // mergeability makes the standing state EXACTLY the batch sketch —
+    // same arrays, not just close estimates
+    val kmv = udaf(graft.functions.KmvSketchAggregator(64))
+    val batchKmv = docs
+      .select(col("lang"), col("source"),
+        explode(expr("array_distinct(filter(split(text, ' '), w -> w <> ''))")).as("tok"))
+      .select(col("lang"), col("source"),
+        expr(graft.queries.Idioms.hash60Expr("tok")).as("h"))
+      .groupBy(col("lang"), col("source")).agg(kmv(col("h")).as("sketch"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+    val streamedKmv = SketchStream.kmvState(spark, skDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+    assert(streamedKmv == batchKmv,
+      s"KMV state diverges from batch sketch in ${streamedKmv.keySet ++ batchKmv.keySet}")
+    // CMS linearity: standing cells equal one batch build over the corpus
+    val streamedCells = SketchStream.cmsCells(spark, skDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val q85Cells = SparkEntry.queries("q85_cms_heavy")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // spot-check through the public read surface: q85's exact top grams
+    // must read the same estimates from the standing sketch
+    val est = SketchStream.estimateGrams(spark, skDir, q85Cells.map(_._1).toSeq)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q85Cells.foreach { case (g, _, batchEst) =>
+      assert(est(g) == batchEst, s"standing CMS read for '$g': ${est(g)} != $batchEst")
+    }
+    assert(streamedCells.nonEmpty && streamedCells.size <= 4096,
+      s"cells must stay within d*w: ${streamedCells.size}")
+    // an unseen gram reads 0 or a pure-collision count, never an error
+    val unseen = SketchStream.estimateGrams(spark, skDir,
+      Seq("zz-never-in-corpus zz-gram")).collect()
+    assert(unseen.length == 1 && unseen.head.getLong(1) >= 0L)
+    docs.unpersist()
+  }
 }
