@@ -87,6 +87,39 @@ object ScaleProbe {
       return
     }
 
+    // `sketch` times the two round-12 mergeable sketches at replica
+    // scale — the SCALE.md evidence for the bounded-state claim: the
+    // KMV aggregation (deployment shape: sketch only, one exchange of
+    // ≤k-long buffers per group-partition) and the CMS cell build
+    // (map-side combined into ≤ d·w cells) both scan the corpus
+    // linearly, but the STATE (groups·k longs; ≤4096 cells) and the
+    // shuffle payload stay fixed however large the corpus — the numbers
+    // that make them the 100 TB substitutes for exact distinct / exact
+    // gram counts.
+    if (bitsArg == "sketch") {
+      import graft.queries.TrainingOps
+      import graft.streaming.SketchStream
+      val docs = Tables(spark, sfDir, "documents")
+      val n = docs.count()
+      val kmv = udaf(graft.functions.KmvSketchAggregator(TrainingOps.KmvK))
+      def kmvSketch = SketchStream.tokenHashes(docs)
+        .groupBy(col("lang"), col("source")).agg(kmv(col("h")).as("sketch"))
+      val groups = kmvSketch.count() // warmup + stat
+      val sketchLongs = kmvSketch
+        .agg(sum(size(col("sketch")))).head.getLong(0)
+      val kmvT = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); kmvSketch.count(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      def cells = SketchStream.batchCells(docs)
+      val nCells = cells.count() // warmup + stat
+      val cmsT = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); cells.count(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"""{"probe":"sketch","sf":"$sfDir","corpus":$n,"groups":$groups,"kmv_state_longs":$sketchLongs,"cms_cells":$nCells,"kmv_median_sec":${kmvT(1)}%.3f,"cms_median_sec":${cmsT(1)}%.3f}""")
+      spark.stop()
+      return
+    }
+
     // `bloombuild` times ONLY q73's Bloom bit-array assembly — the
     // distributed build (bench n-grams → k probe positions → block-
     // indexed bit_or → driver collect of m/64 words) — across replica

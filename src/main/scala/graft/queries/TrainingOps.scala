@@ -96,6 +96,14 @@ object TrainingOps {
   private[graft] def cmsPosExpr(j: Int): String =
     s"(h % $CmsW + $j * ((h DIV $CmsW) % $CmsW)) % $CmsW"
 
+  /** q88 ticket geometry: one sampling ticket per [[TicketChars]] chars
+    * of weight, capped at [[TicketCap]] tickets/doc (bounds the explode
+    * at cap× corpus rows; docs past the cap still bias correctly
+    * relative to smaller docs, just no further). k = sample size. */
+  private[graft] val TicketChars = 200L
+  private[graft] val TicketCap = 32L
+  private[graft] val WeightedSampleK = 100
+
   /** q70 tile width (tokens). Lee et al. delete 50-token repeated
     * substrings from web-scale corpora; 8 is the proportionate width for
     * this dataset's tens-of-tokens documents. Smaller = more aggressive
@@ -824,6 +832,72 @@ object TrainingOps {
         .join(broadcast(targets), Seq("lang"))
         .filter(col("rk") <= col("target"))
         .select(col("doc_id"), col("lang"), col("n_lang"), col("target"))
+    }),
+
+    // Log-linear histogram quantile sketch — mergeable approximate
+    // quantiles in the HDR-histogram shape, built entirely on the
+    // shared pl2 integer-log2 primitive: bin(v) = pl2(v) div 128 gives
+    // 8 sub-bins per octave (relative bin width 2^⅛ ≈ 1.09), so the
+    // whole per-language doc-length distribution lives in ≤ 8·log2(max)
+    // bins REGARDLESS of corpus size — histograms add cell-wise
+    // (the CMS linearity argument), which is what lets 1000 executors
+    // each histogram their split and a final bins-sized merge read any
+    // quantile. Exact percentiles (q37) sort; percentile_approx keeps
+    // per-group buffers the oracle can't reproduce; this sketch is both
+    // bounded AND cross-engine bit-exact. The quantile read is the
+    // smallest bin whose running count reaches ceil(q·n), all-integer
+    // (2·cum ≥ n and 10·cum ≥ 9n), over a bins-sized window — the
+    // corpus itself never sorts, never shuffles beyond the histogram
+    // cells. TrainingOpsSpec pins that the TRUE median/p90 of every
+    // language falls in the reported bin, and the ≤1.1-ratio bin width.
+    "q87_log_histogram" -> ((s, dir) => {
+      val hist = Tables(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("lang"), col("n_chars").as("v"))
+        .select(col("lang"), expr(s"(${Idioms.pl2Expr("v")}) div 128").as("bin"))
+        .groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .withColumn("cum",
+          sum(col("cnt")).over(Window.partitionBy(col("lang")).orderBy(col("bin"))))
+        .withColumn("n_docs", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      cum.groupBy(col("lang"), col("n_docs"))
+        .agg(
+          min(when(col("cum") * 2 >= col("n_docs"), col("bin"))).as("p50_bin"),
+          min(when(col("cum") * 10 >= col("n_docs") * 9, col("bin"))).as("p90_bin"))
+    }),
+
+    // Weight-biased corpus sampling — the "sample k docs, preferring
+    // high-weight ones" primitive (weight here = n_chars; in a real
+    // pipeline a quality score), deterministic and mergeable: each doc
+    // holds ceil(w / TicketChars) tickets (capped at TicketCap — the
+    // cap bounds per-row work and is part of the checked contract),
+    // ticket j hashes as hash60(doc_id:j), the doc's sampling key is
+    // its MINIMUM ticket hash, and the sample is the k smallest keys
+    // corpus-wide. More tickets → stochastically smaller min → higher
+    // inclusion odds (weighted min-wise sampling by replication; the
+    // bias is monotone in w, not exactly ∝ w — documented, and
+    // deterministic, which is what a reproducible 100 TB subsample
+    // audit needs). Scale shape: the ticket explode is ≤ TicketCap×
+    // corpus rows of pure codegen, min-per-doc partial-aggregates
+    // map-side, and the global k-smallest is a TakeOrdered — never a
+    // global sort. Ties (astronomically unlikely 60-bit collisions)
+    // break on doc_id so both engines pick the same k.
+    "q88_weighted_sample" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          expr(s"CAST(least((n_chars + ${TicketChars - 1}) div $TicketChars, " +
+            s"$TicketCap) AS INT)").as("t"))
+        .select(col("doc_id"), col("n_chars"), col("t"),
+          explode(expr("sequence(1, t)")).as("j"))
+        .select(col("doc_id"), col("n_chars"), col("t"),
+          hash60("concat(CAST(doc_id AS STRING), ':', CAST(j AS STRING))").as("hj"))
+        .groupBy(col("doc_id"), col("n_chars"), col("t"))
+        .agg(min(col("hj")).as("skey"))
+        .orderBy(col("skey").asc, col("doc_id").asc)
+        .limit(WeightedSampleK)
+        .select(col("doc_id"), col("n_chars"), col("t").cast("long").as("n_tickets"),
+          col("skey"))
     })
   )
 
@@ -1254,6 +1328,33 @@ object TrainingOps {
          |        AS BIGINT) AS rk
          |      FROM documents)
          |SELECT r.doc_id, r.lang, tg.n_lang, tg.target
-         |FROM r JOIN tg USING (lang) WHERE r.rk <= tg.target""".stripMargin
+         |FROM r JOIN tg USING (lang) WHERE r.rk <= tg.target""".stripMargin,
+
+    "q87_log_histogram" ->
+      s"""WITH b AS (SELECT lang, (${Idioms.pl2Sql("n_chars")}) // 128 AS bin
+         |      FROM documents WHERE n_chars > 0),
+         |h AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM b GROUP BY 1, 2),
+         |c AS (SELECT lang, bin, cnt,
+         |        CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT) AS cum,
+         |        CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
+         |      FROM h)
+         |SELECT lang, n_docs,
+         |  CAST(min(CASE WHEN cum * 2 >= n_docs THEN bin END) AS BIGINT) AS p50_bin,
+         |  CAST(min(CASE WHEN cum * 10 >= n_docs * 9 THEN bin END) AS BIGINT) AS p90_bin
+         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q88_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |        CAST(least((n_chars + ${TicketChars - 1}) // $TicketChars,
+         |                   $TicketCap) AS INT) AS t
+         |      FROM documents WHERE n_chars > 0),
+         |k AS (SELECT doc_id, n_chars, t,
+         |        min(${hash60Sql("doc_id::VARCHAR || ':' || j::VARCHAR")}) AS skey
+         |      FROM t, unnest(generate_series(1, t)) AS u(j)
+         |      GROUP BY 1, 2, 3)
+         |SELECT doc_id, n_chars, CAST(t AS BIGINT) AS n_tickets,
+         |  CAST(skey AS BIGINT) AS skey
+         |FROM k ORDER BY skey ASC, doc_id ASC LIMIT $WeightedSampleK""".stripMargin
   )
 }

@@ -83,16 +83,18 @@ object SketchStream {
     array((0 until TrainingOps.CmsD).map(j =>
       struct(lit(j).as("j"), expr(TrainingOps.cmsPosExpr(j)).as("pos"))): _*)
 
-  /** Batch-side (lang, source, h) token-hash rows — q84's input shape. */
-  private def tokenHashes(batch: DataFrame): DataFrame =
+  /** Batch-side (lang, source, h) token-hash rows — q84's input shape.
+    * Shared with `ScaleProbe sketch` (the deployment-shape timer). */
+  private[graft] def tokenHashes(batch: DataFrame): DataFrame =
     batch
       .select(col("lang"), col("source"),
         explode(expr(s"array_distinct(${Idioms.toksExpr})")).as("tok"))
       .select(col("lang"), col("source"),
         expr(Idioms.hash60Expr("tok")).as("h"))
 
-  /** Batch-side CMS cells — q85's codegen gram pipeline. */
-  private def batchCells(batch: DataFrame): DataFrame =
+  /** Batch-side CMS cells — q85's codegen gram pipeline. Shared with
+    * `ScaleProbe sketch`. */
+  private[graft] def batchCells(batch: DataFrame): DataFrame =
     batch
       .withColumn("toks", expr(Idioms.toksExpr))
       .withColumn("n", expr("size(toks) - 1"))

@@ -616,4 +616,69 @@ class TrainingOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(sample.toSet == again.toSet, "hash sampling must be reproducible")
   }
+
+  test("q87: true median and p90 of every language fall in the reported sketch bins") {
+    // the Scala twin of the pl2 // 128 binning
+    def pl2(x: Long): Long = {
+      val fl = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      fl * 1024 + (x * 1024 / (1L << fl)) - 1024
+    }
+    def bin(x: Long): Long = pl2(x) / 128
+    val got = SparkEntry.queries("q87_log_histogram")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val byLang = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).filter(_._2 > 0)
+      .groupBy(_._1).map { case (l, vs) => l -> vs.map(_._2).sorted }
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (l, sorted) =>
+      val (n, p50, p90) = got(l)
+      assert(n == sorted.length.toLong, s"$l: n_docs $n != ${sorted.length}")
+      // the q-quantile value (position ceil(q·n), 1-based) must land in
+      // the reported bin — the sketch's whole contract
+      val median = sorted(((n + 1) / 2).toInt - 1)
+      assert(bin(median) == p50, s"$l: median $median in bin ${bin(median)}, not $p50")
+      val v90 = sorted((((9 * n + 9) / 10).toInt - 1).min(sorted.length - 1))
+      assert(bin(v90) == p90, s"$l: p90 $v90 in bin ${bin(v90)}, not $p90")
+      // bin resolution: any two values sharing a bin are within ~2^(1/8)
+      // of each other (+ pl2's mantissa truncation) — the error bound a
+      // reader converts a bin id back through
+      sorted.groupBy(bin).values.foreach { vs =>
+        assert(vs.max.toDouble / vs.min <= 1.2,
+          s"$l: bin too wide: ${vs.min}..${vs.max}")
+      }
+    }
+  }
+
+  test("q88: sample is exactly the k smallest min-ticket keys, and is weight-biased") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 > 0)
+    // full Scala recount of every doc's sampling key
+    val keys = docs.map { case (id, w) =>
+      val t = math.min((w + 199) / 200, 32L).toInt
+      (id, w, t, (1 to t).map(j => h60(s"$id:$j")).min)
+    }
+    val expected = keys.sortBy(k => (k._4, k._1)).take(100)
+      .map(k => (k._1, k._2, k._3.toLong, k._4)).toSet
+    val got = SparkEntry.queries("q88_weighted_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"sample differs from the definitional k-smallest recount: ${(got diff expected).take(3)}")
+    // the whole point: more weight → more tickets → smaller expected min
+    // key → over-representation of heavy docs vs a uniform sample
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = got.toSeq.map(_._2).sum.toDouble / got.size
+    assert(sampleMean > corpusMean,
+      s"weighted sample not biased: sample mean $sampleMean <= corpus mean $corpusMean")
+    // determinism
+    val again = SparkEntry.queries("q88_weighted_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(again == got)
+  }
 }
