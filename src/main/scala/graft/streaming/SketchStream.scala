@@ -21,6 +21,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   *  - CMS: the sketch is LINEAR (Cormode & Muthukrishnan §4.1), so
   *    cells add: state cells + batch cells, grouped sum, never more
   *    than d·w = 4096 rows standing.
+  *  - log-histogram (q87's quantile sketch): the same linearity —
+  *    (lang, bin) counts add, ≤ 8·log2(max) bins per language standing,
+  *    and [[quantiles]] reads p50/p90 off the folded cells with q87's
+  *    integer thresholds.
   *
   * Both states are tiny by construction (groups·k longs; 4096 cells),
   * which is the whole point: per micro-batch the corpus-sized work is
@@ -46,6 +50,25 @@ object SketchStream {
   /** Standing CMS state: (j, pos, cell_cnt), ≤ d·w rows. */
   def cmsCells(spark: SparkSession, sketchDir: String): DataFrame =
     spark.read.parquet(s"$sketchDir/cms")
+
+  /** Standing log-histogram state (q87's sketch): (lang, bin, cnt),
+    * ≤ 8·log2(max value) bins per language. */
+  def histCells(spark: SparkSession, sketchDir: String): DataFrame =
+    spark.read.parquet(s"$sketchDir/hist")
+
+  /** Per-language quantile reads off the standing histogram — q87's
+    * p50/p90 columns, recomputed from the folded cells. */
+  def quantiles(spark: SparkSession, sketchDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cum = histCells(spark, sketchDir)
+      .withColumn("cum",
+        sum(col("cnt")).over(w.partitionBy(col("lang")).orderBy(col("bin"))))
+      .withColumn("n_docs", sum(col("cnt")).over(w.partitionBy(col("lang"))))
+    cum.groupBy(col("lang"), col("n_docs"))
+      .agg(
+        min(when(col("cum") * 2 >= col("n_docs"), col("bin"))).as("p50_bin"),
+        min(when(col("cum") * 10 >= col("n_docs") * 9, col("bin"))).as("p90_bin"))
+  }
 
   /** Distinct-vocabulary estimates read off the standing KMV state —
     * q84's estimator columns (without q84's exact-count audit rail,
@@ -106,6 +129,14 @@ object SketchStream {
       .groupBy(col("c.j").as("j"), col("c.pos").as("pos"))
       .agg(count(lit(1)).as("cell_cnt"))
 
+  /** Batch-side histogram cells — q87's pl2-div-128 binning. */
+  private[graft] def batchHist(batch: DataFrame): DataFrame =
+    batch
+      .filter(col("n_chars") > 0)
+      .select(col("lang"), col("n_chars").as("v"))
+      .select(col("lang"), expr(s"(${Idioms.pl2Expr("v")}) div 128").as("bin"))
+      .groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("cnt"))
+
   /** Write `df` to `path` via temp + atomic rename (previous state
     * survives a crash mid-write; `df` may read the old `path`). */
   private def swapIn(spark: SparkSession, path: String, df: DataFrame): Unit = {
@@ -151,6 +182,13 @@ object SketchStream {
         swapIn(ss, s"$sketchDir/cms",
           cmsIn.groupBy(col("j"), col("pos"))
             .agg(sum(col("cell_cnt")).as("cell_cnt")))
+        // log-histogram: the same linearity — bins add
+        val histIn =
+          if (!exists(s"$sketchDir/hist")) batchHist(batch)
+          else histCells(ss, sketchDir).unionByName(batchHist(batch))
+        swapIn(ss, s"$sketchDir/hist",
+          histIn.groupBy(col("lang"), col("bin"))
+            .agg(sum(col("cnt")).as("cnt")))
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())

@@ -552,6 +552,14 @@ class StreamingSpec extends AnyFunSuite {
     val unseen = SketchStream.estimateGrams(spark, skDir,
       Seq("zz-never-in-corpus zz-gram")).collect()
     assert(unseen.length == 1 && unseen.head.getLong(1) >= 0L)
+    // histogram linearity: quantile reads off the folded bins equal the
+    // batch q87 rows exactly
+    val streamedQ = SketchStream.quantiles(spark, skDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val batchQ = SparkEntry.queries("q87_log_histogram")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(streamedQ == batchQ,
+      s"standing histogram quantiles diverge from batch q87: $streamedQ vs $batchQ")
     docs.unpersist()
   }
 }
