@@ -882,24 +882,31 @@ object TrainingOps {
     // map-side, and the global k-smallest is a TakeOrdered — never a
     // global sort. Ties (astronomically unlikely 60-bit collisions)
     // break on doc_id so both engines pick the same k.
-    "q88_weighted_sample" -> ((s, dir) => {
-      Tables(s, dir, "documents")
-        .filter(col("n_chars") > 0)
-        .select(col("doc_id"), col("n_chars"),
-          expr(s"CAST(least((n_chars + ${TicketChars - 1}) div $TicketChars, " +
-            s"$TicketCap) AS INT)").as("t"))
-        .select(col("doc_id"), col("n_chars"), col("t"),
-          explode(expr("sequence(1, t)")).as("j"))
-        .select(col("doc_id"), col("n_chars"), col("t"),
-          hash60("concat(CAST(doc_id AS STRING), ':', CAST(j AS STRING))").as("hj"))
-        .groupBy(col("doc_id"), col("n_chars"), col("t"))
-        .agg(min(col("hj")).as("skey"))
+    "q88_weighted_sample" -> ((s, dir) =>
+      weightedKeys(Tables(s, dir, "documents"))
         .orderBy(col("skey").asc, col("doc_id").asc)
-        .limit(WeightedSampleK)
-        .select(col("doc_id"), col("n_chars"), col("t").cast("long").as("n_tickets"),
-          col("skey"))
-    })
+        .limit(WeightedSampleK))
   )
+
+  /** The q88 per-document sampling keys: (doc_id, n_chars, n_tickets,
+    * skey = min ticket hash). Shared with
+    * [[graft.streaming.SketchStream]]'s standing weighted sample, whose
+    * fold (k smallest of state ∪ batch keys) must hash the batch
+    * EXACTLY as the batch query does. */
+  private[graft] def weightedKeys(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"CAST(least((n_chars + ${TicketChars - 1}) div $TicketChars, " +
+          s"$TicketCap) AS INT)").as("t"))
+      .select(col("doc_id"), col("n_chars"), col("t"),
+        explode(expr("sequence(1, t)")).as("j"))
+      .select(col("doc_id"), col("n_chars"), col("t"),
+        hash60("concat(CAST(doc_id AS STRING), ':', CAST(j AS STRING))").as("hj"))
+      .groupBy(col("doc_id"), col("n_chars"), col("t"))
+      .agg(min(col("hj")).as("skey"))
+      .select(col("doc_id"), col("n_chars"), col("t").cast("long").as("n_tickets"),
+        col("skey"))
 
   /** The q81 body with the stream-carry as a real parameter: pack
     * `docs` (doc_id-ordered) into back-to-back [[PackWindow]]-token

@@ -25,6 +25,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   *    (lang, bin) counts add, ≤ 8·log2(max) bins per language standing,
   *    and [[quantiles]] reads p50/p90 off the folded cells with q87's
   *    integer thresholds.
+  *  - weighted sample (q88): the k smallest of (state ∪ batch keys) is
+  *    the k smallest over everything seen — the KMV argument at the
+  *    document level, so the standing k-row sample after N drops IS
+  *    the batch q88 over their union.
   *
   * Both states are tiny by construction (groups·k longs; 4096 cells),
   * which is the whole point: per micro-batch the corpus-sized work is
@@ -129,6 +133,12 @@ object SketchStream {
       .groupBy(col("c.j").as("j"), col("c.pos").as("pos"))
       .agg(count(lit(1)).as("cell_cnt"))
 
+  /** Standing weighted sample (q88's sketch): exactly
+    * [[TrainingOps.WeightedSampleK]] rows once enough docs have
+    * arrived — (doc_id, n_chars, n_tickets, skey). */
+  def weightedSample(spark: SparkSession, sketchDir: String): DataFrame =
+    spark.read.parquet(s"$sketchDir/sample")
+
   /** Batch-side histogram cells — q87's pl2-div-128 binning. */
   private[graft] def batchHist(batch: DataFrame): DataFrame =
     batch
@@ -189,6 +199,14 @@ object SketchStream {
         swapIn(ss, s"$sketchDir/hist",
           histIn.groupBy(col("lang"), col("bin"))
             .agg(sum(col("cnt")).as("cnt")))
+        // weighted sample: k smallest of (standing k ∪ batch keys)
+        val batchKeys = TrainingOps.weightedKeys(batch)
+        val sampleIn =
+          if (!exists(s"$sketchDir/sample")) batchKeys
+          else weightedSample(ss, sketchDir).unionByName(batchKeys)
+        swapIn(ss, s"$sketchDir/sample",
+          sampleIn.orderBy(col("skey").asc, col("doc_id").asc)
+            .limit(TrainingOps.WeightedSampleK))
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())

@@ -560,6 +560,15 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(streamedQ == batchQ,
       s"standing histogram quantiles diverge from batch q87: $streamedQ vs $batchQ")
+    // weighted-sample fold: the standing k rows after three drops are
+    // the batch q88 over the whole corpus — the k-smallest-of-union
+    // argument, checked as exact set equality
+    val streamedS = SketchStream.weightedSample(spark, skDir).collect()
+      .map(_.toSeq).toSet
+    val batchS = SparkEntry.queries("q88_weighted_sample")(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    assert(streamedS == batchS,
+      s"standing weighted sample diverges from batch q88: ${(streamedS diff batchS).take(3)}")
     docs.unpersist()
   }
 }
