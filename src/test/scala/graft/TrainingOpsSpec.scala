@@ -681,4 +681,35 @@ class TrainingOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(again == got)
   }
+
+  test("q86/q87/q88 survive degenerate corpora: single language, one-doc groups, fewer docs than k") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-degen").toString
+    // 3 docs, ONE language, one of them empty (n_chars = 0)
+    Seq((0L, "a b c", "en", "s1", 5L), (1L, "d e", "en", "s2", 3L),
+        (2L, "", "en", "s3", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    // q86: single lang → n_min = n_lang → target = isqrt(n²) = n; every
+    // doc keeps (α-sampling of a uniform corpus is the identity)
+    val mix = SparkEntry.queries("q86_temperature_mix")(spark, tmp).collect()
+    assert(mix.length == 3 && mix.forall(_.getLong(3) == 3L),
+      s"single-language corpus must keep everything: ${mix.toSeq}")
+    // q87: the zero-length doc is excluded, two docs bin; p50 ≤ p90 and
+    // both bins exist
+    val h = SparkEntry.queries("q87_log_histogram")(spark, tmp).collect()
+    assert(h.length == 1 && h.head.getLong(1) == 2L)
+    assert(h.head.getLong(2) <= h.head.getLong(3), "p50 bin above p90 bin")
+    // q88: corpus smaller than k → the sample is every weighted doc
+    val sm = SparkEntry.queries("q88_weighted_sample")(spark, tmp).collect()
+    assert(sm.map(_.getLong(0)).toSet == Set(0L, 1L),
+      s"sub-k corpus must return every weighted doc: ${sm.toSeq}")
+    // q84: groups exist for all three sources; the zero-char doc's cell
+    // has an EMPTY token set → sketch size 0, estimate 0, no crash
+    val kv = SparkEntry.queries("q84_kmv_distinct")(spark, tmp).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(5))).toMap
+    assert(kv("s1") == ((3L, 3L)) && kv("s2") == ((2L, 2L)), s"$kv")
+    assert(!kv.contains("s3") || kv("s3")._1 == 0L,
+      s"empty doc must yield an empty or absent cell, not a crash: $kv")
+  }
 }
