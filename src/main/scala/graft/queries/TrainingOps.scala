@@ -885,7 +885,45 @@ object TrainingOps {
     "q88_weighted_sample" -> ((s, dir) =>
       weightedKeys(Tables(s, dir, "documents"))
         .orderBy(col("skey").asc, col("doc_id").asc)
-        .limit(WeightedSampleK))
+        .limit(WeightedSampleK)),
+
+    // Sketch-algebra set overlap — the estimator side of KMV that makes
+    // it an ALGEBRA, not just a counter (Beyer et al., SIGMOD 2007
+    // §4.2): pairwise vocabulary Jaccard/intersection between sources
+    // computed ONLY from their ≤k-long synopses. The corpus is touched
+    // once (to build per-source sketches — q84's aggregation); the
+    // pairwise stage is pure array arithmetic over |sources|² rows of
+    // ≤k longs, which is what answers "how similar are these two
+    // crawls' vocabularies" across a federation without ever joining
+    // token streams. Estimators, all integer: D = k smallest of
+    // union(sketch_a, sketch_b) (= the union's OWN KMV sketch — that
+    // is the closure property); K∩ = |{h ∈ D present in both}|;
+    // jaccard ≈ K∩/ku in ppm; |A∪B| from D by q84's rule (exact when
+    // under-full); |A∩B| = jaccard·|A∪B|. Under-full sketches make
+    // every estimate EXACT — the spec proves that on a sub-k corpus,
+    // and the oracle re-derives every array bit-for-bit.
+    "q89_sketch_jaccard" -> ((s, dir) => {
+      val kmv = udaf(graft.functions.KmvSketchAggregator(KmvK))
+      val sk = Tables(s, dir, "documents")
+        .select(col("source"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
+        .select(col("source"), hash60("tok").as("h"))
+        .groupBy(col("source")).agg(kmv(col("h")).as("sketch"))
+      val a = sk.select(col("source").as("source_a"), col("sketch").as("sa"))
+      val b = sk.select(col("source").as("source_b"), col("sketch").as("sb"))
+      a.join(b, col("source_a") < col("source_b"))
+        .withColumn("m", expr(s"slice(array_sort(array_union(sa, sb)), 1, $KmvK)"))
+        .withColumn("ku", expr("CAST(size(m) AS BIGINT)"))
+        .withColumn("k_inter", expr(
+          "CAST(size(filter(m, x -> array_contains(sa, x) AND array_contains(sb, x))) AS BIGINT)"))
+        .withColumn("jaccard_ppm", expr("k_inter * 1000000 div ku"))
+        .withColumn("union_est", expr(
+          s"""CASE WHEN ku < $KmvK THEN ku
+             | ELSE CAST(${KmvK - 1} AS DECIMAL(38,0)) * $KmvH div element_at(m, $KmvK)
+             | END""".stripMargin))
+        .withColumn("inter_est", expr("k_inter * union_est div ku"))
+        .select(col("source_a"), col("source_b"), col("ku"), col("k_inter"),
+          col("jaccard_ppm"), col("union_est"), col("inter_est"))
+    })
   )
 
   /** The q88 per-document sampling keys: (doc_id, n_chars, n_tickets,
@@ -1362,6 +1400,36 @@ object TrainingOps {
          |      GROUP BY 1, 2, 3)
          |SELECT doc_id, n_chars, CAST(t AS BIGINT) AS n_tickets,
          |  CAST(skey AS BIGINT) AS skey
-         |FROM k ORDER BY skey ASC, doc_id ASC LIMIT $WeightedSampleK""".stripMargin
+         |FROM k ORDER BY skey ASC, doc_id ASC LIMIT $WeightedSampleK""".stripMargin,
+
+    // DuckDB re-derives each source's sketch definitionally (k smallest
+    // distinct hashes as a sorted list), then the identical list algebra.
+    "q89_sketch_jaccard" ->
+      s"""WITH t AS (
+         |  SELECT DISTINCT source, ${hash60Sql("tok")} AS h
+         |  FROM (SELECT source, unnest(list_distinct($toksSql)) AS tok
+         |        FROM documents)),
+         |r AS (SELECT source, h, row_number() OVER (
+         |        PARTITION BY source ORDER BY h ASC) AS rn FROM t),
+         |sk AS (SELECT source, list(h ORDER BY h ASC) AS sketch
+         |       FROM r WHERE rn <= $KmvK GROUP BY 1),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        a.sketch AS sa, b.sketch AS sb,
+         |        list_sort(list_distinct(a.sketch || b.sketch))[1:$KmvK] AS m
+         |      FROM sk a JOIN sk b ON a.source < b.source),
+         |e AS (SELECT source_a, source_b,
+         |        CAST(len(m) AS BIGINT) AS ku,
+         |        CAST(len(list_filter(m, x -> list_contains(sa, x)
+         |          AND list_contains(sb, x))) AS BIGINT) AS k_inter,
+         |        m FROM p),
+         |f AS (SELECT source_a, source_b, ku, k_inter,
+         |        k_inter * 1000000 // ku AS jaccard_ppm,
+         |        CASE WHEN ku < $KmvK THEN ku
+         |          ELSE CAST((${KmvK - 1}::HUGEINT * (1::HUGEINT << 60))
+         |                    // m[$KmvK] AS BIGINT) END AS union_est
+         |      FROM e)
+         |SELECT source_a, source_b, ku, k_inter, jaccard_ppm, union_est,
+         |  k_inter * union_est // ku AS inter_est
+         |FROM f""".stripMargin
   )
 }

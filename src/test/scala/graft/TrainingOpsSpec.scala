@@ -711,5 +711,57 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(kv("s1") == ((3L, 3L)) && kv("s2") == ((2L, 2L)), s"$kv")
     assert(!kv.contains("s3") || kv("s3")._1 == 0L,
       s"empty doc must yield an empty or absent cell, not a crash: $kv")
+    // q89 on the same corpus: every vocabulary is under-full (< k), so
+    // the sketch-algebra estimates are EXACT set arithmetic — the
+    // provable no-approximation regime. s1 = {a,b,c}, s2 = {d,e}:
+    // disjoint (jaccard 0, union 5, intersection 0).
+    val j = SparkEntry.queries("q89_sketch_jaccard")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val (ku, ki, jac, un, in) = j(("s1", "s2"))
+    assert((ku, ki, jac, un, in) == ((5L, 0L, 0L, 5L, 0L)),
+      s"disjoint under-full vocabularies must estimate exactly: ${j(("s1", "s2"))}")
+  }
+
+  test("q89: estimators match a full Scala recount of the sketch algebra on every pair") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val k = 64
+    val vocab = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, rs) =>
+        s -> rs.flatMap(_._2.split(" ")).filter(_.nonEmpty).map(h60).toSet
+      }
+    val sketches = vocab.map { case (s, hs) => s -> hs.toSeq.sorted.take(k) }
+    val got = SparkEntry.queries("q89_sketch_jaccard")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val pairs = sketches.keys.toSeq.sorted.combinations(2).toSeq
+    assert(got.size == pairs.size)
+    pairs.foreach { case Seq(a, b) =>
+      val (sa, sb) = (sketches(a), sketches(b))
+      val m = (sa ++ sb).distinct.sorted.take(k)
+      val ku = m.length.toLong
+      val ki = m.count(h => sa.contains(h) && sb.contains(h)).toLong
+      val unionEst =
+        if (ku < k) ku
+        else (BigInt(k - 1) * (BigInt(1) << 60) / m(k - 1)).toLong
+      val want = (ku, ki, ki * 1000000L / ku, unionEst, ki * unionEst / ku)
+      assert(got((a, b)) == want, s"($a,$b): ${got((a, b))} != $want")
+      // sanity envelope on the semantics
+      assert(want._3 <= 1000000L && want._5 <= want._4)
+      // under-full closure: when the union sketch is under-full the
+      // estimates are EXACT set cardinalities
+      if (ku < k) {
+        val exactU = (vocab(a) ++ vocab(b)).size.toLong
+        val exactI = (vocab(a) intersect vocab(b)).size.toLong
+        assert(want._4 == exactU && want._5 == exactI,
+          s"($a,$b): under-full estimates must be exact")
+      }
+    }
   }
 }
