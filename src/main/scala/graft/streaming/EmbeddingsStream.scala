@@ -58,15 +58,34 @@ object EmbeddingsStream {
     * files (checkpointed file-source offsets), so a crash-retry or a
     * duplicate drop of the SAME file never double-inserts. */
   def ivfIngest(spark: SparkSession, srcDir: String, centroids: DataFrame,
-                indexDir: String, checkpointDir: String): StreamingQuery = {
+                indexDir: String, checkpointDir: String,
+                statsDir: String = null): StreamingQuery = {
     val q = source(spark, srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Similarity.nearestCentroid(
+        val ss = batch.sparkSession
+        val assigned = Similarity.nearestCentroid(
             batch.select(col("vec_id"), col("embedding")),
             centroids, "embedding", "vec_id", Seq("embedding"))
           .select(col("centroid_id"), col("vec_id"), col("casim"), col("embedding"))
-          .write.mode("append").partitionBy("centroid_id").parquet(indexDir)
+        assigned.write.mode("append").partitionBy("centroid_id").parquet(indexDir)
+        // optional sufficient-statistics fold (see [[recenter]]): the
+        // per-centroid dim-wise micro-unit sums and counts ADD across
+        // batches (linearity), so the standing state is k·dim rows
+        // however many vectors the index holds. Read back what was just
+        // written? No — fold the assigned batch directly; the index
+        // append and the stats fold see the same rows.
+        if (statsDir != null) {
+          val batchStats = centroidStats(assigned)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(statsDir), ss.sparkContext.hadoopConfiguration)
+          val merged =
+            if (!fs.exists(new org.apache.hadoop.fs.Path(statsDir))) batchStats
+            else ss.read.parquet(statsDir).unionByName(batchStats)
+              .groupBy(col("centroid_id"), col("d"))
+              .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+          AtomicState.swapIn(ss, statsDir, merged)
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -74,6 +93,39 @@ object EmbeddingsStream {
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** Per-(centroid, dimension) sufficient statistics of an assigned
+    * frame: s = Σ floor(v_d·10⁶) (the trainer's exact micro-unit sum,
+    * [[graft.queries.VectorOps]]'s Lloyd arithmetic), n = row count. */
+  private[graft] def centroidStats(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("centroid_id"), col("d"))
+      .agg(sum(expr("CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)")).as("s"),
+        count(lit(1)).as("n"))
+
+  /** Exact centroid refinement WITHOUT rescanning the index: one Lloyd
+    * mean per centroid computed from the standing sufficient-statistics
+    * state (k·dim rows — the fold [[ivfIngest]] maintains), with the
+    * trainer's exact arithmetic (micro-unit sum / count, floored to
+    * FLOAT), so the result is bit-identical to re-aggregating every
+    * vector in the index. Centroids with no assigned vectors keep their
+    * previous position (the trainer's empty-cluster rule). At 100 TB
+    * this is the difference between a periodic O(k·dim) state read and
+    * an index-wide scan per refresh. */
+  def recenter(spark: SparkSession, statsDir: String,
+               centroids: DataFrame): DataFrame = {
+    val dims = spark.read.parquet(statsDir)
+      .withColumn("m",
+        expr("CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS FLOAT)"))
+      .groupBy(col("centroid_id"))
+      .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+      .select(col("centroid_id"),
+        expr("transform(dm, x -> x.m)").as("new_centroid"))
+    centroids.join(dims, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("new_centroid"), col("cvec")).as("cvec"))
   }
 
   /** Top-k cosine retrieval against the standing index: probe the

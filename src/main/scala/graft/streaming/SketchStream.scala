@@ -149,19 +149,8 @@ object SketchStream {
 
   /** Write `df` to `path` via temp + atomic rename (previous state
     * survives a crash mid-write; `df` may read the old `path`). */
-  private def swapIn(spark: SparkSession, path: String, df: DataFrame): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(target)) {
-      df.write.mode("overwrite").parquet(path)
-    } else {
-      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp-swap")
-      df.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(target, true)
-      fs.rename(tmp, target)
-    }
-  }
+  private def swapIn(spark: SparkSession, path: String, df: DataFrame): Unit =
+    AtomicState.swapIn(spark, path, df)
 
   /** Drain available drops from `srcDir`, folding each batch into the
     * standing KMV and CMS states under `sketchDir`. */

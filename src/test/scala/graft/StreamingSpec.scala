@@ -330,6 +330,54 @@ class StreamingSpec extends AnyFunSuite {
     cents.unpersist(); corpus.unpersist()
   }
 
+  test("centroid sufficient-statistics fold: recenter from state equals recomputing over the index") {
+    import graft.streaming.EmbeddingsStream
+    val src = Files.createTempDirectory("graft-rc-src").toString
+    val idx = Files.createTempDirectory("graft-rc-idx").toString + "/index"
+    val stats = Files.createTempDirectory("graft-rc-st").toString + "/stats"
+    val ckpt = Files.createTempDirectory("graft-rc-ckpt").toString
+    val corpus = Tables(spark, sfDir, "embeddings").cache()
+    // centroid 7777 is a decoy no vector will be nearest to (it IS
+    // vec_id 7's vector, so 7 wins all its ties by lower id — the
+    // empty-cluster rule must keep the decoy in place)
+    val base = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val decoy = corpus.filter(col("vec_id") === 7)
+      .select(lit(7777L).as("centroid_id"), col("embedding").as("cvec"))
+    val cents = base.unionByName(decoy).cache(); cents.count()
+    corpus.filter(col("vec_id") % 2 === 0).write.mode("append").parquet(src)
+    EmbeddingsStream.ivfIngest(spark, src, cents, idx, ckpt, statsDir = stats)
+    corpus.filter(col("vec_id") % 2 === 1).write.mode("append").parquet(src)
+    EmbeddingsStream.ivfIngest(spark, src, cents, idx, ckpt, statsDir = stats)
+    // the two-drop fold equals one aggregation over the standing index
+    val folded = spark.read.parquet(stats).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // partitionBy wrote centroid_id as a directory key, which reads
+    // back integer-inferred — normalise before the recount
+    val idxDf = spark.read.parquet(idx)
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val direct = EmbeddingsStream.centroidStats(idxDf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(folded == direct, "stats fold diverges from an index-wide recount")
+    // recenter from the k·dim state == the trainer-exact mean over the
+    // index, bit-for-bit on every float
+    val rec = EmbeddingsStream.recenter(spark, stats, cents).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val byIdx = idxDf
+      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("centroid_id"), col("d"))
+      .agg(expr("CAST(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)" +
+        " / COUNT(*) / 1000000.0 AS FLOAT)").as("m"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (c, rs) => c -> rs.sortBy(_.getInt(1)).map(_.getFloat(2)).toSeq }
+    byIdx.foreach { case (c, m) => assert(rec(c) == m, s"centroid $c drifted from exact mean") }
+    // the empty decoy keeps its previous position
+    val decoyVec = cents.filter(col("centroid_id") === 7777L)
+      .head.getSeq[Float](1)
+    assert(rec(7777L) == decoyVec, "empty cluster must keep its centroid")
+    cents.unpersist(); corpus.unpersist()
+  }
+
   test("standing inverted index: incremental BM25 equals the batch build; replays are no-ops") {
     import graft.streaming.TextIndexStream
     val src = Files.createTempDirectory("graft-tix-src").toString
