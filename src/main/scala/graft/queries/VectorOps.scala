@@ -565,6 +565,44 @@ object VectorOps {
         .filter(col("nlex") > 0 && col("idcg") > 0)
         .withColumn("ndcg_micro", expr("(1000000 * dcg) div idcg"))
         .select(col("query_id"), col("dcg"), col("idcg"), col("ndcg_micro"))
+    }),
+
+    // Filtered ANN — the metadata-predicate retrieval every vector
+    // store serves ("nearest neighbors WHERE label = X"): q45's IVF
+    // probe with the predicate applied INSIDE the candidate scan,
+    // before ranking — PRE-filter semantics, so the result is the true
+    // top-5 among qualifying neighbors, not a post-filtered top-5 that
+    // silently comes back short when the filter is selective. The
+    // predicate here is same-label-as-query (category-constrained
+    // search); the label rides the corpus assignment as agg-min
+    // payload, so the plan is exactly q45's (one partial-agg
+    // assignment, one broadcast probe join, one per-query window) plus
+    // a codegen'd equality filter between the join and the rank. At
+    // deployment `label` becomes a secondary partition column under
+    // `centroid_id` and the predicate prunes files the same way the
+    // probe does.
+    "q90_filtered_ann" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("label").as("clabel"))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val corpusAssigned = Similarity.nearestCentroid(c, cents, "cv",
+          "neighbor_id", Seq("cv", "clabel")).drop("casim")
+      val probes = Similarity.assignProbes(q, cents, 1)
+      val cands = corpusAssigned.join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("clabel") === col("qlabel") &&
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", Similarity.guardedCosine(col("qv"), col("cv")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      cands.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("qlabel").cast("long").as("qlabel"),
+          col("neighbor_id"), col("cosine"), col("rank").cast("long").as("rank"))
     })
   )
 
@@ -904,7 +942,36 @@ object VectorOps {
          |    count(rank) AS nlex
          |  FROM joined GROUP BY 1)
          |SELECT query_id, dcg, idcg, (1000000 * dcg) // idcg AS ndcg_micro
-         |FROM agg WHERE nlex > 0 AND idcg > 0""".stripMargin
+         |FROM agg WHERE nlex > 0 AND idcg > 0""".stripMargin,
+
+    // q45's oracle chain with the label predicate inside the candidate
+    // CTE (pre-filter: ranked AFTER the filter).
+    "q90_filtered_ann" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |               FROM embeddings WHERE vec_id < 8),
+         |ca AS (SELECT neighbor_id, cv, clabel, centroid_id FROM (
+         |  SELECT e.vec_id AS neighbor_id, e.embedding AS cv, e.label AS clabel,
+         |    c.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCosineExpr("e.embedding", "cvec")} DESC, centroid_id ASC) AS rk
+         |  FROM embeddings e CROSS JOIN cents c) t WHERE rk = 1),
+         |qa AS (SELECT query_id, qv, qlabel, centroid_id FROM (
+         |  SELECT e.vec_id AS query_id, e.embedding AS qv, e.label AS qlabel,
+         |    c.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCosineExpr("e.embedding", "cvec")} DESC, centroid_id ASC) AS rk
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id % 50 = 0) t WHERE rk = 1),
+         |cand AS (
+         |  SELECT qa.query_id, qa.qlabel, ca.neighbor_id,
+         |    ${duckCosineExpr("qa.qv", "ca.cv")} AS cosine
+         |  FROM ca JOIN qa USING (centroid_id)
+         |  WHERE ca.clabel = qa.qlabel AND qa.query_id <> ca.neighbor_id)
+         |SELECT query_id, CAST(qlabel AS BIGINT) AS qlabel, neighbor_id, cosine, rank
+         |FROM (
+         |  SELECT query_id, qlabel, neighbor_id, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+         |  FROM cand) r WHERE rank <= 5""".stripMargin
   )
 
   /** The q75 lexical arm as DuckDB CTEs ending in `lr` (rank ≤ k) —

@@ -43,6 +43,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q58_mix_rebalance",         // single-row min-source frame
     "q86_temperature_mix",       // single-row min-language frame (q58's shape)
     "q89_sketch_jaccard",        // |sources|² pairing of ≤k-long sketch rows
+    "q90_filtered_ann",          // k=8 centroid build side (q45's shape)
     "q68_semdedup",              // autoK(n) centroid build side
     "q69_quantized_ann",         // query batch vs SQ8 grid
     "q71_semantic_decontaminate",// broadcast held-out benchmark

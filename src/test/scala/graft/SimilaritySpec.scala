@@ -513,4 +513,40 @@ class SimilaritySpec extends AnyFunSuite {
     val approx = docs.select(approx_count_distinct(sha2(col("text"), 256), 0.02)).head.getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
+
+  test("q90 filtered ANN: pre-filter semantics — exact top-5 among qualifying candidates, never short") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables(spark, dir, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) -1.0 else d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val cents = e.filter(_._1 < 8)
+    def nearestCentroid(v: Array[Float]): Long =
+      cents.map(c => (-cos(v, c._2), c._1)).min._2
+    val assigned = e.map { case (id, v, l) => (id, v, l, nearestCentroid(v)) }
+    val got = SparkEntry.queries("q90_filtered_ann")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._3).map(_._2).toSeq }
+    assigned.filter(_._1 % 50 == 0).foreach { case (qid, qv, qlabel, qcent) =>
+      // the definitional recount: same-centroid, same-label, not self,
+      // ranked by (cosine desc, id asc), top 5
+      val want = assigned
+        .filter(c => c._4 == qcent && c._3 == qlabel && c._1 != qid)
+        .map(c => (-cos(qv, c._2), c._1)).sorted.take(5).map(_._2).toSeq
+      val have = got.getOrElse(qid, Seq.empty)
+      assert(have == want, s"query $qid: $have != $want")
+      // the pre-filter contract: as deep as the qualifying pool allows
+      assert(have.length == math.min(5, want.length))
+    }
+    // every returned neighbor matches its query's label
+    val labels = e.map(r => r._1 -> r._3).toMap
+    SparkEntry.queries("q90_filtered_ann")(spark, dir).collect().foreach { r =>
+      assert(labels(r.getLong(2)).toLong == r.getLong(1),
+        s"neighbor ${r.getLong(2)} violates the label predicate")
+    }
+  }
 }
