@@ -330,6 +330,41 @@ class StreamingSpec extends AnyFunSuite {
     cents.unpersist(); corpus.unpersist()
   }
 
+  test("compacting a standing-index partition preserves search results and shrinks file count") {
+    import graft.streaming.EmbeddingsStream
+    val src = Files.createTempDirectory("graft-cpt-src").toString
+    val idx = Files.createTempDirectory("graft-cpt-idx").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft-cpt-ckpt").toString
+    val corpus = Tables(spark, sfDir, "embeddings").cache()
+    val cents = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")).cache()
+    // three drops → up to 3+ files per partition: the small-file sprawl
+    // every append-per-batch standing index accumulates
+    Seq(0, 1, 2).foreach { m =>
+      corpus.filter(col("vec_id") % 3 === m).write.mode("append").parquet(src)
+      EmbeddingsStream.ivfIngest(spark, src, cents, idx, ckpt)
+    }
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val before = EmbeddingsStream.searchIndex(spark, idx, queries, cents, k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    // compact the fattest partition directory in place
+    val idxPath = new org.apache.hadoop.fs.Path(idx)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(idxPath).map(_.getPath)
+      .filter(_.getName.startsWith("centroid_id="))
+      .maxBy(p => fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")))
+    val (nBefore, nAfter, _) = graft.etl.Compact.compact(spark, part.toString)
+    assert(nBefore > 1, s"fixture must sprawl files to compact (got $nBefore)")
+    assert(nAfter < nBefore, s"compaction must shrink: $nBefore -> $nAfter")
+    // the directory-encoded partition key survives the rewrite, so the
+    // standing index reads back identically — search is byte-for-byte
+    val after = EmbeddingsStream.searchIndex(spark, idx, queries, cents, k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "compaction changed search results")
+    cents.unpersist(); corpus.unpersist()
+  }
+
   test("centroid sufficient-statistics fold: recenter from state equals recomputing over the index") {
     import graft.streaming.EmbeddingsStream
     val src = Files.createTempDirectory("graft-rc-src").toString
