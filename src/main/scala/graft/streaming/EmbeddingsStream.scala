@@ -59,7 +59,8 @@ object EmbeddingsStream {
     * duplicate drop of the SAME file never double-inserts. */
   def ivfIngest(spark: SparkSession, srcDir: String, centroids: DataFrame,
                 indexDir: String, checkpointDir: String,
-                statsDir: String = null): StreamingQuery = {
+                statsDir: String = null,
+                subpartitionByLabel: Boolean = false): StreamingQuery = {
     val q = source(spark, srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -68,7 +69,15 @@ object EmbeddingsStream {
             batch.select(col("vec_id"), col("embedding")),
             centroids, "embedding", "vec_id", Seq("embedding"))
           .select(col("centroid_id"), col("vec_id"), col("casim"), col("embedding"))
-        assigned.write.mode("append").partitionBy("centroid_id").parquet(indexDir)
+        // layout: always centroid-partitioned; optionally sub-partitioned
+        // by the metadata column filtered searches predicate on, so a
+        // label filter prunes FILES exactly like the probe does (the
+        // q90 deployment layout — see [[searchIndexFiltered]])
+        val (toWrite, parts) =
+          if (!subpartitionByLabel) (assigned, Seq("centroid_id"))
+          else (assigned.join(batch.select(col("vec_id"), col("label")), Seq("vec_id")),
+            Seq("centroid_id", "label"))
+        toWrite.write.mode("append").partitionBy(parts: _*).parquet(indexDir)
         // optional sufficient-statistics fold (see [[recenter]]): the
         // per-centroid dim-wise micro-unit sums and counts ADD across
         // batches (linearity), so the standing state is k·dim rows
@@ -93,6 +102,36 @@ object EmbeddingsStream {
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** Filtered top-k against a label-subpartitioned standing index (the
+    * q90 batch query's deployment shape): each query probes its
+    * `nprobe` centroid partitions AND only its own label's
+    * sub-directories — both keys arrive through the broadcast probe
+    * join, so dynamic partition pruning skips every
+    * (centroid, other-label) file at the scan. Pre-filter semantics:
+    * candidates are label-matching BEFORE ranking, so the top-k never
+    * comes back short while qualifying neighbors exist.
+    * queries: (query_id: Long, qv: Array[Float], qlabel: Int). */
+  def searchIndexFiltered(spark: SparkSession, indexDir: String,
+                          queries: DataFrame, centroids: DataFrame, k: Int,
+                          nprobe: Int = 1): DataFrame = {
+    val index = spark.read.parquet(indexDir)
+      .select(col("centroid_id"), col("label"),
+        col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val probes = Similarity.assignProbes(queries, centroids, nprobe)
+    val cands = index
+      .join(broadcast(probes),
+        index("centroid_id") === probes("centroid_id") &&
+          index("label") === probes("qlabel"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Similarity.guardedCosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank").cast("long"))
   }
 
   /** Per-(centroid, dimension) sufficient statistics of an assigned

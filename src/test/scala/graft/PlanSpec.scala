@@ -311,6 +311,36 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
   }
 
+  test("searchIndexFiltered prunes BOTH partition levels at the scan (DPP on centroid_id AND label)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import graft.streaming.EmbeddingsStream
+    val corpus = Tables(spark, dir, "embeddings")
+    val cents = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-fivf-plan").toString + "/index"
+    // batch-build the layout ivfIngest(subpartitionByLabel = true) produces
+    Similarity.nearestCentroid(
+        corpus.select(col("vec_id"), col("embedding"), col("label")), cents,
+        "embedding", "vec_id", Seq("embedding", "label"))
+      .select(col("centroid_id"), col("label"), col("vec_id"), col("casim"), col("embedding"))
+      .write.partitionBy("centroid_id", "label").parquet(idx)
+    val queries = corpus.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val hits = EmbeddingsStream.searchIndexFiltered(spark, idx, queries, cents, k = 5, nprobe = 2)
+      val p = hits.queryExecution.executedPlan.toString
+      // both join keys are partition columns fed by the broadcast probe
+      // side, so each gets its own dynamicpruning subquery at the scan
+      assert(p.sliding("dynamicpruning".length).count(_ == "dynamicpruning") >= 2,
+        s"index scan misses a pruning level (need DPP on centroid_id AND label):\n$p")
+      assert(hits.collect().nonEmpty)
+    } finally
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+  }
+
   test("TextIndexStream.search prunes unprobed term buckets at the scan (DPP on bucket)") {
     import org.apache.spark.sql.functions._
     import graft.streaming.TextIndexStream

@@ -330,6 +330,58 @@ class StreamingSpec extends AnyFunSuite {
     cents.unpersist(); corpus.unpersist()
   }
 
+  test("label-subpartitioned index: filtered search equals the batch pre-filter IVF (q90 shape)") {
+    import graft.streaming.EmbeddingsStream
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val src = Files.createTempDirectory("graft-fivf-src").toString
+    val idx = Files.createTempDirectory("graft-fivf-idx").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft-fivf-ckpt").toString
+    val corpus = Tables(spark, sfDir, "embeddings").cache()
+    val cents = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")).cache()
+    corpus.filter(col("vec_id") % 2 === 0).write.mode("append").parquet(src)
+    EmbeddingsStream.ivfIngest(spark, src, cents, idx, ckpt, subpartitionByLabel = true)
+    corpus.filter(col("vec_id") % 2 === 1).write.mode("append").parquet(src)
+    EmbeddingsStream.ivfIngest(spark, src, cents, idx, ckpt, subpartitionByLabel = true)
+    // layout: the label really is a secondary PARTITION column (file-level
+    // pruning surface), not a data column
+    val labelDirs = new java.io.File(idx).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).map(_.getName).filter(_.startsWith("label="))
+    assert(labelDirs.nonEmpty, s"no label= subdirectories under $idx")
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val viaIndex = EmbeddingsStream.searchIndexFiltered(
+        spark, idx, queries, cents, k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    // batch twin: q90's shape — predicate INSIDE the candidate scan,
+    // before ranking (pre-filter semantics)
+    val corpusAssigned = Similarity.nearestCentroid(
+        corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+          col("label").as("clabel")),
+        cents, "cv", "neighbor_id", Seq("cv", "clabel")).drop("casim")
+    val probes = Similarity.assignProbes(queries, cents, 2)
+    val cands = corpusAssigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("clabel") === col("qlabel") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Similarity.guardedCosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val viaBatch = cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long"))
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex.nonEmpty && viaIndex == viaBatch)
+    // pre-filter semantics: every hit's label matches its query's label
+    val labels = corpus.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    viaIndex.foreach { r =>
+      val (qid, nid) = (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])
+      assert(labels(qid) == labels(nid), s"hit $nid has label ${labels(nid)} != query $qid's ${labels(qid)}")
+    }
+    cents.unpersist(); corpus.unpersist()
+  }
+
   test("compacting a standing-index partition preserves search results and shrinks file count") {
     import graft.streaming.EmbeddingsStream
     val src = Files.createTempDirectory("graft-cpt-src").toString
