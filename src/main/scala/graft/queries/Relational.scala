@@ -223,6 +223,50 @@ object Relational {
           max(col("doc_id")).as("last_doc"))
     }),
 
+    // Range join (q91): point-in-interval temporal join — the batch
+    // complement of q36's as-of join and the second prompt-class custom
+    // join operator. For each urgent 1994 order, every lineitem whose
+    // in-transit window [ship_day, ship_day + span] covers the order
+    // date ("how much inventory was on the road the day this order was
+    // placed" — urgent 1997 orders keep the point side selective);
+    // span is derived deterministically (1..30 days) so both
+    // engines see identical intervals. Spark has no inequality-join
+    // strategy — a naive `ON s <= p AND p <= e` is a nested loop over
+    // |points|×|intervals| — so this is the classic BINNED range join:
+    // quantize days into fixed-width bins with W ≥ the max span (32 ≥
+    // 30), replicate each interval to the 1–2 bins it overlaps
+    // (sequence + explode — correct for ANY span; W only tunes the
+    // replication factor), map each point to its single bin, and
+    // equi-join on the bin key. A (point, interval) pair co-occurs in
+    // exactly the point's bin, so no dedup is needed; the exact
+    // containment predicate refines candidates inside the join's
+    // codegen'd filter. Candidates per point = intervals within ~W+span
+    // days — Θ(true matches), not Θ(corpus). The join stays declarative
+    // so AQE broadcasts the filtered point side while it fits and falls
+    // back to the co-partitioned shuffle when it doesn't; partial
+    // aggregation collapses match rows before the per-order shuffle.
+    "q91_range_join" -> ((s, dir) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val intervals = Tables(s, dir, "lineitem")
+        .withColumn("s_day", datediff(col("l_shipdate").cast("date"), epoch))
+        .withColumn("e_day",
+          col("s_day") + (col("l_orderkey") * 7 + col("l_linenumber")) % 30 + 1)
+        .select(col("s_day"), col("e_day"), col("l_quantity"),
+          explode(expr("sequence(s_day div 32, e_day div 32)")).as("bin"))
+      val points = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1997)
+        .withColumn("o_day", datediff(col("o_orderdate").cast("date"), epoch))
+        .select(col("o_orderkey"), col("o_day"),
+          expr("CAST(o_day div 32 AS BIGINT)").as("bin"))
+      intervals.join(points, Seq("bin"))
+        .filter(col("s_day") <= col("o_day") && col("o_day") <= col("e_day"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_transit"),
+          sum(col("l_quantity").cast("decimal(30,6)")).cast("double").as("qty_transit"))
+        .select(col("o_orderkey"), col("n_transit"), col("qty_transit"))
+    }),
+
     // Set ops: UNION + distinct (reference set-union dedup, crawl_web.py:114-117).
     "q16_union_distinct" -> ((s, dir) => {
       val customer = Tables(s, dir, "customer")
@@ -552,6 +596,24 @@ object Relational {
         |UNION ALL
         |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
         |FROM orders o ANTI JOIN updates u ON o.o_orderkey = u.o_orderkey""".stripMargin,
+
+    "q91_range_join" ->
+      """WITH li AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s_day,
+        |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      + ((l_orderkey * 7 + l_linenumber) % 30) + 1 AS e_day,
+        |    l_quantity
+        |  FROM lineitem),
+        |pts AS (
+        |  SELECT o_orderkey,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS o_day
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1997)
+        |SELECT o_orderkey,
+        |  CAST(count(*) AS BIGINT) AS n_transit,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS qty_transit
+        |FROM pts JOIN li ON li.s_day <= pts.o_day AND pts.o_day <= li.e_day
+        |GROUP BY o_orderkey""".stripMargin,
 
     "q82_snapshot_diff" ->
       """WITH old AS (
