@@ -487,6 +487,48 @@ object TextOps {
           octet_length(col("text")).cast("long").as("n_bytes"),
           sha2(col("text").cast("binary"), 256).as("digest"),
           col("source"))
+    }),
+
+    // TextRank term centrality (corpus-graph op): PageRank over the
+    // token co-occurrence graph — adjacent-token pairs become
+    // undirected weighted edges, 3 damped power iterations rank terms
+    // by connectivity (Mihalcea & Tarau's TextRank, the keyword /
+    // corpus-vocabulary-weighting op a training pipeline uses to pick
+    // salient terms). INTEGER-EXACT across engines: scores are bigints
+    // scaled by 1e9, per-edge contribution is `score * w div wdeg`
+    // (integral div), damping is `150e6 + 85*sum div 100` — all sums
+    // associative, so Spark and DuckDB agree bit-for-bit regardless of
+    // aggregation order (a float PageRank would drift in ulps).
+    // Scale shape: edges are |V|+|E| rows hash-partitioned on src; each
+    // iteration is one shuffle join (ranks ⋈ edges on src, AQE
+    // broadcasts ranks while |V| is small) + one groupBy dst — the
+    // classic distributed PageRank stage plan, O(iters) stages with no
+    // driver-side state. Vocabulary nodes collapse by key first, so the
+    // corpus-sized pair stream never joins anything.
+    "q92_textrank" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(expr(toksExpr).as("tk"))
+        .filter(expr("size(tk) >= 2"))
+      val pairs = toks
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS a, tk[i] AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b")) // no self-loops
+      val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      val edges = und.groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      val wdeg = edges.groupBy(col("a")).agg(sum(col("w")).as("wdeg"))
+      val e = edges.join(wdeg, "a")
+        .select(col("a"), col("b"), col("w"), col("wdeg"))
+        .cache() // reused every iteration; lineage stops at the edge list
+      var ranks = wdeg.select(col("a").as("word"), lit(1000000000L).as("score"))
+      for (_ <- 1 to 3) {
+        ranks = e.join(ranks, e("a") === ranks("word"))
+          .select(col("b"), expr("score * w div wdeg").as("c"))
+          .groupBy(col("b"))
+          .agg((lit(150000000L) + expr("85 * sum(c) div 100")).as("score"))
+          .select(col("b").as("word"), col("score"))
+      }
+      ranks
     })
   )
 
@@ -783,7 +825,33 @@ object TextOps {
         """SELECT doc_id, text AS rebuilt,
           |  CAST(0 AS BIGINT) AS n_bad_len,
           |  CAST(0 AS BIGINT) AS n_bad_carry
-          |FROM documents""".stripMargin
+          |FROM documents""".stripMargin,
+
+      // Integer-exact TextRank twin: same scaled-bigint power
+      // iteration, unrolled to the fixed 3 rounds (r1..r3). DuckDB's
+      // SUM(BIGINT) widens to HUGEINT, hence the CAST back.
+      "q92_textrank" ->
+        s"""WITH toks AS (SELECT $toksSql AS tk FROM documents),
+           |pairs0 AS (
+           |  SELECT unnest(list_transform(range(1, len(tk)),
+           |                i -> {'a': tk[i], 'b': tk[i+1]})) AS p
+           |  FROM toks WHERE len(tk) >= 2),
+           |pairs AS (SELECT p.a AS a, p.b AS b FROM pairs0 WHERE p.a <> p.b),
+           |und AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+           |edges AS (SELECT a, b, COUNT(*) AS w FROM und GROUP BY 1, 2),
+           |wdeg AS (SELECT a, CAST(SUM(w) AS BIGINT) AS wdeg FROM edges GROUP BY 1),
+           |e AS (SELECT edges.a, edges.b, edges.w, wdeg.wdeg FROM edges JOIN wdeg USING (a)),
+           |r0 AS (SELECT a AS word, CAST(1000000000 AS BIGINT) AS score FROM wdeg),
+           |r1 AS (SELECT e.b AS word,
+           |         CAST(150000000 + (85 * SUM((r0.score * e.w) // e.wdeg)) // 100 AS BIGINT) AS score
+           |       FROM e JOIN r0 ON e.a = r0.word GROUP BY 1),
+           |r2 AS (SELECT e.b AS word,
+           |         CAST(150000000 + (85 * SUM((r1.score * e.w) // e.wdeg)) // 100 AS BIGINT) AS score
+           |       FROM e JOIN r1 ON e.a = r1.word GROUP BY 1),
+           |r3 AS (SELECT e.b AS word,
+           |         CAST(150000000 + (85 * SUM((r2.score * e.w) // e.wdeg)) // 100 AS BIGINT) AS score
+           |       FROM e JOIN r2 ON e.a = r2.word GROUP BY 1)
+           |SELECT word, score FROM r3""".stripMargin
     )
   }
 }

@@ -923,6 +923,31 @@ object TrainingOps {
         .withColumn("inter_est", expr("k_inter * union_est div ku"))
         .select(col("source_a"), col("source_b"), col("ku"), col("k_inter"),
           col("jaccard_ppm"), col("union_est"), col("inter_est"))
+    }),
+
+    // Blocked fuzzy record linkage (entity-resolution op): the classic
+    // two-phase shape — cheap BLOCKING key first (here the head noun of
+    // the part name), then expensive pairwise comparison (Levenshtein)
+    // only inside blocks, never all-pairs. Linkage runs at the
+    // *distinct-name* level: records collapse to (name, support count)
+    // before any pair is generated, so the corpus-sized part table
+    // contributes one groupBy and the quadratic phase touches only the
+    // name vocabulary (bounded by the attribute domain, not row count —
+    // the property that makes this survive a 100 TB part table; block
+    // width is #distinct modifiers per noun). Levenshtein is exact
+    // integer edit distance in both engines, so pairs hash-match.
+    "q93_record_linkage" -> ((s, dir) => {
+      val names = Tables(s, dir, "part")
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+        .withColumn("blk", expr("element_at(split(p_name, ' '), -1)"))
+      val a = names.select(col("blk"), col("p_name").as("name_a"), col("n").as("n_a"))
+      val b = names.select(col("blk"), col("p_name").as("name_b"), col("n").as("n_b"))
+      a.join(b, "blk")
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 3)
+        .select(col("name_a"), col("name_b"), col("dist"),
+          col("n_a"), col("n_b"))
     })
   )
 
@@ -1430,6 +1455,16 @@ object TrainingOps {
          |      FROM e)
          |SELECT source_a, source_b, ku, k_inter, jaccard_ppm, union_est,
          |  k_inter * union_est // ku AS inter_est
-         |FROM f""".stripMargin
+         |FROM f""".stripMargin,
+
+    "q93_record_linkage" ->
+      """WITH names AS (
+        |  SELECT p_name, COUNT(*) AS n, string_split(p_name, ' ')[-1] AS blk
+        |  FROM part GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
   )
 }

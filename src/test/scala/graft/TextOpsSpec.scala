@@ -163,4 +163,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(prod == exact,
       s"missing: ${exact -- prod}; spurious: ${prod -- exact}")
   }
+
+  test("q92 textrank is integer-exact: hand-computed 3-node fixture, bit-for-bit") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q92").toString
+    // "x y x y z" → undirected weighted edges x↔y (w=3), y↔z (w=1);
+    // wdeg x=3 y=4 z=1. Three damped integer iterations by hand:
+    //   i1: y=150e6+85%·(1e9+1e9)        = 1,850,000,000
+    //       x=150e6+85%·(1e9·3 div 4)    =   787,500,000
+    //       z=150e6+85%·(1e9·1 div 4)    =   362,500,000
+    //   i2: y=1,127,500,000  x=1,329,375,000  z=543,125,000
+    //   i3: y=1,741,625,000  x=  868,781,250  z=389,593,750
+    // A single-token doc contributes nothing; a pure self-loop doc
+    // ("w w w") drops out entirely (no crash, no node).
+    Seq((0L, "x y x y z", "en", "s1", 9L), (1L, "solo", "en", "s1", 4L),
+        (2L, "w w w", "en", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q92_textrank")(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("x" -> 868781250L, "y" -> 1741625000L, "z" -> 389593750L),
+      s"got $got")
+  }
+
+  test("q92 scores are independent of partitioning (associative integer sums)") {
+    // the cross-engine hash-match depends on order-independence: any
+    // float formulation would drift here
+    val a = SparkEntry.queries("q92_textrank")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Tables(spark, dir, "documents").repartition(13)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q92b").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val b = SparkEntry.queries("q92_textrank")(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.nonEmpty && a == b)
+  }
 }

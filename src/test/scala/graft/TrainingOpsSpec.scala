@@ -764,4 +764,33 @@ class TrainingOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q93 blocked linkage equals a full Scala recount (edit distance + blocking)") {
+    // reference Levenshtein (classic DP) — pins Spark's levenshtein()
+    // semantics, which the DuckDB twin must share for the hash match
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val cur = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(a.length)
+    }
+    val counts = Tables(spark, dir, "part").groupBy("p_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- counts.keys; b <- counts.keys
+      if a < b && a.split(' ').last == b.split(' ').last && lev(a, b) <= 3
+    } yield (a, b, lev(a, b), counts(a), counts(b))).toSet
+    val got = SparkEntry.queries("q93_record_linkage")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got.nonEmpty && got == want,
+      s"missing: ${want -- got}; spurious: ${got -- want}")
+  }
 }
