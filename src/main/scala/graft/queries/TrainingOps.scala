@@ -936,6 +936,56 @@ object TrainingOps {
     // the property that makes this survive a 100 TB part table; block
     // width is #distinct modifiers per noun). Levenshtein is exact
     // integer edit distance in both engines, so pairs hash-match.
+    // BPE merge-pair training (the tokenizer-training inner loop, per
+    // Sennrich et al. 2016): the first 3 byte-pair merges learned from
+    // the corpus, fully declaratively — no driver-side loop state. The
+    // corpus-sized token stream collapses ONCE to a (word, freq)
+    // vocabulary (the BPE working set: bounded by the vocabulary, not
+    // the corpus, which is what makes tokenizer training feasible at
+    // 100 TB); each round is then: adjacent-symbol pair counts weighted
+    // by word frequency (explode + map-side-combined groupBy over the
+    // vocab), a deterministic argmax (TakeOrdered(1), ties on the pair
+    // string), and a greedy left-to-right merge applied via a
+    // string-accumulator `aggregate` HOF (symbols never contain spaces
+    // — words are whitespace-split — so ' ' is a safe separator; the
+    // walk IS the reference BPE apply: merge the pair wherever the
+    // running tail is L and the next symbol is R). The 1-row argmax
+    // cross-joins back in (broadcast), so every round is declarative
+    // and the plan is O(rounds) stages.
+    "q94_bpe_merges" -> ((s, dir) => {
+      val vocab = Tables(s, dir, "documents")
+        .select(explode(expr(toksExpr)).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(col("freq"), expr(
+          "transform(sequence(1, length(w)), i -> substr(w, i, 1))").as("syms"))
+      def pairCounts(s0: DataFrame): DataFrame = s0
+        .filter(expr("size(syms) >= 2"))
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      def argmax(p: DataFrame): DataFrame =
+        p.orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1)
+      def applyMerge(s0: DataFrame, m: DataFrame): DataFrame = s0
+        .crossJoin(broadcast(m.select(col("l").as("ml"), col("r").as("mr"))))
+        .select(col("freq"), split(expr(
+          """aggregate(syms, '', (acc, x) -> CASE
+            |  WHEN acc = '' THEN x
+            |  WHEN (acc = ml OR endswith(acc, concat(' ', ml))) AND x = mr
+            |    THEN concat(substring(acc, 1, length(acc) - length(ml)), ml, mr)
+            |  ELSE concat(acc, ' ', x) END)""".stripMargin), " ").as("syms"))
+      val s0 = vocab
+      val m1 = argmax(pairCounts(s0)).cache()
+      val s1 = applyMerge(s0, m1)
+      val m2 = argmax(pairCounts(s1)).cache()
+      val s2 = applyMerge(s1, m2)
+      val m3 = argmax(pairCounts(s2))
+      def row(step: Int, m: DataFrame): DataFrame = m.select(lit(step).as("step"),
+        col("l"), col("r"), concat(col("l"), col("r")).as("merged"), col("cnt"))
+      row(1, m1).union(row(2, m2)).union(row(3, m3))
+    }),
+
     "q93_record_linkage" -> ((s, dir) => {
       val names = Tables(s, dir, "part")
         .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
@@ -1456,6 +1506,47 @@ object TrainingOps {
          |SELECT source_a, source_b, ku, k_inter, jaccard_ppm, union_est,
          |  k_inter * union_est // ku AS inter_est
          |FROM f""".stripMargin,
+
+    // Unrolled 3-round twin: DuckDB's list_reduce seeds the accumulator
+    // with the first element (Spark's aggregate seeds '' and the first
+    // step is the acc='' branch) — identical greedy walks.
+    "q94_bpe_merges" ->
+      """WITH vocab AS (
+        |  SELECT w, COUNT(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |    FROM documents) t
+        |  WHERE length(w) >= 2 GROUP BY 1),
+        |s0 AS (SELECT freq,
+        |         list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+        |       FROM vocab),
+        |p1 AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+        |    FROM s0 WHERE len(syms) >= 2) q GROUP BY 1, 2),
+        |m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |s1 AS (SELECT freq, string_split(list_reduce(syms, (acc, x) -> CASE
+        |      WHEN (acc = l OR ends_with(acc, ' ' || l)) AND x = r
+        |        THEN substr(acc, 1, length(acc) - length(l)) || l || r
+        |      ELSE acc || ' ' || x END), ' ') AS syms
+        |    FROM s0 CROSS JOIN m1),
+        |p2 AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+        |    FROM s1 WHERE len(syms) >= 2) q GROUP BY 1, 2),
+        |m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |s2 AS (SELECT freq, string_split(list_reduce(syms, (acc, x) -> CASE
+        |      WHEN (acc = l OR ends_with(acc, ' ' || l)) AND x = r
+        |        THEN substr(acc, 1, length(acc) - length(l)) || l || r
+        |      ELSE acc || ' ' || x END), ' ') AS syms
+        |    FROM s1 CROSS JOIN m2),
+        |p3 AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+        |    FROM s2 WHERE len(syms) >= 2) q GROUP BY 1, 2),
+        |m3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
+        |SELECT 1 AS step, l, r, l || r AS merged, cnt FROM m1
+        |UNION ALL SELECT 2, l, r, l || r, cnt FROM m2
+        |UNION ALL SELECT 3, l, r, l || r, cnt FROM m3""".stripMargin,
 
     "q93_record_linkage" ->
       """WITH names AS (

@@ -603,6 +603,48 @@ object VectorOps {
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("qlabel").cast("long").as("qlabel"),
           col("neighbor_id"), col("cosine"), col("rank").cast("long").as("rank"))
+    }),
+
+    // Hard-negative mining (contrastive-training data prep): for each
+    // anchor, the top-5 most-similar corpus vectors with a DIFFERENT
+    // label — the "hard negatives" a contrastive or embedding-training
+    // pipeline pairs with each anchor — plus the margin against the
+    // anchor's best same-label candidate (how hard the negative
+    // actually is). q90's filtered-IVF shape with the predicate
+    // negated, nprobe = 2 (negatives concentrate outside the anchor's
+    // own cluster, so a wider probe keeps recall); positives and
+    // negatives split from ONE shared candidate scan — the corpus is
+    // assigned and joined once, then two cheap branches (a max-agg and
+    // a rank window). Margin is a per-row subtraction of two cosines
+    // computed by the same kernel on both engines — deterministic.
+    "q95_hard_negatives" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("label").as("clabel"))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val corpusAssigned = Similarity.nearestCentroid(c, cents, "cv",
+          "neighbor_id", Seq("cv", "clabel")).drop("casim")
+      val probes = Similarity.assignProbes(q, cents, 2)
+      val cands = corpusAssigned.join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", Similarity.guardedCosine(col("qv"), col("cv")))
+        .cache() // one candidate scan feeds both the positive and negative arms
+      val pos = cands.filter(col("clabel") === col("qlabel"))
+        .groupBy(col("query_id")).agg(max(col("cosine")).as("pos_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      cands.filter(col("clabel") =!= col("qlabel"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .join(pos, Seq("query_id"), "left")
+        .withColumn("margin", coalesce(col("pos_sim"), lit(0.0)) - col("cosine"))
+        .select(col("query_id"), col("qlabel").cast("long").as("qlabel"),
+          col("neighbor_id"), col("clabel").cast("long").as("clabel"),
+          col("cosine"), col("rank").cast("long").as("rank"), col("margin"))
     })
   )
 
@@ -971,7 +1013,40 @@ object VectorOps {
          |  SELECT query_id, qlabel, neighbor_id, cosine,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
-         |  FROM cand) r WHERE rank <= 5""".stripMargin
+         |  FROM cand) r WHERE rank <= 5""".stripMargin,
+
+    "q95_hard_negatives" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |               FROM embeddings WHERE vec_id < 8),
+         |ca AS (SELECT neighbor_id, cv, clabel, centroid_id FROM (
+         |  SELECT e.vec_id AS neighbor_id, e.embedding AS cv, e.label AS clabel,
+         |    c.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCosineExpr("e.embedding", "cvec")} DESC, centroid_id ASC) AS rk
+         |  FROM embeddings e CROSS JOIN cents c) t WHERE rk = 1),
+         |qa AS (SELECT query_id, qv, qlabel, centroid_id FROM (
+         |  SELECT e.vec_id AS query_id, e.embedding AS qv, e.label AS qlabel,
+         |    c.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCosineExpr("e.embedding", "cvec")} DESC, centroid_id ASC) AS rk
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id % 50 = 0) t WHERE rk <= 2),
+         |cand AS (
+         |  SELECT qa.query_id, qa.qlabel, ca.neighbor_id, ca.clabel,
+         |    ${duckCosineExpr("qa.qv", "ca.cv")} AS cosine
+         |  FROM ca JOIN qa USING (centroid_id)
+         |  WHERE qa.query_id <> ca.neighbor_id),
+         |pos AS (SELECT query_id, MAX(cosine) AS pos_sim FROM cand
+         |        WHERE clabel = qlabel GROUP BY 1),
+         |neg AS (
+         |  SELECT query_id, qlabel, neighbor_id, clabel, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+         |  FROM cand WHERE clabel <> qlabel)
+         |SELECT neg.query_id, CAST(neg.qlabel AS BIGINT) AS qlabel, neg.neighbor_id,
+         |  CAST(neg.clabel AS BIGINT) AS clabel, neg.cosine, neg.rank,
+         |  COALESCE(pos.pos_sim, 0.0) - neg.cosine AS margin
+         |FROM neg LEFT JOIN pos ON neg.query_id = pos.query_id
+         |WHERE neg.rank <= 5""".stripMargin
   )
 
   /** The q75 lexical arm as DuckDB CTEs ending in `lr` (rank ≤ k) —

@@ -49,7 +49,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q71_semantic_decontaminate",// broadcast held-out benchmark
     "q72_target_affinity_select",// single-row weight frames
     "q76_hybrid_rrf",            // dense arm: query batch vs corpus
-    "q77_retrieval_eval"         // dense arm, shared with q76
+    "q77_retrieval_eval",        // dense arm, shared with q76
+    "q94_bpe_merges",            // single-row argmax merge frame per round
+    "q95_hard_negatives"         // k=8 centroid build side (q90's shape)
   )
 
   /** Full-outer / outer fusion joins whose BOTH inputs are rank-bounded

@@ -549,4 +549,44 @@ class SimilaritySpec extends AnyFunSuite {
         s"neighbor ${r.getLong(2)} violates the label predicate")
     }
   }
+
+  test("q95 hard negatives: exact recount over the 2-probe pool; every row label-mismatched; margin = pos1 - cosine") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables(spark, dir, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) -1.0 else d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val cents = e.filter(_._1 < 8)
+    def nearestCentroid(v: Array[Float]): Long =
+      cents.map(c => (-cos(v, c._2), c._1)).min._2
+    def probe2(v: Array[Float]): Set[Long] =
+      cents.map(c => (-cos(v, c._2), c._1)).sorted.take(2).map(_._2).toSet
+    val assigned = e.map { case (id, v, l) => (id, v, l, nearestCentroid(v)) }
+    val got = SparkEntry.queries("q95_hard_negatives")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(5), r.getDouble(4), r.getDouble(6))))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).sortBy(_._2) }
+    assigned.filter(_._1 % 50 == 0).foreach { case (qid, qv, qlabel, _) =>
+      val pool = assigned.filter(c => probe2(qv).contains(c._4) && c._1 != qid)
+      val wantNeg = pool.filter(_._3 != qlabel)
+        .map(c => (-cos(qv, c._2), c._1)).sorted.take(5).map(_._2).toSeq
+      val pos1 = pool.filter(_._3 == qlabel).map(c => cos(qv, c._2))
+        .foldLeft(0.0)(math.max) // coalesce-to-0 when no positive in pool
+      val rows = got.getOrElse(qid, Array.empty[(Long, Long, Double, Double)])
+      assert(rows.map(_._1).toSeq == wantNeg, s"query $qid negatives drifted")
+      rows.foreach { case (_, _, cosine, margin) =>
+        assert(math.abs(margin - (pos1 - cosine)) < 1e-12,
+          s"query $qid margin $margin != $pos1 - $cosine")
+      }
+    }
+    val labels = e.map(r => r._1 -> r._3.toLong).toMap
+    SparkEntry.queries("q95_hard_negatives")(spark, dir).collect().foreach { r =>
+      assert(labels(r.getLong(2)) != r.getLong(1),
+        s"neighbor ${r.getLong(2)} shares the anchor label — not a negative")
+      assert(labels(r.getLong(2)) == r.getLong(3))
+    }
+  }
 }

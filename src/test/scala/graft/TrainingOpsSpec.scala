@@ -793,4 +793,39 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want,
       s"missing: ${want -- got}; spurious: ${got -- want}")
   }
+
+  test("q94 BPE merges equal a reference greedy-BPE trainer run in Scala") {
+    // reference implementation of Sennrich et al.'s training loop:
+    // weighted pair counts → argmax (ties: lexicographic) → greedy
+    // left-to-right merge within each word
+    val vocab0: Map[Vector[String], Long] = Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).split(' ').filter(w => w.nonEmpty && w.length >= 2))
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.length.toLong }
+    def pairCounts(v: Map[Vector[String], Long]): Map[(String, String), Long] =
+      v.toSeq.flatMap { case (syms, f) =>
+        syms.zip(syms.tail).map(p => (p, f)) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+    def argmax(pc: Map[(String, String), Long]): ((String, String), Long) =
+      pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+    def applyMerge(v: Map[Vector[String], Long], l: String, r: String): Map[Vector[String], Long] =
+      v.map { case (syms, f) =>
+        val out = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        }
+        out -> f
+      } // distinct words stay distinct as sequences (merges only concatenate)
+    var v = vocab0
+    val want = (1 to 3).map { step =>
+      val ((l, r), c) = argmax(pairCounts(v))
+      v = applyMerge(v, l, r)
+      (step, l, r, l + r, c)
+    }
+    val got = SparkEntry.queries("q94_bpe_merges")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == want, s"$got != $want")
+  }
 }
