@@ -229,6 +229,35 @@ object TextOps {
         .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
     }),
 
+    // Asymmetric containment dedup (training-data op): containment
+    // C(A→B) = |S_A ∩ S_B| / |S_A| instead of symmetric Jaccard — the
+    // measure that catches a SHORT document quoted wholesale inside a
+    // LONG one (jaccard ≈ |A|/|B| stays tiny however perfect the
+    // inclusion, so q21 structurally misses it; the Lee et al. dedup
+    // papers flag exactly this family). Same capped shared-shingle
+    // self-join as q21 — one shuffle on the shingle key, DF cap window
+    // reusing that shuffle's partitioning — emitting BOTH directions'
+    // containments per unordered pair, kept when either side is ≥ 0.8.
+    "q96_containment_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = Tables(s, dir, "documents")
+        .withColumn("arr", graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3)))
+        .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
+          explode(col("arr")).as("s"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+        .filter(col("df") <= ShingleDfCap).drop("df")
+      val a = sh.alias("a"); val b = sh.alias("b")
+      a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("cont_a_in_b", expr("CAST(shared AS DOUBLE) / na"))
+        .withColumn("cont_b_in_a", expr("CAST(shared AS DOUBLE) / nb"))
+        .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          col("cont_a_in_b"), col("cont_b_in_a"))
+    }),
+
     // MinHash + LSH candidate pairs (training-data op): 16 permutation
     // min-hashes in one pass ([[minhashSig]]), 4 bands × 4 rows, capped
     // group-by-bucket pair expansion ([[lshCandidatePairs]]). The 4×4
@@ -648,6 +677,23 @@ object TextOps {
            |JOIN sizes sa ON doc_a = sa.doc_id
            |JOIN sizes sb ON doc_b = sb.doc_id
            |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5""".stripMargin,
+
+      "q96_containment_dedup" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |shared AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, shared,
+           |  CAST(shared AS DOUBLE) / sa.n AS cont_a_in_b,
+           |  CAST(shared AS DOUBLE) / sb.n AS cont_b_in_a
+           |FROM shared
+           |JOIN sizes sa ON doc_a = sa.doc_id
+           |JOIN sizes sb ON doc_b = sb.doc_id
+           |WHERE greatest(CAST(shared AS DOUBLE) / sa.n,
+           |               CAST(shared AS DOUBLE) / sb.n) >= 0.8""".stripMargin,
 
       "q22_minhash_lsh" ->
         s"""WITH sh AS (

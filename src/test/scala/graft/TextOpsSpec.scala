@@ -164,6 +164,28 @@ class TextOpsSpec extends AnyFunSuite {
       s"missing: ${exact -- prod}; spurious: ${prod -- exact}")
   }
 
+  test("q96 containment catches quote-inclusion that symmetric Jaccard (q21) structurally misses") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q96").toString
+    // doc 1 = a short passage; doc 0 = a long document QUOTING doc 1
+    // wholesale. Containment(1→0) = 1.0; Jaccard = |A|/|B| ≈ 0.17 —
+    // far under q21's 0.5 gate.
+    val quote = "alpha beta gamma delta epsilon zeta eta"
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    Seq((0L, s"$filler $quote", "en", "s1", 200L),
+        (1L, quote, "en", "s2", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val cont = SparkEntry.queries("q96_containment_dedup")(spark, tmp).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(r.getDouble(4) == 1.0, s"quote fully contained: $r") // cont_b_in_a
+    assert(r.getDouble(3) < 0.5) // the long doc is NOT contained in the quote
+    val jac = SparkEntry.queries("q21_ngram_jaccard")(spark, tmp).collect()
+    assert(jac.isEmpty, s"q21 must miss the asymmetric pair, got ${jac.toSeq}")
+  }
+
   test("q92 textrank is integer-exact: hand-computed 3-node fixture, bit-for-bit") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-q92").toString
