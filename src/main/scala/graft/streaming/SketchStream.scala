@@ -29,6 +29,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   *    the k smallest over everything seen — the KMV argument at the
   *    document level, so the standing k-row sample after N drops IS
   *    the batch q88 over their union.
+  *  - BPE pair counts (q94's round-1 statistics): adjacent-character
+  *    pair counts are linear AND the key space is bounded by the
+  *    character alphabet squared, so the standing state is exact;
+  *    [[currentMerge]] reads the argmax — bit-identical to batch q94's
+  *    first merge over the union.
   *
   * Both states are tiny by construction (groups·k longs; 4096 cells),
   * which is the whole point: per micro-batch the corpus-sized work is
@@ -139,6 +144,37 @@ object SketchStream {
   def weightedSample(spark: SparkSession, sketchDir: String): DataFrame =
     spark.read.parquet(s"$sketchDir/sample")
 
+  /** Standing BPE pair-count state (q94's round-1 statistics): (l, r,
+    * cnt) adjacent-character pair counts over every token instance seen
+    * — bounded by the CHARACTER alphabet squared however large the
+    * corpus, and linear (counts add across drops), so the fold is the
+    * CMS argument with an exact, not probabilistic, state. */
+  def pairState(spark: SparkSession, sketchDir: String): DataFrame =
+    spark.read.parquet(s"$sketchDir/bpe")
+
+  /** The current best first merge read off the standing pair counts —
+    * BIT-identical to batch q94's step-1 row over the union of all
+    * drops (same argmax, same lexicographic tie-break). A standing
+    * tokenizer-statistics service reads this without re-scanning the
+    * corpus; later merges need the re-tokenized corpus and stay a
+    * batch job (q94) by design. */
+  def currentMerge(spark: SparkSession, sketchDir: String): DataFrame =
+    pairState(spark, sketchDir)
+      .orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1)
+      .select(col("l"), col("r"), concat(col("l"), col("r")).as("merged"),
+        col("cnt"))
+
+  /** Batch-side pair cells — q94's round-1 pair counting, per token
+    * INSTANCE (instance counts ≡ vocab-frequency-weighted counts). */
+  private[graft] def batchPairs(batch: DataFrame): DataFrame =
+    batch
+      .select(explode(expr(Idioms.toksExpr)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> struct(substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Batch-side histogram cells — q87's pl2-div-128 binning. */
   private[graft] def batchHist(batch: DataFrame): DataFrame =
     batch
@@ -187,6 +223,14 @@ object SketchStream {
           else histCells(ss, sketchDir).unionByName(batchHist(batch))
         swapIn(ss, s"$sketchDir/hist",
           histIn.groupBy(col("lang"), col("bin"))
+            .agg(sum(col("cnt")).as("cnt")))
+        // BPE pair counts: linearity again — exact cells add, state
+        // bounded by the character alphabet squared
+        val bpeIn =
+          if (!exists(s"$sketchDir/bpe")) batchPairs(batch)
+          else pairState(ss, sketchDir).unionByName(batchPairs(batch))
+        swapIn(ss, s"$sketchDir/bpe",
+          bpeIn.groupBy(col("l"), col("r"))
             .agg(sum(col("cnt")).as("cnt")))
         // weighted sample: k smallest of (standing k ∪ batch keys)
         val batchKeys = TrainingOps.weightedKeys(batch)

@@ -704,6 +704,24 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.toSeq).toSet
     assert(streamedS == batchS,
       s"standing weighted sample diverges from batch q88: ${(streamedS diff batchS).take(3)}")
+    // BPE pair-count linearity: the standing cells after three drops
+    // equal one batch recount, and the argmax read is bit-identical to
+    // batch q94's FIRST merge over the union corpus
+    val streamedP = SketchStream.pairState(spark, skDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batchP = SketchStream.batchPairs(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamedP == batchP,
+      s"standing pair counts diverge: ${(streamedP.toSet diff batchP.toSet).take(3)}")
+    val merge = SketchStream.currentMerge(spark, skDir).collect()
+    val q94m1 = SparkEntry.queries("q94_bpe_merges")(spark, sfDir).collect()
+      .filter(_.getInt(0) == 1).head
+    assert(merge.length == 1 &&
+      merge.head.getString(0) == q94m1.getString(1) &&
+      merge.head.getString(1) == q94m1.getString(2) &&
+      merge.head.getString(2) == q94m1.getString(3) &&
+      merge.head.getLong(3) == q94m1.getLong(4),
+      s"standing merge ${merge.toSeq} != batch q94 step 1 $q94m1")
     docs.unpersist()
   }
 }
