@@ -645,6 +645,52 @@ object VectorOps {
         .select(col("query_id"), col("qlabel").cast("long").as("qlabel"),
           col("neighbor_id"), col("clabel").cast("long").as("clabel"),
           col("cosine"), col("rank").cast("long").as("rank"), col("margin"))
+    }),
+
+    // Embedding-space class report (training diagnostics): per label,
+    // the exact class centroid, the NEAREST other class and the cosine
+    // to it (inter-class separation — small margin = the confusable
+    // pair), and the mean member-to-centroid cosine (intra-class
+    // dispersion). Cross-engine exactness uses two established tricks:
+    // centroids are q47's integer micro-unit means (floor(v·1e6) sums,
+    // floor-divided by n — all values ≤ ~6e9, exact in double), and the
+    // dispersion average floors each member cosine to ppm BEFORE the
+    // sum, so the aggregate is an associative integer sum, not an
+    // order-dependent float fold. Centroid-level work is |labels|²
+    // rows; the corpus contributes one posexplode aggregation and one
+    // broadcast-centroid cosine pass — no corpus-sized shuffle beyond
+    // the per-(label, dim) groupBy.
+    "q97_embedding_report" -> ((s, dir) => {
+      import graft.functions.VectorFunctions
+      val e = Tables(s, dir, "embeddings")
+      val sums = e.select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(expr("CAST(FLOOR(CAST(col AS DOUBLE) * 1000000.0) AS BIGINT)")).as("sm"),
+          count(lit(1)).as("cnt"))
+        .withColumn("mi", expr("CAST(FLOOR(CAST(sm AS DOUBLE) / cnt) AS BIGINT)"))
+      val cents = sums.groupBy(col("label"))
+        .agg(max(col("cnt")).as("n"),
+          expr("transform(array_sort(collect_list(struct(pos, mi))), x -> x.mi)").as("cv"))
+        .cache()
+      val aSide = cents.select(col("label").as("la"), col("cv").as("ca"))
+      val bSide = cents.select(col("label").as("lb"), col("cv").as("cb"))
+      val inter = aSide.join(broadcast(bSide), col("la") =!= col("lb"))
+        .withColumn("inter_cos", expr(VectorFunctions.cosineExpr("ca", "cb")))
+      val w = Window.partitionBy(col("la")).orderBy(col("inter_cos").desc, col("lb").asc)
+      val nearest = inter.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("la").as("label"), col("lb").as("nearest_label"), col("inter_cos"))
+      val intra = e.join(broadcast(cents.select(col("label"), col("cv"))), Seq("label"))
+        .withColumn("c_ppm", expr(
+          s"CAST(FLOOR((${VectorFunctions.cosineExpr("embedding", "cv")}) * 1000000.0) AS BIGINT)"))
+        .groupBy(col("label"))
+        .agg(sum(col("c_ppm")).as("psum"), count(lit(1)).as("nn"))
+        .withColumn("intra_ppm", expr("CAST(FLOOR(CAST(psum AS DOUBLE) / nn) AS BIGINT)"))
+        .select(col("label"), col("intra_ppm"))
+      nearest.join(cents.select(col("label"), col("n")), Seq("label"))
+        .join(intra, Seq("label"))
+        .select(col("label").cast("long").as("label"), col("n"),
+          col("nearest_label").cast("long").as("nearest_label"),
+          col("inter_cos"), col("intra_ppm"))
     })
   )
 
@@ -1046,7 +1092,39 @@ object VectorOps {
          |  CAST(neg.clabel AS BIGINT) AS clabel, neg.cosine, neg.rank,
          |  COALESCE(pos.pos_sim, 0.0) - neg.cosine AS margin
          |FROM neg LEFT JOIN pos ON neg.query_id = pos.query_id
-         |WHERE neg.rank <= 5""".stripMargin
+         |WHERE neg.rank <= 5""".stripMargin,
+
+    "q97_embedding_report" ->
+      s"""WITH ex AS (
+         |  SELECT label, d AS pos,
+         |    CAST(SUM(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sm,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) dd
+         |  GROUP BY label, d),
+         |mi AS (SELECT label, pos,
+         |         CAST(FLOOR(CAST(sm AS DOUBLE) / cnt) AS BIGINT) AS mi, cnt FROM ex),
+         |cents AS (SELECT label, MAX(cnt) AS n, list(mi ORDER BY pos) AS cv
+         |          FROM mi GROUP BY label),
+         |inter AS (
+         |  SELECT a.label AS la, b.label AS lb,
+         |    ${duckCosineExpr("a.cv", "b.cv")} AS inter_cos
+         |  FROM cents a JOIN cents b ON a.label <> b.label),
+         |nearest AS (SELECT la, lb, inter_cos FROM (
+         |  SELECT la, lb, inter_cos,
+         |    ROW_NUMBER() OVER (PARTITION BY la
+         |      ORDER BY inter_cos DESC, lb ASC) AS rk FROM inter) t WHERE rk = 1),
+         |intra AS (
+         |  SELECT e.label,
+         |    CAST(FLOOR((${duckCosineExpr("e.embedding", "c.cv")}) * 1000000.0) AS BIGINT) AS c_ppm
+         |  FROM embeddings e JOIN cents c ON e.label = c.label),
+         |ia AS (SELECT label,
+         |         CAST(FLOOR(CAST(SUM(c_ppm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS intra_ppm
+         |       FROM intra GROUP BY 1)
+         |SELECT CAST(n.la AS BIGINT) AS label, c.n,
+         |  CAST(n.lb AS BIGINT) AS nearest_label, n.inter_cos, ia.intra_ppm
+         |FROM nearest n
+         |JOIN cents c ON n.la = c.label
+         |JOIN ia ON ia.label = n.la""".stripMargin
   )
 
   /** The q75 lexical arm as DuckDB CTEs ending in `lr` (rank ≤ k) —

@@ -51,7 +51,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q76_hybrid_rrf",            // dense arm: query batch vs corpus
     "q77_retrieval_eval",        // dense arm, shared with q76
     "q94_bpe_merges",            // single-row argmax merge frame per round
-    "q95_hard_negatives"         // k=8 centroid build side (q90's shape)
+    "q95_hard_negatives",        // k=8 centroid build side (q90's shape)
+    "q97_embedding_report"       // |labels|² centroid pairing (q89's shape)
   )
 
   /** Full-outer / outer fusion joins whose BOTH inputs are rank-bounded
@@ -62,7 +63,11 @@ class PlanAuditSpec extends AnyFunSuite {
     * scale) — PlanSpec pins that shape explicitly. */
   private val rankBoundedSmj: Set[String] = Set(
     "q68_semdedup", "q72_target_affinity_select",
-    "q76_hybrid_rrf", "q77_retrieval_eval", "q82_snapshot_diff")
+    "q76_hybrid_rrf", "q77_retrieval_eval", "q82_snapshot_diff",
+    // q21's documented size-driven pair join, shared by q96: AQE
+    // broadcasts at spec scale and correctly declines at sf0.1 (the
+    // DF-capped shingle-pair sides grow with the corpus)
+    "q21_ngram_jaccard", "q96_containment_dedup")
 
   test("no query's executed plan contains a CartesianProduct") {
     val bad = audits.filter(_._2("cartesian_product") > 0).keys.toSeq.sorted

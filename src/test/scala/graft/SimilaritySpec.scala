@@ -589,4 +589,45 @@ class SimilaritySpec extends AnyFunSuite {
       assert(labels(r.getLong(2)) == r.getLong(3))
     }
   }
+
+  test("q97 embedding report: exact micro-unit centroid recount; nearest/intra contracts hold") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables(spark, dir, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2).toLong))
+    val byLabel = e.groupBy(_._3)
+    // reference micro-unit centroid: floor(v*1e6) summed, floor-divided
+    def centroid(vs: Array[Array[Float]]): Array[Long] = {
+      val dim = vs.head.length
+      Array.tabulate(dim) { d =>
+        val sm = vs.map(v => math.floor(v(d).toDouble * 1e6).toLong).sum
+        math.floor(sm.toDouble / vs.length).toLong
+      }
+    }
+    val cents = byLabel.map { case (l, vs) => l -> centroid(vs.map(_._2)) }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.indices.map(i => a(i).toDouble * b(i)).sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val rows = SparkEntry.queries("q97_embedding_report")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSet == byLabel.keySet)
+    rows.foreach { r =>
+      val (l, n, nl, ic, ippm) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+      assert(n == byLabel(l).length)
+      assert(nl != l)
+      // nearest = argmax over the reference centroids
+      val want = cents.keys.filter(_ != l)
+        .map(o => (-cos(cents(l), cents(o)), o)).min._2
+      assert(nl == want, s"label $l nearest $nl != $want")
+      assert(math.abs(ic - cos(cents(l), cents(nl))) < 1e-9)
+      assert(ippm <= 1000000L && ippm >= -1000000L)
+      // dispersion recount: ppm-floored member cosines, floor-averaged
+      def cosFL(v: Array[Float], c: Array[Long]): Double = {
+        val d = v.indices.map(i => v(i).toDouble * c(i)).sum
+        d / (math.sqrt(v.map(x => x.toDouble * x).sum) * math.sqrt(c.map(x => x.toDouble * x).sum))
+      }
+      val psum = byLabel(l).map(m => math.floor(cosFL(m._2, cents(l)) * 1e6).toLong).sum
+      assert(ippm == math.floor(psum.toDouble / n).toLong, s"label $l intra drift")
+    }
+  }
 }
