@@ -25,6 +25,73 @@ object Relational {
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
   private def dsumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
 
+  /** q91's interval/point frames, shared by both range-join strategies.
+    * Intervals: (s_day, e_day, l_quantity); points: (o_orderkey, o_day). */
+  private def rangeJoinFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val epoch = lit("1970-01-01").cast("date")
+    val intervals = Tables(s, dir, "lineitem")
+      .withColumn("s_day", datediff(col("l_shipdate").cast("date"), epoch))
+      .withColumn("e_day",
+        col("s_day") + (col("l_orderkey") * 7 + col("l_linenumber")) % 30 + 1)
+      .select(col("s_day"), col("e_day"), col("l_quantity"))
+    val points = Tables(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1997)
+      .withColumn("o_day", datediff(col("o_orderdate").cast("date"), epoch))
+      .select(col("o_orderkey"), col("o_day"))
+    (intervals, points)
+  }
+
+  /** The linear difference-array sweep (see the q91 entry's scaladoc):
+    * ±deltas at interval endpoints → bounded-domain prefix sum →
+    * broadcast per-day coverage lookup. */
+  private[graft] def rangeJoinSweep(s: SparkSession, dir: String): DataFrame = {
+    val (intervals, points) = rangeJoinFrames(s, dir)
+    val deltas = intervals
+      .select(col("s_day").as("day"), lit(1L).as("dn"),
+        col("l_quantity").cast(DecimalType(30, 6)).as("dq"))
+      .union(intervals.select((col("e_day") + 1).as("day"), lit(-1L).as("dn"),
+        (col("l_quantity") * lit(-1)).cast(DecimalType(30, 6)).as("dq")))
+      .groupBy(col("day"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dq")).as("dq"))
+    // densify the (bounded, calendar-sized) day domain so every point
+    // day has a row, then prefix-sum; single-partition window over a
+    // few thousand rows — the q87 bounded-domain argument
+    val span = deltas.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val dense = span.select(explode(expr("sequence(lo, hi)")).as("day"))
+      .join(deltas, Seq("day"), "left")
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cover = dense
+      .withColumn("n_transit", sum(coalesce(col("dn"), lit(0L))).over(w))
+      .withColumn("qty_transit",
+        sum(coalesce(col("dq"), expr("CAST(0 AS DECIMAL(30,6))"))).over(w)
+          .cast("double"))
+      .filter(col("n_transit") > 0)
+      .select(col("day"), col("n_transit"), col("qty_transit"))
+    points.join(broadcast(cover), points("o_day") === cover("day"))
+      .select(col("o_orderkey"), col("n_transit"), col("qty_transit"))
+  }
+
+  /** The binned pair-producing range join — the strategy an operator
+    * that must EMIT matched (point, interval) pairs uses; kept as the
+    * spec-pinned verifier of [[rangeJoinSweep]]. */
+  private[graft] def rangeJoinBinned(s: SparkSession, dir: String): DataFrame = {
+    val (intervals0, points0) = rangeJoinFrames(s, dir)
+    val intervals = intervals0
+      .select(col("s_day"), col("e_day"), col("l_quantity"),
+        explode(expr("sequence(s_day div 32, e_day div 32)")).as("bin"))
+    val points = points0
+      .select(col("o_orderkey"), col("o_day"),
+        expr("CAST(o_day div 32 AS BIGINT)").as("bin"))
+    intervals.join(points, Seq("bin"))
+      .filter(col("s_day") <= col("o_day") && col("o_day") <= col("e_day"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_transit"),
+        sum(col("l_quantity").cast("decimal(30,6)")).cast("double").as("qty_transit"))
+      .select(col("o_orderkey"), col("n_transit"), col("qty_transit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A3 count/sum aggregations (reference chunks_data.py:66,77,98,104) —
     // TPC-H-Q1-shaped pricing summary; map-side partial agg, 2 groups.
@@ -224,48 +291,39 @@ object Relational {
     }),
 
     // Range join (q91): point-in-interval temporal join — the batch
-    // complement of q36's as-of join and the second prompt-class custom
-    // join operator. For each urgent 1994 order, every lineitem whose
-    // in-transit window [ship_day, ship_day + span] covers the order
-    // date ("how much inventory was on the road the day this order was
-    // placed" — urgent 1997 orders keep the point side selective);
-    // span is derived deterministically (1..30 days) so both
-    // engines see identical intervals. Spark has no inequality-join
-    // strategy — a naive `ON s <= p AND p <= e` is a nested loop over
-    // |points|×|intervals| — so this is the classic BINNED range join:
-    // quantize days into fixed-width bins with W ≥ the max span (32 ≥
-    // 30), replicate each interval to the 1–2 bins it overlaps
-    // (sequence + explode — correct for ANY span; W only tunes the
-    // replication factor), map each point to its single bin, and
-    // equi-join on the bin key. A (point, interval) pair co-occurs in
-    // exactly the point's bin, so no dedup is needed; the exact
-    // containment predicate refines candidates inside the join's
-    // codegen'd filter. Candidates per point = intervals within ~W+span
-    // days — Θ(true matches), not Θ(corpus). The join stays declarative
-    // so AQE broadcasts the filtered point side while it fits and falls
-    // back to the co-partitioned shuffle when it doesn't; partial
-    // aggregation collapses match rows before the per-order shuffle.
-    "q91_range_join" -> ((s, dir) => {
-      val epoch = lit("1970-01-01").cast("date")
-      val intervals = Tables(s, dir, "lineitem")
-        .withColumn("s_day", datediff(col("l_shipdate").cast("date"), epoch))
-        .withColumn("e_day",
-          col("s_day") + (col("l_orderkey") * 7 + col("l_linenumber")) % 30 + 1)
-        .select(col("s_day"), col("e_day"), col("l_quantity"),
-          explode(expr("sequence(s_day div 32, e_day div 32)")).as("bin"))
-      val points = Tables(s, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT" &&
-          year(col("o_orderdate")) === 1997)
-        .withColumn("o_day", datediff(col("o_orderdate").cast("date"), epoch))
-        .select(col("o_orderkey"), col("o_day"),
-          expr("CAST(o_day div 32 AS BIGINT)").as("bin"))
-      intervals.join(points, Seq("bin"))
-        .filter(col("s_day") <= col("o_day") && col("o_day") <= col("e_day"))
-        .groupBy(col("o_orderkey"))
-        .agg(count(lit(1)).as("n_transit"),
-          sum(col("l_quantity").cast("decimal(30,6)")).cast("double").as("qty_transit"))
-        .select(col("o_orderkey"), col("n_transit"), col("qty_transit"))
-    }),
+    // complement of q36's as-of join. For each urgent 1997 order, the
+    // count and quantity of lineitems whose in-transit window
+    // [ship_day, ship_day + span] covers the order date ("how much
+    // inventory was on the road the day this order was placed"); span
+    // is derived deterministically (1..30 days) so both engines see
+    // identical intervals. Two strategies exist and BOTH live here:
+    //
+    //  - [[rangeJoinBinned]]: the general BINNED range join (intervals
+    //    replicated to W-day bins, points equi-join their single bin,
+    //    exact containment refines in codegen). Candidates per point =
+    //    Θ(true matches) — optimal when the operator must PRODUCE the
+    //    matched pairs. But for an aggregate output its cost is the
+    //    match count itself, and when temporal density grows with the
+    //    corpus (the ScaleGen replicas keep the calendar fixed, exactly
+    //    like a busier real workload) that is points × density —
+    //    quadratic in the densification factor (measured: 1.4 s → 19 s
+    //    from 1× → 10×).
+    //  - The DIFFERENCE-ARRAY SWEEP used below, the 100 TB shape for
+    //    aggregate outputs: each interval contributes +1/−1 (and
+    //    ±quantity) deltas at its endpoints, one map-side-combined
+    //    groupBy collapses the corpus to ≤ |calendar| delta rows, a
+    //    prefix sum over the DENSIFIED bounded day domain (a few
+    //    thousand rows at ANY corpus size — the q87 bounded-domain
+    //    window argument) yields per-day coverage, and points read
+    //    their day from the broadcast coverage table. Linear in
+    //    |intervals| + |points|, never materializes a match pair;
+    //    decimal delta sums keep qty bit-equal to the per-order
+    //    aggregation (exact arithmetic is order-independent).
+    //
+    // RelationalSpec pins sweep ≡ binned on the oracle data, so the
+    // pair-producing strategy stays verified while the suite runs the
+    // linear one.
+    "q91_range_join" -> (rangeJoinSweep(_, _)),
 
     // Set ops: UNION + distinct (reference set-union dedup, crawl_web.py:114-117).
     "q16_union_distinct" -> ((s, dir) => {
