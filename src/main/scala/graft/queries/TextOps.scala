@@ -558,6 +558,46 @@ object TextOps {
           .select(col("b").as("word"), col("score"))
       }
       ranks
+    }),
+
+    // PMI collocation mining (Church & Hanks 1990 — the multi-word-
+    // expression detector corpus analysis runs before tokenizer or
+    // phrase-table work): pointwise mutual information of adjacent
+    // token pairs, pmi(a,b) = log2(c_ab·N / (c_a·c_b)), keep pairs
+    // with count ≥ 5 and pmi > 0, top-100. Distinct from q85 (raw
+    // 2-gram frequency — PMI surfaces pairs whose co-occurrence BEATS
+    // their unigram popularity, exactly the pairs frequency ranking
+    // buries) and from q92 (global graph centrality, not pairwise
+    // association). INTEGER-EXACT cross-engine: the ratio is scaled to
+    // x = (c_ab·N·1024) div (c_a·c_b) in DECIMAL/HUGEINT, and
+    // pmi_mbits = pl2(x) − 10240 reuses q74's piecewise-linear log2 —
+    // no transcendentals, so the oracle hash-matches. Scale shape: the
+    // corpus collapses to vocabulary-keyed counts in ONE pass each for
+    // pairs and unigrams (codegen element_at bigram explode, map-side
+    // combine); the join side is the ≥5-count pair table (small) against
+    // unigram counts on word keys — vocabulary-sized, AQE picks the
+    // strategy; top-100 is a TakeOrdered, never a global sort.
+    "q99_pmi_collocations" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(expr(toksExpr).as("toks"))
+        .filter(expr("size(toks) >= 2"))
+      val nt = docs.agg(sum(expr("CAST(size(toks) - 1 AS BIGINT)"))).first().getLong(0)
+      val pc = docs
+        .select(col("toks"), explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+        .select(expr("element_at(toks, i)").as("a"), expr("element_at(toks, i + 1)").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      val uni = docs.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      pc
+        .join(uni.select(col("w").as("a"), col("cw").as("ca")), Seq("a"))
+        .join(uni.select(col("w").as("b"), col("cw").as("cb")), Seq("b"))
+        .withColumn("x", expr(
+          s"(CAST(cab AS DECIMAL(38,0)) * $nt * 1024) div (CAST(ca AS DECIMAL(38,0)) * cb)"))
+        .filter(col("x") > 1024)
+        .withColumn("pmi_mbits", expr(s"${Idioms.pl2Expr("x")} - 10240"))
+        .orderBy(col("pmi_mbits").desc, col("a").asc, col("b").asc).limit(100)
+        .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"), col("pmi_mbits"))
     })
   )
 
@@ -897,7 +937,28 @@ object TextOps {
            |r3 AS (SELECT e.b AS word,
            |         CAST(150000000 + (85 * SUM((r2.score * e.w) // e.wdeg)) // 100 AS BIGINT) AS score
            |       FROM e JOIN r2 ON e.a = r2.word GROUP BY 1)
-           |SELECT word, score FROM r3""".stripMargin
+           |SELECT word, score FROM r3""".stripMargin,
+
+      // Same scaled-ratio + pl2 arithmetic in HUGEINT; `//` on
+      // positives floors exactly like Spark's `div`.
+      "q99_pmi_collocations" ->
+        s"""WITH dtk AS (SELECT $toksSql AS tk FROM documents),
+           |docs AS (SELECT tk FROM dtk WHERE len(tk) >= 2),
+           |tot AS (SELECT CAST(SUM(len(tk) - 1) AS BIGINT) AS nt FROM docs),
+           |pr AS (SELECT tk[i] AS a, tk[i + 1] AS b
+           |       FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM docs)),
+           |pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+           |       FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+           |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+           |        FROM (SELECT unnest(tk) AS w FROM docs) GROUP BY 1),
+           |j AS (SELECT p.a, p.b, p.cab, ua.cw AS ca, ub.cw AS cb,
+           |        CAST((CAST(p.cab AS HUGEINT) * (SELECT nt FROM tot) * 1024)
+           |          // (CAST(ua.cw AS HUGEINT) * ub.cw) AS BIGINT) AS x
+           |      FROM pc p JOIN uni ua ON ua.w = p.a JOIN uni ub ON ub.w = p.b),
+           |k AS (SELECT a, b, cab, ca, cb, ${Idioms.pl2Sql("x")} - 10240 AS pmi_mbits
+           |      FROM j WHERE x > 1024)
+           |SELECT a, b, cab, ca, cb, CAST(pmi_mbits AS BIGINT) AS pmi_mbits
+           |FROM k ORDER BY pmi_mbits DESC, a ASC, b ASC LIMIT 100""".stripMargin
     )
   }
 }

@@ -953,37 +953,46 @@ object TrainingOps {
     // cross-joins back in (broadcast), so every round is declarative
     // and the plan is O(rounds) stages.
     "q94_bpe_merges" -> ((s, dir) => {
-      val vocab = Tables(s, dir, "documents")
-        .select(explode(expr(toksExpr)).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .select(col("freq"), expr(
-          "transform(sequence(1, length(w)), i -> substr(w, i, 1))").as("syms"))
-      def pairCounts(s0: DataFrame): DataFrame = s0
-        .filter(expr("size(syms) >= 2"))
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
-      def argmax(p: DataFrame): DataFrame =
-        p.orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1)
-      def applyMerge(s0: DataFrame, m: DataFrame): DataFrame = s0
-        .crossJoin(broadcast(m.select(col("l").as("ml"), col("r").as("mr"))))
-        .select(col("freq"), split(expr(
-          """aggregate(syms, '', (acc, x) -> CASE
-            |  WHEN acc = '' THEN x
-            |  WHEN (acc = ml OR endswith(acc, concat(' ', ml))) AND x = mr
-            |    THEN concat(substring(acc, 1, length(acc) - length(ml)), ml, mr)
-            |  ELSE concat(acc, ' ', x) END)""".stripMargin), " ").as("syms"))
-      val s0 = vocab
-      val m1 = argmax(pairCounts(s0)).cache()
-      val s1 = applyMerge(s0, m1)
-      val m2 = argmax(pairCounts(s1)).cache()
-      val s2 = applyMerge(s1, m2)
-      val m3 = argmax(pairCounts(s2))
+      val s0 = bpeVocab(s, dir)
+      val m1 = bpeArgmax(bpePairCounts(s0)).cache()
+      val s1 = bpeApplyMerge(s0, m1)
+      val m2 = bpeArgmax(bpePairCounts(s1)).cache()
+      val s2 = bpeApplyMerge(s1, m2)
+      val m3 = bpeArgmax(bpePairCounts(s2))
       def row(step: Int, m: DataFrame): DataFrame = m.select(lit(step).as("step"),
         col("l"), col("r"), concat(col("l"), col("r")).as("merged"), col("cnt"))
       row(1, m1).union(row(2, m2)).union(row(3, m3))
+    }),
+
+    // Tokenizer APPLY (the deployment half of q94 — encode the corpus
+    // with the learned merges and measure what they bought): the 3
+    // learned merges are applied corpus-wide and the result reported
+    // as one row per surviving multi-char symbol — its corpus
+    // occurrence count (freq-weighted, in the FINAL symbolization:
+    // a merge consumed by a later merge scores in the superseding
+    // token, exactly how a trained tokenizer behaves) — plus the total
+    // corpus symbol counts before/after, i.e. the sequence-length
+    // compression the tokenizer delivers. Scale shape is q94's: the
+    // corpus collapses once to the (word, freq) vocabulary, every
+    // merge round and the apply walk run at vocabulary size, and the
+    // final stats are freq-weighted vocab aggregates — the corpus is
+    // touched exactly once regardless of merge count.
+    "q100_bpe_apply" -> ((s, dir) => {
+      val s0 = bpeVocab(s, dir)
+      val m1 = bpeArgmax(bpePairCounts(s0)).cache()
+      val s1 = bpeApplyMerge(s0, m1)
+      val m2 = bpeArgmax(bpePairCounts(s1)).cache()
+      val s2 = bpeApplyMerge(s1, m2)
+      val m3 = bpeArgmax(bpePairCounts(s2)).cache()
+      val s3 = bpeApplyMerge(s2, m3).cache()
+      val tots = s0.agg(sum(expr("freq * size(syms)")).as("syms_before"))
+        .crossJoin(s3.agg(sum(expr("freq * size(syms)")).as("syms_after")))
+      s3.select(col("freq"), explode(col("syms")).as("sym"))
+        .filter(length(col("sym")) >= 2)
+        .groupBy(col("sym")).agg(sum(col("freq")).as("occurrences"))
+        .crossJoin(broadcast(tots))
+        .select(col("sym"), col("occurrences"),
+          col("syms_before"), col("syms_after"))
     }),
 
     "q93_record_linkage" -> ((s, dir) => {
@@ -1000,6 +1009,80 @@ object TrainingOps {
           col("n_a"), col("n_b"))
     })
   )
+
+  /** The q94 oracle's WITH-chain through the third merge pick (m3) —
+    * shared verbatim by the q100 twin so the two cannot drift. */
+  private val BpeOracleCtes: String =
+    """WITH vocab AS (
+      |  SELECT w, COUNT(*) AS freq FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |    FROM documents) t
+      |  WHERE length(w) >= 2 GROUP BY 1),
+      |s0 AS (SELECT freq,
+      |         list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+      |       FROM vocab),
+      |p1 AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+      |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+      |    FROM s0 WHERE len(syms) >= 2) q GROUP BY 1, 2),
+      |m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+      |s1 AS (SELECT freq, string_split(list_reduce(syms, (acc, x) -> CASE
+      |      WHEN (acc = l OR ends_with(acc, ' ' || l)) AND x = r
+      |        THEN substr(acc, 1, length(acc) - length(l)) || l || r
+      |      ELSE acc || ' ' || x END), ' ') AS syms
+      |    FROM s0 CROSS JOIN m1),
+      |p2 AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+      |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+      |    FROM s1 WHERE len(syms) >= 2) q GROUP BY 1, 2),
+      |m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+      |s2 AS (SELECT freq, string_split(list_reduce(syms, (acc, x) -> CASE
+      |      WHEN (acc = l OR ends_with(acc, ' ' || l)) AND x = r
+      |        THEN substr(acc, 1, length(acc) - length(l)) || l || r
+      |      ELSE acc || ' ' || x END), ' ') AS syms
+      |    FROM s1 CROSS JOIN m2),
+      |p3 AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+      |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+      |    FROM s2 WHERE len(syms) >= 2) q GROUP BY 1, 2),
+      |m3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""".stripMargin
+
+  /** q94/q100's BPE working set: the corpus collapsed to (freq,
+    * syms = single-char symbol list) per distinct word of length ≥ 2 —
+    * bounded by the vocabulary, not the corpus. */
+  private[graft] def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(expr(toksExpr)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr(
+        "transform(sequence(1, length(w)), i -> substr(w, i, 1))").as("syms"))
+
+  /** Freq-weighted adjacent-symbol pair counts over a symbolized
+    * vocabulary (one BPE round's statistics). */
+  private[graft] def bpePairCounts(s0: DataFrame): DataFrame = s0
+    .filter(expr("size(syms) >= 2"))
+    .select(col("freq"), explode(expr(
+      "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+    .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+    .agg(sum(col("freq")).as("cnt"))
+
+  /** Deterministic best-pair pick: max count, ties lexicographic. */
+  private[graft] def bpeArgmax(p: DataFrame): DataFrame =
+    p.orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1)
+
+  /** Greedy left-to-right merge of the (broadcast, 1-row) pair `m`
+    * through every word via a string-accumulator `aggregate` HOF —
+    * symbols never contain spaces (words are whitespace-split), so
+    * ' ' is a safe separator; the walk IS the reference BPE apply. */
+  private[graft] def bpeApplyMerge(s0: DataFrame, m: DataFrame): DataFrame = s0
+    .crossJoin(broadcast(m.select(col("l").as("ml"), col("r").as("mr"))))
+    .select(col("freq"), split(expr(
+      """aggregate(syms, '', (acc, x) -> CASE
+        |  WHEN acc = '' THEN x
+        |  WHEN (acc = ml OR endswith(acc, concat(' ', ml))) AND x = mr
+        |    THEN concat(substring(acc, 1, length(acc) - length(ml)), ml, mr)
+        |  ELSE concat(acc, ' ', x) END)""".stripMargin), " ").as("syms"))
 
   /** The q88 per-document sampling keys: (doc_id, n_chars, n_tickets,
     * skey = min ticket hash). Shared with
@@ -1511,42 +1594,26 @@ object TrainingOps {
     // with the first element (Spark's aggregate seeds '' and the first
     // step is the acc='' branch) — identical greedy walks.
     "q94_bpe_merges" ->
-      """WITH vocab AS (
-        |  SELECT w, COUNT(*) AS freq FROM (
-        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-        |    FROM documents) t
-        |  WHERE length(w) >= 2 GROUP BY 1),
-        |s0 AS (SELECT freq,
-        |         list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
-        |       FROM vocab),
-        |p1 AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-        |    SELECT freq, unnest(list_transform(range(1, len(syms)),
-        |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
-        |    FROM s0 WHERE len(syms) >= 2) q GROUP BY 1, 2),
-        |m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-        |s1 AS (SELECT freq, string_split(list_reduce(syms, (acc, x) -> CASE
-        |      WHEN (acc = l OR ends_with(acc, ' ' || l)) AND x = r
-        |        THEN substr(acc, 1, length(acc) - length(l)) || l || r
-        |      ELSE acc || ' ' || x END), ' ') AS syms
-        |    FROM s0 CROSS JOIN m1),
-        |p2 AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-        |    SELECT freq, unnest(list_transform(range(1, len(syms)),
-        |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
-        |    FROM s1 WHERE len(syms) >= 2) q GROUP BY 1, 2),
-        |m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-        |s2 AS (SELECT freq, string_split(list_reduce(syms, (acc, x) -> CASE
-        |      WHEN (acc = l OR ends_with(acc, ' ' || l)) AND x = r
-        |        THEN substr(acc, 1, length(acc) - length(l)) || l || r
-        |      ELSE acc || ' ' || x END), ' ') AS syms
-        |    FROM s1 CROSS JOIN m2),
-        |p3 AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-        |    SELECT freq, unnest(list_transform(range(1, len(syms)),
-        |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
-        |    FROM s2 WHERE len(syms) >= 2) q GROUP BY 1, 2),
-        |m3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
+      s"""$BpeOracleCtes
         |SELECT 1 AS step, l, r, l || r AS merged, cnt FROM m1
         |UNION ALL SELECT 2, l, r, l || r, cnt FROM m2
         |UNION ALL SELECT 3, l, r, l || r, cnt FROM m3""".stripMargin,
+
+    // q94's chain extended one step (apply m3 → s3), then the
+    // freq-weighted symbol stats of the final symbolization.
+    "q100_bpe_apply" ->
+      s"""$BpeOracleCtes,
+        |s3 AS (SELECT freq, string_split(list_reduce(syms, (acc, x) -> CASE
+        |      WHEN (acc = l OR ends_with(acc, ' ' || l)) AND x = r
+        |        THEN substr(acc, 1, length(acc) - length(l)) || l || r
+        |      ELSE acc || ' ' || x END), ' ') AS syms
+        |    FROM s2 CROSS JOIN m3),
+        |tb AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS syms_before FROM s0),
+        |ta AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS syms_after FROM s3),
+        |occ AS (SELECT sym, CAST(SUM(freq) AS BIGINT) AS occurrences
+        |        FROM (SELECT freq, unnest(syms) AS sym FROM s3) u
+        |        WHERE length(sym) >= 2 GROUP BY 1)
+        |SELECT sym, occurrences, syms_before, syms_after FROM occ, tb, ta""".stripMargin,
 
     "q93_record_linkage" ->
       """WITH names AS (

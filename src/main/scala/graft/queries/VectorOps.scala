@@ -691,6 +691,78 @@ object VectorOps {
         .select(col("label").cast("long").as("label"), col("n"),
           col("nearest_label").cast("long").as("nearest_label"),
           col("inter_cos"), col("intra_ppm"))
+    }),
+
+    // Distributed PCA — top principal component of the embedding cloud
+    // by covariance + power iteration (the whitening / dimensionality
+    // diagnostic every embedding pipeline wants; SemDeDup-style
+    // pipelines run exactly this before clustering). The 100 TB shape:
+    // ONE corpus pass accumulates the exact integer second-moment
+    // matrix — each row explodes to its d(d+1)/2 upper-triangle
+    // micro-unit products (codegen element_at arithmetic, no HOF
+    // lambdas in the hot path) and the groupBy(i, j) partial-aggregates
+    // map-side, so the shuffle carries at most 2080 rows per partition
+    // regardless of corpus size; first moments ride the same pass
+    // shape. Everything downstream of the moments touches only the
+    // d×d matrix (4096 rows): covariance via the n·S_ij − S_i·S_j
+    // identity (DECIMAL(38,0) — n·S_ij overflows BIGINT already at
+    // sf0.1), normalisation to ±1e6 integer units, and THREE power
+    // iterations as tiny join+groupBy rounds (q92's integer PageRank
+    // pattern). Cross-engine exactness: micro-unit floors, and every
+    // division is sign-guarded `abs div` so Spark's `div` and DuckDB's
+    // floor `//` agree on negatives; the sign convention (entry with
+    // the largest |component|, ties dim-asc, made positive) pins the
+    // eigenvector's orientation. rayleigh_scaled = v·Cn·v div v·v is
+    // the eigenvalue estimate in the same 1e6 scale.
+    "q98_pca_power" -> ((s, dir) => {
+      val mm = Tables(s, dir, "embeddings").select(expr(
+        "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))").as("m"))
+      val fm = mm.select(col("m"), explode(expr("sequence(0, size(m) - 1)")).as("i"))
+        .select(col("i"), expr("element_at(m, i + 1)").as("mi"))
+        .groupBy(col("i"))
+        .agg(sum(col("mi").cast("decimal(38,0)")).as("si"), count(lit(1)).as("cnt"))
+      val pairs = mm.select(col("m"), explode(expr("sequence(0, size(m) - 1)")).as("i"))
+        .select(col("m"), col("i"), explode(expr("sequence(i, size(m) - 1)")).as("j"))
+        .select(col("i"), col("j"),
+          expr("element_at(m, i + 1) * element_at(m, j + 1)").as("p"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("p").cast("decimal(38,0)")).as("sij"))
+      val cov = pairs
+        .join(broadcast(fm.select(col("i"), col("si").as("si_i"), col("cnt"))), Seq("i"))
+        .join(broadcast(fm.select(col("i").as("j"), col("si").as("si_j"))), Seq("j"))
+        .withColumn("c", expr("CAST(cnt AS DECIMAL(38,0)) * sij - si_i * si_j"))
+        .select(col("i"), col("j"), col("c"))
+      val cn = cov.crossJoin(broadcast(cov.agg(max(abs(col("c"))).as("mc"))))
+        .withColumn("cs", expr(
+          "CASE WHEN c < 0 THEN -((-c * 1000000) div mc) ELSE (c * 1000000) div mc END"))
+        .select(col("i"), col("j"), col("cs"))
+      val cf = cn.union(cn.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cs"))).cache()
+      def iterate(v: DataFrame): DataFrame = {
+        val w = cf.join(broadcast(v), Seq("j"))
+          .groupBy(col("i")).agg(sum(expr("cs * v")).as("w"))
+        w.crossJoin(broadcast(w.agg(max(abs(col("w"))).as("mw"))))
+          .withColumn("v", expr(
+            "CASE WHEN w < 0 THEN -((-CAST(w AS DECIMAL(38,0)) * 1000000) div mw)" +
+              " ELSE (CAST(w AS DECIMAL(38,0)) * 1000000) div mw END"))
+          .select(col("i").as("j"), col("v"))
+      }
+      val v0 = s.range(64).select(col("id").cast("int").as("j"), lit(1000000L).as("v"))
+      val v3 = iterate(iterate(iterate(v0)))
+      val sg = v3.orderBy(abs(col("v")).desc, col("j").asc).limit(1)
+        .select(expr("CASE WHEN v < 0 THEN -1 ELSE 1 END").as("sg"))
+      val vo = v3.crossJoin(broadcast(sg))
+        .withColumn("comp", col("v") * col("sg")).cache()
+      val num = cf
+        .join(broadcast(vo.select(col("j").as("i"), col("comp").as("vi"))), Seq("i"))
+        .join(broadcast(vo.select(col("j"), col("comp").as("vj"))), Seq("j"))
+        .agg(sum(expr("CAST(cs AS DECIMAL(38,0)) * vi * vj")).as("num"))
+      val den = vo.agg(sum(expr("CAST(comp AS DECIMAL(38,0)) * comp")).as("den"))
+      vo.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+        .withColumn("rayleigh_scaled", expr(
+          "CASE WHEN num < 0 THEN -((-num) div den) ELSE num div den END"))
+        .select(col("j").cast("long").as("dim"), col("comp").cast("long").as("comp"),
+          col("rayleigh_scaled"))
     })
   )
 
@@ -1124,7 +1196,57 @@ object VectorOps {
          |  CAST(n.lb AS BIGINT) AS nearest_label, n.inter_cos, ia.intra_ppm
          |FROM nearest n
          |JOIN cents c ON n.la = c.label
-         |JOIN ia ON ia.label = n.la""".stripMargin
+         |JOIN ia ON ia.label = n.la""".stripMargin,
+
+    // Same moments / covariance / 3 unrolled power iterations in
+    // HUGEINT; every division is the sign-guarded abs-div shared with
+    // the Spark side, so `//` floor vs `div` semantics never differ.
+    "q98_pca_power" ->
+      """WITH mm AS (
+        |  SELECT list_transform(embedding,
+        |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+        |  FROM embeddings),
+        |fm AS (
+        |  SELECT i, CAST(SUM(m[i + 1]) AS HUGEINT) AS si, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT m, unnest(generate_series(0, len(m) - 1)) AS i FROM mm)
+        |  GROUP BY i),
+        |pairs AS (
+        |  SELECT i, j, CAST(SUM(CAST(m[i + 1] AS HUGEINT) * m[j + 1]) AS HUGEINT) AS sij
+        |  FROM (SELECT m, i, unnest(generate_series(i, len(m) - 1)) AS j
+        |        FROM (SELECT m, unnest(generate_series(0, len(m) - 1)) AS i FROM mm))
+        |  GROUP BY i, j),
+        |cov AS (
+        |  SELECT p.i, p.j, CAST(a.cnt AS HUGEINT) * p.sij - a.si * b.si AS c
+        |  FROM pairs p JOIN fm a ON a.i = p.i JOIN fm b ON b.i = p.j),
+        |mx AS (SELECT MAX(ABS(c)) AS mc FROM cov),
+        |cn AS (
+        |  SELECT i, j,
+        |    CASE WHEN c < 0 THEN -((-c * 1000000) // mc) ELSE (c * 1000000) // mc END AS cs
+        |  FROM cov, mx),
+        |cf AS (SELECT i, j, cs FROM cn UNION ALL SELECT j AS i, i AS j, cs FROM cn WHERE i <> j),
+        |v0 AS (SELECT unnest(generate_series(0, 63)) AS j, CAST(1000000 AS HUGEINT) AS v),
+        |w1 AS (SELECT f.i, SUM(cs * v) AS w FROM cf f JOIN v0 ON v0.j = f.j GROUP BY 1),
+        |v1 AS (SELECT i AS j, CASE WHEN w < 0 THEN -((-w * 1000000) // mw)
+        |         ELSE (w * 1000000) // mw END AS v
+        |       FROM w1, (SELECT MAX(ABS(w)) AS mw FROM w1)),
+        |w2 AS (SELECT f.i, SUM(cs * v) AS w FROM cf f JOIN v1 ON v1.j = f.j GROUP BY 1),
+        |v2 AS (SELECT i AS j, CASE WHEN w < 0 THEN -((-w * 1000000) // mw)
+        |         ELSE (w * 1000000) // mw END AS v
+        |       FROM w2, (SELECT MAX(ABS(w)) AS mw FROM w2)),
+        |w3 AS (SELECT f.i, SUM(cs * v) AS w FROM cf f JOIN v2 ON v2.j = f.j GROUP BY 1),
+        |v3 AS (SELECT i AS j, CASE WHEN w < 0 THEN -((-w * 1000000) // mw)
+        |         ELSE (w * 1000000) // mw END AS v
+        |       FROM w3, (SELECT MAX(ABS(w)) AS mw FROM w3)),
+        |sg AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
+        |       FROM v3 ORDER BY ABS(v) DESC, j ASC LIMIT 1),
+        |vo AS (SELECT j, v * sg AS comp FROM v3, sg),
+        |num AS (SELECT SUM(cs * a.comp * b.comp) AS num
+        |        FROM cf f JOIN vo a ON a.j = f.i JOIN vo b ON b.j = f.j),
+        |den AS (SELECT SUM(comp * comp) AS den FROM vo)
+        |SELECT CAST(j AS BIGINT) AS dim, CAST(comp AS BIGINT) AS comp,
+        |  CAST(CASE WHEN num < 0 THEN -((-num) // den) ELSE num // den END AS BIGINT)
+        |    AS rayleigh_scaled
+        |FROM vo, num, den""".stripMargin
   )
 
   /** The q75 lexical arm as DuckDB CTEs ending in `lr` (rank ≤ k) —

@@ -52,7 +52,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q77_retrieval_eval",        // dense arm, shared with q76
     "q94_bpe_merges",            // single-row argmax merge frame per round
     "q95_hard_negatives",        // k=8 centroid build side (q90's shape)
-    "q97_embedding_report"       // |labels|² centroid pairing (q89's shape)
+    "q97_embedding_report",      // |labels|² centroid pairing (q89's shape)
+    "q98_pca_power",             // single-row max-abs / rayleigh frames over the d×d matrix
+    "q100_bpe_apply"             // q94's argmax frames + single-row symbol-count totals
   )
 
   /** Full-outer / outer fusion joins whose BOTH inputs are rank-bounded

@@ -630,4 +630,44 @@ class SimilaritySpec extends AnyFunSuite {
       assert(ippm == math.floor(psum.toDouble / n).toLong, s"label $l intra drift")
     }
   }
+
+  test("q98: top principal component matches a full BigInt covariance + power-iteration recount") {
+    val dir = "/root/testdata/sf0.01"
+    val vecs: Array[Array[Float]] = Tables(spark, dir, "embeddings")
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val d = vecs.head.length
+    val m = vecs.map(v => v.map(x => math.floor(x.toDouble * 1e6).toLong))
+    val n = BigInt(m.length)
+    def sdiv(a: BigInt, b: BigInt): BigInt = if (a < 0) -((-a) / b) else a / b
+    val si = Array.tabulate(d)(i => m.map(r => BigInt(r(i))).sum)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      n * m.map(r => BigInt(r(i)) * BigInt(r(j))).sum - si(i) * si(j)
+    }
+    val mc = cov.flatten.map(_.abs).max
+    val cn = cov.map(_.map(c => sdiv(c * 1000000, mc)))
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cn(i)(j) * v(j)).sum)
+      val mw = w.map(_.abs).max
+      v = w.map(x => sdiv(x * 1000000, mw))
+    }
+    val top = (0 until d).minBy(j => (-v(j).abs, BigInt(j)))
+    val sg = if (v(top) < 0) BigInt(-1) else BigInt(1)
+    val comp = v.map(_ * sg)
+    val num = (for { i <- 0 until d; j <- 0 until d }
+      yield cn(i)(j) * comp(i) * comp(j)).sum
+    val den = comp.map(c => c * c).sum
+    val rq = sdiv(num, den)
+    val got = SparkEntry.queries("q98_pca_power")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.length == d)
+    got.foreach { case (dim, c, r) =>
+      assert(BigInt(c) == comp(dim.toInt), s"dim $dim comp $c != ${comp(dim.toInt)}")
+      assert(BigInt(r) == rq, s"rayleigh $r != $rq")
+    }
+    // the reported component is genuinely normalised: max |entry| = 1e6,
+    // oriented positive
+    assert(got.map(_._2.abs).max == 1000000L)
+    assert(comp(top) > 0)
+  }
 }

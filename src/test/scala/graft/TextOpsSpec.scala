@@ -220,4 +220,31 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a.nonEmpty && a == b)
   }
+
+  test("q99: PMI collocations match a full Scala recount of the ratio + pl2 arithmetic") {
+    val docs = Tables(spark, dir, "documents").select(col("text")).collect()
+      .map(_.getString(0).split(' ').filter(_.nonEmpty)).filter(_.length >= 2)
+    val nt = docs.map(t => (t.length - 1).toLong).sum
+    val pairCnt = docs.flatMap(t => t.zip(t.tail))
+      .groupBy(identity).map { case (p, v) => p -> v.length.toLong }
+    val uni = docs.flatten.groupBy(identity).map { case (w, v) => w -> v.length.toLong }
+    def pl2(x: Long): Long = {
+      val b = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      b * 1024L + x * 1024L / (1L << b) - 1024L
+    }
+    val want = pairCnt.toSeq.filter(_._2 >= 5).flatMap { case ((a, b), cab) =>
+      val x = (BigInt(cab) * nt * 1024 / (BigInt(uni(a)) * uni(b))).toLong
+      if (x > 1024) Some((a, b, cab, uni(a), uni(b), pl2(x) - 10240)) else None
+    }.sortBy { case (a, b, _, _, _, p) => (-p, a, b) }.take(100)
+    val got = SparkEntry.queries("q99_pmi_collocations")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.nonEmpty && got == want,
+      s"first drift: ${got.zip(want).find(p => p._1 != p._2)}")
+    // PMI genuinely reorders vs raw frequency (the statistic adds
+    // information over q85's frequency ranking): some pair outranks
+    // another on PMI while being strictly rarer
+    assert(got.exists(h => got.exists(l =>
+      h._6 > l._6 && h._3 < l._3)))
+  }
 }

@@ -828,4 +828,43 @@ class TrainingOpsSpec extends AnyFunSuite {
         r.getLong(4))).sortBy(_._1).toSeq
     assert(got == want, s"$got != $want")
   }
+
+  test("q100: applied merges reproduce the reference tokenizer's corpus stats exactly") {
+    // same reference trainer as the q94 test, run through the APPLY side
+    val vocab0: Map[Vector[String], Long] = Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).split(' ').filter(w => w.nonEmpty && w.length >= 2))
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.length.toLong }
+    def pairCounts(v: Map[Vector[String], Long]): Map[(String, String), Long] =
+      v.toSeq.flatMap { case (syms, f) =>
+        syms.zip(syms.tail).map(p => (p, f)) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+    def applyMerge(v: Map[Vector[String], Long], l: String, r: String): Map[Vector[String], Long] =
+      v.map { case (syms, f) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        } -> f
+      }
+    var v = vocab0
+    for (_ <- 1 to 3) {
+      val (l, r) = pairCounts(v).toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+      v = applyMerge(v, l, r)
+    }
+    val before = vocab0.map { case (syms, f) => syms.length.toLong * f }.sum
+    val after = v.map { case (syms, f) => syms.length.toLong * f }.sum
+    val occ = v.toSeq.flatMap { case (syms, f) =>
+      syms.filter(_.length >= 2).map(_ -> f) }.groupMapReduce(_._1)(_._2)(_ + _)
+    val got = SparkEntry.queries("q100_bpe_apply")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == occ.keySet,
+      s"symbols ${got.map(_._1).toSet} != ${occ.keySet}")
+    got.foreach { case (sym, o, b, a) =>
+      assert(o == occ(sym), s"$sym occurrences $o != ${occ(sym)}")
+      assert(b == before && a == after, s"totals ($b,$a) != ($before,$after)")
+    }
+    // the merges actually compress the corpus symbolization
+    assert(after < before)
+  }
 }
