@@ -717,21 +717,28 @@ object VectorOps {
     "q98_pca_power" -> ((s, dir) => {
       val mm = Tables(s, dir, "embeddings").select(expr(
         "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))").as("m"))
-      val fm = mm.select(col("m"), explode(expr("sequence(0, size(m) - 1)")).as("i"))
-        .select(col("i"), expr("element_at(m, i + 1)").as("mi"))
-        .groupBy(col("i"))
-        .agg(sum(col("mi").cast("decimal(38,0)")).as("si"), count(lit(1)).as("cnt"))
-      val pairs = mm.select(col("m"), explode(expr("sequence(0, size(m) - 1)")).as("i"))
+      // ONE corpus pass: the upper-triangle product sums, with the
+      // first moments riding the diagonal groups (S_i = sum of m_i
+      // where i = j) — the cached result is the d(d+1)/2-row moment
+      // table, and nothing downstream touches the corpus again.
+      val mom = mm.select(col("m"), explode(expr("sequence(0, size(m) - 1)")).as("i"))
         .select(col("m"), col("i"), explode(expr("sequence(i, size(m) - 1)")).as("j"))
         .select(col("i"), col("j"),
-          expr("element_at(m, i + 1) * element_at(m, j + 1)").as("p"))
+          expr("element_at(m, i + 1) * element_at(m, j + 1)").as("p"),
+          expr("CASE WHEN i = j THEN element_at(m, i + 1) ELSE CAST(NULL AS BIGINT) END").as("mi"))
         .groupBy(col("i"), col("j"))
-        .agg(sum(col("p").cast("decimal(38,0)")).as("sij"))
-      val cov = pairs
-        .join(broadcast(fm.select(col("i"), col("si").as("si_i"), col("cnt"))), Seq("i"))
+        .agg(sum(col("p").cast("decimal(38,0)")).as("sij"),
+          sum(col("mi").cast("decimal(38,0)")).as("sid"),
+          count(lit(1)).as("cnt"))
+        .cache()
+      val fm = mom.filter(col("i") === col("j"))
+        .select(col("i"), col("sid").as("si"), col("cnt"))
+      val cov = mom.select(col("i"), col("j"), col("sij"), col("cnt"))
+        .join(broadcast(fm.select(col("i"), col("si").as("si_i"))), Seq("i"))
         .join(broadcast(fm.select(col("i").as("j"), col("si").as("si_j"))), Seq("j"))
         .withColumn("c", expr("CAST(cnt AS DECIMAL(38,0)) * sij - si_i * si_j"))
         .select(col("i"), col("j"), col("c"))
+        .cache()
       val cn = cov.crossJoin(broadcast(cov.agg(max(abs(col("c"))).as("mc"))))
         .withColumn("cs", expr(
           "CASE WHEN c < 0 THEN -((-c * 1000000) div mc) ELSE (c * 1000000) div mc END"))
