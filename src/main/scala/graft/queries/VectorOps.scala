@@ -715,63 +715,86 @@ object VectorOps {
     // eigenvector's orientation. rayleigh_scaled = v·Cn·v div v·v is
     // the eigenvalue estimate in the same 1e6 scale.
     "q98_pca_power" -> ((s, dir) => {
-      val mm = Tables(s, dir, "embeddings").select(expr(
-        "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))").as("m"))
-      // ONE corpus pass: the upper-triangle product sums, with the
-      // first moments riding the diagonal groups (S_i = sum of m_i
-      // where i = j) — the cached result is the d(d+1)/2-row moment
-      // table, and nothing downstream touches the corpus again.
-      val mom = mm.select(col("m"), explode(expr("sequence(0, size(m) - 1)")).as("i"))
-        .select(col("m"), col("i"), explode(expr("sequence(i, size(m) - 1)")).as("j"))
-        .select(col("i"), col("j"),
-          expr("element_at(m, i + 1) * element_at(m, j + 1)").as("p"),
-          expr("CASE WHEN i = j THEN element_at(m, i + 1) ELSE CAST(NULL AS BIGINT) END").as("mi"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(col("p").cast("decimal(38,0)")).as("sij"),
-          sum(col("mi").cast("decimal(38,0)")).as("sid"),
-          count(lit(1)).as("cnt"))
-        .cache()
-      val fm = mom.filter(col("i") === col("j"))
-        .select(col("i"), col("sid").as("si"), col("cnt"))
-      val cov = mom.select(col("i"), col("j"), col("sij"), col("cnt"))
-        .join(broadcast(fm.select(col("i"), col("si").as("si_i"))), Seq("i"))
-        .join(broadcast(fm.select(col("i").as("j"), col("si").as("si_j"))), Seq("j"))
-        .withColumn("c", expr("CAST(cnt AS DECIMAL(38,0)) * sij - si_i * si_j"))
-        .select(col("i"), col("j"), col("c"))
-        .cache()
-      val cn = cov.crossJoin(broadcast(cov.agg(max(abs(col("c"))).as("mc"))))
-        .withColumn("cs", expr(
-          "CASE WHEN c < 0 THEN -((-c * 1000000) div mc) ELSE (c * 1000000) div mc END"))
-        .select(col("i"), col("j"), col("cs"))
-      val cf = cn.union(cn.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("cs"))).cache()
-      def iterate(v: DataFrame): DataFrame = {
-        val w = cf.join(broadcast(v), Seq("j"))
-          .groupBy(col("i")).agg(sum(expr("cs * v")).as("w"))
-        w.crossJoin(broadcast(w.agg(max(abs(col("w"))).as("mw"))))
-          .withColumn("v", expr(
-            "CASE WHEN w < 0 THEN -((-CAST(w AS DECIMAL(38,0)) * 1000000) div mw)" +
-              " ELSE (CAST(w AS DECIMAL(38,0)) * 1000000) div mw END"))
-          .select(col("i").as("j"), col("v"))
+      val cov = pcaCovariance(s, dir)
+      // The iteration runs DRIVER-SIDE on the collected d(d+1)/2-row
+      // matrix — the MLlib computePrincipalComponents shape (RowMatrix
+      // computes the Gram distributed, then eigendecomposes the d×d
+      // result locally): d² is bounded by construction, exactly the
+      // documented k-bounded-collect pattern (Similarity centroid
+      // pulls). Expressing the 3 rounds as DataFrame joins instead
+      // measured 27 s at sf0.1 — ~30 scheduled micro-stages over
+      // 64-row frames, pure orchestration overhead. BigInt arithmetic
+      // below is bit-identical to the oracle's HUGEINT: sign-guarded
+      // abs-division everywhere.
+      val tri = cov.collect().map(r => (r.getInt(0), r.getInt(1),
+        BigInt(r.getDecimal(2).toBigInteger)))
+      val d = tri.map(_._2).max + 1
+      val cm = Array.ofDim[BigInt](d, d)
+      tri.foreach { case (i, j, c) => cm(i)(j) = c; cm(j)(i) = c }
+      def sdiv(a: BigInt, b: BigInt): BigInt = if (a < 0) -((-a) / b) else a / b
+      val mc = cm.flatten.map(_.abs).max
+      val cs = cm.map(_.map(c => sdiv(c * 1000000, mc)))
+      var v = Array.fill(d)(BigInt(1000000))
+      for (_ <- 1 to 3) {
+        val w = Array.tabulate(d)(i => (0 until d).map(j => cs(i)(j) * v(j)).sum)
+        val mw = w.map(_.abs).max
+        v = w.map(x => sdiv(x * 1000000, mw))
       }
-      val v0 = s.range(64).select(col("id").cast("int").as("j"), lit(1000000L).as("v"))
-      val v3 = iterate(iterate(iterate(v0)))
-      val sg = v3.orderBy(abs(col("v")).desc, col("j").asc).limit(1)
-        .select(expr("CASE WHEN v < 0 THEN -1 ELSE 1 END").as("sg"))
-      val vo = v3.crossJoin(broadcast(sg))
-        .withColumn("comp", col("v") * col("sg")).cache()
-      val num = cf
-        .join(broadcast(vo.select(col("j").as("i"), col("comp").as("vi"))), Seq("i"))
-        .join(broadcast(vo.select(col("j"), col("comp").as("vj"))), Seq("j"))
-        .agg(sum(expr("CAST(cs AS DECIMAL(38,0)) * vi * vj")).as("num"))
-      val den = vo.agg(sum(expr("CAST(comp AS DECIMAL(38,0)) * comp")).as("den"))
-      vo.crossJoin(broadcast(num)).crossJoin(broadcast(den))
-        .withColumn("rayleigh_scaled", expr(
-          "CASE WHEN num < 0 THEN -((-num) div den) ELSE num div den END"))
-        .select(col("j").cast("long").as("dim"), col("comp").cast("long").as("comp"),
-          col("rayleigh_scaled"))
+      val topDim = (0 until d).minBy(j => (-v(j).abs, BigInt(j)))
+      val sgn = if (v(topDim) < 0) BigInt(-1) else BigInt(1)
+      val comp = v.map(_ * sgn)
+      val num = (for { i <- 0 until d; j <- 0 until d }
+        yield cs(i)(j) * comp(i) * comp(j)).sum
+      val den = comp.map(c => c * c).sum
+      val rq = sdiv(num, den).toLong
+      import s.implicits._
+      comp.zipWithIndex
+        .map { case (c, dim) => (dim.toLong, c.toLong, rq) }.toSeq
+        .toDF("dim", "comp", "rayleigh_scaled")
     })
   )
+
+  /** q98's distributed half — the exact integer covariance of the
+    * embedding cloud, scaled by n (C_ij = n·S_ij − S_i·S_j), as a
+    * d(d+1)/2-row upper-triangle DataFrame. ONE corpus pass: the pair
+    * explode produces each row's upper-triangle micro-unit products
+    * with the first moments riding the diagonal (i = j) groups.
+    * Two-level aggregation keeps the hot loop in BIGINT codegen:
+    * level 1 sums within 2^18-row vec_id buckets (bounded, so a
+    * bucket's product sum stays far from Long overflow even at
+    * |v| ≈ 2), level 2 folds the per-bucket partials in DECIMAL(38,0)
+    * — only 2080 × n/2^18 rows ever touch decimal arithmetic, which
+    * measured ~19× slower than the long path when it ran against
+    * every exploded row. PlanSpec audits THIS plan (q98's returned
+    * frame is the eagerly-computed 64-row local result, so the audit
+    * must look here for the corpus-pass shape). */
+  private[graft] def pcaMoments(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").select(
+      expr("CAST(vec_id div 262144 AS INT)").as("bk"), expr(
+        "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))").as("m"))
+      .select(col("bk"), col("m"), explode(expr("sequence(0, size(m) - 1)")).as("i"))
+      .select(col("bk"), col("m"), col("i"), explode(expr("sequence(i, size(m) - 1)")).as("j"))
+      .select(col("bk"), col("i"), col("j"),
+        expr("element_at(m, i + 1) * element_at(m, j + 1)").as("p"),
+        expr("CASE WHEN i = j THEN element_at(m, i + 1) ELSE CAST(NULL AS BIGINT) END").as("mi"))
+      .groupBy(col("i"), col("j"), col("bk"))
+      .agg(sum(col("p")).as("pp"), sum(col("mi")).as("pm"), count(lit(1)).as("pc"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("pp").cast("decimal(38,0)")).as("sij"),
+        sum(col("pm").cast("decimal(38,0)")).as("sid"),
+        sum(col("pc")).as("cnt"))
+      .cache()
+
+  private[graft] def pcaCovariance(s: SparkSession, dir: String): DataFrame = {
+    val mom = pcaMoments(s, dir)
+    val fm = mom.filter(col("i") === col("j"))
+      .select(col("i"), col("sid").as("si"), col("cnt"))
+    mom.select(col("i"), col("j"), col("sij"), col("cnt"))
+      .join(broadcast(fm.select(col("i"), col("si").as("si_i"))), Seq("i"))
+      .join(broadcast(fm.select(col("i").as("j"), col("si").as("si_j"))), Seq("j"))
+      .withColumn("c", expr("CAST(cnt AS DECIMAL(38,0)) * sij - si_i * si_j"))
+      .select(col("i"), col("j"), col("c"))
+  }
 
   // --- q75/q76 retrieval parameters ---
   private[graft] val BmQueryMod = 250L

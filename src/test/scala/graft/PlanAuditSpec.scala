@@ -87,8 +87,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"join degraded to SMJ (broadcast expected) in: ${bad.mkString(", ")}")
   }
 
+  /** Queries whose RETURNED frame is an eagerly-computed bounded local
+    * result (the MLlib computePrincipalComponents shape: distributed
+    * moment pass at build time, driver-side linear algebra on the d×d
+    * matrix). Their corpus-pass plan is invisible to this audit —
+    * PlanSpec pins it directly (one scan, codegen, broadcast-only). */
+  private val eagerLocalResult: Set[String] = Set("q98_pca_power")
+
   test("every query's hot path is inside whole-stage codegen") {
-    val bad = audits.filter(_._2("codegen_spans") == 0).keys.toSeq.sorted
+    val bad = audits.filter(_._2("codegen_spans") == 0).keys.toSet -- eagerLocalResult
     assert(bad.isEmpty, s"no codegen span in: ${bad.mkString(", ")}")
   }
 }

@@ -421,4 +421,31 @@ class PlanSpec extends AnyFunSuite {
     // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
     assert(p.contains("*(1)") && p.contains("*(2) HashAggregate"), p)
   }
+
+  test("q98's covariance pass: one embeddings scan, codegen hot loop, broadcast-only joins") {
+    // q98 returns an eagerly-computed 64-row local result (the MLlib
+    // computePrincipalComponents shape), so PlanAudit can't see its
+    // corpus pass — these pins audit the distributed half directly.
+    // (a) the moment table: ONE corpus scan, the pair-product hot loop
+    // (generate + first-level BIGINT aggregation) fused into
+    // whole-stage codegen, decimal only above the bucket partials
+    val mom = graft.queries.VectorOps.pcaMoments(spark, dir)
+    mom.collect()
+    val pm = mom.queryExecution.executedPlan.toString
+    // only the embeddings table is ever scanned (every printed scan —
+    // AQE reprints subtrees — is the same embeddings read)
+    assert(pm.linesIterator.filter(_.contains("Scan parquet"))
+      .forall(_.contains("embeddings")), pm)
+    assert(pm.contains("Generate explode") && pm.contains("*("), pm)
+    assert(pm.contains("partial_sum(p#"), pm)
+    // (b) the covariance join consumes the CACHED moments — the single
+    // materialized corpus pass — and joins them back only as broadcasts
+    val cov = graft.queries.VectorOps.pcaCovariance(spark, dir)
+    cov.collect()
+    val p = cov.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    mom.unpersist()
+  }
 }
