@@ -60,6 +60,25 @@ object ScaleProbe {
       return
     }
 
+    // `pca` times q98's corpus pass — the single-pass two-level moment
+    // aggregation (BIGINT bucket partials, decimal only across buckets).
+    // Fixed d, linear in corpus rows; the driver-side eigeniteration is
+    // O(d²) and scale-free, so this IS q98's whole scale exposure.
+    if (bitsArg == "pca") {
+      val e = Tables(spark, sfDir, "embeddings")
+      val n = e.count()
+      def mom = graft.queries.VectorOps.pcaMomentsOf(e)
+      mom.count() // warmup
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mom.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"""{"probe":"pca_moments","sf":"$sfDir","corpus":$n,"median_sec":${times(1)}%.3f}""")
+      spark.stop()
+      return
+    }
+
     // `decontam` times q71's DEPLOYMENT shape — a FIXED benchmark set
     // (vec_id < 2000 && % 20 = 0: the identity replica, so the same
     // vectors at every scale factor) against the full train split — the

@@ -714,45 +714,47 @@ object VectorOps {
     // the largest |component|, ties dim-asc, made positive) pins the
     // eigenvector's orientation. rayleigh_scaled = v·Cn·v div v·v is
     // the eigenvalue estimate in the same 1e6 scale.
-    "q98_pca_power" -> ((s, dir) => {
-      val cov = pcaCovariance(s, dir)
-      // The iteration runs DRIVER-SIDE on the collected d(d+1)/2-row
-      // matrix — the MLlib computePrincipalComponents shape (RowMatrix
-      // computes the Gram distributed, then eigendecomposes the d×d
-      // result locally): d² is bounded by construction, exactly the
-      // documented k-bounded-collect pattern (Similarity centroid
-      // pulls). Expressing the 3 rounds as DataFrame joins instead
-      // measured 27 s at sf0.1 — ~30 scheduled micro-stages over
-      // 64-row frames, pure orchestration overhead. BigInt arithmetic
-      // below is bit-identical to the oracle's HUGEINT: sign-guarded
-      // abs-division everywhere.
-      val tri = cov.collect().map(r => (r.getInt(0), r.getInt(1),
-        BigInt(r.getDecimal(2).toBigInteger)))
-      val d = tri.map(_._2).max + 1
-      val cm = Array.ofDim[BigInt](d, d)
-      tri.foreach { case (i, j, c) => cm(i)(j) = c; cm(j)(i) = c }
-      def sdiv(a: BigInt, b: BigInt): BigInt = if (a < 0) -((-a) / b) else a / b
-      val mc = cm.flatten.map(_.abs).max
-      val cs = cm.map(_.map(c => sdiv(c * 1000000, mc)))
-      var v = Array.fill(d)(BigInt(1000000))
-      for (_ <- 1 to 3) {
-        val w = Array.tabulate(d)(i => (0 until d).map(j => cs(i)(j) * v(j)).sum)
-        val mw = w.map(_.abs).max
-        v = w.map(x => sdiv(x * 1000000, mw))
-      }
-      val topDim = (0 until d).minBy(j => (-v(j).abs, BigInt(j)))
-      val sgn = if (v(topDim) < 0) BigInt(-1) else BigInt(1)
-      val comp = v.map(_ * sgn)
-      val num = (for { i <- 0 until d; j <- 0 until d }
-        yield cs(i)(j) * comp(i) * comp(j)).sum
-      val den = comp.map(c => c * c).sum
-      val rq = sdiv(num, den).toLong
-      import s.implicits._
-      comp.zipWithIndex
-        .map { case (c, dim) => (dim.toLong, c.toLong, rq) }.toSeq
-        .toDF("dim", "comp", "rayleigh_scaled")
-    })
+    "q98_pca_power" -> ((s, dir) => pcaPowerOf(s, pcaCovariance(s, dir)))
   )
+
+  /** The eigeniteration runs DRIVER-SIDE on the collected d(d+1)/2-row
+    * covariance — the MLlib computePrincipalComponents shape (RowMatrix
+    * computes the Gram distributed, then eigendecomposes the d×d result
+    * locally): d² is bounded by construction, exactly the documented
+    * k-bounded-collect pattern (Similarity centroid pulls). Expressing
+    * the 3 rounds as DataFrame joins instead measured 27 s at sf0.1 —
+    * ~30 scheduled micro-stages over 64-row frames, pure orchestration
+    * overhead. BigInt arithmetic is bit-identical to the oracle's
+    * HUGEINT: sign-guarded abs-division everywhere. Shared by batch q98
+    * and [[graft.streaming.EmbeddingsStream.principalComponent]] (the
+    * standing moment state's read path). */
+  private[graft] def pcaPowerOf(s: SparkSession, cov: DataFrame): DataFrame = {
+    val tri = cov.collect().map(r => (r.getInt(0), r.getInt(1),
+      BigInt(r.getDecimal(2).toBigInteger)))
+    val d = tri.map(_._2).max + 1
+    val cm = Array.ofDim[BigInt](d, d)
+    tri.foreach { case (i, j, c) => cm(i)(j) = c; cm(j)(i) = c }
+    def sdiv(a: BigInt, b: BigInt): BigInt = if (a < 0) -((-a) / b) else a / b
+    val mc = cm.flatten.map(_.abs).max
+    val cs = cm.map(_.map(c => sdiv(c * 1000000, mc)))
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cs(i)(j) * v(j)).sum)
+      val mw = w.map(_.abs).max
+      v = w.map(x => sdiv(x * 1000000, mw))
+    }
+    val topDim = (0 until d).minBy(j => (-v(j).abs, BigInt(j)))
+    val sgn = if (v(topDim) < 0) BigInt(-1) else BigInt(1)
+    val comp = v.map(_ * sgn)
+    val num = (for { i <- 0 until d; j <- 0 until d }
+      yield cs(i)(j) * comp(i) * comp(j)).sum
+    val den = comp.map(c => c * c).sum
+    val rq = sdiv(num, den).toLong
+    import s.implicits._
+    comp.zipWithIndex
+      .map { case (c, dim) => (dim.toLong, c.toLong, rq) }.toSeq
+      .toDF("dim", "comp", "rayleigh_scaled")
+  }
 
   /** q98's distributed half — the exact integer covariance of the
     * embedding cloud, scaled by n (C_ij = n·S_ij − S_i·S_j), as a
@@ -768,8 +770,14 @@ object VectorOps {
     * every exploded row. PlanSpec audits THIS plan (q98's returned
     * frame is the eagerly-computed 64-row local result, so the audit
     * must look here for the corpus-pass shape). */
-  private[graft] def pcaMoments(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings").select(
+  /** The moment pipeline over any (vec_id, embedding) frame — shared
+    * by the batch q98 path and the standing streaming fold
+    * ([[graft.streaming.EmbeddingsStream.momentIngest]]): the output
+    * (i, j, sij, sid, cnt) rows are LINEAR in the input rows (sums and
+    * counts), so per-batch moment tables add cell-wise into a standing
+    * state that is bit-identical to one pass over the union. */
+  private[graft] def pcaMomentsOf(df: DataFrame): DataFrame =
+    df.select(
       expr("CAST(vec_id div 262144 AS INT)").as("bk"), expr(
         "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))").as("m"))
       .select(col("bk"), col("m"), explode(expr("sequence(0, size(m) - 1)")).as("i"))
@@ -783,10 +791,13 @@ object VectorOps {
       .agg(sum(col("pp").cast("decimal(38,0)")).as("sij"),
         sum(col("pm").cast("decimal(38,0)")).as("sid"),
         sum(col("pc")).as("cnt"))
-      .cache()
 
-  private[graft] def pcaCovariance(s: SparkSession, dir: String): DataFrame = {
-    val mom = pcaMoments(s, dir)
+  private[graft] def pcaMoments(s: SparkSession, dir: String): DataFrame =
+    pcaMomentsOf(Tables(s, dir, "embeddings")).cache()
+
+  /** Covariance from a moment table (batch-built or the standing
+    * streaming state): C_ij = n·S_ij − S_i·S_j in DECIMAL(38,0). */
+  private[graft] def pcaCovarianceOf(mom: DataFrame): DataFrame = {
     val fm = mom.filter(col("i") === col("j"))
       .select(col("i"), col("sid").as("si"), col("cnt"))
     mom.select(col("i"), col("j"), col("sij"), col("cnt"))
@@ -795,6 +806,9 @@ object VectorOps {
       .withColumn("c", expr("CAST(cnt AS DECIMAL(38,0)) * sij - si_i * si_j"))
       .select(col("i"), col("j"), col("c"))
   }
+
+  private[graft] def pcaCovariance(s: SparkSession, dir: String): DataFrame =
+    pcaCovarianceOf(pcaMoments(s, dir))
 
   // --- q75/q76 retrieval parameters ---
   private[graft] val BmQueryMod = 250L

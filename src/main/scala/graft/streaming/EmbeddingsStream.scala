@@ -134,6 +134,54 @@ object EmbeddingsStream {
         col("rank").cast("long"))
   }
 
+  /** Standing PCA moment state: the (i, j, sij, sid, cnt) second/first
+    * moment table of every embedding seen so far — q98's distributed
+    * half as a streaming fold. Moments are LINEAR (sums and counts add
+    * across drops), so each batch's moment table merges cell-wise into
+    * a d(d+1)/2-row state that is bit-identical to one batch pass over
+    * the union, at O(d²) standing cost however many vectors have
+    * arrived. */
+  def momentState(spark: SparkSession, momentsDir: String): DataFrame =
+    spark.read.parquet(momentsDir)
+
+  /** Drain available embedding drops, folding each batch's moments
+    * into the standing state (temp + atomic rename; checkpointed
+    * offsets make a crash-retry or duplicate drop a no-op). */
+  def momentIngest(spark: SparkSession, srcDir: String, momentsDir: String,
+                   checkpointDir: String): StreamingQuery = {
+    val q = source(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val bm = graft.queries.VectorOps.pcaMomentsOf(batch)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(momentsDir), ss.sparkContext.hadoopConfiguration)
+        val merged =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(momentsDir))) bm
+          else momentState(ss, momentsDir).unionByName(bm)
+            .groupBy(col("i"), col("j"))
+            .agg(sum(col("sij")).as("sij"), sum(col("sid")).as("sid"),
+              sum(col("cnt")).as("cnt"))
+        AtomicState.swapIn(ss, momentsDir, merged)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** The top principal component read off the standing moment state —
+    * covariance + driver-side eigeniteration shared with batch q98
+    * ([[graft.queries.VectorOps.pcaPowerOf]]), so the result is
+    * bit-identical to running q98 over the union of every drop, WITHOUT
+    * rescanning a single vector: the read costs O(d²) however large the
+    * indexed corpus. */
+  def principalComponent(spark: SparkSession, momentsDir: String): DataFrame =
+    graft.queries.VectorOps.pcaPowerOf(spark,
+      graft.queries.VectorOps.pcaCovarianceOf(momentState(spark, momentsDir)))
+
   /** Per-(centroid, dimension) sufficient statistics of an assigned
     * frame: s = Σ floor(v_d·10⁶) (the trainer's exact micro-unit sum,
     * [[graft.queries.VectorOps]]'s Lloyd arithmetic), n = row count. */

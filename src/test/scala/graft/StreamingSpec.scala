@@ -724,4 +724,38 @@ class StreamingSpec extends AnyFunSuite {
       s"standing merge ${merge.toSeq} != batch q94 step 1 $q94m1")
     docs.unpersist()
   }
+
+  test("standing PCA moments: state and principal component are bit-identical to batch q98") {
+    import graft.streaming.EmbeddingsStream
+    val src = Files.createTempDirectory("graft-pca-src").toString
+    val momDir = Files.createTempDirectory("graft-pca-out").toString + "/moments"
+    val ckpt = Files.createTempDirectory("graft-pca-ckpt").toString
+    val emb = Tables(spark, sfDir, "embeddings").cache()
+    emb.filter(col("vec_id") < 20).write.mode("append").parquet(src)
+    EmbeddingsStream.momentIngest(spark, src, momDir, ckpt)
+    val first = EmbeddingsStream.momentState(spark, momDir).collect()
+      .map(_.toSeq).toSet
+    // replay with nothing new: exactly-once over files, state untouched
+    EmbeddingsStream.momentIngest(spark, src, momDir, ckpt)
+    assert(EmbeddingsStream.momentState(spark, momDir).collect()
+      .map(_.toSeq).toSet == first, "replay must not change the moment state")
+    emb.filter(col("vec_id") >= 20).write.mode("append").parquet(src)
+    EmbeddingsStream.momentIngest(spark, src, momDir, ckpt)
+    // linearity: the folded state equals ONE batch moment pass over the
+    // union — exact decimal/count cell equality, not approximation
+    val streamed = EmbeddingsStream.momentState(spark, momDir).collect()
+      .map(_.toSeq).toSet
+    val batch = graft.queries.VectorOps.pcaMomentsOf(emb).collect()
+      .map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"moment state diverges from batch: ${(streamed diff batch).take(3)}")
+    // and the read path: the principal component off the standing state
+    // is bit-identical to batch q98 over the same corpus
+    val pc = EmbeddingsStream.principalComponent(spark, momDir).collect()
+      .map(_.toSeq).toSet
+    val q98 = SparkEntry.queries("q98_pca_power")(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    assert(pc == q98, s"principal component diverges: ${(pc diff q98).take(3)}")
+    emb.unpersist()
+  }
 }
