@@ -632,6 +632,14 @@ object VectorOps {
       val cands = corpusAssigned.join(broadcast(probes), Seq("centroid_id"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("cosine", Similarity.guardedCosine(col("qv"), col("cv")))
+        // project the embedding arrays AWAY before caching: the cached
+        // frame that feeds both arms needs only ids/labels/cosine
+        // (~40 B/row), not two 64-float vectors per candidate pair
+        // (~600 B/row — at the ×100 replica that cache spilled ~100 GB
+        // and filled the disk; this select is the difference between a
+        // bounded cache and a run-killing one)
+        .select(col("query_id"), col("qlabel"), col("neighbor_id"),
+          col("clabel"), col("cosine"))
         .cache() // one candidate scan feeds both the positive and negative arms
       val pos = cands.filter(col("clabel") === col("qlabel"))
         .groupBy(col("query_id")).agg(max(col("cosine")).as("pos_sim"))
@@ -714,7 +722,38 @@ object VectorOps {
     // the largest |component|, ties dim-asc, made positive) pins the
     // eigenvector's orientation. rayleigh_scaled = v·Cn·v div v·v is
     // the eigenvalue estimate in the same 1e6 scale.
-    "q98_pca_power" -> ((s, dir) => pcaPowerOf(s, pcaCovariance(s, dir)))
+    "q98_pca_power" -> ((s, dir) => pcaPowerOf(s, pcaCovariance(s, dir))),
+
+    // PCA-extreme selection — the USE of q98's component: project every
+    // embedding onto the top principal axis and report the 10 most
+    // extreme documents per end (the diversity/outlier-selection
+    // primitive: the corpus's dominant variance direction, and which
+    // items sit at its ends — candidates for dedup-audit or
+    // curriculum ends). The projection is a fully CODEGEN dot product:
+    // the 64 component values are baked in as integer literals
+    // (element_at(m, i)·c_i sums — no HOF lambda, no join), so the
+    // corpus pass is one narrow projection; the extremes are two
+    // TakeOrdered top-k reads, never a global sort. Integer-exact:
+    // micro-unit embedding × 1e6-scale component, |term| ≤ 2^41,
+    // d = 64 terms — far from overflow; ranks deterministic with
+    // vec_id ties.
+    "q101_pca_extremes" -> ((s, dir) => {
+      val (comp, _) = pcaEigen(pcaCovariance(s, dir))
+      val dotExpr = comp.zipWithIndex
+        .map { case (c, i) => s"element_at(m, ${i + 1}) * ${c}L" }.mkString(" + ")
+      val proj = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"),
+          expr("transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))").as("m"))
+        .withColumn("proj", expr(dotExpr))
+        .select(col("vec_id"), col("label").cast("long").as("label"), col("proj"))
+      def ranked(df: DataFrame, side: String, ord: Seq[org.apache.spark.sql.Column]) =
+        df.orderBy(ord: _*).limit(10)
+          .withColumn("side", lit(side))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("side")).orderBy(ord: _*)).cast("long"))
+      ranked(proj, "max", Seq(col("proj").desc, col("vec_id").asc))
+        .union(ranked(proj, "min", Seq(col("proj").asc, col("vec_id").asc)))
+        .select(col("side"), col("rank"), col("vec_id"), col("label"), col("proj"))
+    })
   )
 
   /** The eigeniteration runs DRIVER-SIDE on the collected d(d+1)/2-row
@@ -729,6 +768,17 @@ object VectorOps {
     * and [[graft.streaming.EmbeddingsStream.principalComponent]] (the
     * standing moment state's read path). */
   private[graft] def pcaPowerOf(s: SparkSession, cov: DataFrame): DataFrame = {
+    val (comp, rq) = pcaEigen(cov)
+    import s.implicits._
+    comp.zipWithIndex
+      .map { case (c, dim) => (dim.toLong, c, rq) }.toSeq
+      .toDF("dim", "comp", "rayleigh_scaled")
+  }
+
+  /** The driver-side eigeniteration itself: (component in ±1e6 integer
+    * units, rayleigh quotient). Shared by q98 (reports it) and q101
+    * (projects the corpus onto it). */
+  private[graft] def pcaEigen(cov: DataFrame): (Array[Long], Long) = {
     val tri = cov.collect().map(r => (r.getInt(0), r.getInt(1),
       BigInt(r.getDecimal(2).toBigInteger)))
     val d = tri.map(_._2).max + 1
@@ -749,11 +799,7 @@ object VectorOps {
     val num = (for { i <- 0 until d; j <- 0 until d }
       yield cs(i)(j) * comp(i) * comp(j)).sum
     val den = comp.map(c => c * c).sum
-    val rq = sdiv(num, den).toLong
-    import s.implicits._
-    comp.zipWithIndex
-      .map { case (c, dim) => (dim.toLong, c.toLong, rq) }.toSeq
-      .toDF("dim", "comp", "rayleigh_scaled")
+    (comp.map(_.toLong), sdiv(num, den).toLong)
   }
 
   /** q98's distributed half — the exact integer covariance of the
@@ -1246,52 +1292,82 @@ object VectorOps {
     // HUGEINT; every division is the sign-guarded abs-div shared with
     // the Spark side, so `//` floor vs `div` semantics never differ.
     "q98_pca_power" ->
-      """WITH mm AS (
-        |  SELECT list_transform(embedding,
-        |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
-        |  FROM embeddings),
-        |fm AS (
-        |  SELECT i, CAST(SUM(m[i + 1]) AS HUGEINT) AS si, CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM (SELECT m, unnest(generate_series(0, len(m) - 1)) AS i FROM mm)
-        |  GROUP BY i),
-        |pairs AS (
-        |  SELECT i, j, CAST(SUM(CAST(m[i + 1] AS HUGEINT) * m[j + 1]) AS HUGEINT) AS sij
-        |  FROM (SELECT m, i, unnest(generate_series(i, len(m) - 1)) AS j
-        |        FROM (SELECT m, unnest(generate_series(0, len(m) - 1)) AS i FROM mm))
-        |  GROUP BY i, j),
-        |cov AS (
-        |  SELECT p.i, p.j, CAST(a.cnt AS HUGEINT) * p.sij - a.si * b.si AS c
-        |  FROM pairs p JOIN fm a ON a.i = p.i JOIN fm b ON b.i = p.j),
-        |mx AS (SELECT MAX(ABS(c)) AS mc FROM cov),
-        |cn AS (
-        |  SELECT i, j,
-        |    CASE WHEN c < 0 THEN -((-c * 1000000) // mc) ELSE (c * 1000000) // mc END AS cs
-        |  FROM cov, mx),
-        |cf AS (SELECT i, j, cs FROM cn UNION ALL SELECT j AS i, i AS j, cs FROM cn WHERE i <> j),
-        |v0 AS (SELECT unnest(generate_series(0, 63)) AS j, CAST(1000000 AS HUGEINT) AS v),
-        |w1 AS (SELECT f.i, SUM(cs * v) AS w FROM cf f JOIN v0 ON v0.j = f.j GROUP BY 1),
-        |v1 AS (SELECT i AS j, CASE WHEN w < 0 THEN -((-w * 1000000) // mw)
-        |         ELSE (w * 1000000) // mw END AS v
-        |       FROM w1, (SELECT MAX(ABS(w)) AS mw FROM w1)),
-        |w2 AS (SELECT f.i, SUM(cs * v) AS w FROM cf f JOIN v1 ON v1.j = f.j GROUP BY 1),
-        |v2 AS (SELECT i AS j, CASE WHEN w < 0 THEN -((-w * 1000000) // mw)
-        |         ELSE (w * 1000000) // mw END AS v
-        |       FROM w2, (SELECT MAX(ABS(w)) AS mw FROM w2)),
-        |w3 AS (SELECT f.i, SUM(cs * v) AS w FROM cf f JOIN v2 ON v2.j = f.j GROUP BY 1),
-        |v3 AS (SELECT i AS j, CASE WHEN w < 0 THEN -((-w * 1000000) // mw)
-        |         ELSE (w * 1000000) // mw END AS v
-        |       FROM w3, (SELECT MAX(ABS(w)) AS mw FROM w3)),
-        |sg AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
-        |       FROM v3 ORDER BY ABS(v) DESC, j ASC LIMIT 1),
-        |vo AS (SELECT j, v * sg AS comp FROM v3, sg),
+      s"""$PcaOracleCtes,
         |num AS (SELECT SUM(cs * a.comp * b.comp) AS num
         |        FROM cf f JOIN vo a ON a.j = f.i JOIN vo b ON b.j = f.j),
         |den AS (SELECT SUM(comp * comp) AS den FROM vo)
         |SELECT CAST(j AS BIGINT) AS dim, CAST(comp AS BIGINT) AS comp,
         |  CAST(CASE WHEN num < 0 THEN -((-num) // den) ELSE num // den END AS BIGINT)
         |    AS rayleigh_scaled
-        |FROM vo, num, den""".stripMargin
+        |FROM vo, num, den""".stripMargin,
+
+    // q98's chain re-derives the component, then the corpus projects
+    // onto it (vec_id/label ride the micro-unit list) and the two ends
+    // rank out — same integer dot product as the Spark literal sum.
+    "q101_pca_extremes" ->
+      s"""$PcaOracleCtes,
+        |mmx AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |          list_transform(embedding,
+        |            v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+        |        FROM embeddings),
+        |proj AS (SELECT vec_id, label, CAST(SUM(m[j + 1] * comp) AS BIGINT) AS proj
+        |         FROM mmx CROSS JOIN vo GROUP BY vec_id, label),
+        |hi AS (SELECT 'max' AS side,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY proj DESC, vec_id ASC) AS BIGINT) AS rank,
+        |         vec_id, label, proj
+        |       FROM proj ORDER BY proj DESC, vec_id ASC LIMIT 10),
+        |lo AS (SELECT 'min' AS side,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY proj ASC, vec_id ASC) AS BIGINT) AS rank,
+        |         vec_id, label, proj
+        |       FROM proj ORDER BY proj ASC, vec_id ASC LIMIT 10)
+        |SELECT side, rank, vec_id, label, proj FROM hi
+        |UNION ALL SELECT side, rank, vec_id, label, proj FROM lo""".stripMargin
   )
+
+  /** The q98 oracle's WITH-chain through the oriented component `vo`
+    * (j, comp) — shared verbatim by the q101 twin so they cannot
+    * drift. (A `def`: the oracle val above interpolates it during
+    * object init, before a plain val this low in the file would be
+    * assigned.) */
+  private def PcaOracleCtes: String =
+    """WITH mm AS (
+      |  SELECT list_transform(embedding,
+      |    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+      |  FROM embeddings),
+      |fm AS (
+      |  SELECT i, CAST(SUM(m[i + 1]) AS HUGEINT) AS si, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT m, unnest(generate_series(0, len(m) - 1)) AS i FROM mm)
+      |  GROUP BY i),
+      |pairs AS (
+      |  SELECT i, j, CAST(SUM(CAST(m[i + 1] AS HUGEINT) * m[j + 1]) AS HUGEINT) AS sij
+      |  FROM (SELECT m, i, unnest(generate_series(i, len(m) - 1)) AS j
+      |        FROM (SELECT m, unnest(generate_series(0, len(m) - 1)) AS i FROM mm))
+      |  GROUP BY i, j),
+      |cov AS (
+      |  SELECT p.i, p.j, CAST(a.cnt AS HUGEINT) * p.sij - a.si * b.si AS c
+      |  FROM pairs p JOIN fm a ON a.i = p.i JOIN fm b ON b.i = p.j),
+      |mx AS (SELECT MAX(ABS(c)) AS mc FROM cov),
+      |cn AS (
+      |  SELECT i, j,
+      |    CASE WHEN c < 0 THEN -((-c * 1000000) // mc) ELSE (c * 1000000) // mc END AS cs
+      |  FROM cov, mx),
+      |cf AS (SELECT i, j, cs FROM cn UNION ALL SELECT j AS i, i AS j, cs FROM cn WHERE i <> j),
+      |v0 AS (SELECT unnest(generate_series(0, 63)) AS j, CAST(1000000 AS HUGEINT) AS v),
+      |w1 AS (SELECT f.i, SUM(cs * v) AS w FROM cf f JOIN v0 ON v0.j = f.j GROUP BY 1),
+      |v1 AS (SELECT i AS j, CASE WHEN w < 0 THEN -((-w * 1000000) // mw)
+      |         ELSE (w * 1000000) // mw END AS v
+      |       FROM w1, (SELECT MAX(ABS(w)) AS mw FROM w1)),
+      |w2 AS (SELECT f.i, SUM(cs * v) AS w FROM cf f JOIN v1 ON v1.j = f.j GROUP BY 1),
+      |v2 AS (SELECT i AS j, CASE WHEN w < 0 THEN -((-w * 1000000) // mw)
+      |         ELSE (w * 1000000) // mw END AS v
+      |       FROM w2, (SELECT MAX(ABS(w)) AS mw FROM w2)),
+      |w3 AS (SELECT f.i, SUM(cs * v) AS w FROM cf f JOIN v2 ON v2.j = f.j GROUP BY 1),
+      |v3 AS (SELECT i AS j, CASE WHEN w < 0 THEN -((-w * 1000000) // mw)
+      |         ELSE (w * 1000000) // mw END AS v
+      |       FROM w3, (SELECT MAX(ABS(w)) AS mw FROM w3)),
+      |sg AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
+      |       FROM v3 ORDER BY ABS(v) DESC, j ASC LIMIT 1),
+      |vo AS (SELECT j, v * sg AS comp FROM v3, sg)""".stripMargin
 
   /** The q75 lexical arm as DuckDB CTEs ending in `lr` (rank ≤ k) —
     * shared by the q75 and q76 oracles so the twins cannot drift. */

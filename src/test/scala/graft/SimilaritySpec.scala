@@ -670,4 +670,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._2.abs).max == 1000000L)
     assert(comp(top) > 0)
   }
+
+  test("q101: PCA extremes are exactly the top/bottom-10 of a full Scala projection recount") {
+    val dir = "/root/testdata/sf0.01"
+    // component from q98 (whose own spec proves it equals the BigInt
+    // recount) — q101 must project with exactly these values
+    val comp = SparkEntry.queries("q98_pca_power")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
+    val rows = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map { r =>
+        val m = r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1e6).toLong)
+        (r.getLong(0), r.getInt(1).toLong,
+          m.indices.map(i => m(i) * comp(i)).sum)
+      }
+    val hi = rows.sortBy { case (id, _, p) => (-p, id) }.take(10)
+    val lo = rows.sortBy { case (id, _, p) => (p, id) }.take(10)
+    val want = hi.zipWithIndex.map { case ((id, l, p), k) => ("max", k + 1L, id, l, p) } ++
+      lo.zipWithIndex.map { case ((id, l, p), k) => ("min", k + 1L, id, l, p) }
+    val got = SparkEntry.queries("q101_pca_extremes")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == want.sortBy(t => (t._1, t._2)).toSeq,
+      s"drift: ${got.toSeq.diff(want.toSeq).take(3)}")
+    // the two ends genuinely differ (the axis separates the corpus)
+    assert(hi.head._3 > lo.head._3)
+  }
 }
