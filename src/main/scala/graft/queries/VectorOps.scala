@@ -786,12 +786,21 @@ object VectorOps {
     tri.foreach { case (i, j, c) => cm(i)(j) = c; cm(j)(i) = c }
     def sdiv(a: BigInt, b: BigInt): BigInt = if (a < 0) -((-a) / b) else a / b
     val mc = cm.flatten.map(_.abs).max
+    // degenerate corpus (single vector, or all vectors identical): the
+    // covariance is the zero matrix and there is no principal direction
+    // — return the canonical e₀ with eigenvalue 0 instead of dividing
+    // by zero (spec-pinned; gate corpora never hit this, so the oracle
+    // twin keeps the real-data arithmetic only)
+    if (mc == 0)
+      return (Array.tabulate(d)(i => if (i == 0) 1000000L else 0L), 0L)
     val cs = cm.map(_.map(c => sdiv(c * 1000000, mc)))
     var v = Array.fill(d)(BigInt(1000000))
     for (_ <- 1 to 3) {
       val w = Array.tabulate(d)(i => (0 until d).map(j => cs(i)(j) * v(j)).sum)
       val mw = w.map(_.abs).max
-      v = w.map(x => sdiv(x * 1000000, mw))
+      // total cancellation (v orthogonal to every row in integer
+      // arithmetic) — keep the previous iterate rather than divide by 0
+      if (mw > 0) v = w.map(x => sdiv(x * 1000000, mw))
     }
     val topDim = (0 until d).minBy(j => (-v(j).abs, BigInt(j)))
     val sgn = if (v(topDim) < 0) BigInt(-1) else BigInt(1)

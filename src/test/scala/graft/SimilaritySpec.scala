@@ -695,4 +695,32 @@ class SimilaritySpec extends AnyFunSuite {
     // the two ends genuinely differ (the axis separates the corpus)
     assert(hi.head._3 > lo.head._3)
   }
+
+  test("q98/q101 survive degenerate corpora: single vector, all-identical vectors") {
+    import spark.implicits._
+    def write(vecs: Seq[(Long, Array[Float], Int)]): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pca-degen").toString
+      vecs.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      tmp
+    }
+    def checkZeroCov(dir: String): Unit = {
+      // zero covariance → canonical e₀ with eigenvalue 0, no crash
+      val r = SparkEntry.queries("q98_pca_power")(spark, dir).collect()
+        .sortBy(_.getLong(0))
+      assert(r.length == 64 && r.head.getLong(1) == 1000000L, r.toSeq.take(3))
+      assert(r.tail.forall(_.getLong(1) == 0L) && r.forall(_.getLong(2) == 0L))
+    }
+    checkZeroCov(write(Seq((0L, Array.fill(64)(0.25f), 1))))
+    val manyDir = write(Seq.tabulate(5)(i => (i.toLong, Array.fill(64)(0.25f), 1)))
+    checkZeroCov(manyDir)
+    // q101 on equal projections: both ends rank all 5 docs by vec_id
+    val x = SparkEntry.queries("q101_pca_extremes")(spark, manyDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(x.length == 10, x.toSeq)
+    Seq("max", "min").foreach { side =>
+      assert(x.filter(_._1 == side).sortBy(_._2).map(_._3).toSeq == (0L to 4L),
+        s"$side: ${x.toSeq}")
+    }
+  }
 }
