@@ -207,26 +207,28 @@ object VectorOps {
     kmeansOracleCtes(k.toString, iters)
 
   private[graft] def kmeansOracleCtes(kSql: String, iters: Int,
-                                      src: String = "embeddings"): String = {
+                                      src: String = "embeddings",
+                                      prefix: String = "",
+                                      dims: Int = 64): String = {
     def iterCtes(i: Int): String = {
-      val prev = s"c${i - 1}"
-      s"""a$i AS (
+      val prev = s"${prefix}c${i - 1}"
+      s"""${prefix}a$i AS (
          |  SELECT vec_id, embedding, centroid_id FROM (
          |    SELECT e.vec_id, e.embedding, c.centroid_id,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${duckCosineExpr("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rk
          |    FROM $src e CROSS JOIN $prev c) t WHERE rk = 1),
-         |m$i AS (
+         |${prefix}m$i AS (
          |  SELECT centroid_id, d AS pos,
          |    CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
          |      / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS FLOAT) AS m
-         |  FROM a$i CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) dd
+         |  FROM ${prefix}a$i CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS d) dd
          |  GROUP BY centroid_id, d),
-         |l$i AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m$i GROUP BY centroid_id),
-         |c$i AS (SELECT p.centroid_id, COALESCE(l$i.cvec, p.cvec) AS cvec
-         |        FROM c${i - 1} p LEFT JOIN l$i ON p.centroid_id = l$i.centroid_id)""".stripMargin
+         |${prefix}l$i AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM ${prefix}m$i GROUP BY centroid_id),
+         |${prefix}c$i AS (SELECT p.centroid_id, COALESCE(${prefix}l$i.cvec, p.cvec) AS cvec
+         |        FROM ${prefix}c${i - 1} p LEFT JOIN ${prefix}l$i ON p.centroid_id = ${prefix}l$i.centroid_id)""".stripMargin
     }
-    (s"""c0 AS (
+    (s"""${prefix}c0 AS (
         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS centroid_id,
         |         embedding AS cvec
         |  FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id ASC LIMIT $kSql))""".stripMargin
@@ -737,6 +739,60 @@ object VectorOps {
     // micro-unit embedding × 1e6-scale component, |term| ≤ 2^41,
     // d = 64 terms — far from overflow; ranks deterministic with
     // vec_id ties.
+    // Product quantization ANN (Jégou et al. TPAMI 2011 — the memory-
+    // bound vector-search workhorse; the codebook upgrade over q69's
+    // per-vector SQ8): the 64-dim space splits into M = 4 subspaces of
+    // 16 dims; each subspace trains its own Ks = 8 codebook with the
+    // q47 integer-exact Lloyd trainer (spherical variant — subvector
+    // assignment by max cosine, the engine's established quantizer
+    // arithmetic), every corpus vector compresses to M codes
+    // (4 bytes/vector here vs 64 at SQ8 vs 256 raw), and search is
+    // ADC: per query ONE M·Ks table of floored-micro subvector dot
+    // products, each candidate scored by summing its M table entries —
+    // an integer sum, so aggregation order can't drift the hash.
+    // Scale shape: training = q47's class (per-subspace corpus passes,
+    // capped like q68's SemTrainCap at deployment — gate corpora are
+    // under any cap so the uncapped oracle twin is exact); encode =
+    // corpus×M×Ks codegen cosines through one window; scoring joins
+    // the corpus code table against a BROADCAST query table on
+    // (sub, code) — the corpus never shuffles, and the per-candidate
+    // cost is M integer adds instead of a 64-dim float dot.
+    "q102_pq_ann" -> ((s, dir) => {
+      import graft.functions.VectorFunctions
+      val e = Tables(s, dir, "embeddings")
+      val cents = (0 until PqM).map { m =>
+        Similarity.kmeansCentroids(s,
+          e.select(col("vec_id"),
+            expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)").as("embedding")),
+          PqKs, PqIters)
+          .select(lit(m).as("sub"), col("centroid_id").as("code"), col("cvec"))
+      }.reduce(_ unionByName _).cache()
+      def subvOf(df: DataFrame, idAs: String) = df.select(col("vec_id").as(idAs),
+          explode(expr(s"transform(sequence(0, ${PqM - 1}), m -> " +
+            s"struct(m AS sub, slice(embedding, m * $PqSubDim + 1, $PqSubDim) AS sv))")).as("x"))
+        .select(col(idAs), col("x.sub").as("sub"), col("x.sv").as("sv"))
+      val codes = subvOf(e, "vec_id").join(broadcast(cents), Seq("sub"))
+        .withColumn("cos", VectorFunctions.cosine("sv", "cvec"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("cos").desc, col("code").asc)))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("sub"), col("code"))
+      val qtab = subvOf(e.filter(col("vec_id") % 50 === 0), "query_id")
+        .join(broadcast(cents), Seq("sub"))
+        .withColumn("t", expr(
+          s"CAST(FLOOR((${VectorFunctions.dotExpr("sv", "cvec")}) * 1000000.0) AS BIGINT)"))
+        .select(col("query_id"), col("sub"), col("code"), col("t"))
+      codes.join(broadcast(qtab), Seq("sub", "code"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("t")).as("adc_micro"))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_micro").desc, col("vec_id").asc)).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("adc_micro"), col("rank"))
+    }),
+
     "q101_pca_extremes" -> ((s, dir) => {
       val (comp, _) = pcaEigen(pcaCovariance(s, dir))
       val dotExpr = comp.zipWithIndex
@@ -864,6 +920,14 @@ object VectorOps {
 
   private[graft] def pcaCovariance(s: SparkSession, dir: String): DataFrame =
     pcaCovarianceOf(pcaMoments(s, dir))
+
+  // --- q102 product-quantization parameters (shared by the Spark query
+  // and its DuckDB twin: M subspaces × SubDim dims, Ks codes each,
+  // PqIters Lloyd rounds per subspace) ---
+  private[graft] val PqM = 4
+  private[graft] val PqSubDim = 16
+  private[graft] val PqKs = 8
+  private[graft] val PqIters = 2
 
   // --- q75/q76 retrieval parameters ---
   private[graft] val BmQueryMod = 250L
@@ -1330,7 +1394,46 @@ object VectorOps {
         |         vec_id, label, proj
         |       FROM proj ORDER BY proj ASC, vec_id ASC LIMIT 10)
         |SELECT side, rank, vec_id, label, proj FROM hi
-        |UNION ALL SELECT side, rank, vec_id, label, proj FROM lo""".stripMargin
+        |UNION ALL SELECT side, rank, vec_id, label, proj FROM lo""".stripMargin,
+
+    // Four prefixed instances of the shared k-means chain (one per
+    // subspace, on the sliced vectors), then the same encode / ADC
+    // arithmetic: cosine assignment ties on code ASC, table entries
+    // floored to micro BEFORE the sum so aggregation is integer.
+    "q102_pq_ann" -> {
+      val subs = (0 until PqM).map { m =>
+        s"sub$m AS (SELECT vec_id, embedding[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS embedding FROM embeddings)"
+      }.mkString(",\n")
+      val kms = (0 until PqM).map { m =>
+        kmeansOracleCtes(PqKs.toString, PqIters, src = s"sub$m",
+          prefix = s"k$m", dims = PqSubDim)
+      }.mkString(",\n")
+      val centsUnion = (0 until PqM).map { m =>
+        s"SELECT $m AS sub, centroid_id AS code, cvec FROM k${m}c$PqIters"
+      }.mkString(" UNION ALL ")
+      s"""WITH $subs,
+         |$kms,
+         |cents AS ($centsUnion),
+         |subv AS (SELECT vec_id, mm.sub,
+         |           embedding[mm.sub * $PqSubDim + 1 : (mm.sub + 1) * $PqSubDim] AS sv
+         |         FROM embeddings, (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub) mm),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |    SELECT v.vec_id, v.sub, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+         |        ORDER BY ${duckCosineExpr("v.sv", "c.cvec")} DESC, c.code ASC) AS rk
+         |    FROM subv v JOIN cents c ON c.sub = v.sub) t WHERE rk = 1),
+         |qt AS (SELECT q.vec_id AS query_id, q.sub, c.code,
+         |         CAST(FLOOR((${duckDotExpr("q.sv", "c.cvec")}) * 1000000.0) AS BIGINT) AS t
+         |       FROM subv q JOIN cents c ON c.sub = q.sub WHERE q.vec_id % 50 = 0),
+         |sc AS (SELECT t.query_id, k.vec_id, CAST(SUM(t.t) AS BIGINT) AS adc_micro
+         |       FROM codes k JOIN qt t ON t.sub = k.sub AND t.code = k.code
+         |       WHERE t.query_id <> k.vec_id GROUP BY 1, 2)
+         |SELECT query_id, vec_id AS neighbor_id, adc_micro, rank FROM (
+         |  SELECT query_id, vec_id, adc_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc_micro DESC, vec_id ASC) AS BIGINT) AS rank
+         |  FROM sc) r WHERE rank <= 5""".stripMargin
+    }
   )
 
   /** The q98 oracle's WITH-chain through the oriented component `vo`

@@ -696,6 +696,58 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hi.head._3 > lo.head._3)
   }
 
+  test("q102: ADC scores and ranking equal a full Scala recount over the engine's own codebooks") {
+    import graft.queries.VectorOps
+    val dir = "/root/testdata/sf0.01"
+    val e = Tables(spark, dir, "embeddings")
+    // per-subspace codebooks from the same trainer the query uses
+    // (trainer exactness itself is oracle- and spec-covered); the
+    // recount then re-derives every code, table entry, and rank
+    val cents: Map[(Int, Long), Array[Float]] = (0 until VectorOps.PqM).flatMap { m =>
+      Similarity.kmeansCentroids(spark,
+        e.select(col("vec_id"), expr(
+          s"slice(embedding, ${m * VectorOps.PqSubDim + 1}, ${VectorOps.PqSubDim})").as("embedding")),
+        VectorOps.PqKs, VectorOps.PqIters).collect()
+        .map(r => (m, r.getLong(0)) -> r.getSeq[Float](1).toArray)
+    }.toMap
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sub(v: Array[Float], m: Int): Array[Float] =
+      v.slice(m * VectorOps.PqSubDim, (m + 1) * VectorOps.PqSubDim)
+    // sequential folds in the exact order of dotExpr/sumsqExpr
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def codeOf(v: Array[Float], m: Int): Long =
+      (0L until VectorOps.PqKs.toLong)
+        .minBy(c => (-cos(sub(v, m), cents((m, c))), c))
+    val queries = vecs.keys.filter(_ % 50 == 0).toSeq.sorted
+    val want = queries.flatMap { q =>
+      val scored = vecs.keys.filter(_ != q).toSeq.map { n =>
+        val adc = (0 until VectorOps.PqM).map { m =>
+          math.floor(dot(sub(vecs(q), m), cents((m, codeOf(vecs(n), m)))) * 1e6).toLong
+        }.sum
+        (n, adc)
+      }
+      scored.sortBy { case (n, a) => (-a, n) }.take(5).zipWithIndex
+        .map { case ((n, a), k) => (q, n, a, k + 1L) }
+    }.toSet
+    val got = SparkEntry.queries("q102_pq_ann")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"drift: ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+    // recall sanity: the 4x8 codebook's top-5 must overlap the exact
+    // cosine top-5 somewhere in the batch (ADC is an approximation,
+    // not a reshuffle)
+    val overlap = queries.map { q =>
+      val exact = vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(vecs(q), vecs(n)))).sortBy { case (n, c) => (-c, n) }
+        .take(5).map(_._1).toSet
+      want.collect { case (`q`, n, _, _) => n }.toSet.intersect(exact).size
+    }
+    assert(overlap.sum > 0, s"zero recall across the whole batch: $overlap")
+  }
+
   test("q98/q101 survive degenerate corpora: single vector, all-identical vectors") {
     import spark.implicits._
     def write(vecs: Seq[(Long, Array[Float], Int)]): String = {
