@@ -79,6 +79,61 @@ object ScaleProbe {
       return
     }
 
+    // `pq` times q102's DEPLOYMENT shape — a FIXED query batch (the
+    // identity replica's vec_id < 2000 && % 50 = 0, same queries at
+    // every scale) scored by ADC against the full corpus code table.
+    // q102's gate-definition queries grow with the corpus (q24's
+    // class → n·q candidate rows); at a fixed batch the scan is
+    // linear in corpus, which is what this measures. Training is NOT
+    // in the timed section (a deployment scores against standing
+    // codebooks).
+    if (bitsArg == "pq") {
+      import graft.queries.VectorOps._
+      import graft.functions.VectorFunctions
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(spark, sfDir, "embeddings")
+      val n = e.count()
+      val cents = (0 until PqM).map { m =>
+        graft.operators.Similarity.kmeansCentroids(spark,
+          e.select(col("vec_id"),
+            expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)").as("embedding")),
+          PqKs, PqIters)
+          .select(lit(m).as("sub"), col("centroid_id").as("code"), col("cvec"))
+      }.reduce(_ unionByName _).cache()
+      def subvOf(df: org.apache.spark.sql.DataFrame, idAs: String) =
+        df.select(col("vec_id").as(idAs),
+            explode(expr(s"transform(sequence(0, ${PqM - 1}), m -> " +
+              s"struct(m AS sub, slice(embedding, m * $PqSubDim + 1, $PqSubDim) AS sv))")).as("x"))
+          .select(col(idAs), col("x.sub").as("sub"), col("x.sv").as("sv"))
+      val qtab = subvOf(e.filter(col("vec_id") < 2000 && col("vec_id") % 50 === 0), "query_id")
+        .join(broadcast(cents), Seq("sub"))
+        .withColumn("t", expr(
+          s"CAST(FLOOR((${VectorFunctions.dotExpr("sv", "cvec")}) * 1000000.0) AS BIGINT)"))
+        .select(col("query_id"), col("sub"), col("code"), col("t")).cache()
+      val nq = qtab.select(col("query_id")).distinct().count()
+      def topk = subvOf(e, "vec_id").join(broadcast(cents), Seq("sub"))
+        .withColumn("cos", VectorFunctions.cosine("sv", "cvec"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("cos").desc, col("code").asc)))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("sub"), col("code"))
+        .join(broadcast(qtab), Seq("sub", "code"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id")).agg(sum(col("t")).as("adc_micro"))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_micro").desc, col("vec_id").asc)))
+        .filter(col("rank") <= 5)
+      topk.count() // warmup
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        topk.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"""{"probe":"pq_fixed_batch","sf":"$sfDir","corpus":$n,"queries":$nq,"median_sec":${times(1)}%.3f}""")
+      spark.stop()
+      return
+    }
+
     // `decontam` times q71's DEPLOYMENT shape — a FIXED benchmark set
     // (vec_id < 2000 && % 20 = 0: the identity replica, so the same
     // vectors at every scale factor) against the full train split — the

@@ -777,7 +777,14 @@ object VectorOps {
           .orderBy(col("cos").desc, col("code").asc)))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("sub"), col("code"))
-      val qtab = subvOf(e.filter(col("vec_id") % 50 === 0), "query_id")
+      // query batch bounded by the q25 audit-slice rule (vec_id < Q25Cap):
+      // at the oracle gates every vec_id is under the cap so the batch is
+      // the full % 50 set, and at any replica scale the batch is FIXED —
+      // the ADC scan stays n·|batch|·M, linear in corpus (unbounded, the
+      // n·q pair count made one ×100 run 1080 s; ScaleProbe pq measures
+      // the capped shape)
+      val qtab = subvOf(e.filter(col("vec_id") < Q25Cap && col("vec_id") % 50 === 0),
+          "query_id")
         .join(broadcast(cents), Seq("sub"))
         .withColumn("t", expr(
           s"CAST(FLOOR((${VectorFunctions.dotExpr("sv", "cvec")}) * 1000000.0) AS BIGINT)"))
@@ -1424,7 +1431,8 @@ object VectorOps {
          |    FROM subv v JOIN cents c ON c.sub = v.sub) t WHERE rk = 1),
          |qt AS (SELECT q.vec_id AS query_id, q.sub, c.code,
          |         CAST(FLOOR((${duckDotExpr("q.sv", "c.cvec")}) * 1000000.0) AS BIGINT) AS t
-         |       FROM subv q JOIN cents c ON c.sub = q.sub WHERE q.vec_id % 50 = 0),
+         |       FROM subv q JOIN cents c ON c.sub = q.sub
+         |       WHERE q.vec_id < $Q25Cap AND q.vec_id % 50 = 0),
          |sc AS (SELECT t.query_id, k.vec_id, CAST(SUM(t.t) AS BIGINT) AS adc_micro
          |       FROM codes k JOIN qt t ON t.sub = k.sub AND t.code = k.code
          |       WHERE t.query_id <> k.vec_id GROUP BY 1, 2)

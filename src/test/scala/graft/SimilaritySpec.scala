@@ -722,7 +722,7 @@ class SimilaritySpec extends AnyFunSuite {
     def codeOf(v: Array[Float], m: Int): Long =
       (0L until VectorOps.PqKs.toLong)
         .minBy(c => (-cos(sub(v, m), cents((m, c))), c))
-    val queries = vecs.keys.filter(_ % 50 == 0).toSeq.sorted
+    val queries = vecs.keys.filter(id => id < 2000 && id % 50 == 0).toSeq.sorted
     val want = queries.flatMap { q =>
       val scored = vecs.keys.filter(_ != q).toSeq.map { n =>
         val adc = (0 until VectorOps.PqM).map { m =>
