@@ -800,6 +800,74 @@ object VectorOps {
           col("adc_micro"), col("rank"))
     }),
 
+    // IVFADC (Jégou et al. 2011 §IV — the production ANN composition
+    // every large vector store actually deploys): q45's coarse IVF
+    // quantizer routes, q102's PQ encodes the RESIDUAL (vector minus
+    // its coarse centroid — residuals are far more compressible than
+    // raw vectors), and search probes nprobe=2 coarse cells, scoring
+    // only their members by ADC against the query's PER-CELL residual
+    // table. Composition of established exact pieces: the q47 Lloyd
+    // trainer (coarse, then 4 residual-subspace codebooks), float32
+    // residual subtraction (IEEE-identical cross-engine), q102's
+    // floored-micro integer ADC. Scale shape: candidates are only the
+    // probed cells' members (the IVF win q102's flat scan lacks), the
+    // query batch is the q25-capped fixed set, and every join
+    // broadcasts codebook/query tables — the corpus never shuffles
+    // beyond the coarse assignment's own aggregation.
+    "q103_ivfadc" -> ((s, dir) => {
+      import graft.functions.VectorFunctions
+      val e = Tables(s, dir, "embeddings")
+      val coarse = Similarity.kmeansCentroids(s, e, PqKs, PqIters).cache()
+      val res = Similarity.nearestCentroid(
+          e.select(col("vec_id"), col("embedding")), coarse,
+          "embedding", "vec_id", Seq("embedding"))
+        .join(broadcast(coarse), Seq("centroid_id"))
+        .withColumn("r", expr(
+          "zip_with(embedding, cvec, (a, b) -> CAST(a AS FLOAT) - CAST(b AS FLOAT))"))
+        .select(col("vec_id"), col("centroid_id"), col("r"))
+        .cache()
+      val pcents = (0 until PqM).map { m =>
+        Similarity.kmeansCentroids(s,
+          res.select(col("vec_id"),
+            expr(s"slice(r, ${m * PqSubDim + 1}, $PqSubDim)").as("embedding")),
+          PqKs, PqIters)
+          .select(lit(m).as("sub"), col("centroid_id").as("code"), col("cvec"))
+      }.reduce(_ unionByName _).cache()
+      val codes = res.select(col("vec_id"), col("centroid_id"), explode(expr(
+          s"transform(sequence(0, ${PqM - 1}), m -> " +
+            s"struct(m AS sub, slice(r, m * $PqSubDim + 1, $PqSubDim) AS sv))")).as("x"))
+        .select(col("vec_id"), col("centroid_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+        .join(broadcast(pcents), Seq("sub"))
+        .withColumn("cos", VectorFunctions.cosine("sv", "cvec"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("cos").desc, col("code").asc)))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("centroid_id"), col("sub"), col("code"))
+      val q = e.filter(col("vec_id") < Q25Cap && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val qtab = Similarity.assignProbes(q, coarse, 2)
+        .join(broadcast(coarse), Seq("centroid_id"))
+        .withColumn("qr", expr(
+          "zip_with(qv, cvec, (a, b) -> CAST(a AS FLOAT) - CAST(b AS FLOAT))"))
+        .select(col("query_id"), col("centroid_id"), explode(expr(
+          s"transform(sequence(0, ${PqM - 1}), m -> " +
+            s"struct(m AS sub, slice(qr, m * $PqSubDim + 1, $PqSubDim) AS sv))")).as("x"))
+        .select(col("query_id"), col("centroid_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+        .join(broadcast(pcents), Seq("sub"))
+        .withColumn("t", expr(
+          s"CAST(FLOOR((${VectorFunctions.dotExpr("sv", "cvec")}) * 1000000.0) AS BIGINT)"))
+        .select(col("query_id"), col("centroid_id"), col("sub"), col("code"), col("t"))
+      codes.join(broadcast(qtab), Seq("centroid_id", "sub", "code"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("t")).as("adc_micro"))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_micro").desc, col("vec_id").asc)).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("adc_micro"), col("rank"))
+    }),
+
     "q101_pca_extremes" -> ((s, dir) => {
       val (comp, _) = pcaEigen(pcaCovariance(s, dir))
       val dotExpr = comp.zipWithIndex
@@ -1435,6 +1503,70 @@ object VectorOps {
          |       WHERE q.vec_id < $Q25Cap AND q.vec_id % 50 = 0),
          |sc AS (SELECT t.query_id, k.vec_id, CAST(SUM(t.t) AS BIGINT) AS adc_micro
          |       FROM codes k JOIN qt t ON t.sub = k.sub AND t.code = k.code
+         |       WHERE t.query_id <> k.vec_id GROUP BY 1, 2)
+         |SELECT query_id, vec_id AS neighbor_id, adc_micro, rank FROM (
+         |  SELECT query_id, vec_id, adc_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc_micro DESC, vec_id ASC) AS BIGINT) AS rank
+         |  FROM sc) r WHERE rank <= 5""".stripMargin
+    },
+
+    // Coarse chain (prefix g) on raw vectors, residual CTE (float32
+    // subtraction), 4 prefixed codebook chains on residual slices,
+    // then q102's encode/ADC — candidates only in probed cells.
+    "q103_ivfadc" -> {
+      val coarse = kmeansOracleCtes(PqKs.toString, PqIters, prefix = "g")
+      val rsubs = (0 until PqM).map { m =>
+        s"rsub$m AS (SELECT vec_id, embedding[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS embedding FROM res)"
+      }.mkString(",\n")
+      val kms = (0 until PqM).map { m =>
+        kmeansOracleCtes(PqKs.toString, PqIters, src = s"rsub$m",
+          prefix = s"p$m", dims = PqSubDim)
+      }.mkString(",\n")
+      val centsUnion = (0 until PqM).map { m =>
+        s"SELECT $m AS sub, centroid_id AS code, cvec FROM p${m}c$PqIters"
+      }.mkString(" UNION ALL ")
+      val subFloat = "list_transform(list_zip(%s, %s), x -> CAST(x[1] AS FLOAT) - CAST(x[2] AS FLOAT))"
+      s"""WITH $coarse,
+         |asg AS (SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCosineExpr("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rk
+         |    FROM embeddings e CROSS JOIN gc$PqIters c) t WHERE rk = 1),
+         |res AS (SELECT e.vec_id, a.centroid_id,
+         |          ${subFloat.format("e.embedding", "c.cvec")} AS embedding
+         |        FROM embeddings e JOIN asg a USING (vec_id)
+         |        JOIN gc$PqIters c ON c.centroid_id = a.centroid_id),
+         |$rsubs,
+         |$kms,
+         |pcents AS ($centsUnion),
+         |rsubv AS (SELECT vec_id, centroid_id, mm.sub,
+         |            embedding[mm.sub * $PqSubDim + 1 : (mm.sub + 1) * $PqSubDim] AS sv
+         |          FROM res, (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub) mm),
+         |codes AS (SELECT vec_id, centroid_id, sub, code FROM (
+         |    SELECT v.vec_id, v.centroid_id, v.sub, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+         |        ORDER BY ${duckCosineExpr("v.sv", "c.cvec")} DESC, c.code ASC) AS rk
+         |    FROM rsubv v JOIN pcents c ON c.sub = v.sub) t WHERE rk = 1),
+         |qq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |       WHERE vec_id < $Q25Cap AND vec_id % 50 = 0),
+         |probes AS (SELECT query_id, qv, centroid_id FROM (
+         |    SELECT q.query_id, q.qv, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckCosineExpr("q.qv", "c.cvec")} DESC, c.centroid_id ASC) AS rk
+         |    FROM qq q CROSS JOIN gc$PqIters c) t WHERE rk <= 2),
+         |qres AS (SELECT p.query_id, p.centroid_id,
+         |           ${subFloat.format("p.qv", "c.cvec")} AS qr
+         |         FROM probes p JOIN gc$PqIters c ON c.centroid_id = p.centroid_id),
+         |qsub AS (SELECT query_id, centroid_id, mm.sub,
+         |           qr[mm.sub * $PqSubDim + 1 : (mm.sub + 1) * $PqSubDim] AS sv
+         |         FROM qres, (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub) mm),
+         |qt AS (SELECT q.query_id, q.centroid_id, q.sub, c.code,
+         |         CAST(FLOOR((${duckDotExpr("q.sv", "c.cvec")}) * 1000000.0) AS BIGINT) AS t
+         |       FROM qsub q JOIN pcents c ON c.sub = q.sub),
+         |sc AS (SELECT t.query_id, k.vec_id, CAST(SUM(t.t) AS BIGINT) AS adc_micro
+         |       FROM codes k JOIN qt t ON t.centroid_id = k.centroid_id
+         |         AND t.sub = k.sub AND t.code = k.code
          |       WHERE t.query_id <> k.vec_id GROUP BY 1, 2)
          |SELECT query_id, vec_id AS neighbor_id, adc_micro, rank FROM (
          |  SELECT query_id, vec_id, adc_micro,
