@@ -88,35 +88,25 @@ object ScaleProbe {
     // in the timed section (a deployment scores against standing
     // codebooks).
     if (bitsArg == "pq") {
+      // The q102 deployment shape, built from the SAME pqCodebooks /
+      // pqSubvectors / pqEncode helpers and Q25Cap the query itself uses
+      // — the probe cannot drift from the query it times.
       import graft.queries.VectorOps._
       import graft.functions.VectorFunctions
       import org.apache.spark.sql.expressions.Window
       val e = Tables(spark, sfDir, "embeddings")
       val n = e.count()
-      val cents = (0 until PqM).map { m =>
-        graft.operators.Similarity.kmeansCentroids(spark,
-          e.select(col("vec_id"),
-            expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)").as("embedding")),
-          PqKs, PqIters)
-          .select(lit(m).as("sub"), col("centroid_id").as("code"), col("cvec"))
-      }.reduce(_ unionByName _).cache()
-      def subvOf(df: org.apache.spark.sql.DataFrame, idAs: String) =
-        df.select(col("vec_id").as(idAs),
-            explode(expr(s"transform(sequence(0, ${PqM - 1}), m -> " +
-              s"struct(m AS sub, slice(embedding, m * $PqSubDim + 1, $PqSubDim) AS sv))")).as("x"))
-          .select(col(idAs), col("x.sub").as("sub"), col("x.sv").as("sv"))
-      val qtab = subvOf(e.filter(col("vec_id") < 2000 && col("vec_id") % 50 === 0), "query_id")
+      val cents = pqCodebooks(spark, e, "embedding").cache()
+      val qtab = pqSubvectors(
+          e.filter(col("vec_id") < Q25Cap && col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding")
         .join(broadcast(cents), Seq("sub"))
         .withColumn("t", expr(
           s"CAST(FLOOR((${VectorFunctions.dotExpr("sv", "cvec")}) * 1000000.0) AS BIGINT)"))
         .select(col("query_id"), col("sub"), col("code"), col("t")).cache()
       val nq = qtab.select(col("query_id")).distinct().count()
-      def topk = subvOf(e, "vec_id").join(broadcast(cents), Seq("sub"))
-        .withColumn("cos", VectorFunctions.cosine("sv", "cvec"))
-        .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("cos").desc, col("code").asc)))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("sub"), col("code"))
+      def topk = pqEncode(pqSubvectors(e, "vec_id", "embedding"), cents, Seq("vec_id"))
         .join(broadcast(qtab), Seq("sub", "code"))
         .filter(col("query_id") =!= col("vec_id"))
         .groupBy(col("query_id"), col("vec_id")).agg(sum(col("t")).as("adc_micro"))

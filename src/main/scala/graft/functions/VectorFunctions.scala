@@ -53,6 +53,17 @@ object VectorFunctions {
   def duckCosineExpr(a: String, b: String): String =
     s"${duckDotExpr(a, b)} / (sqrt(${duckSumsqExpr(a)}) * sqrt(${duckSumsqExpr(b)}))"
 
+  /** DuckDB twin of [[graft.operators.Similarity.guardedCosine]]: cosine
+    * with NaN (zero-norm input → 0/0) mapped to -Infinity, so a ranking
+    * over it never prefers a degenerate vector. DuckDB sorts NaN LARGEST
+    * (above +inf) exactly like Spark, so wherever the Spark side applies
+    * the guard the oracle twin must too or the two engines' argmax
+    * would diverge on a zero-norm slice. */
+  def duckGuardedCosineExpr(a: String, b: String): String = {
+    val c = duckCosineExpr(a, b)
+    s"(CASE WHEN isnan($c) THEN CAST('-infinity' AS DOUBLE) ELSE $c END)"
+  }
+
   // ------------------------------------------------------- hash embedding
 
   /** Deterministic feature-hash embedding (engine substitute for the

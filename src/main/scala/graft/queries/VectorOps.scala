@@ -753,38 +753,27 @@ object VectorOps {
     // Scale shape: training = q47's class (per-subspace corpus passes,
     // capped like q68's SemTrainCap at deployment — gate corpora are
     // under any cap so the uncapped oracle twin is exact); encode =
-    // corpus×M×Ks codegen cosines through one window; scoring joins
-    // the corpus code table against a BROADCAST query table on
-    // (sub, code) — the corpus never shuffles, and the per-candidate
-    // cost is M integer adds instead of a 64-dim float dot.
+    // the pqEncode agg-min (map-side partial aggregation, one packed
+    // row per (vec_id, sub) shuffled — never a window sort over the
+    // n·M·Ks candidates); scoring joins the corpus code table against
+    // a BROADCAST query table on (sub, code) — the corpus never
+    // shuffles, and the per-candidate cost is M integer adds instead
+    // of a 64-dim float dot.
     "q102_pq_ann" -> ((s, dir) => {
       import graft.functions.VectorFunctions
       val e = Tables(s, dir, "embeddings")
-      val cents = (0 until PqM).map { m =>
-        Similarity.kmeansCentroids(s,
-          e.select(col("vec_id"),
-            expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)").as("embedding")),
-          PqKs, PqIters)
-          .select(lit(m).as("sub"), col("centroid_id").as("code"), col("cvec"))
-      }.reduce(_ unionByName _).cache()
-      def subvOf(df: DataFrame, idAs: String) = df.select(col("vec_id").as(idAs),
-          explode(expr(s"transform(sequence(0, ${PqM - 1}), m -> " +
-            s"struct(m AS sub, slice(embedding, m * $PqSubDim + 1, $PqSubDim) AS sv))")).as("x"))
-        .select(col(idAs), col("x.sub").as("sub"), col("x.sv").as("sv"))
-      val codes = subvOf(e, "vec_id").join(broadcast(cents), Seq("sub"))
-        .withColumn("cos", VectorFunctions.cosine("sv", "cvec"))
-        .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("cos").desc, col("code").asc)))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("sub"), col("code"))
+      val cents = pqCodebooks(s, e, "embedding").cache()
+      val codes = pqEncode(pqSubvectors(e, "vec_id", "embedding"), cents, Seq("vec_id"))
       // query batch bounded by the q25 audit-slice rule (vec_id < Q25Cap):
       // at the oracle gates every vec_id is under the cap so the batch is
       // the full % 50 set, and at any replica scale the batch is FIXED —
       // the ADC scan stays n·|batch|·M, linear in corpus (unbounded, the
       // n·q pair count made one ×100 run 1080 s; ScaleProbe pq measures
       // the capped shape)
-      val qtab = subvOf(e.filter(col("vec_id") < Q25Cap && col("vec_id") % 50 === 0),
-          "query_id")
+      val qtab = pqSubvectors(
+          e.filter(col("vec_id") < Q25Cap && col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding")
         .join(broadcast(cents), Seq("sub"))
         .withColumn("t", expr(
           s"CAST(FLOOR((${VectorFunctions.dotExpr("sv", "cvec")}) * 1000000.0) AS BIGINT)"))
@@ -826,23 +815,10 @@ object VectorOps {
           "zip_with(embedding, cvec, (a, b) -> CAST(a AS FLOAT) - CAST(b AS FLOAT))"))
         .select(col("vec_id"), col("centroid_id"), col("r"))
         .cache()
-      val pcents = (0 until PqM).map { m =>
-        Similarity.kmeansCentroids(s,
-          res.select(col("vec_id"),
-            expr(s"slice(r, ${m * PqSubDim + 1}, $PqSubDim)").as("embedding")),
-          PqKs, PqIters)
-          .select(lit(m).as("sub"), col("centroid_id").as("code"), col("cvec"))
-      }.reduce(_ unionByName _).cache()
-      val codes = res.select(col("vec_id"), col("centroid_id"), explode(expr(
-          s"transform(sequence(0, ${PqM - 1}), m -> " +
-            s"struct(m AS sub, slice(r, m * $PqSubDim + 1, $PqSubDim) AS sv))")).as("x"))
-        .select(col("vec_id"), col("centroid_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
-        .join(broadcast(pcents), Seq("sub"))
-        .withColumn("cos", VectorFunctions.cosine("sv", "cvec"))
-        .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("cos").desc, col("code").asc)))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("centroid_id"), col("sub"), col("code"))
+      val pcents = pqCodebooks(s, res, "r").cache()
+      val codes = pqEncode(
+        pqSubvectors(res, "vec_id", "r", carry = Seq("centroid_id")),
+        pcents, Seq("vec_id", "centroid_id"))
       val q = e.filter(col("vec_id") < Q25Cap && col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val qtab = Similarity.assignProbes(q, coarse, 2)
@@ -1003,6 +979,54 @@ object VectorOps {
   private[graft] val PqSubDim = 16
   private[graft] val PqKs = 8
   private[graft] val PqIters = 2
+
+  /** Per-subspace slice explode: one (id, [carry,] sub, sv) row per
+    * vector per subspace — the shared input shape of the q102/q103
+    * encode and of the ADC query tables. ScaleProbe's pq deployment
+    * probe reuses this (and [[pqCodebooks]]/[[pqEncode]]) so the probe
+    * cannot silently drift from the query it times. */
+  private[graft] def pqSubvectors(df: DataFrame, idCol: String, vecCol: String,
+                                  carry: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: (carry.map(col) :+ explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> " +
+          s"struct(m AS sub, slice($vecCol, m * $PqSubDim + 1, $PqSubDim) AS sv))")).as("x")): _*)
+      .select(col(idCol) +: (carry.map(col) :+ col("x.sub").as("sub") :+
+        col("x.sv").as("sv")): _*)
+
+  /** The M per-subspace Ks-codebooks via the q47 Lloyd trainer on the
+    * sliced vectors: (sub, code, cvec). `vectors` must carry (vec_id,
+    * `vecCol`). */
+  private[graft] def pqCodebooks(s: SparkSession, vectors: DataFrame,
+                                 vecCol: String): DataFrame =
+    (0 until PqM).map { m =>
+      Similarity.kmeansCentroids(s,
+        vectors.select(col("vec_id"),
+          expr(s"slice($vecCol, ${m * PqSubDim + 1}, $PqSubDim)").as("embedding")),
+        PqKs, PqIters)
+        .select(lit(m).as("sub"), col("centroid_id").as("code"), col("cvec"))
+    }.reduce(_ unionByName _)
+
+  /** PQ encode — the corpus-sized per-(id, sub) argmax, by the pinned
+    * agg-min idiom (`min(struct(-cos, code))`,
+    * Similarity.nearestCentroid Similarity.scala:119), NOT a row_number
+    * window: the window form sort-shuffles every n·M·Ks candidate row,
+    * while min(struct) partial-aggregates map-side so the shuffle
+    * carries ONE packed row per (id, sub) regardless of Ks.
+    * guardedCosine (NaN → -Infinity) keeps a zero-norm slice or
+    * centroid from ever outranking a real one, and the DuckDB twins
+    * carry the identical isnan guard
+    * ([[graft.functions.VectorFunctions.duckGuardedCosineExpr]]), so
+    * both engines pick the (max real cosine, min code) winner even on
+    * degenerate slices. `keys` = the id columns the codes attach to
+    * (q102: vec_id; q103: vec_id + its coarse cell). */
+  private[graft] def pqEncode(subv: DataFrame, cents: DataFrame,
+                              keys: Seq[String]): DataFrame =
+    subv.join(broadcast(cents), Seq("sub"))
+      .withColumn("cos", Similarity.guardedCosine(col("sv"), col("cvec")))
+      .groupBy((keys :+ "sub").map(col): _*)
+      .agg(min(struct((col("cos") * lit(-1.0)).as("neg"),
+        col("code").as("code"))).as("_w"))
+      .select((keys :+ "sub").map(col) :+ col("_w.code").as("code"): _*)
 
   // --- q75/q76 retrieval parameters ---
   private[graft] val BmQueryMod = 250L
@@ -1474,7 +1498,13 @@ object VectorOps {
     // Four prefixed instances of the shared k-means chain (one per
     // subspace, on the sliced vectors), then the same encode / ADC
     // arithmetic: cosine assignment ties on code ASC, table entries
-    // floored to micro BEFORE the sum so aggregation is integer.
+    // floored to micro BEFORE the sum so aggregation is integer. The
+    // encode window ranks the GUARDED cosine (isnan → -infinity),
+    // mirroring the Spark side's pqEncode guardedCosine — a row_number
+    // CTE is fine HERE (DuckDB is the single-node oracle; the agg-min
+    // requirement is about Spark's shuffle, not SQL expressibility),
+    // and over the guarded value (max real cosine, min code) it picks
+    // the identical winner.
     "q102_pq_ann" -> {
       val subs = (0 until PqM).map { m =>
         s"sub$m AS (SELECT vec_id, embedding[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS embedding FROM embeddings)"
@@ -1495,7 +1525,7 @@ object VectorOps {
          |codes AS (SELECT vec_id, sub, code FROM (
          |    SELECT v.vec_id, v.sub, c.code,
          |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
-         |        ORDER BY ${duckCosineExpr("v.sv", "c.cvec")} DESC, c.code ASC) AS rk
+         |        ORDER BY ${duckGuardedCosineExpr("v.sv", "c.cvec")} DESC, c.code ASC) AS rk
          |    FROM subv v JOIN cents c ON c.sub = v.sub) t WHERE rk = 1),
          |qt AS (SELECT q.vec_id AS query_id, q.sub, c.code,
          |         CAST(FLOOR((${duckDotExpr("q.sv", "c.cvec")}) * 1000000.0) AS BIGINT) AS t
@@ -1531,7 +1561,7 @@ object VectorOps {
          |asg AS (SELECT vec_id, centroid_id FROM (
          |    SELECT e.vec_id, c.centroid_id,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${duckCosineExpr("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rk
+         |        ORDER BY ${duckGuardedCosineExpr("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rk
          |    FROM embeddings e CROSS JOIN gc$PqIters c) t WHERE rk = 1),
          |res AS (SELECT e.vec_id, a.centroid_id,
          |          ${subFloat.format("e.embedding", "c.cvec")} AS embedding
@@ -1546,14 +1576,14 @@ object VectorOps {
          |codes AS (SELECT vec_id, centroid_id, sub, code FROM (
          |    SELECT v.vec_id, v.centroid_id, v.sub, c.code,
          |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
-         |        ORDER BY ${duckCosineExpr("v.sv", "c.cvec")} DESC, c.code ASC) AS rk
+         |        ORDER BY ${duckGuardedCosineExpr("v.sv", "c.cvec")} DESC, c.code ASC) AS rk
          |    FROM rsubv v JOIN pcents c ON c.sub = v.sub) t WHERE rk = 1),
          |qq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
          |       WHERE vec_id < $Q25Cap AND vec_id % 50 = 0),
          |probes AS (SELECT query_id, qv, centroid_id FROM (
          |    SELECT q.query_id, q.qv, c.centroid_id,
          |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |        ORDER BY ${duckCosineExpr("q.qv", "c.cvec")} DESC, c.centroid_id ASC) AS rk
+         |        ORDER BY ${duckGuardedCosineExpr("q.qv", "c.cvec")} DESC, c.centroid_id ASC) AS rk
          |    FROM qq q CROSS JOIN gc$PqIters c) t WHERE rk <= 2),
          |qres AS (SELECT p.query_id, p.centroid_id,
          |           ${subFloat.format("p.qv", "c.cvec")} AS qr

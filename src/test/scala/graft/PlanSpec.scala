@@ -103,6 +103,25 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side combine in assignment:\n$p")
   }
 
+  test("q102/q103 PQ encode is agg-min partial aggregation, not a window sort") {
+    // The q35 pin extended to the PQ encode (round-12 verdict item 1):
+    // both queries (and ScaleProbe's pq probe) build their corpus encode
+    // through VectorOps.pqEncode, so pinning the helper's plan pins all
+    // three. A row_number window here would sort-shuffle every n·M·Ks
+    // candidate row; the agg-min form shuffles ONE packed row per
+    // (vec_id, sub).
+    import org.apache.spark.sql.functions.col
+    val vo = graft.queries.VectorOps
+    val e = Tables(spark, dir, "embeddings")
+    val cents = vo.pqCodebooks(spark, e, "embedding")
+    val p = vo.pqEncode(vo.pqSubvectors(e, "vec_id", "embedding"), cents, Seq("vec_id"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"PQ encode degraded to the n·M·Ks window sort:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"no map-side combine in the PQ encode:\n$p")
+    assert(p.contains("BroadcastExchange"), s"codebook join must broadcast:\n$p")
+  }
+
   test("q80 top-gram pick is agg-min partial aggregation, not a per-doc window sort") {
     val p = planOf("q80_topgram_coverage")
     assert(!p.contains("Window"), s"top-1 degraded to a window sort:\n$p")

