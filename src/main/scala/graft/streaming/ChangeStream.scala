@@ -57,35 +57,7 @@ object ChangeStream {
     val q = source(spark, srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ss = batch.sparkSession
-        val statePath = s"$cdcDir/hashes"
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(statePath), ss.sparkContext.hadoopConfiguration)
-        val cur = batch
-          .select(col("doc_id"), sha2(col("text"), 256).as("h"))
-          .dropDuplicates("doc_id") // within-batch: one verdict per key
-          .cache()
-        try {
-          val diffed =
-            if (!fs.exists(new org.apache.hadoop.fs.Path(statePath)))
-              cur.withColumn("status", lit("added"))
-            else {
-              // the batch is the small side: RIGHT outer with the batch
-              // broadcast (a right-outer BHJ builds on the left), so the
-              // standing state streams through the join unshuffled
-              val prev = ss.read.parquet(statePath)
-                .withColumnRenamed("h", "h_prev")
-              prev.join(broadcast(cur), Seq("doc_id"), "right")
-                .select(col("doc_id"), col("h"),
-                  when(col("h_prev").isNull, "added")
-                    .when(col("h_prev") =!= col("h"), "modified")
-                    .otherwise("unchanged").as("status"))
-            }
-          diffed.select(lit(batchId).as("batch_id"), col("doc_id"),
-              col("status"), col("h"))
-            .write.mode("append").parquet(s"$cdcDir/changes")
-          graft.etl.Gold.upsert(ss, statePath, cur, "doc_id")
-        } finally cur.unpersist()
+        changeBatch(batch, batchId, cdcDir)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -93,5 +65,48 @@ object ChangeStream {
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** One ingest micro-batch. Replay-safe under foreachBatch's
+    * at-least-once: the diff (the only state-DEPENDENT frame — a
+    * replay computed after the upsert would mislabel every row
+    * `unchanged`) commits FIRST through [[AtomicState.appendOnce]], so
+    * a replay skips it without re-evaluating; the upsert that follows
+    * is keyed-overwrite idempotent. Exposed so StreamingSpec can
+    * replay it with the same batchId and assert log + state are
+    * unchanged. */
+  private[graft] def changeBatch(batch: DataFrame, batchId: Long,
+                                 cdcDir: String): Unit = {
+    val ss = batch.sparkSession
+    val statePath = s"$cdcDir/hashes"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath), ss.sparkContext.hadoopConfiguration)
+    val cur = batch
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .dropDuplicates("doc_id") // within-batch: one verdict per key
+      .cache()
+    try {
+      AtomicState.appendOnce(ss, s"$cdcDir/changes", batchId) { staging =>
+        val diffed =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            cur.withColumn("status", lit("added"))
+          else {
+            // the batch is the small side: RIGHT outer with the batch
+            // broadcast (a right-outer BHJ builds on the left), so the
+            // standing state streams through the join unshuffled
+            val prev = ss.read.parquet(statePath)
+              .withColumnRenamed("h", "h_prev")
+            prev.join(broadcast(cur), Seq("doc_id"), "right")
+              .select(col("doc_id"), col("h"),
+                when(col("h_prev").isNull, "added")
+                  .when(col("h_prev") =!= col("h"), "modified")
+                  .otherwise("unchanged").as("status"))
+          }
+        diffed.select(lit(batchId).as("batch_id"), col("doc_id"),
+            col("status"), col("h"))
+          .write.mode("overwrite").parquet(staging)
+      }
+      graft.etl.Gold.upsert(ss, statePath, cur, "doc_id")
+    } finally cur.unpersist()
   }
 }

@@ -64,9 +64,13 @@ object DocumentsStream {
     vocab.persist(); totals.persist()
     val q = source(spark, srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        TrainingOps.pplScore(batch, vocab, totals)
-          .write.mode("append").parquet(destDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // appendOnce: a foreachBatch replay (crash between write and
+        // offset commit) must not duplicate the batch's scored rows
+        AtomicState.appendOnce(batch.sparkSession, destDir, batchId) { staging =>
+          TrainingOps.pplScore(batch, vocab, totals)
+            .write.mode("overwrite").parquet(staging)
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())

@@ -55,46 +55,23 @@ object EmbeddingsStream {
   /** Assign every arriving vector to its nearest centroid and append it
     * to the `centroid_id`-partitioned index at `indexDir`. Drains
     * available input and stops (AvailableNow); re-runs process only new
-    * files (checkpointed file-source offsets), so a crash-retry or a
-    * duplicate drop of the SAME file never double-inserts. */
+    * files (checkpointed file-source offsets), so a duplicate drop of
+    * the SAME file never double-inserts — and because foreachBatch is
+    * only at-LEAST-once (a crash after the sink write but before the
+    * offset commit replays the batch), both sink effects are replay-
+    * idempotent by batchId: the index append goes through
+    * [[AtomicState.appendOnce]]'s stage-and-move protocol, and the
+    * stats fold skips batches whose applied-marker is already in the
+    * state ([[AtomicState.alreadyApplied]]). */
   def ivfIngest(spark: SparkSession, srcDir: String, centroids: DataFrame,
                 indexDir: String, checkpointDir: String,
                 statsDir: String = null,
                 subpartitionByLabel: Boolean = false): StreamingQuery = {
     val q = source(spark, srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ss = batch.sparkSession
-        val assigned = Similarity.nearestCentroid(
-            batch.select(col("vec_id"), col("embedding")),
-            centroids, "embedding", "vec_id", Seq("embedding"))
-          .select(col("centroid_id"), col("vec_id"), col("casim"), col("embedding"))
-        // layout: always centroid-partitioned; optionally sub-partitioned
-        // by the metadata column filtered searches predicate on, so a
-        // label filter prunes FILES exactly like the probe does (the
-        // q90 deployment layout — see [[searchIndexFiltered]])
-        val (toWrite, parts) =
-          if (!subpartitionByLabel) (assigned, Seq("centroid_id"))
-          else (assigned.join(batch.select(col("vec_id"), col("label")), Seq("vec_id")),
-            Seq("centroid_id", "label"))
-        toWrite.write.mode("append").partitionBy(parts: _*).parquet(indexDir)
-        // optional sufficient-statistics fold (see [[recenter]]): the
-        // per-centroid dim-wise micro-unit sums and counts ADD across
-        // batches (linearity), so the standing state is k·dim rows
-        // however many vectors the index holds. Read back what was just
-        // written? No — fold the assigned batch directly; the index
-        // append and the stats fold see the same rows.
-        if (statsDir != null) {
-          val batchStats = centroidStats(assigned)
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            new java.net.URI(statsDir), ss.sparkContext.hadoopConfiguration)
-          val merged =
-            if (!fs.exists(new org.apache.hadoop.fs.Path(statsDir))) batchStats
-            else ss.read.parquet(statsDir).unionByName(batchStats)
-              .groupBy(col("centroid_id"), col("d"))
-              .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
-          AtomicState.swapIn(ss, statsDir, merged)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, centroids, indexDir, statsDir,
+          subpartitionByLabel)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -102,6 +79,48 @@ object EmbeddingsStream {
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** One ivfIngest micro-batch — exposed so StreamingSpec can replay it
+    * with the same batchId and assert both sink effects are no-ops the
+    * second time (the crash-between-write-and-offset-commit window). */
+  private[graft] def ingestBatch(batch: DataFrame, batchId: Long,
+                                 centroids: DataFrame, indexDir: String,
+                                 statsDir: String,
+                                 subpartitionByLabel: Boolean): Unit = {
+    val ss = batch.sparkSession
+    val assigned = Similarity.nearestCentroid(
+        batch.select(col("vec_id"), col("embedding")),
+        centroids, "embedding", "vec_id", Seq("embedding"))
+      .select(col("centroid_id"), col("vec_id"), col("casim"), col("embedding"))
+    // layout: always centroid-partitioned; optionally sub-partitioned
+    // by the metadata column filtered searches predicate on, so a
+    // label filter prunes FILES exactly like the probe does (the
+    // q90 deployment layout — see [[searchIndexFiltered]])
+    val (toWrite, parts) =
+      if (!subpartitionByLabel) (assigned, Seq("centroid_id"))
+      else (assigned.join(batch.select(col("vec_id"), col("label")), Seq("vec_id")),
+        Seq("centroid_id", "label"))
+    AtomicState.appendOnce(ss, indexDir, batchId) { staging =>
+      toWrite.write.mode("overwrite").partitionBy(parts: _*).parquet(staging)
+    }
+    // optional sufficient-statistics fold (see [[recenter]]): the
+    // per-centroid dim-wise micro-unit sums and counts ADD across
+    // batches (linearity), so the standing state is k·dim rows
+    // however many vectors the index holds. Read back what was just
+    // written? No — fold the assigned batch directly; the index
+    // append and the stats fold see the same rows. The fold is
+    // additive, NOT idempotent — the applied-marker check is what
+    // keeps a replayed batch from double-counting.
+    if (statsDir != null && !AtomicState.alreadyApplied(ss, statsDir, batchId)) {
+      val batchStats = centroidStats(assigned)
+      val merged =
+        if (!AtomicState.exists(ss, statsDir)) batchStats
+        else ss.read.parquet(statsDir).unionByName(batchStats)
+          .groupBy(col("centroid_id"), col("d"))
+          .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      AtomicState.swapIn(ss, statsDir, merged, batchId)
+    }
   }
 
   /** Filtered top-k against a label-subpartitioned standing index (the
@@ -141,28 +160,25 @@ object EmbeddingsStream {
     * a d(d+1)/2-row state that is bit-identical to one batch pass over
     * the union, at O(d²) standing cost however many vectors have
     * arrived. */
-  def momentState(spark: SparkSession, momentsDir: String): DataFrame =
+  def momentState(spark: SparkSession, momentsDir: String): DataFrame = {
+    AtomicState.recover(spark, momentsDir)
     spark.read.parquet(momentsDir)
+  }
 
-  /** Drain available embedding drops, folding each batch's moments
-    * into the standing state (temp + atomic rename; checkpointed
-    * offsets make a crash-retry or duplicate drop a no-op). */
+  /** Drain available embedding drops, folding each batch's moments into
+    * the standing state. Checkpointed offsets keep a completed re-run or
+    * duplicate drop of the same file from re-entering the source, and
+    * the batchId applied-marker ([[AtomicState.alreadyApplied]]) keeps
+    * the one at-least-once window foreachBatch leaves open — a crash
+    * after the swap but before the offset commit — from folding the
+    * replayed batch's moments in a second time (the fold is additive,
+    * not idempotent). */
   def momentIngest(spark: SparkSession, srcDir: String, momentsDir: String,
                    checkpointDir: String): StreamingQuery = {
     val q = source(spark, srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ss = batch.sparkSession
-        val bm = graft.queries.VectorOps.pcaMomentsOf(batch)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(momentsDir), ss.sparkContext.hadoopConfiguration)
-        val merged =
-          if (!fs.exists(new org.apache.hadoop.fs.Path(momentsDir))) bm
-          else momentState(ss, momentsDir).unionByName(bm)
-            .groupBy(col("i"), col("j"))
-            .agg(sum(col("sij")).as("sij"), sum(col("sid")).as("sid"),
-              sum(col("cnt")).as("cnt"))
-        AtomicState.swapIn(ss, momentsDir, merged)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        momentBatch(batch, batchId, momentsDir)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -170,6 +186,22 @@ object EmbeddingsStream {
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** One momentIngest micro-batch — exposed so StreamingSpec can replay
+    * it with the same batchId and assert the fold is a no-op. */
+  private[graft] def momentBatch(batch: DataFrame, batchId: Long,
+                                 momentsDir: String): Unit = {
+    val ss = batch.sparkSession
+    if (AtomicState.alreadyApplied(ss, momentsDir, batchId)) return
+    val bm = graft.queries.VectorOps.pcaMomentsOf(batch)
+    val merged =
+      if (!AtomicState.exists(ss, momentsDir)) bm
+      else momentState(ss, momentsDir).unionByName(bm)
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("sij")).as("sij"), sum(col("sid")).as("sid"),
+          sum(col("cnt")).as("cnt"))
+    AtomicState.swapIn(ss, momentsDir, merged, batchId)
   }
 
   /** The top principal component read off the standing moment state —

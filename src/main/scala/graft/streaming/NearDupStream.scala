@@ -84,56 +84,7 @@ object NearDupStream {
     val q = source(spark, srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ss = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(dupDir), ss.sparkContext.hadoopConfiguration)
-        def exists(p: String) =
-          fs.exists(new org.apache.hadoop.fs.Path(p))
-        val sig = sigOf(batch).cache()
-        try {
-          val banded = withPband(TextOps.bandedRows(sig, Bands)).cache()
-          try {
-            // 1. probe the standing index (DPP on pband)
-            val prior =
-              if (!exists(s"$dupDir/bands")) None
-              else Some(ss.read.parquet(s"$dupDir/bands"))
-            val vsPrior = prior.map { p =>
-              // the drop is small BY DEFINITION — broadcast it so the
-              // standing index streams through the probe join with no
-              // shuffle of its (corpus × 8)-row band table
-              p.select(col("pband"), col("band"), col("bucket"),
-                  col("doc_id").as("matched_id"))
-                .join(broadcast(banded), Seq("pband", "band", "bucket"))
-                .select(col("doc_id"), col("matched_id")).distinct()
-            }
-            // 2. within-batch pairs, capped exactly like the batch path
-            val inBatch = TextOps.bucketPairs(banded.drop("pband"))
-              .select(col("doc_b").as("doc_id"), col("doc_a").as("matched_id"))
-            val cand = vsPrior.map(_.union(inBatch)).getOrElse(inBatch)
-              .distinct()
-            // 3. confirm estimate: the NEW side's signatures are the
-            // batch's own (already in hand — no table read); the
-            // matched side may be a prior doc (standing table) or a
-            // same-batch doc (the batch again)
-            val allSigs =
-              if (exists(s"$dupDir/minhash"))
-                ss.read.parquet(s"$dupDir/minhash").unionByName(sig)
-              else sig
-            def side(src: DataFrame, p: String) = src.select(
-              col("doc_id").as(s"${p}_id") +:
-                (0 until 16).map(i => col(s"mh$i").as(s"${p}_mh$i")): _*)
-            val out = cand
-              .join(side(sig, "a"), col("doc_id") === col("a_id"))
-              .join(side(allSigs, "b"), col("matched_id") === col("b_id"))
-              .select(lit(batchId).as("batch_id"), col("doc_id"),
-                col("matched_id"), agreeExpr.as("n_agree"))
-            out.write.mode("append").parquet(s"$dupDir/matches")
-            // 4. append the batch to the standing index
-            banded.write.mode("append").partitionBy("pband")
-              .parquet(s"$dupDir/bands")
-            sig.write.mode("append").parquet(s"$dupDir/minhash")
-          } finally banded.unpersist()
-        } finally sig.unpersist()
+        dedupBatch(batch, batchId, dupDir)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -141,5 +92,71 @@ object NearDupStream {
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** One ingest micro-batch. Replay-safe under foreachBatch's
+    * at-least-once via [[AtomicState.appendOnce]] on all three sinks,
+    * with the state-DEPENDENT match log committed FIRST: a naive
+    * replay after the index appends landed would probe an index that
+    * already CONTAINS the batch and log every document as a 16/16
+    * match of itself. With the ordering, a replay skips the committed
+    * match log without re-evaluating it, and the two index appends
+    * (pure functions of the batch) stage deterministically. Exposed so
+    * StreamingSpec can replay it with the same batchId and assert the
+    * match log and index are unchanged. */
+  private[graft] def dedupBatch(batch: DataFrame, batchId: Long,
+                                dupDir: String): Unit = {
+    val ss = batch.sparkSession
+    def exists(p: String) = AtomicState.appendedAny(ss, p)
+    val sig = sigOf(batch).cache()
+    try {
+      val banded = withPband(TextOps.bandedRows(sig, Bands)).cache()
+      try {
+        AtomicState.appendOnce(ss, s"$dupDir/matches", batchId) { staging =>
+          // 1. probe the standing index (DPP on pband)
+          val prior =
+            if (!exists(s"$dupDir/bands")) None
+            else Some(ss.read.parquet(s"$dupDir/bands"))
+          val vsPrior = prior.map { p =>
+            // the drop is small BY DEFINITION — broadcast it so the
+            // standing index streams through the probe join with no
+            // shuffle of its (corpus × 8)-row band table
+            p.select(col("pband"), col("band"), col("bucket"),
+                col("doc_id").as("matched_id"))
+              .join(broadcast(banded), Seq("pband", "band", "bucket"))
+              .select(col("doc_id"), col("matched_id")).distinct()
+          }
+          // 2. within-batch pairs, capped exactly like the batch path
+          val inBatch = TextOps.bucketPairs(banded.drop("pband"))
+            .select(col("doc_b").as("doc_id"), col("doc_a").as("matched_id"))
+          val cand = vsPrior.map(_.union(inBatch)).getOrElse(inBatch)
+            .distinct()
+          // 3. confirm estimate: the NEW side's signatures are the
+          // batch's own (already in hand — no table read); the
+          // matched side may be a prior doc (standing table) or a
+          // same-batch doc (the batch again)
+          val allSigs =
+            if (exists(s"$dupDir/minhash"))
+              ss.read.parquet(s"$dupDir/minhash").unionByName(sig)
+            else sig
+          def side(src: DataFrame, p: String) = src.select(
+            col("doc_id").as(s"${p}_id") +:
+              (0 until 16).map(i => col(s"mh$i").as(s"${p}_mh$i")): _*)
+          cand
+            .join(side(sig, "a"), col("doc_id") === col("a_id"))
+            .join(side(allSigs, "b"), col("matched_id") === col("b_id"))
+            .select(lit(batchId).as("batch_id"), col("doc_id"),
+              col("matched_id"), agreeExpr.as("n_agree"))
+            .write.mode("overwrite").parquet(staging)
+        }
+        // 4. append the batch to the standing index
+        AtomicState.appendOnce(ss, s"$dupDir/bands", batchId) { staging =>
+          banded.write.mode("overwrite").partitionBy("pband").parquet(staging)
+        }
+        AtomicState.appendOnce(ss, s"$dupDir/minhash", batchId) { staging =>
+          sig.write.mode("overwrite").parquet(staging)
+        }
+      } finally banded.unpersist()
+    } finally sig.unpersist()
   }
 }

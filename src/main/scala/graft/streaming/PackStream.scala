@@ -48,9 +48,7 @@ object PackStream {
   /** The carried corpus token total: 0 before any batch. */
   def totalTokens(spark: SparkSession, packDir: String): Long = {
     val p = s"$packDir/state"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(p))) return 0L
+    if (!AtomicState.appendedAny(spark, p)) return 0L
     spark.read.parquet(p).agg(coalesce(sum(col("t")), lit(0L)))
       .first().getLong(0)
   }
@@ -67,14 +65,8 @@ object PackStream {
              checkpointDir: String): StreamingQuery = {
     val q = source(spark, srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val base = totalTokens(batch.sparkSession, packDir)
-        val segs = TrainingOps.sequencePack(batch, base).cache()
-        try {
-          segs.write.mode("append").parquet(s"$packDir/segments")
-          segs.agg(coalesce(sum(col("seg_len")), lit(0L)).as("t"))
-            .write.mode("append").parquet(s"$packDir/state")
-        } finally segs.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        packBatch(batch, batchId, packDir)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -82,5 +74,29 @@ object PackStream {
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** One ingest micro-batch. Replay-safe under foreachBatch's
+    * at-least-once via [[AtomicState.appendOnce]] on both sinks, with
+    * segments committed BEFORE the state total: `base` (and so every
+    * packed offset) depends on the state, so a replay must recompute it
+    * from the state AS OF the original attempt — which holds at every
+    * crash point because the state row lands last. Exposed so
+    * StreamingSpec can replay it with the same batchId and assert the
+    * layout and total are unchanged. */
+  private[graft] def packBatch(batch: DataFrame, batchId: Long,
+                               packDir: String): Unit = {
+    val ss = batch.sparkSession
+    val base = totalTokens(ss, packDir)
+    val segs = TrainingOps.sequencePack(batch, base).cache()
+    try {
+      AtomicState.appendOnce(ss, s"$packDir/segments", batchId) { staging =>
+        segs.write.mode("overwrite").parquet(staging)
+      }
+      AtomicState.appendOnce(ss, s"$packDir/state", batchId) { staging =>
+        segs.agg(coalesce(sum(col("seg_len")), lit(0L)).as("t"))
+          .write.mode("overwrite").parquet(staging)
+      }
+    } finally segs.unpersist()
   }
 }

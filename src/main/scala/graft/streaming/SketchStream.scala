@@ -183,63 +183,14 @@ object SketchStream {
       .select(col("lang"), expr(s"(${Idioms.pl2Expr("v")}) div 128").as("bin"))
       .groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("cnt"))
 
-  /** Write `df` to `path` via temp + atomic rename (previous state
-    * survives a crash mid-write; `df` may read the old `path`). */
-  private def swapIn(spark: SparkSession, path: String, df: DataFrame): Unit =
-    AtomicState.swapIn(spark, path, df)
-
   /** Drain available drops from `srcDir`, folding each batch into the
     * standing KMV and CMS states under `sketchDir`. */
   def ingest(spark: SparkSession, srcDir: String, sketchDir: String,
              checkpointDir: String): StreamingQuery = {
     val q = source(spark, srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ss = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(sketchDir), ss.sparkContext.hadoopConfiguration)
-        def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
-        val kmv = udaf(graft.functions.KmvSketchAggregator(TrainingOps.KmvK))
-        // KMV: standing sketches re-enter as plain hash rows — kmv() of
-        // the union IS the merged sketch (mergeability), so the standing
-        // side costs ≤ groups·k rows, not a corpus re-scan
-        val kmvIn =
-          if (!exists(s"$sketchDir/kmv")) tokenHashes(batch)
-          else kmvState(ss, s"$sketchDir")
-            .select(col("lang"), col("source"), explode(col("sketch")).as("h"))
-            .unionByName(tokenHashes(batch))
-        swapIn(ss, s"$sketchDir/kmv",
-          kmvIn.groupBy(col("lang"), col("source")).agg(kmv(col("h")).as("sketch")))
-        // CMS: linearity — cells add
-        val cmsIn =
-          if (!exists(s"$sketchDir/cms")) batchCells(batch)
-          else cmsCells(ss, sketchDir).unionByName(batchCells(batch))
-        swapIn(ss, s"$sketchDir/cms",
-          cmsIn.groupBy(col("j"), col("pos"))
-            .agg(sum(col("cell_cnt")).as("cell_cnt")))
-        // log-histogram: the same linearity — bins add
-        val histIn =
-          if (!exists(s"$sketchDir/hist")) batchHist(batch)
-          else histCells(ss, sketchDir).unionByName(batchHist(batch))
-        swapIn(ss, s"$sketchDir/hist",
-          histIn.groupBy(col("lang"), col("bin"))
-            .agg(sum(col("cnt")).as("cnt")))
-        // BPE pair counts: linearity again — exact cells add, state
-        // bounded by the character alphabet squared
-        val bpeIn =
-          if (!exists(s"$sketchDir/bpe")) batchPairs(batch)
-          else pairState(ss, sketchDir).unionByName(batchPairs(batch))
-        swapIn(ss, s"$sketchDir/bpe",
-          bpeIn.groupBy(col("l"), col("r"))
-            .agg(sum(col("cnt")).as("cnt")))
-        // weighted sample: k smallest of (standing k ∪ batch keys)
-        val batchKeys = TrainingOps.weightedKeys(batch)
-        val sampleIn =
-          if (!exists(s"$sketchDir/sample")) batchKeys
-          else weightedSample(ss, sketchDir).unionByName(batchKeys)
-        swapIn(ss, s"$sketchDir/sample",
-          sampleIn.orderBy(col("skey").asc, col("doc_id").asc)
-            .limit(TrainingOps.WeightedSampleK))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sketchBatch(batch, batchId, sketchDir)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -247,5 +198,69 @@ object SketchStream {
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** One ingest micro-batch: five independent standing-state folds.
+    * foreachBatch is at-least-once, and four of the folds are ADDITIVE
+    * (re-folding a replayed batch double-counts; the min-of-union
+    * sample alone happens to be idempotent), so each substate carries
+    * its own applied-batch marker
+    * ([[AtomicState.alreadyApplied]]): a replay after a crash between
+    * two of the five swaps re-runs only the folds that did not land,
+    * and a full replay is a no-op. Exposed so StreamingSpec can replay
+    * it with the same batchId and assert exactly that. */
+  private[graft] def sketchBatch(batch: DataFrame, batchId: Long,
+                                 sketchDir: String): Unit = {
+    val ss = batch.sparkSession
+    def fold(path: String)(merged: => DataFrame): Unit =
+      if (!AtomicState.alreadyApplied(ss, path, batchId)) {
+        AtomicState.swapIn(ss, path, merged, batchId)
+      }
+    val kmv = udaf(graft.functions.KmvSketchAggregator(TrainingOps.KmvK))
+    // KMV: standing sketches re-enter as plain hash rows — kmv() of
+    // the union IS the merged sketch (mergeability), so the standing
+    // side costs ≤ groups·k rows, not a corpus re-scan
+    fold(s"$sketchDir/kmv") {
+      val kmvIn =
+        if (!AtomicState.exists(ss, s"$sketchDir/kmv")) tokenHashes(batch)
+        else kmvState(ss, s"$sketchDir")
+          .select(col("lang"), col("source"), explode(col("sketch")).as("h"))
+          .unionByName(tokenHashes(batch))
+      kmvIn.groupBy(col("lang"), col("source")).agg(kmv(col("h")).as("sketch"))
+    }
+    // CMS: linearity — cells add
+    fold(s"$sketchDir/cms") {
+      val cmsIn =
+        if (!AtomicState.exists(ss, s"$sketchDir/cms")) batchCells(batch)
+        else cmsCells(ss, sketchDir).unionByName(batchCells(batch))
+      cmsIn.groupBy(col("j"), col("pos"))
+        .agg(sum(col("cell_cnt")).as("cell_cnt"))
+    }
+    // log-histogram: the same linearity — bins add
+    fold(s"$sketchDir/hist") {
+      val histIn =
+        if (!AtomicState.exists(ss, s"$sketchDir/hist")) batchHist(batch)
+        else histCells(ss, sketchDir).unionByName(batchHist(batch))
+      histIn.groupBy(col("lang"), col("bin"))
+        .agg(sum(col("cnt")).as("cnt"))
+    }
+    // BPE pair counts: linearity again — exact cells add, state
+    // bounded by the character alphabet squared
+    fold(s"$sketchDir/bpe") {
+      val bpeIn =
+        if (!AtomicState.exists(ss, s"$sketchDir/bpe")) batchPairs(batch)
+        else pairState(ss, sketchDir).unionByName(batchPairs(batch))
+      bpeIn.groupBy(col("l"), col("r"))
+        .agg(sum(col("cnt")).as("cnt"))
+    }
+    // weighted sample: k smallest of (standing k ∪ batch keys)
+    fold(s"$sketchDir/sample") {
+      val batchKeys = TrainingOps.weightedKeys(batch)
+      val sampleIn =
+        if (!AtomicState.exists(ss, s"$sketchDir/sample")) batchKeys
+        else weightedSample(ss, sketchDir).unionByName(batchKeys)
+      sampleIn.orderBy(col("skey").asc, col("doc_id").asc)
+        .limit(TrainingOps.WeightedSampleK)
+    }
   }
 }

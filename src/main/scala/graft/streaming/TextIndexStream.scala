@@ -78,21 +78,16 @@ object TextIndexStream {
   /** Drain available document drops from `srcDir` into the standing
     * index at `indexDir` (postings partitioned by term bucket + one
     * stats row per batch). AvailableNow + checkpoint = exactly-once
-    * over files. */
+    * over FILES; the at-least-once foreachBatch replay window (crash
+    * between sink write and offset commit) is closed by routing both
+    * appends through [[AtomicState.appendOnce]], so a replayed batch
+    * never duplicates postings or stats rows. */
   def ingest(spark: SparkSession, srcDir: String, indexDir: String,
              checkpointDir: String): StreamingQuery = {
     val q = source(spark, srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val posts = postingsOf(batch).cache()
-        try {
-          posts.write.mode("append").partitionBy("bucket")
-            .parquet(s"$indexDir/postings")
-          // batch-level corpus stats: one tiny row, not a per-doc table
-          posts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
-            .agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
-            .write.mode("append").parquet(s"$indexDir/stats")
-        } finally posts.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        indexBatch(batch, batchId, indexDir)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -100,6 +95,25 @@ object TextIndexStream {
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** One ingest micro-batch — exposed so StreamingSpec can replay it
+    * with the same batchId and assert the index is unchanged. */
+  private[graft] def indexBatch(batch: DataFrame, batchId: Long,
+                                indexDir: String): Unit = {
+    val ss = batch.sparkSession
+    val posts = postingsOf(batch).cache()
+    try {
+      AtomicState.appendOnce(ss, s"$indexDir/postings", batchId) { staging =>
+        posts.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+      }
+      // batch-level corpus stats: one tiny row, not a per-doc table
+      AtomicState.appendOnce(ss, s"$indexDir/stats", batchId) { staging =>
+        posts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+          .agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+          .write.mode("overwrite").parquet(staging)
+      }
+    } finally posts.unpersist()
   }
 
   /** BM25 top-k against the standing index. `queries`: (query_id: Long,

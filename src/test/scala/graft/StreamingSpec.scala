@@ -758,4 +758,116 @@ class StreamingSpec extends AnyFunSuite {
     assert(pc == q98, s"principal component diverges: ${(pc diff q98).take(3)}")
     emb.unpersist()
   }
+
+  // ---- foreachBatch at-least-once: a crash AFTER the sink effects but
+  // BEFORE the offset commit replays the batch with the SAME batchId.
+  // The file-source checkpoint tests above can't reach that window (a
+  // completed run has committed its offsets), so these call the
+  // extracted per-batch bodies directly, twice, and assert every
+  // standing sink is unchanged by the replay.
+
+  private def snap(p: String): Set[Seq[Any]] =
+    spark.read.parquet(p).collect().map(_.toSeq).toSet
+
+  test("replayed momentBatch/ingestBatch (same batchId) leave moments, index, and stats unchanged") {
+    import graft.streaming.EmbeddingsStream
+    val embs = Tables(spark, sfDir, "embeddings").limit(100).cache()
+    val mom = Files.createTempDirectory("graft-rp-mom").toString + "/moments"
+    EmbeddingsStream.momentBatch(embs, 0L, mom)
+    val m0 = snap(mom)
+    EmbeddingsStream.momentBatch(embs, 0L, mom) // crash-replay
+    assert(snap(mom) == m0, "replayed moment fold double-counted")
+    EmbeddingsStream.momentBatch(embs, 1L, mom) // a REAL next batch still folds
+    assert(snap(mom) != m0, "next batch did not fold")
+    val idx = Files.createTempDirectory("graft-rp-ivf").toString + "/index"
+    val stats = Files.createTempDirectory("graft-rp-ivf").toString + "/stats"
+    val cents = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")).cache()
+    EmbeddingsStream.ingestBatch(embs, 0L, cents, idx, stats, subpartitionByLabel = false)
+    val (i0, s0) = (snap(idx), snap(stats))
+    EmbeddingsStream.ingestBatch(embs, 0L, cents, idx, stats, subpartitionByLabel = false)
+    assert(snap(idx) == i0, "replayed index append duplicated rows")
+    assert(snap(stats) == s0, "replayed stats fold double-counted")
+    cents.unpersist(); embs.unpersist()
+  }
+
+  test("replayed sketchBatch (same batchId) leaves all five sketch states unchanged") {
+    import graft.streaming.SketchStream
+    val docs = Tables(spark, sfDir, "documents").limit(80).cache()
+    val sk = Files.createTempDirectory("graft-rp-sk").toString + "/sketch"
+    SketchStream.sketchBatch(docs, 0L, sk)
+    val st0 = Seq("kmv", "cms", "hist", "bpe", "sample").map(s => s -> snap(s"$sk/$s")).toMap
+    SketchStream.sketchBatch(docs, 0L, sk) // crash-replay
+    st0.foreach { case (s, v) =>
+      assert(snap(s"$sk/$s") == v, s"replayed $s fold changed the state")
+    }
+    SketchStream.sketchBatch(docs, 1L, sk) // a real next batch still folds
+    assert(snap(s"$sk/cms") != st0("cms"), "next batch did not fold CMS")
+    docs.unpersist()
+  }
+
+  test("replayed indexBatch/packBatch/changeBatch (same batchId) leave their sinks unchanged") {
+    import graft.streaming.{TextIndexStream, PackStream, ChangeStream}
+    val docs = Tables(spark, sfDir, "documents").limit(60).cache()
+    val tix = Files.createTempDirectory("graft-rp-tix").toString + "/index"
+    TextIndexStream.indexBatch(docs, 0L, tix)
+    val (p0, t0) = (snap(s"$tix/postings"), snap(s"$tix/stats"))
+    TextIndexStream.indexBatch(docs, 0L, tix)
+    assert(snap(s"$tix/postings") == p0 && snap(s"$tix/stats") == t0,
+      "replayed text-index append duplicated rows")
+    val pk = Files.createTempDirectory("graft-rp-pk").toString + "/pack"
+    PackStream.packBatch(docs, 0L, pk)
+    val (g0, n0) = (snap(s"$pk/segments"), PackStream.totalTokens(spark, pk))
+    PackStream.packBatch(docs, 0L, pk)
+    assert(snap(s"$pk/segments") == g0 && PackStream.totalTokens(spark, pk) == n0,
+      "replayed pack append duplicated segments or inflated the total")
+    val cdc = Files.createTempDirectory("graft-rp-cdc").toString + "/cdc"
+    ChangeStream.changeBatch(docs, 0L, cdc)
+    val (c0, h0) = (snap(s"$cdc/changes"), snap(s"$cdc/hashes"))
+    ChangeStream.changeBatch(docs, 0L, cdc)
+    assert(snap(s"$cdc/changes") == c0, "replayed CDC log duplicated/mislabeled rows")
+    assert(snap(s"$cdc/hashes") == h0, "replayed CDC upsert changed the state")
+    docs.unpersist()
+  }
+
+  test("replayed dedupBatch (same batchId) does not self-match the batch against its own index rows") {
+    import graft.streaming.NearDupStream
+    val docs = Tables(spark, sfDir, "documents").limit(60).cache()
+    val dup = Files.createTempDirectory("graft-rp-dup").toString + "/dup"
+    NearDupStream.dedupBatch(docs, 0L, dup)
+    val m0 = snap(s"$dup/matches")
+    val b0 = snap(s"$dup/bands")
+    NearDupStream.dedupBatch(docs, 0L, dup) // crash-replay: index already holds the batch
+    assert(snap(s"$dup/matches") == m0,
+      "replayed dedup logged matches against the batch's own index rows")
+    assert(snap(s"$dup/bands") == b0, "replayed dedup duplicated index rows")
+    docs.unpersist()
+  }
+
+  test("appendOnce resumes an interrupted move without re-staging or duplicating files") {
+    import graft.streaming.AtomicState
+    import spark.implicits._
+    val dest = Files.createTempDirectory("graft-rp-ao").toString + "/out"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dest), spark.sparkContext.hadoopConfiguration)
+    // manufacture the mid-move crash state: batch staged (marker set),
+    // ONE file already moved, commit marker absent
+    val df = (1L to 100L).toDF("v").repartition(4)
+    df.write.mode("overwrite").parquet(s"$dest/_staging/batch-7")
+    fs.create(new org.apache.hadoop.fs.Path(s"$dest/_staging/staged-7"), true).close()
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dest/_staging/batch-7"))
+      .filter(s => !s.getPath.getName.startsWith("_")).map(_.getPath)
+    assert(staged.length >= 2)
+    fs.rename(staged.head, new org.apache.hadoop.fs.Path(dest + "/" + staged.head.getName))
+    // the replay must NOT call writeTo (that would re-stage under new
+    // names and duplicate the moved file) — it resumes the move
+    AtomicState.appendOnce(spark, dest, 7L) { _ =>
+      fail("writeTo must not run when the batch is already staged")
+    }
+    assert(snap(dest) == (1L to 100L).map(Seq[Any](_)).toSet,
+      "resumed move lost or duplicated rows")
+    // full replay after commit: a no-op
+    AtomicState.appendOnce(spark, dest, 7L) { _ => fail("committed batch must be skipped") }
+    assert(snap(dest) == (1L to 100L).map(Seq[Any](_)).toSet)
+  }
 }
