@@ -888,6 +888,13 @@ object VectorOps {
   private[graft] def pcaEigen(cov: DataFrame): (Array[Long], Long) = {
     val tri = cov.collect().map(r => (r.getInt(0), r.getInt(1),
       BigInt(r.getDecimal(2).toBigInteger)))
+    // zero-ROW covariance (empty embeddings table): there is no
+    // dimensionality to read off the rows, so return the canonical
+    // 64-dim e₀/eigenvalue-0 result the zero-MATRIX branch below
+    // returns for its degenerate corpora — not an exception from max()
+    // on an empty collection
+    if (tri.isEmpty)
+      return (Array.tabulate(64)(i => if (i == 0) 1000000L else 0L), 0L)
     val d = tri.map(_._2).max + 1
     val cm = Array.ofDim[BigInt](d, d)
     tri.foreach { case (i, j, c) => cm(i)(j) = c; cm(j)(i) = c }

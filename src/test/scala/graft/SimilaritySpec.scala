@@ -848,6 +848,9 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.tail.forall(_.getLong(1) == 0L) && r.forall(_.getLong(2) == 0L))
     }
     checkZeroCov(write(Seq((0L, Array.fill(64)(0.25f), 1))))
+    // zero ROWS (empty table): the eigeniteration must return the same
+    // canonical e₀ result, not crash on max() of an empty covariance
+    checkZeroCov(write(Seq.empty[(Long, Array[Float], Int)]))
     val manyDir = write(Seq.tabulate(5)(i => (i.toLong, Array.fill(64)(0.25f), 1)))
     checkZeroCov(manyDir)
     // q101 on equal projections: both ends rank all 5 docs by vec_id
