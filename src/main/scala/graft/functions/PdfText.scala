@@ -166,8 +166,14 @@ object PdfText {
   }
 
   /** CID→Unicode mapping from a /ToUnicode CMap: 2-byte source codes
-    * (the Identity-H norm) to UTF-16BE destination strings. */
-  private[functions] final case class CMap(codes: Map[Int, String]) {
+    * (the Identity-H norm) to UTF-16BE destination strings.
+    * `utf16Identity` marks a font whose /Encoding is one of the
+    * PREDEFINED Unicode CMaps (`Uni*-UCS2-*` / `Uni*-UTF16-*`, PDF spec
+    * 9.7.5.2 Table 118): those CMaps' code space IS Unicode — a show
+    * string's 2-byte codes are UTF-16BE code units by definition — so
+    * decode needs no per-code table at all (`codes` stays empty). */
+  private[functions] final case class CMap(codes: Map[Int, String],
+                                           utf16Identity: Boolean = false) {
     /** Decode a show-string whose chars are raw bytes: group into 2-byte
       * big-endian codes, map each; unmapped codes contribute nothing
       * (conservative — a partial map yields partial text, never mojibake).
@@ -178,6 +184,19 @@ object PdfText {
       * bytes of a genuinely unmapped composite font are not printable
       * ASCII, so quarantined documents still yield nothing. */
     def decode(raw: String): String = {
+      if (utf16Identity) {
+        // codes ARE UTF-16BE units: surrogate halves appended in order
+        // pair up inside the JVM string; C0 controls (a writer never
+        // shows them; a stray NUL would survive normalizeWs) drop
+        val sb = new StringBuilder
+        var i = 0
+        while (i + 1 < raw.length) {
+          val u = ((raw.charAt(i) & 0xff) << 8) | (raw.charAt(i + 1) & 0xff)
+          if (u >= 0x20 || u == '\n' || u == '\r' || u == '\t') sb += u.toChar
+          i += 2
+        }
+        return sb.result()
+      }
       val sb = new StringBuilder
       var mapped = 0
       var i = 0

@@ -759,34 +759,53 @@ object VectorOps {
     // a BROADCAST query table on (sub, code) — the corpus never
     // shuffles, and the per-candidate cost is M integer adds instead
     // of a 64-dim float dot.
-    "q102_pq_ann" -> ((s, dir) => {
-      import graft.functions.VectorFunctions
-      val e = Tables(s, dir, "embeddings")
-      val cents = pqCodebooks(s, e, "embedding").cache()
-      val codes = pqEncode(pqSubvectors(e, "vec_id", "embedding"), cents, Seq("vec_id"))
-      // query batch bounded by the q25 audit-slice rule (vec_id < Q25Cap):
-      // at the oracle gates every vec_id is under the cap so the batch is
-      // the full % 50 set, and at any replica scale the batch is FIXED —
-      // the ADC scan stays n·|batch|·M, linear in corpus (unbounded, the
-      // n·q pair count made one ×100 run 1080 s; ScaleProbe pq measures
-      // the capped shape)
-      val qtab = pqSubvectors(
-          e.filter(col("vec_id") < Q25Cap && col("vec_id") % 50 === 0)
-            .select(col("vec_id").as("query_id"), col("embedding")),
-          "query_id", "embedding")
-        .join(broadcast(cents), Seq("sub"))
-        .withColumn("t", expr(
-          s"CAST(FLOOR((${VectorFunctions.dotExpr("sv", "cvec")}) * 1000000.0) AS BIGINT)"))
-        .select(col("query_id"), col("sub"), col("code"), col("t"))
-      codes.join(broadcast(qtab), Seq("sub", "code"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg(sum(col("t")).as("adc_micro"))
+    "q102_pq_ann" -> ((s, dir) =>
+      pqAdcScored(s, Tables(s, dir, "embeddings"))
         .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(col("adc_micro").desc, col("vec_id").asc)).cast("long"))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("adc_micro"), col("rank"))
+          col("adc_micro"), col("rank"))),
+
+    // PQ + exact re-rank (the faiss IndexRefine composition — the
+    // production answer to PQ's quantization loss): q102's integer ADC
+    // SHORTLISTS the top PqRefineR candidates per query, then ONLY those
+    // |q|·R rows fetch their raw vectors back and re-rank by exact
+    // cosine. Recall@k is ≥ plain PQ's BY CONSTRUCTION: ADC-top-5 ⊆
+    // ADC-top-R, and a true top-5 neighbor that survives into the
+    // shortlist can never be displaced from an exact-cosine top-5 (at
+    // most 4 corpus vectors beat it) — SimilaritySpec asserts the
+    // per-query dominance. A learned OPQ rotation was the measured
+    // alternative and REJECTED on data: the gate corpus is
+    // near-isotropic (top eigenvalue 2.8 % of variance, max/min
+    // per-dim variance 1.31×), and both the eigenvalue-allocation
+    // permutation and a top-PC Householder alignment landed recall
+    // within ±2 hits of natural order (noise), while refine dominates
+    // pointwise — see COVERAGE.md. Scale shape: the ADC scan is
+    // q102's (corpus never shuffles); the rescore joins the BOUNDED
+    // broadcast shortlist against the corpus scan (broadcast hash
+    // join, no shuffle), so exactly |q|·R raw vectors are ever
+    // re-read however large the corpus.
+    "q104_pq_refine" -> ((s, dir) => {
+      import graft.functions.VectorFunctions
+      val e = Tables(s, dir, "embeddings")
+      val short = pqAdcScored(s, e)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_micro").desc, col("vec_id").asc)))
+        .filter(col("rk") <= PqRefineR)
+        .select(col("query_id"), col("vec_id"))
+      val qv = e.filter(col("vec_id") < Q25Cap && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      e.select(col("vec_id"), col("embedding").as("cv"))
+        .join(broadcast(short), Seq("vec_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("cos_micro",
+          floor(VectorFunctions.cosine("qv", "cv") * lit(1000000.0)))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_micro").desc, col("vec_id").asc)).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cos_micro"), col("rank"))
     }),
 
     // IVFADC (Jégou et al. 2011 §IV — the production ANN composition
@@ -986,6 +1005,39 @@ object VectorOps {
   private[graft] val PqSubDim = 16
   private[graft] val PqKs = 8
   private[graft] val PqIters = 2
+  /** q104 shortlist depth: ADC keeps this many candidates per query for
+    * the exact re-rank. */
+  private[graft] val PqRefineR = 50
+
+  /** q102's full ADC scoring frame — train codebooks, encode the corpus,
+    * build the q25-capped query tables, score every (query, candidate)
+    * by the integer table sum: (query_id, vec_id, adc_micro). Shared by
+    * q102 (ranks it to top-5) and q104 (shortlists PqRefineR for the
+    * exact re-rank), so the two queries cannot drift.
+    *
+    * Query batch bounded by the q25 audit-slice rule (vec_id < Q25Cap):
+    * at the oracle gates every vec_id is under the cap so the batch is
+    * the full % 50 set, and at any replica scale the batch is FIXED —
+    * the ADC scan stays n·|batch|·M, linear in corpus (unbounded, the
+    * n·q pair count made one ×100 run 1080 s; ScaleProbe pq measures
+    * the capped shape). */
+  private[graft] def pqAdcScored(s: SparkSession, e: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions
+    val cents = pqCodebooks(s, e, "embedding").cache()
+    val codes = pqEncode(pqSubvectors(e, "vec_id", "embedding"), cents, Seq("vec_id"))
+    val qtab = pqSubvectors(
+        e.filter(col("vec_id") < Q25Cap && col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", "embedding")
+      .join(broadcast(cents), Seq("sub"))
+      .withColumn("t", expr(
+        s"CAST(FLOOR((${VectorFunctions.dotExpr("sv", "cvec")}) * 1000000.0) AS BIGINT)"))
+      .select(col("query_id"), col("sub"), col("code"), col("t"))
+    codes.join(broadcast(qtab), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("t")).as("adc_micro"))
+  }
 
   /** Per-subspace slice explode: one (id, [carry,] sub, sv) row per
     * vector per subspace — the shared input shape of the q102/q103
@@ -1512,41 +1564,34 @@ object VectorOps {
     // requirement is about Spark's shuffle, not SQL expressibility),
     // and over the guarded value (max real cosine, min code) it picks
     // the identical winner.
-    "q102_pq_ann" -> {
-      val subs = (0 until PqM).map { m =>
-        s"sub$m AS (SELECT vec_id, embedding[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS embedding FROM embeddings)"
-      }.mkString(",\n")
-      val kms = (0 until PqM).map { m =>
-        kmeansOracleCtes(PqKs.toString, PqIters, src = s"sub$m",
-          prefix = s"k$m", dims = PqSubDim)
-      }.mkString(",\n")
-      val centsUnion = (0 until PqM).map { m =>
-        s"SELECT $m AS sub, centroid_id AS code, cvec FROM k${m}c$PqIters"
-      }.mkString(" UNION ALL ")
-      s"""WITH $subs,
-         |$kms,
-         |cents AS ($centsUnion),
-         |subv AS (SELECT vec_id, mm.sub,
-         |           embedding[mm.sub * $PqSubDim + 1 : (mm.sub + 1) * $PqSubDim] AS sv
-         |         FROM embeddings, (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub) mm),
-         |codes AS (SELECT vec_id, sub, code FROM (
-         |    SELECT v.vec_id, v.sub, c.code,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
-         |        ORDER BY ${duckGuardedCosineExpr("v.sv", "c.cvec")} DESC, c.code ASC) AS rk
-         |    FROM subv v JOIN cents c ON c.sub = v.sub) t WHERE rk = 1),
-         |qt AS (SELECT q.vec_id AS query_id, q.sub, c.code,
-         |         CAST(FLOOR((${duckDotExpr("q.sv", "c.cvec")}) * 1000000.0) AS BIGINT) AS t
-         |       FROM subv q JOIN cents c ON c.sub = q.sub
-         |       WHERE q.vec_id < $Q25Cap AND q.vec_id % 50 = 0),
-         |sc AS (SELECT t.query_id, k.vec_id, CAST(SUM(t.t) AS BIGINT) AS adc_micro
-         |       FROM codes k JOIN qt t ON t.sub = k.sub AND t.code = k.code
-         |       WHERE t.query_id <> k.vec_id GROUP BY 1, 2)
+    "q102_pq_ann" ->
+      s"""$pqAdcCtes
          |SELECT query_id, vec_id AS neighbor_id, adc_micro, rank FROM (
          |  SELECT query_id, vec_id, adc_micro,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY adc_micro DESC, vec_id ASC) AS BIGINT) AS rank
-         |  FROM sc) r WHERE rank <= 5""".stripMargin
-    },
+         |  FROM sc) r WHERE rank <= 5""".stripMargin,
+
+    // q102's chain through `sc`, then the refine rung: ADC top-R
+    // shortlist, raw vectors re-joined for ONLY those rows, exact
+    // cosine floored to micro re-ranks the final top-5.
+    "q104_pq_refine" ->
+      s"""$pqAdcCtes,
+         |short AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adc_micro DESC, vec_id ASC) AS rk
+         |    FROM sc) t WHERE rk <= $PqRefineR),
+         |resc AS (SELECT s.query_id, s.vec_id,
+         |           CAST(FLOOR((${graft.functions.VectorFunctions.duckCosineExpr("q.embedding", "c.embedding")}) * 1000000.0) AS BIGINT) AS cos_micro
+         |         FROM short s
+         |         JOIN embeddings q ON q.vec_id = s.query_id
+         |         JOIN embeddings c ON c.vec_id = s.vec_id)
+         |SELECT query_id, vec_id AS neighbor_id, cos_micro, rank FROM (
+         |  SELECT query_id, vec_id, cos_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_micro DESC, vec_id ASC) AS BIGINT) AS rank
+         |  FROM resc) r WHERE rank <= 5""".stripMargin,
 
     // Coarse chain (prefix g) on raw vectors, residual CTE (float32
     // subtraction), 4 prefixed codebook chains on residual slices,
@@ -1660,6 +1705,42 @@ object VectorOps {
 
   /** The q75 lexical arm as DuckDB CTEs ending in `lr` (rank ≤ k) —
     * shared by the q75 and q76 oracles so the twins cannot drift. */
+  /** The q102 ADC WITH-chain through `sc` (query_id, vec_id,
+    * adc_micro) — per-subspace slices, 4 prefixed k-means chains, the
+    * guarded-cosine encode, the q25-capped query tables, the integer
+    * ADC sum. Shared verbatim by the q102 and q104 twins so the
+    * shortlist the refine rung re-ranks is EXACTLY q102's scoring. */
+  private def pqAdcCtes: String = {
+    val subs = (0 until PqM).map { m =>
+      s"sub$m AS (SELECT vec_id, embedding[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS embedding FROM embeddings)"
+    }.mkString(",\n")
+    val kms = (0 until PqM).map { m =>
+      kmeansOracleCtes(PqKs.toString, PqIters, src = s"sub$m",
+        prefix = s"k$m", dims = PqSubDim)
+    }.mkString(",\n")
+    val centsUnion = (0 until PqM).map { m =>
+      s"SELECT $m AS sub, centroid_id AS code, cvec FROM k${m}c$PqIters"
+    }.mkString(" UNION ALL ")
+    s"""WITH $subs,
+       |$kms,
+       |cents AS ($centsUnion),
+       |subv AS (SELECT vec_id, mm.sub,
+       |           embedding[mm.sub * $PqSubDim + 1 : (mm.sub + 1) * $PqSubDim] AS sv
+       |         FROM embeddings, (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub) mm),
+       |codes AS (SELECT vec_id, sub, code FROM (
+       |    SELECT v.vec_id, v.sub, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+       |        ORDER BY ${duckGuardedCosineExpr("v.sv", "c.cvec")} DESC, c.code ASC) AS rk
+       |    FROM subv v JOIN cents c ON c.sub = v.sub) t WHERE rk = 1),
+       |qt AS (SELECT q.vec_id AS query_id, q.sub, c.code,
+       |         CAST(FLOOR((${duckDotExpr("q.sv", "c.cvec")}) * 1000000.0) AS BIGINT) AS t
+       |       FROM subv q JOIN cents c ON c.sub = q.sub
+       |       WHERE q.vec_id < $Q25Cap AND q.vec_id % 50 = 0),
+       |sc AS (SELECT t.query_id, k.vec_id, CAST(SUM(t.t) AS BIGINT) AS adc_micro
+       |       FROM codes k JOIN qt t ON t.sub = k.sub AND t.code = k.code
+       |       WHERE t.query_id <> k.vec_id GROUP BY 1, 2)""".stripMargin
+  }
+
   private def bm25Cte(k: Int): String =
     s"""dtk AS (SELECT doc_id, ${Idioms.toksSql} AS tk FROM documents),
        |docs AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl

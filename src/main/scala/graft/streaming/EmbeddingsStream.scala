@@ -66,12 +66,14 @@ object EmbeddingsStream {
   def ivfIngest(spark: SparkSession, srcDir: String, centroids: DataFrame,
                 indexDir: String, checkpointDir: String,
                 statsDir: String = null,
-                subpartitionByLabel: Boolean = false): StreamingQuery = {
+                subpartitionByLabel: Boolean = false,
+                pqCodebooks: DataFrame = null,
+                storeRaw: Boolean = true): StreamingQuery = {
     val q = source(spark, srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, centroids, indexDir, statsDir,
-          subpartitionByLabel)
+          subpartitionByLabel, pqCodebooks, storeRaw)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -87,19 +89,39 @@ object EmbeddingsStream {
   private[graft] def ingestBatch(batch: DataFrame, batchId: Long,
                                  centroids: DataFrame, indexDir: String,
                                  statsDir: String,
-                                 subpartitionByLabel: Boolean): Unit = {
+                                 subpartitionByLabel: Boolean,
+                                 pqCodebooks: DataFrame = null,
+                                 storeRaw: Boolean = true): Unit = {
     val ss = batch.sparkSession
     val assigned = Similarity.nearestCentroid(
         batch.select(col("vec_id"), col("embedding")),
         centroids, "embedding", "vec_id", Seq("embedding"))
       .select(col("centroid_id"), col("vec_id"), col("casim"), col("embedding"))
+    // optional residual-PQ compression (the IVFADC deployment shape,
+    // batch q103's encode verbatim): each arriving vector's residual
+    // against its coarse centroid is encoded to M codebook codes, and
+    // with storeRaw=false the index row keeps ONLY (centroid_id,
+    // vec_id, codes) — M small ints instead of dim float32s (4 vs 64
+    // logical values here; parquet bit-packs the Ks-valued codes
+    // further), which is what makes a standing 100 TB index fit the
+    // ADC search path without ever re-reading raw vectors. The join
+    // back onto the assignment is micro-batch-bounded (arriving rows,
+    // not the standing corpus).
+    val encoded =
+      if (pqCodebooks == null) assigned
+      else {
+        val withCodes = assigned
+          .join(pqCodesOf(assigned, centroids, pqCodebooks),
+            Seq("vec_id", "centroid_id"))
+        if (storeRaw) withCodes else withCodes.drop("embedding", "casim")
+      }
     // layout: always centroid-partitioned; optionally sub-partitioned
     // by the metadata column filtered searches predicate on, so a
     // label filter prunes FILES exactly like the probe does (the
     // q90 deployment layout — see [[searchIndexFiltered]])
     val (toWrite, parts) =
-      if (!subpartitionByLabel) (assigned, Seq("centroid_id"))
-      else (assigned.join(batch.select(col("vec_id"), col("label")), Seq("vec_id")),
+      if (!subpartitionByLabel) (encoded, Seq("centroid_id"))
+      else (encoded.join(batch.select(col("vec_id"), col("label")), Seq("vec_id")),
         Seq("centroid_id", "label"))
     AtomicState.appendOnce(ss, indexDir, batchId) { staging =>
       toWrite.write.mode("overwrite").partitionBy(parts: _*).parquet(staging)
@@ -267,5 +289,85 @@ object EmbeddingsStream {
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").cast("long"))
+  }
+
+  /** Residual-PQ codes for an assigned micro-batch, packed one row per
+    * vector: (vec_id, centroid_id, codes: Array[Int] ordered by sub).
+    * The arithmetic is batch q103's encode verbatim — float32 residual
+    * via zip_with against the BROADCAST coarse centroid, then
+    * [[graft.queries.VectorOps.pqEncode]]'s agg-min (guarded cosine,
+    * map-side partial aggregation — never a window over the n·M·Ks
+    * candidates) — so a streamed index's codes are bit-identical to a
+    * batch encode over the union of every drop (StreamingSpec pins
+    * this). The final fold to an array sorts on `sub` inside the
+    * packed struct, so partition order cannot permute the codes. */
+  private[graft] def pqCodesOf(assigned: DataFrame, centroids: DataFrame,
+                               pqCodebooks: DataFrame): DataFrame = {
+    import graft.queries.VectorOps
+    val res = assigned
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .withColumn("r", expr(
+        "zip_with(embedding, cvec, (a, b) -> CAST(a AS FLOAT) - CAST(b AS FLOAT))"))
+      .select(col("vec_id"), col("centroid_id"), col("r"))
+    VectorOps.pqEncode(
+        VectorOps.pqSubvectors(res, "vec_id", "r", carry = Seq("centroid_id")),
+        pqCodebooks, Seq("vec_id", "centroid_id"))
+      .groupBy(col("vec_id"), col("centroid_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("vec_id"), col("centroid_id"),
+        expr("transform(sc, x -> CAST(x.code AS INT))").as("codes"))
+  }
+
+  /** ADC top-k against a standing residual-PQ index (built by
+    * [[ivfIngest]] with `pqCodebooks`, raw vectors NOT required —
+    * works on a storeRaw=false index): per query, probe the `nprobe`
+    * nearest coarse cells, build the PER-CELL residual distance table
+    * (floored-micro subvector dot products against the broadcast
+    * codebooks — batch q103's integer ADC verbatim), and score ONLY
+    * the probed partitions' members by summing their M table entries.
+    * The probe table arrives through a broadcast equi-join on
+    * `centroid_id` — the index's partition column — so dynamic
+    * partition pruning skips every unprobed partition's files at the
+    * scan (PlanSpec pins the dynamicpruning expression), and each
+    * candidate costs M integer adds with no float vector ever read:
+    * at 100 TB the search touches nprobe/k-th of an index that is
+    * itself ~16× smaller than its raw-vector form. Results are
+    * bit-equal to the batch ADC over the same corpus + artifacts
+    * because both sides share the encode and the floored-integer
+    * table arithmetic (StreamingSpec asserts row equality).
+    * queries: (query_id: Long, qv: Array[Float]). */
+  def searchIndexAdc(spark: SparkSession, indexDir: String, queries: DataFrame,
+                     centroids: DataFrame, pqCodebooks: DataFrame, k: Int,
+                     nprobe: Int = 2): DataFrame = {
+    import graft.functions.VectorFunctions
+    import graft.queries.VectorOps.{PqM, PqSubDim}
+    val index = spark.read.parquet(indexDir)
+      .select(col("centroid_id"), col("vec_id"), col("codes"))
+    val qtab = Similarity.assignProbes(queries, centroids, nprobe)
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .withColumn("qr", expr(
+        "zip_with(qv, cvec, (a, b) -> CAST(a AS FLOAT) - CAST(b AS FLOAT))"))
+      .select(col("query_id"), col("centroid_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> " +
+          s"struct(m AS sub, slice(qr, m * $PqSubDim + 1, $PqSubDim) AS sv))")).as("x"))
+      .select(col("query_id"), col("centroid_id"),
+        col("x.sub").as("sub"), col("x.sv").as("sv"))
+      .join(broadcast(pqCodebooks), Seq("sub"))
+      .withColumn("t", expr(
+        s"CAST(FLOOR((${VectorFunctions.dotExpr("sv", "cvec")}) * 1000000.0) AS BIGINT)"))
+      .select(col("query_id"), col("centroid_id"), col("sub"),
+        col("code").cast("int").as("code"), col("t"))
+    index
+      .select(col("centroid_id"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(qtab), Seq("centroid_id", "sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("t")).as("adc_micro"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_micro").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_micro"), col("rank"))
   }
 }

@@ -330,6 +330,55 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
   }
 
+  test("searchIndexAdc prunes unprobed partitions (DPP) and reads only codes, never raw vectors") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import graft.queries.VectorOps
+    import graft.streaming.EmbeddingsStream
+    val corpus = Tables(spark, dir, "embeddings")
+    val cents = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")).cache()
+    val res = Similarity.nearestCentroid(
+        corpus.select(col("vec_id"), col("embedding")), cents,
+        "embedding", "vec_id", Seq("embedding"))
+      .join(broadcast(cents), Seq("centroid_id"))
+      .withColumn("r", expr(
+        "zip_with(embedding, cvec, (a, b) -> CAST(a AS FLOAT) - CAST(b AS FLOAT))"))
+      .select(col("vec_id"), col("centroid_id"), col("r"))
+    val pcents = VectorOps.pqCodebooks(spark, res, "r").cache()
+    val idx = java.nio.file.Files.createTempDirectory("graft-adc-plan").toString + "/index"
+    // batch-build the codes-only layout ivfIngest(storeRaw = false) produces,
+    // PLUS a raw embedding column the search must never touch
+    VectorOps.pqEncode(
+        VectorOps.pqSubvectors(res, "vec_id", "r", carry = Seq("centroid_id")),
+        pcents, Seq("vec_id", "centroid_id"))
+      .groupBy(col("vec_id"), col("centroid_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("vec_id"), col("centroid_id"),
+        expr("transform(sc, x -> CAST(x.code AS INT))").as("codes"))
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .write.partitionBy("centroid_id").parquet(idx)
+    val queries = corpus.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val hits = EmbeddingsStream.searchIndexAdc(spark, idx, queries, cents, pcents, k = 5)
+      val p = hits.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"ADC index scan reads unprobed partitions (no DPP):\n$p")
+      // column pruning: the index scan's ReadSchema carries the codes,
+      // never the raw float vectors sitting beside them
+      val reads = "ReadSchema: [^\\n]*".r.findAllIn(p).toList
+        .filter(_.contains("codes"))
+      assert(reads.nonEmpty && reads.forall(!_.contains("embedding")),
+        s"ADC search must not read raw vectors from the index:\n$p")
+      assert(hits.collect().nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      pcents.unpersist(); cents.unpersist()
+    }
+  }
+
   test("searchIndexFiltered prunes BOTH partition levels at the scan (DPP on centroid_id AND label)") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity

@@ -748,6 +748,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlap.sum > 0, s"zero recall across the whole batch: $overlap")
   }
 
+  test("q104 refine: per-query recall@5 dominates q102's, and the rescore is the exact cosine") {
+    import graft.queries.VectorOps
+    val dir = "/root/testdata/sf0.01"
+    val e = Tables(spark, dir, "embeddings")
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val queries = vecs.keys.filter(id => id < VectorOps.Q25Cap && id % 50 == 0).toSeq.sorted
+    val exactTop5: Map[Long, Set[Long]] = queries.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(vecs(q), vecs(n)))).sortBy { case (n, c) => (-c, n) }
+        .take(5).map(_._1).toSet
+    }.toMap
+    val got102 = SparkEntry.queries("q102_pq_ann")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val rows104 = SparkEntry.queries("q104_pq_refine")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got104 = rows104.map(t => t._1 -> t._2).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // the structural guarantee, per query: a true top-5 neighbor in
+    // ADC's top-5 is in the top-R shortlist too, and exact rescore
+    // cannot displace it — so refine recall can never drop below plain
+    queries.foreach { q =>
+      val r102 = got102.getOrElse(q, Set.empty).intersect(exactTop5(q)).size
+      val r104 = got104.getOrElse(q, Set.empty).intersect(exactTop5(q)).size
+      assert(r104 >= r102, s"query $q: refine recall $r104 < plain PQ $r102")
+    }
+    // and the batch genuinely improves somewhere (R=50 of ~500: the
+    // shortlist recovers neighbors ADC's top-5 missed)
+    val t102 = queries.map(q => got102.getOrElse(q, Set.empty).intersect(exactTop5(q)).size).sum
+    val t104 = queries.map(q => got104.getOrElse(q, Set.empty).intersect(exactTop5(q)).size).sum
+    assert(t104 > t102, s"refine did not improve recall anywhere ($t104 vs $t102)")
+    // rescore arithmetic: every returned cos_micro is the floored-micro
+    // EXACT cosine of the pair (independent Scala recount)
+    rows104.foreach { case (q, n, cm) =>
+      val want = math.floor(cos(vecs(q), vecs(n)) * 1e6).toLong
+      assert(cm == want, s"($q,$n): cos_micro $cm != exact $want")
+    }
+  }
+
   test("q103: IVFADC coarse routing, residuals, codes, and ADC equal a full Scala recount") {
     import graft.queries.VectorOps
     import spark.implicits._

@@ -417,6 +417,91 @@ class StreamingSpec extends AnyFunSuite {
     cents.unpersist(); corpus.unpersist()
   }
 
+  test("standing residual-PQ index: streamed codes equal the batch encode; ADC search equals batch ADC") {
+    import graft.streaming.EmbeddingsStream
+    import graft.operators.Similarity
+    import graft.queries.VectorOps
+    val src = Files.createTempDirectory("graft-pqi-src").toString
+    val idx = Files.createTempDirectory("graft-pqi-idx").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft-pqi-ckpt").toString
+    val corpus = Tables(spark, sfDir, "embeddings").cache()
+    // offline train step (the faiss/Milvus deployment shape): coarse
+    // centroids + residual codebooks from a batch pass; the stream then
+    // encodes arrivals against these STATIC artifacts
+    val cents = Similarity.kmeansCentroids(spark, corpus, 8, 2).cache()
+    val res = Similarity.nearestCentroid(
+        corpus.select(col("vec_id"), col("embedding")), cents,
+        "embedding", "vec_id", Seq("embedding"))
+      .join(broadcast(cents), Seq("centroid_id"))
+      .withColumn("r", expr(
+        "zip_with(embedding, cvec, (a, b) -> CAST(a AS FLOAT) - CAST(b AS FLOAT))"))
+      .select(col("vec_id"), col("centroid_id"), col("r"))
+      .cache()
+    val pcents = VectorOps.pqCodebooks(spark, res, "r").cache(); pcents.count()
+    // two drops through the codes-only (storeRaw = false) ingest
+    corpus.filter(col("vec_id") % 2 === 0).write.mode("append").parquet(src)
+    EmbeddingsStream.ivfIngest(spark, src, cents, idx, ckpt,
+      pqCodebooks = pcents, storeRaw = false)
+    corpus.filter(col("vec_id") % 2 === 1).write.mode("append").parquet(src)
+    EmbeddingsStream.ivfIngest(spark, src, cents, idx, ckpt,
+      pqCodebooks = pcents, storeRaw = false)
+    val indexed = spark.read.parquet(idx)
+    // codes-only layout: no raw vector or cosine survives into the index
+    assert(!indexed.columns.contains("embedding") && !indexed.columns.contains("casim"),
+      s"storeRaw=false index must not carry raw vectors: ${indexed.columns.mkString(",")}")
+    // stream-built codes == the batch encode over the union, bit for bit
+    // (fold the batch per-(vec, sub) rows to arrays in plain Scala — an
+    // independent path from pqCodesOf's array_sort/transform fold)
+    val streamed = indexed
+      .select(col("vec_id"), col("centroid_id").cast("long"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)).toSet
+    val batchCodes = VectorOps.pqEncode(
+        VectorOps.pqSubvectors(res, "vec_id", "r", carry = Seq("centroid_id")),
+        pcents, Seq("vec_id", "centroid_id"))
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case ((v, c), rows) =>
+        (v, c, rows.sortBy(_.getAs[Int]("sub")).map(_.getAs[Long]("code").toInt).toList)
+      }.toSet
+    assert(streamed.nonEmpty && streamed == batchCodes,
+      "streamed PQ codes diverge from the batch encode")
+    // ADC search against the standing codes == the batch ADC scoring
+    // (q103's probe arithmetic) over the batch-encoded corpus
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val viaIndex = EmbeddingsStream.searchIndexAdc(
+        spark, idx, queries, cents, pcents, k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val codesDf = VectorOps.pqEncode(
+      VectorOps.pqSubvectors(res, "vec_id", "r", carry = Seq("centroid_id")),
+      pcents, Seq("vec_id", "centroid_id"))
+    val qtab = Similarity.assignProbes(queries, cents, 2)
+      .join(broadcast(cents), Seq("centroid_id"))
+      .withColumn("qr", expr(
+        "zip_with(qv, cvec, (a, b) -> CAST(a AS FLOAT) - CAST(b AS FLOAT))"))
+      .select(col("query_id"), col("centroid_id"), explode(expr(
+        s"transform(sequence(0, ${VectorOps.PqM - 1}), m -> struct(m AS sub, " +
+          s"slice(qr, m * ${VectorOps.PqSubDim} + 1, ${VectorOps.PqSubDim}) AS sv))")).as("x"))
+      .select(col("query_id"), col("centroid_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+      .join(broadcast(pcents), Seq("sub"))
+      .withColumn("t", expr("CAST(FLOOR((" +
+        graft.functions.VectorFunctions.dotExpr("sv", "cvec") + ") * 1000000.0) AS BIGINT)"))
+      .select(col("query_id"), col("centroid_id"), col("sub"), col("code"), col("t"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro").desc, col("vec_id").asc)
+    val viaBatch = codesDf.join(broadcast(qtab), Seq("centroid_id", "sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("t")).as("adc_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_micro"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex.nonEmpty && viaIndex == viaBatch,
+      "standing-index ADC search diverges from the batch ADC")
+    pcents.unpersist(); res.unpersist(); cents.unpersist(); corpus.unpersist()
+  }
+
   test("centroid sufficient-statistics fold: recenter from state equals recomputing over the index") {
     import graft.streaming.EmbeddingsStream
     val src = Files.createTempDirectory("graft-rc-src").toString
