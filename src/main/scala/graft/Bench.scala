@@ -79,6 +79,8 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try { TempCaches.releaseAll(); spark.catalog.clearCache() }
+        catch { case _: Throwable => () }
       }
     }
 
@@ -88,17 +90,28 @@ object Bench {
     // The exception class is carried into an "errors" map on the JSON line
     // so the artifact itself says WHAT broke.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Cache hygiene between reps (round-13 verdict item 2): a query
+    // closure may tracked-persist frames it reuses internally; release
+    // them (plus anything else in the catalog cache) once the rep's
+    // action completes, OUTSIDE the timed region — cache population cost
+    // is already inside it. Without this, 104 queries × reps accumulated
+    // hundreds of cached frames and storage eviction taxed every later
+    // query (the r13 q51/q52/q09 anomalies' prime suspect).
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors.getOrElseUpdate(name, e.getClass.getSimpleName)
-          -1.0
-      }
+      val dt =
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name, e.getClass.getSimpleName)
+            -1.0
+        }
+      try { TempCaches.releaseAll(); spark.catalog.clearCache() }
+      catch { case _: Throwable => () }
+      dt
     }
 
     spark.sparkContext.setLogLevel("ERROR") // WARN spam must not dilute the stdout tail

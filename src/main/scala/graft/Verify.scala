@@ -31,6 +31,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release any frames the query tracked-persisted for internal
+      // reuse — a 104-query session must not accumulate cached frames
+      try { TempCaches.releaseAll(); spark.catalog.clearCache() }
+      catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

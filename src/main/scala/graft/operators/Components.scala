@@ -37,13 +37,19 @@ object Components {
       val nbrMin = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("cluster_id")).as("nbr_min"))
       // carry the old label through the step so convergence is a filter
-      // over the materialized round, not an extra old⨝new shuffle join
+      // over the materialized round, not an extra old⨝new shuffle join.
+      // ONE driver action per round (round-13 verdict item 3: the eager
+      // checkpoint + count pair made wall time = 2 × rounds × scheduler
+      // latency under load): the LAZY localCheckpoint is materialized BY
+      // the convergence count itself — count() computes every partition
+      // of the marked RDD, persisting the round's labels as a side
+      // effect of the same job that measures the change count.
       val stepped = labels
         .join(nbrMin, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"), col("cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val changes = stepped.filter(col("cluster_id") =!= col("old_label")).count()
       labels = stepped.select(col("doc_id"), col("cluster_id"))
       converged = changes == 0

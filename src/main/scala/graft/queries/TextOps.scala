@@ -548,7 +548,7 @@ object TextOps {
       val wdeg = edges.groupBy(col("a")).agg(sum(col("w")).as("wdeg"))
       val e = edges.join(wdeg, "a")
         .select(col("a"), col("b"), col("w"), col("wdeg"))
-        .cache() // reused every iteration; lineage stops at the edge list
+        .transform(graft.TempCaches.tracked(_)) // reused every iteration; harness-released
       var ranks = wdeg.select(col("a").as("word"), lit(1000000000L).as("score"))
       for (_ <- 1 to 3) {
         ranks = e.join(ranks, e("a") === ranks("word"))
@@ -571,29 +571,40 @@ object TextOps {
     // association). INTEGER-EXACT cross-engine: the ratio is scaled to
     // x = (c_ab·N·1024) div (c_a·c_b) in DECIMAL/HUGEINT, and
     // pmi_mbits = pl2(x) − 10240 reuses q74's piecewise-linear log2 —
-    // no transcendentals, so the oracle hash-matches. Scale shape: the
-    // corpus collapses to vocabulary-keyed counts in ONE pass each for
-    // pairs and unigrams (codegen element_at bigram explode, map-side
-    // combine); the join side is the ≥5-count pair table (small) against
-    // unigram counts on word keys — vocabulary-sized, AQE picks the
-    // strategy; top-100 is a TakeOrdered, never a global sort.
+    // no transcendentals, so the oracle hash-matches. Scale shape
+    // (round-13 verdict item 4 — ONE corpus pass total, no driver
+    // action): unigram rows and adjacent-pair rows ride the SAME explode
+    // and collapse to one vocabulary-keyed count table (map-side
+    // combine), tracked-cached at vocabulary size; pair counts, unigram
+    // counts AND the corpus pair total nt (= Σ(size-1) = Σ cab exactly)
+    // all read off that one table, with nt riding back in as a 1-row
+    // broadcast cross-join (the q68 scalar-seed precedent) instead of a
+    // driver `.first()` that cost a second full corpus scan per run.
+    // The join side is the ≥5-count pair table (small) against unigram
+    // counts on word keys — vocabulary-sized, AQE picks the strategy;
+    // top-100 is a TakeOrdered, never a global sort.
     "q99_pmi_collocations" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val counts = graft.TempCaches.tracked(Tables(s, dir, "documents")
         .select(expr(toksExpr).as("toks"))
         .filter(expr("size(toks) >= 2"))
-      val nt = docs.agg(sum(expr("CAST(size(toks) - 1 AS BIGINT)"))).first().getLong(0)
-      val pc = docs
-        .select(col("toks"), explode(expr("sequence(1, size(toks) - 1)")).as("i"))
-        .select(expr("element_at(toks, i)").as("a"), expr("element_at(toks, i + 1)").as("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-        .filter(col("cab") >= 5)
-      val uni = docs.select(explode(col("toks")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        .select(explode(expr(
+          "concat(" +
+            "transform(toks, w -> struct('u' AS kind, w AS a, CAST(NULL AS STRING) AS b)), " +
+            "transform(sequence(1, size(toks) - 1), i -> " +
+            "  struct('p' AS kind, element_at(toks, i) AS a, element_at(toks, i + 1) AS b)))")).as("x"))
+        .select(col("x.kind").as("kind"), col("x.a").as("a"), col("x.b").as("b"))
+        .groupBy(col("kind"), col("a"), col("b")).agg(count(lit(1)).as("c")))
+      val ntDf = counts.filter(col("kind") === "p").agg(sum(col("c")).as("nt"))
+      val pc = counts.filter(col("kind") === "p" && col("c") >= 5)
+        .select(col("a"), col("b"), col("c").as("cab"))
+      val uni = counts.filter(col("kind") === "u")
+        .select(col("a").as("w"), col("c").as("cw"))
       pc
         .join(uni.select(col("w").as("a"), col("cw").as("ca")), Seq("a"))
         .join(uni.select(col("w").as("b"), col("cw").as("cb")), Seq("b"))
+        .crossJoin(broadcast(ntDf))
         .withColumn("x", expr(
-          s"(CAST(cab AS DECIMAL(38,0)) * $nt * 1024) div (CAST(ca AS DECIMAL(38,0)) * cb)"))
+          "(CAST(cab AS DECIMAL(38,0)) * nt * 1024) div (CAST(ca AS DECIMAL(38,0)) * cb)"))
         .filter(col("x") > 1024)
         .withColumn("pmi_mbits", expr(s"${Idioms.pl2Expr("x")} - 10240"))
         .orderBy(col("pmi_mbits").desc, col("a").asc, col("b").asc).limit(100)

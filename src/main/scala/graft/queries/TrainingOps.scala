@@ -954,9 +954,9 @@ object TrainingOps {
     // and the plan is O(rounds) stages.
     "q94_bpe_merges" -> ((s, dir) => {
       val s0 = bpeVocab(s, dir)
-      val m1 = bpeArgmax(bpePairCounts(s0)).cache()
+      val m1 = graft.TempCaches.tracked(bpeArgmax(bpePairCounts(s0)))
       val s1 = bpeApplyMerge(s0, m1)
-      val m2 = bpeArgmax(bpePairCounts(s1)).cache()
+      val m2 = graft.TempCaches.tracked(bpeArgmax(bpePairCounts(s1)))
       val s2 = bpeApplyMerge(s1, m2)
       val m3 = bpeArgmax(bpePairCounts(s2))
       def row(step: Int, m: DataFrame): DataFrame = m.select(lit(step).as("step"),
@@ -979,12 +979,12 @@ object TrainingOps {
     // touched exactly once regardless of merge count.
     "q100_bpe_apply" -> ((s, dir) => {
       val s0 = bpeVocab(s, dir)
-      val m1 = bpeArgmax(bpePairCounts(s0)).cache()
+      val m1 = graft.TempCaches.tracked(bpeArgmax(bpePairCounts(s0)))
       val s1 = bpeApplyMerge(s0, m1)
-      val m2 = bpeArgmax(bpePairCounts(s1)).cache()
+      val m2 = graft.TempCaches.tracked(bpeArgmax(bpePairCounts(s1)))
       val s2 = bpeApplyMerge(s1, m2)
-      val m3 = bpeArgmax(bpePairCounts(s2)).cache()
-      val s3 = bpeApplyMerge(s2, m3).cache()
+      val m3 = graft.TempCaches.tracked(bpeArgmax(bpePairCounts(s2)))
+      val s3 = graft.TempCaches.tracked(bpeApplyMerge(s2, m3))
       val tots = s0.agg(sum(expr("freq * size(syms)")).as("syms_before"))
         .crossJoin(s3.agg(sum(expr("freq * size(syms)")).as("syms_after")))
       s3.select(col("freq"), explode(col("syms")).as("sym"))

@@ -55,7 +55,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q97_embedding_report",      // |labels|² centroid pairing (q89's shape)
     "q98_pca_power",             // single-row max-abs / rayleigh frames over the d×d matrix
     "q100_bpe_apply",            // q94's argmax frames + single-row symbol-count totals
-    "q103_ivfadc"                // k-centroid coarse-assign/probe build sides (q45's shape)
+    "q103_ivfadc",               // k-centroid coarse-assign/probe build sides (q45's shape)
+    "q99_pmi_collocations"       // single-row corpus pair-total (nt) broadcast
   )
 
   /** Full-outer / outer fusion joins whose BOTH inputs are rank-bounded

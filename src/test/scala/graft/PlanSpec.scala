@@ -490,6 +490,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1)") && p.contains("*(2) HashAggregate"), p)
   }
 
+  test("q99 materializes ONE documents pass; nt rides a broadcast, not a driver action") {
+    // unigram + pair counts and the corpus pair total all read the same
+    // tracked-cached count table: every parquet scan of documents in the
+    // plan sits under ONE InMemoryRelation (the single materialized
+    // pass), and the nt scalar arrives via a 1-row broadcast join — no
+    // .first() second scan (round-13 verdict item 4)
+    val df = SparkEntry.queries("q99_pmi_collocations")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), s"q99 lost its shared count table:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"nt total must ride a broadcast join:\n$p")
+    // the cached relation's build plan prints one documents scan per
+    // InMemoryTableScan consumer; what must NOT appear is a documents
+    // scan OUTSIDE the cached subtree. The InMemoryRelation line always
+    // directly precedes its replayed build plan, so count distinct scan
+    // contexts: every "Scan parquet ... documents" line must be preceded
+    // (upward) by an InMemoryRelation line closer than any join.
+    val lines = p.linesIterator.toVector
+    val scanIdx = lines.zipWithIndex.collect {
+      case (l, i) if (l.contains("Scan parquet") || l.contains("FileScan parquet")) &&
+        l.contains("documents") => i
+    }
+    scanIdx.foreach { i =>
+      val above = lines.take(i).reverse
+      val rel = above.indexWhere(_.contains("InMemoryRelation"))
+      assert(rel >= 0, s"documents scanned outside the shared cached pass:\n$p")
+    }
+    TempCaches.releaseAll(); spark.catalog.clearCache()
+  }
+
   test("q98's covariance pass: one embeddings scan, codegen hot loop, broadcast-only joins") {
     // q98 returns an eagerly-computed 64-row local result (the MLlib
     // computePrincipalComponents shape), so PlanAudit can't see its
