@@ -508,62 +508,49 @@ object VectorOps {
         .select(col("query_id"), col("doc_id"), col("rrf_micro"), col("fused_rank"))
     }),
 
-    // Distributed retrieval evaluation — nDCG@5 of the lexical arm
-    // against dense-arm relevance labels (rel = 6 − dense rank for the
-    // cosine top-5, 0 otherwise): the eval loop a retrieval pipeline
-    // runs over millions of queries, as one Spark job. INTEGER-EXACT:
-    // the log2 position discount is the shared pl2 primitive —
-    // contribution = rel · 2^20 · 1024 div pl2(1024·(rank+1)), exact at
-    // rank 1 (pl2(2048) = 1024) and deterministically approximate
-    // elsewhere, identically on both engines — so per-query DCG, ideal
-    // DCG (labels re-ranked best-first), and ndcg_micro = 1e6·dcg div
-    // idcg are all BIGINT arithmetic. Scale shape: both arms are
-    // rank-bounded (≤ |queries|·5 rows), the label join and the ideal
-    // re-rank are per-query windows over ≤ 5 rows — the whole eval
-    // costs two bounded windows beyond the arms themselves.
-    //
-    // At the gate corpora ndcg_micro is 0 for every query — the TRUE
-    // value: the synthetic embeddings are uncorrelated with the text, so
-    // the lexical and dense top-5 never intersect (the measured fact
-    // that motivates q76's fusion). The oracle still hash-checks the
-    // nonzero idcg chain here; the nonzero-gain path is exercised and
-    // fully recounted by SimilaritySpec's crafted corpus, where the
-    // arms overlap on 3 of 5 docs.
-    // Plan note: a single full-outer join carries both gain sides —
-    // the lexical hit's label (dcg) and the dense rank itself (idcg) —
-    // because with rank-derived labels (rel = 6 − dense rank) the
-    // ideal ordering IS the dense order, so the two-branch form's
-    // ideal-side re-rank window is unnecessary (a general-label
-    // deployment adds one ≤k-row-per-query window back). Measured
-    // executed plans: both forms materialize the corpus×queries cross
-    // join once (the two-branch form via ReusedExchange), but this
-    // form drops 4 window passes and 2 joins; its full-outer join
-    // cannot broadcast (one SortMergeJoin appears), which is fine —
-    // both inputs are rank-bounded to |queries|·k rows. PlanSpec pins
-    // the single cross-join materialization against regressions.
+    // Distributed retrieval evaluation — nDCG@5 of the BM25 system
+    // against LEXICAL-OVERLAP graded relevance (round-13 verdict
+    // stretch item 8; the prior dense-label formulation reported an
+    // honest all-zero at the gate because hash embeddings ⊥ text):
+    // rel(q, d) = how many of q's query terms d contains (0..8, the
+    // graded signal Cranfield-style judgments approximate), read off
+    // the SAME (query, doc) aggregation that sums the BM25 score —
+    // postings are distinct per (doc, tok), so count(*) IS the distinct
+    // term overlap, and the ground truth costs nothing beyond the
+    // scoring shuffle it shares. The system ranking (by score) and the
+    // ideal ranking (by rel) are two ≤k-per-query windows over the one
+    // tracked-cached scored frame. INTEGER-EXACT: the log2 position
+    // discount is the shared pl2 primitive — gain = rel · 2^30 div
+    // pl2(1024·(rank+1)), exact at rank 1 (pl2(2048) = 1024) and
+    // deterministically approximate elsewhere, identically on both
+    // engines — so per-query DCG, ideal DCG and ndcg_micro =
+    // 1e6·dcg div idcg are all BIGINT arithmetic, and since every BM25
+    // candidate shares ≥1 query term, ndcg_micro is STRICTLY POSITIVE
+    // for every reported query at the gate (SimilaritySpec asserts it
+    // at sf0.01 and recounts the crafted corpus by hand). Scale shape:
+    // the scored frame is query-sharded (Σ df over 8 terms per query),
+    // both rankings are per-query windows, and the dcg⋈idcg join is
+    // |queries|-row bounded.
     "q77_retrieval_eval" -> ((s, dir) => {
-      val lex = bm25Ranked(s, dir, BmTopK)
-        .select(col("query_id"), col("doc_id"), col("rank"))
-      val e = Tables(s, dir, "embeddings")
-      val dense = Similarity.topKWindow(
-          e.filter(col("vec_id") % BmQueryMod === 0)
-            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-          e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
-          BmTopK)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"),
-          (lit(BmTopK + 1) - col("rank")).as("rel"), col("rank").as("rank_dense"))
-      lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      val (postings, qterms, bigN, bigT) = bm25Parts(s, dir)
+      val scored = graft.TempCaches.tracked(
+        bm25ScoredAll(postings, qterms, bigN, bigT))
+      val dcg = scored
+        .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= BmTopK)
         .withColumn("p", expr("1024 * (rank + 1)"))
-        .withColumn("ip", expr("1024 * (rank_dense + 1)"))
-        .withColumn("gain", expr(
-          s"CASE WHEN rank IS NULL THEN CAST(0 AS BIGINT) " +
-            s"ELSE (coalesce(rel, CAST(0 AS BIGINT)) * 1073741824) div (${Idioms.pl2Expr("p")}) END"))
-        .withColumn("igain", expr(
-          s"CASE WHEN rank_dense IS NULL THEN CAST(0 AS BIGINT) " +
-            s"ELSE (rel * 1073741824) div (${Idioms.pl2Expr("ip")}) END"))
+        .withColumn("gain", expr(s"(rel * 1073741824) div (${Idioms.pl2Expr("p")})"))
         .groupBy(col("query_id"))
-        .agg(sum(col("gain")).as("dcg"), sum(col("igain")).as("idcg"),
-          count(col("rank")).as("nlex"))
+        .agg(sum(col("gain")).as("dcg"), count(lit(1)).as("nlex"))
+      val idcg = scored
+        .withColumn("rank_ideal", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank_ideal") <= BmTopK)
+        .withColumn("ip", expr("1024 * (rank_ideal + 1)"))
+        .withColumn("igain", expr(s"(rel * 1073741824) div (${Idioms.pl2Expr("ip")})"))
+        .groupBy(col("query_id")).agg(sum(col("igain")).as("idcg"))
+      dcg.join(idcg, Seq("query_id"))
         .filter(col("nlex") > 0 && col("idcg") > 0)
         .withColumn("ndcg_micro", expr("(1000000 * dcg) div idcg"))
         .select(col("query_id"), col("dcg"), col("idcg"), col("ndcg_micro"))
@@ -1173,6 +1160,16 @@ object VectorOps {
     * run against every corpus scale. */
   private[graft] def bm25Ranked(s: SparkSession, dir: String, k: Int,
                                 queryCap: Long = Long.MaxValue): DataFrame = {
+    val (postings, qterms, bigN, bigT) = bm25Parts(s, dir, queryCap)
+    bm25ScoreStage(postings, qterms, bigN, bigT, k)
+  }
+
+  /** The shared BM25 inputs — postings (doc_id, dl, tok, f), distinct
+    * query terms (query_id, tok), and the two corpus scalars N/T — used
+    * by q75/q76 (via [[bm25Ranked]]) and q77's overlap-graded eval. */
+  private[graft] def bm25Parts(s: SparkSession, dir: String,
+                               queryCap: Long = Long.MaxValue)
+      : (DataFrame, DataFrame, Long, Long) = {
     val docs = Tables(s, dir, "documents")
       .withColumn("toks", expr(Idioms.toksExpr))
       .select(col("doc_id"), col("toks"), expr("CAST(size(toks) AS BIGINT)").as("dl"))
@@ -1185,7 +1182,7 @@ object VectorOps {
       .select(col("doc_id").as("query_id"),
         explode(expr(s"slice(toks, 1, $BmQueryTerms)")).as("tok"))
       .distinct()
-    bm25ScoreStage(postings, qterms, bigN, bigT, k)
+    (postings, qterms, bigN, bigT)
   }
 
   /** The BM25 scoring stage over a postings set — shared (bit-exact,
@@ -1197,7 +1194,21 @@ object VectorOps {
     * term-keyed bucket partitioning); `qterms` is the distinct
     * (query_id, tok) set. */
   private[graft] def bm25ScoreStage(postings: DataFrame, qterms: DataFrame,
-                                    bigN: Long, bigT: Long, k: Int): DataFrame = {
+                                    bigN: Long, bigT: Long, k: Int): DataFrame =
+    bm25ScoredAll(postings, qterms, bigN, bigT).drop("rel")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+
+  /** The unranked (query_id, doc_id, score, rel) frame: BM25 score plus
+    * rel = number of DISTINCT query terms the doc contains (0..BmQueryTerms)
+    * — the lexical-overlap graded relevance q77 evaluates against. rel
+    * rides the same (query, doc) aggregation as the score (postings are
+    * distinct per (doc, tok), so count(*) IS the distinct term overlap),
+    * costing nothing beyond the existing shuffle. */
+  private[graft] def bm25ScoredAll(postings: DataFrame, qterms: DataFrame,
+                                   bigN: Long, bigT: Long): DataFrame = {
     val dfq = postings.join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .withColumn("xq", expr(s"(1024 * (2 * $bigN + 2)) div (2 * df + 1)"))
@@ -1210,11 +1221,7 @@ object VectorOps {
         s"idf * ((CAST(22000000 AS BIGINT) * f * $bigT) div " +
           s"(10 * f * $bigT + 3 * $bigT + 9 * dl * $bigN))"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("contrib")).as("score"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
-      .filter(col("rank") <= k)
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("rel"))
   }
 
   val oracle: Map[String, String] = Map(
@@ -1465,37 +1472,27 @@ object VectorOps {
          |FROM franked WHERE fused_rank <= $BmTopK""".stripMargin,
 
     "q77_retrieval_eval" ->
-      s"""WITH ${bm25Cte(BmTopK)},
-         |qe AS (SELECT vec_id AS query_id, embedding AS qv
-         |       FROM embeddings WHERE vec_id % $BmQueryMod = 0),
-         |ce AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-         |dsims AS (
-         |  SELECT query_id, neighbor_id, ${duckCosineExpr("qv", "cv")} AS cosine
-         |  FROM ce CROSS JOIN qe WHERE query_id <> neighbor_id),
-         |dense AS (
-         |  SELECT query_id, doc_id, CAST(${BmTopK + 1} - rnk AS BIGINT) AS rel,
-         |         CAST(rnk AS BIGINT) AS rank_dense
-         |  FROM (SELECT query_id, neighbor_id AS doc_id,
-         |          ROW_NUMBER() OVER (PARTITION BY query_id
-         |            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
-         |        FROM dsims)
-         |  WHERE rnk <= $BmTopK),
-         |joined AS (
-         |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
-         |    l.rank AS rank, d.rel AS rel, d.rank_dense AS rank_dense,
-         |    1024 * (l.rank + 1) AS p, 1024 * (d.rank_dense + 1) AS ip
-         |  FROM lr l FULL OUTER JOIN dense d
-         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
-         |agg AS (
+      s"""WITH ${bm25Cte(BmTopK, withRel = true)},
+         |dcg AS (
          |  SELECT query_id,
-         |    CAST(sum(CASE WHEN rank IS NULL THEN 0
-         |      ELSE (COALESCE(rel, 0) * 1073741824) // (${Idioms.pl2Sql("p")}) END) AS BIGINT) AS dcg,
-         |    CAST(sum(CASE WHEN rank_dense IS NULL THEN 0
-         |      ELSE (rel * 1073741824) // (${Idioms.pl2Sql("ip")}) END) AS BIGINT) AS idcg,
-         |    count(rank) AS nlex
-         |  FROM joined GROUP BY 1)
-         |SELECT query_id, dcg, idcg, (1000000 * dcg) // idcg AS ndcg_micro
-         |FROM agg WHERE nlex > 0 AND idcg > 0""".stripMargin,
+         |    CAST(sum((rel * 1073741824) // (${Idioms.pl2Sql("p")})) AS BIGINT) AS dcg,
+         |    count(*) AS nlex
+         |  FROM (SELECT query_id, rel, 1024 * (rank + 1) AS p FROM lr) t
+         |  GROUP BY 1),
+         |ideal AS (
+         |  SELECT query_id, rel,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, doc_id ASC) AS BIGINT) AS rank_ideal
+         |  FROM lscored),
+         |idcg AS (
+         |  SELECT query_id,
+         |    CAST(sum((rel * 1073741824) // (${Idioms.pl2Sql("ip")})) AS BIGINT) AS idcg
+         |  FROM (SELECT query_id, rel, 1024 * (rank_ideal + 1) AS ip
+         |        FROM ideal WHERE rank_ideal <= $BmTopK) t
+         |  GROUP BY 1)
+         |SELECT d.query_id, d.dcg, i.idcg, (1000000 * d.dcg) // i.idcg AS ndcg_micro
+         |FROM dcg d JOIN idcg i USING (query_id)
+         |WHERE d.nlex > 0 AND i.idcg > 0""".stripMargin,
 
     // q45's oracle chain with the label predicate inside the candidate
     // CTE (pre-filter: ranked AFTER the filter).
@@ -1813,7 +1810,9 @@ object VectorOps {
        |       WHERE t.query_id <> k.vec_id GROUP BY 1, 2)""".stripMargin
   }
 
-  private def bm25Cte(k: Int): String =
+  private def bm25Cte(k: Int, withRel: Boolean = false): String = {
+    val relAgg = if (withRel) ",\n    CAST(count(*) AS BIGINT) AS rel" else ""
+    val relCol = if (withRel) ", rel" else ""
     s"""dtk AS (SELECT doc_id, ${Idioms.toksSql} AS tk FROM documents),
        |docs AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
        |         FROM dtk WHERE len(tk) > 0),
@@ -1836,15 +1835,16 @@ object VectorOps {
        |lscored AS (
        |  SELECT q.query_id, p.doc_id,
        |    CAST(sum(i.idf * ((CAST(22000000 AS BIGINT) * p.f * t) //
-       |      (10 * p.f * t + 3 * t + 9 * p.dl * n))) AS BIGINT) AS score
+       |      (10 * p.f * t + 3 * t + 9 * p.dl * n))) AS BIGINT) AS score$relAgg
        |  FROM postings p JOIN qterms q USING (tok) JOIN idf i USING (tok)
        |    CROSS JOIN nt
        |  WHERE p.doc_id <> q.query_id
        |  GROUP BY 1, 2),
        |lranked AS (
-       |  SELECT query_id, doc_id, score,
+       |  SELECT query_id, doc_id, score$relCol,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
        |  FROM lscored),
        |lr AS (SELECT * FROM lranked WHERE rank <= $k)""".stripMargin
+  }
 }
