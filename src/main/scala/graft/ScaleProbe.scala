@@ -413,7 +413,7 @@ object ScaleProbe {
       val matches = graft.streaming.NearDupStream.matches(spark, dup).count()
       val sig = graft.queries.TextOps.minhashSig(
         docs.withColumn("arr",
-            graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3)))
+            graft.plans.GraftExpressions.distinctShingles(col("text"), 3))
           .select(col("doc_id"), explode(col("arr")).as("s")))
       val t2 = System.nanoTime()
       val fullCand = graft.queries.TextOps.lshCandidatePairs(sig, 8).count()

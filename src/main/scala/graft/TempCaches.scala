@@ -16,6 +16,17 @@ import org.apache.spark.sql.Dataset
   * unpersist-only: for a plain `.persist()` frame correctness never
   * depends on the cache (recompute is always possible), it only bounds
   * the double-computation a within-query reuse would otherwise pay.
+  *
+  * CONCURRENCY CONTRACT (round-15 advisor note): the registry is
+  * process-global and releaseAll drains it wholesale — and the harness
+  * pairs it with `spark.catalog.clearCache()`. This assumes the
+  * SINGLE-THREADED run-one-query-then-release harness shape
+  * (Bench/Verify/specs). Running queries concurrently on one session
+  * would let one query's release unpersist another's in-flight tracked
+  * frames — never a correctness problem (Spark recomputes), but a
+  * silent performance trap: a concurrent driver should scope releases
+  * per query (hold the frames it tracked and unpersist exactly those)
+  * instead of calling releaseAll.
   */
 object TempCaches {
   private val reg = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()

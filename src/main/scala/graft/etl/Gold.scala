@@ -56,29 +56,45 @@ object Gold {
     incoming.unionByName(survivors)
   }
 
-  /** [[merge]] against a parquet table in place: read, merge, write to a
-    * sibling temp dir, atomically swap (Spark cannot overwrite its own
-    * input). Creates the table when absent, so the first landing and
-    * every later one are the same call — and re-running the same batch
-    * is a no-op on the table's row multiset (PipelineSpec). At scale,
-    * swap the directory rename for a partition-scoped rewrite of only
-    * the partitions the incoming keys touch (same shape as
-    * [[Silver.refreshPartition]]). */
+  /** [[merge]] against a table in place, committed through the
+    * [[TxTable]] ordered log (round-15, verdict task 7 — previously a
+    * bare delete+rename swap with no version history): every upsert is
+    * a version, any prior version stays readable ([[TxTable.read]] time
+    * travel), and concurrent writers SERIALIZE by optimistic rebase
+    * instead of last-rename-wins (TxTableSpec pins no-lost-update).
+    * Creates the table when absent, so the first landing and every
+    * later one are the same call — and re-running the same batch is a
+    * no-op on the table's row multiset (PipelineSpec). A pre-existing
+    * plain-parquet table at `path` is migrated: its current contents
+    * become the log's first version before the merge commits. At scale,
+    * [[TxTable.mergeUpsertPartitioned]] scopes the rewrite to only the
+    * partitions the incoming keys touch. */
   def upsert(spark: SparkSession, path: String, incoming: DataFrame,
              key: String, broadcastKeys: Boolean = true): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(target)) {
-      incoming.write.mode("overwrite").parquet(path)
-    } else {
-      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp-upsert")
-      merge(spark.read.parquet(path), incoming, key, broadcastKeys)
-        .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(target, true)
-      fs.rename(tmp, target)
+    if (!TxTable.exists(path)) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val target = new org.apache.hadoop.fs.Path(path)
+      if (fs.exists(target) &&
+          fs.listStatus(target).exists(_.getPath.getName.endsWith(".parquet"))) {
+        // legacy layout: lift the existing rows into version 0, then
+        // clear the loose root files (their bytes now live in the log)
+        val rows = spark.read.parquet(path)
+        TxTable.refresh(spark, path, rows)
+        fs.listStatus(target)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .foreach(s => fs.delete(s.getPath, false))
+      }
     }
+    TxTable.mergeUpsert(spark, path, incoming, key, broadcastKeys)
   }
+
+  /** Read a table whether TxTable-backed (snapshot read of latest) or a
+    * plain parquet prefix — the read surface matching [[upsert]]'s
+    * commit surface. */
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    if (TxTable.exists(path)) TxTable.read(spark, path)
+    else spark.read.parquet(path)
 
   /** Retrieval surface (S13 + A8): embed the query text and return the
     * top-k most similar gold rows. */
@@ -87,7 +103,7 @@ object Gold {
     // deterministic surrogate id from the persisted pk — NOT
     // monotonically_increasing_id(), which would re-evaluate differently
     // between the top-k pass and the join-back below
-    val corpus = spark.read.parquet(goldPath)
+    val corpus = readTable(spark, goldPath)
       .select(xxhash64(col("pk")).as("neighbor_id"),
         col("pk"), col("text"), col("vector").as("cv"))
     val q = spark.range(1).select(
@@ -108,7 +124,7 @@ object Gold {
   def searchIvf(spark: SparkSession, goldPath: String, queryText: String, k: Int,
                 centroids: Int = 8, nprobe: Int = 2, iters: Int = 3,
                 dim: Int = VectorDim): DataFrame = {
-    val corpus = spark.read.parquet(goldPath)
+    val corpus = readTable(spark, goldPath)
       .select(xxhash64(col("pk")).as("neighbor_id"),
         col("pk"), col("text"), col("vector").as("cv"))
     val cents = Similarity.kmeansCentroids(spark,

@@ -1,8 +1,9 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
@@ -17,7 +18,7 @@ import scala.jdk.CollectionConverters._
   * Layout under the table root:
   * {{{
   *   data/v<version>-<uuid>/   parquet dirs, immutable once committed
-  *   _txlog/v<version>.json    manifest: {version, action, dirs:[...]}
+  *   _txlog/v<version>.json    manifest: {version, action, dirs:[...], parts:[...]}
   * }}}
   *
   * Commit protocol (per version N):
@@ -43,17 +44,21 @@ import scala.jdk.CollectionConverters._
   * never deleted by commits ([[vacuum]] is the explicit, destructive
   * retention step, exactly Delta's split of responsibilities).
   *
+  * Partition-scoped commits (round-15, verdict task 7): a manifest
+  * entry is a (dir, part) pair — `part` is the string form of the
+  * entry's partition value, "" for a whole-table entry.
+  * [[mergeUpsertPartitioned]] rewrites ONLY the partitions the incoming
+  * batch touches and carries every untouched partition's entries
+  * forward by reference: an incremental load against a 100 TB table
+  * costs the touched partitions' rewrite, not the table's.
+  *
   * Scale notes: the log holds one tiny JSON per commit (listing dirs,
   * not files — the dir is the atomic unit Spark writes); snapshot
   * resolution is one directory listing + one small file read,
-  * independent of table size. [[mergeUpsert]]'s rewrite is the
-  * simplest correct MERGE shape; at 100 TB the rewrite narrows to the
-  * partitions the incoming keys touch (the
-  * [[Silver.refreshPartition]] pattern) with the manifest listing
-  * per-partition dirs — same log, smaller commits. The O_EXCL claim
-  * assumes a filesystem with atomic create (POSIX, HDFS); S3-class
-  * stores need a CAS/coordination service here, the same caveat Delta
-  * documents for its log.
+  * independent of table size. The O_EXCL claim assumes a filesystem
+  * with atomic create (POSIX, HDFS); S3-class stores need a
+  * CAS/coordination service here, the same caveat Delta documents for
+  * its log.
   *
   * The reference's `drop_old=True` full refresh (seed_milvus.py:75) is
   * the special case [[refresh]]: a commit whose manifest lists only
@@ -61,23 +66,35 @@ import scala.jdk.CollectionConverters._
   */
 object TxTable {
 
-  final case class Snapshot(version: Long, action: String, dirs: Seq[String])
+  /** `parts(i)` is the partition value of `dirs(i)` ("" = whole-table
+    * entry); pre-partitioning manifests parse with all-"" parts. */
+  final case class Snapshot(version: Long, action: String, dirs: Seq[String],
+                            parts: Seq[String] = Nil) {
+    def entries: Seq[(String, String)] =
+      dirs.zip(if (parts.length == dirs.length) parts else Seq.fill(dirs.length)(""))
+  }
 
   private def logDir(root: String): Path = Paths.get(root, "_txlog")
   private def manifest(root: String, v: Long): Path =
     logDir(root).resolve(f"v$v%08d.json")
   private val ManifestName = """v(\d{8})\.json""".r
 
+  /** Materialized directory listing with the stream CLOSED (r14 advisor:
+    * `latestVersion` runs on every optimistic-loop iteration, so an
+    * unclosed `Files.list` leaks file descriptors under contention). */
+  private def listDir(p: Path): Seq[Path] = {
+    if (!Files.isDirectory(p)) return Nil
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   /** Highest committed version, or -1 for an empty/absent table.
     * Counts only complete `vNNNNNNNN.json` names — a crashed writer's
     * `.tmp-*` leftovers are invisible. */
   def latestVersion(root: String): Long = {
-    val ld = logDir(root)
-    if (!Files.isDirectory(ld)) return -1L
-    val vs = Files.list(ld).iterator().asScala
+    val vs = listDir(logDir(root))
       .map(_.getFileName.toString)
       .collect { case ManifestName(d) => d.toLong }
-      .toSeq
     if (vs.isEmpty) -1L else vs.max
   }
 
@@ -105,10 +122,11 @@ object TxTable {
   /** Attempt to commit `dirs` (relative to root) as `version`. Returns
     * true iff this writer won the version; false = a concurrent writer
     * claimed it first — re-read, rebase, retry. */
-  def tryCommit(root: String, version: Long, action: String, dirs: Seq[String]): Boolean = {
+  def tryCommit(root: String, version: Long, action: String, dirs: Seq[String],
+                parts: Seq[String] = Nil): Boolean = {
     Files.createDirectories(logDir(root))
     val tmp = logDir(root).resolve(s"v$version.json.tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, render(Snapshot(version, action, dirs)))
+    Files.writeString(tmp, render(Snapshot(version, action, dirs, parts)))
     val won =
       try { Files.createLink(manifest(root, version), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
@@ -127,7 +145,9 @@ object TxTable {
   private def dropData(root: String, rel: String): Unit = {
     val dir = Paths.get(root, rel)
     if (Files.isDirectory(dir)) {
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val s = Files.walk(dir)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.reverse.foreach(Files.delete)
     }
   }
 
@@ -146,9 +166,12 @@ object TxTable {
       val baseV = latestVersion(root)
       val target = baseV + 1
       val rel = writeData(root, target, batch)
-      val baseDirs = if (baseV < 0) Nil else snapshot(root, baseV).dirs
-      if (tryCommit(root, target, "append", baseDirs :+ rel)) { v = target; done = true }
-      else dropData(root, rel)
+      val base = if (baseV < 0) None else Some(snapshot(root, baseV))
+      val baseEntries = base.map(_.entries).getOrElse(Nil)
+      if (tryCommit(root, target, "append",
+          baseEntries.map(_._1) :+ rel, baseEntries.map(_._2) :+ "")) {
+        v = target; done = true
+      } else dropData(root, rel)
     }
     v
   }
@@ -168,6 +191,96 @@ object TxTable {
       }
     }
 
+  /** Partition-scoped MERGE — the commit shape the class doc promises
+    * for 100 TB: rewrite ONLY the partitions (`partCol` values) the
+    * incoming batch touches; every untouched partition's data dirs are
+    * carried into the new manifest BY REFERENCE, zero bytes moved.
+    * Partition values are compared in string form (the manifest is
+    * JSON); `incoming` must not carry a NULL partition value. The first
+    * commit on an empty table establishes the partitioned layout;
+    * mixing with whole-table commits ([[refresh]]/[[append]]/
+    * [[mergeUpsert]], part="") is rejected — a whole-table entry can
+    * hold any partition's rows, so a scoped rewrite over it would drop
+    * the other partitions' rows it contains. */
+  def mergeUpsertPartitioned(spark: SparkSession, root: String, incoming: DataFrame,
+                             key: String, partCol: String,
+                             broadcastKeys: Boolean = true): Long = {
+    var v = -1L
+    var done = false
+    // touched partitions: one small distinct over the batch, bounded by
+    // the table's partition count (driver-safe by the layout's design)
+    val touched = incoming.select(col(partCol).cast("string").as("p"))
+      .na.drop().distinct().collect().map(_.getString(0)).toSeq.sorted
+    require(touched.nonEmpty, "incoming batch has no non-null partition values")
+    while (!done) {
+      val baseV = latestVersion(root)
+      val base = if (baseV < 0) None else Some(snapshot(root, baseV))
+      base.foreach { s =>
+        require(s.entries.forall(_._2.nonEmpty),
+          s"TxTable $root has whole-table entries; partition-scoped merge " +
+            "requires a partitioned history (start with mergeUpsertPartitioned)")
+      }
+      val target = baseV + 1
+      val fresh = touched.map { p =>
+        val baseDirsP = base.toSeq.flatMap(_.entries).filter(_._2 == p).map(_._1)
+        val incP = incoming.filter(col(partCol).cast("string") === p)
+        val merged =
+          if (baseDirsP.isEmpty) incP
+          else Gold.merge(
+            spark.read.parquet(baseDirsP.map(d => s"$root/$d"): _*),
+            incP, key, broadcastKeys)
+        (writeData(root, target, merged), p)
+      }
+      val carried = base.toSeq.flatMap(_.entries).filterNot(e => touched.contains(e._2))
+      val entries = carried ++ fresh
+      if (tryCommit(root, target, "merge", entries.map(_._1), entries.map(_._2))) {
+        v = target; done = true
+      } else fresh.foreach(e => dropData(root, e._1)) // lost: discard, rebase, retry
+    }
+    v
+  }
+
+  /** Same-data re-layout commit (round-15, verdict task 7: the
+    * [[Compact]] operation as a TABLE-FORMAT commit instead of a
+    * directory swap): reads the CURRENT snapshot, rewrites each
+    * partition-scoped entry group (or the whole table) into
+    * ceil(bytes / targetBytes) files, and commits as action "compact".
+    * Concurrent upserts serialize with it through the optimistic loop —
+    * losing the race re-reads the NEW latest (upsert included) and
+    * re-lays THAT out, so no update is ever lost (TxTableSpec pins the
+    * interleaving). Pre-compaction versions stay readable (time travel)
+    * until [[vacuum]]. Returns the committed version. */
+  def compact(spark: SparkSession, root: String,
+              targetBytes: Long = Compact.DefaultTargetBytes): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    var v = -1L
+    var done = false
+    while (!done) {
+      val baseV = latestVersion(root)
+      require(baseV >= 0, s"TxTable at $root has no committed version to compact")
+      val base = snapshot(root, baseV)
+      val target = baseV + 1
+      def dirBytes(rel: String): Long = {
+        val s = Files.walk(Paths.get(root, rel))
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+        finally s.close()
+      }
+      // one re-layout dir per partition group (preserves the scoped
+      // layout so later partition merges still rewrite only their slice)
+      val groups = base.entries.groupBy(_._2).toSeq.sortBy(_._1)
+      val fresh = groups.map { case (p, es) =>
+        val bytes = es.map(e => dirBytes(e._1)).sum
+        val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val df = spark.read.parquet(es.map(e => s"$root/${e._1}"): _*).coalesce(nOut)
+        (writeData(root, target, df), p)
+      }
+      if (tryCommit(root, target, "compact", fresh.map(_._1), fresh.map(_._2))) {
+        v = target; done = true
+      } else fresh.foreach(e => dropData(root, e._1))
+    }
+    v
+  }
+
   /** The shared optimistic-retry skeleton: compute the full replacement
     * frame off the CURRENT snapshot, write it, race for base+1. */
   private def commitLoop(root: String)(
@@ -186,32 +299,56 @@ object TxTable {
     v
   }
 
-  /** Destructive retention: delete data dirs referenced by no manifest
-    * with version >= `keepFrom` and drop the older manifests. Explicitly
-    * separate from commits (Delta's VACUUM split): time travel works
-    * until the operator chooses to forget. */
-  def vacuum(root: String, keepFrom: Long): Unit = {
+  /** Default in-flight-writer grace for [[vacuum]]: an unreferenced data
+    * dir younger than this is assumed to belong to a concurrent commit
+    * between its writeData and tryCommit and is NOT deleted. */
+  val DefaultVacuumGraceMs: Long = 10L * 60 * 1000
+
+  /** Destructive retention: drop manifests below `keepFrom`, then delete
+    * data dirs referenced by no surviving manifest. Explicitly separate
+    * from commits (Delta's VACUUM split): time travel works until the
+    * operator chooses to forget.
+    *
+    * Ordering + safety (round-15; r14 advisor findings):
+    *  - manifests are deleted FIRST, so a reader that has not yet
+    *    resolved a vacuumed version fails cleanly at [[snapshot]]
+    *    (version-not-committed) instead of resolving a manifest whose
+    *    data is mid-deletion; a reader that already resolved one fails
+    *    at scan when files disappear. As in Delta, the operational
+    *    contract is that `keepFrom` trails the oldest version any
+    *    reader still uses (retention), vacuum cannot make that true by
+    *    itself;
+    *  - unreferenced data dirs YOUNGER than `graceMs` survive: a
+    *    concurrent writer creates its data dir BEFORE racing for the
+    *    commit, so without the grace window vacuum could delete a dir
+    *    an about-to-win commit references — a torn latest version (the
+    *    advisor's race; Delta guards the same window with its retention
+    *    period). Pass graceMs = 0 only when no writer can be in flight. */
+  def vacuum(root: String, keepFrom: Long,
+             graceMs: Long = DefaultVacuumGraceMs): Unit = {
     val latest = latestVersion(root)
     require(keepFrom <= latest, s"keepFrom $keepFrom beyond latest $latest")
     val keep = (keepFrom to latest).filter(v => Files.exists(manifest(root, v)))
       .flatMap(v => snapshot(root, v).dirs).toSet
-    val dataRoot = Paths.get(root, "data")
-    if (Files.isDirectory(dataRoot)) {
-      Files.list(dataRoot).iterator().asScala.toSeq
-        .map(p => s"data/${p.getFileName}")
-        .filterNot(keep)
-        .foreach(dropData(root, _))
-    }
     (0L until keepFrom).foreach(v => Files.deleteIfExists(manifest(root, v)))
+    val horizon = System.currentTimeMillis() - graceMs
+    listDir(Paths.get(root, "data"))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < horizon)
+      .map(p => s"data/${p.getFileName}")
+      .filterNot(keep)
+      .foreach(dropData(root, _))
   }
 
   // --- tiny hand-rolled JSON (no new dependencies; the manifest
-  // grammar is flat: version, action, dirs) ---
+  // grammar is flat: version, action, dirs, parts) ---
   private def render(s: Snapshot): String = {
     def q(x: String) = "\"" + x.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
     } + "\""
-    s"""{"version":${s.version},"action":${q(s.action)},"dirs":[${s.dirs.map(q).mkString(",")}]}"""
+    val parts =
+      if (s.parts.isEmpty || s.parts.forall(_.isEmpty)) ""
+      else s""","parts":[${s.parts.map(q).mkString(",")}]"""
+    s"""{"version":${s.version},"action":${q(s.action)},"dirs":[${s.dirs.map(q).mkString(",")}]$parts}"""
   }
 
   private def parse(body: String): Snapshot = {
@@ -219,10 +356,12 @@ object TxTable {
       .map(_.group(1).toLong).getOrElse(sys.error(s"bad manifest: $body"))
     val action = """"action"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
       .map(_.group(1)).getOrElse("unknown")
-    val dirsBody = """"dirs"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
-      .map(_.group(1)).getOrElse("")
-    val dirs = """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(dirsBody)
-      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
-    Snapshot(version, action, dirs)
+    def strList(fld: String): Seq[String] = {
+      val listBody = ("\"" + fld + """"\s*:\s*\[([^\]]*)\]""").r.findFirstMatchIn(body)
+        .map(_.group(1)).getOrElse("")
+      """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(listBody)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    }
+    Snapshot(version, action, strList("dirs"), strList("parts"))
   }
 }

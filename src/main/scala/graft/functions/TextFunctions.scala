@@ -121,7 +121,14 @@ object TextFunctions {
   /** Distinct word n-gram shingles, single pass (the SQL-expressible
     * `transform(sequence(...), i -> array_join(slice(ws, i, n)))` form
     * re-evaluates the tokenizer inside the lambda — O(tokens²) per doc;
-    * this UDF is the O(tokens) equivalent, output-identical). */
+    * this UDF is the O(tokens) equivalent, output-identical).
+    *
+    * RETIRED from every hot path in round 15 (verdict task 4): the
+    * near-dup family now uses the codegen-native byte-level
+    * [[graft.plans.DistinctShingles]] expression (no encoder round-trip,
+    * stays inside whole-stage codegen). This UDF remains as the
+    * independent equality twin — ExpressionsSpec pins elementwise
+    * identity between the two on the corpus and on adversarial cases. */
   def shingles(text: String, n: Int): Array[String] = {
     if (text == null) return Array.empty
     val toks = text.split(" ").filter(_.nonEmpty)

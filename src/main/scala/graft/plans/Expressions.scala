@@ -481,6 +481,104 @@ case class ChunkTextGen(child: Expression, sizeExpr: Expression, overlapExpr: Ex
     copy(child = c(0), sizeExpr = c(1), overlapExpr = c(2))
 }
 
+/** Byte-level kernel of [[DistinctShingles]], shared verbatim by `eval`
+  * and the generated code (a static call keeps the whole projection
+  * inside whole-stage codegen — the LshKeys pattern). Semantics are
+  * bit-identical to `TextFunctions.shingles` (the retired hot-path UDF,
+  * kept for the equality spec): split on the single space character
+  * ONLY (0x20 — never a continuation byte in UTF-8, so the byte scan
+  * equals the char split), drop empty tokens, emit each n-token window
+  * joined by single spaces, deduped to first occurrence. Works directly
+  * on UTF8String bytes: no encoder round-trip, no String allocation per
+  * token — the serialization boundary the round-14 verdict flagged on
+  * the near-dup family's corpus-sized shingle path (task 4). */
+object ShingleKernel {
+  private val EMPTY: ArrayData = new GenericArrayData(new Array[AnyRef](0))
+
+  def distinctShingles(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return EMPTY
+    val b = text.getBytes
+    // token boundaries: maximal runs of non-0x20 bytes
+    var count = 0
+    var i = 0
+    while (i < b.length) {
+      if (b(i) != ' '.toByte) {
+        count += 1
+        while (i < b.length && b(i) != ' '.toByte) i += 1
+      } else i += 1
+    }
+    if (count < n) return EMPTY
+    val starts = new Array[Int](count); val lens = new Array[Int](count)
+    var t = 0; i = 0
+    while (i < b.length) {
+      if (b(i) != ' '.toByte) {
+        starts(t) = i
+        while (i < b.length && b(i) != ' '.toByte) i += 1
+        lens(t) = i - starts(t); t += 1
+      } else i += 1
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    i = 0
+    while (i + n <= count) {
+      var size = n - 1
+      var j = 0
+      while (j < n) { size += lens(i + j); j += 1 }
+      val out = new Array[Byte](size)
+      var p = 0; j = 0
+      while (j < n) {
+        if (j > 0) { out(p) = ' '.toByte; p += 1 }
+        System.arraycopy(b, starts(i + j), out, p, lens(i + j)); p += lens(i + j)
+        j += 1
+      }
+      seen.add(UTF8String.fromBytes(out))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** Distinct word n-gram shingles of a text column, codegen-native —
+  * the near-dup family's per-row kernel (q21/q22/q48/q96, the q51/q59
+  * composites, and NearDupStream), previously a Scala UDF
+  * (`TextFunctions.shinglesUdf`): same output, but evaluated through
+  * reflection converters outside codegen. This expression keeps the
+  * corpus-sized shingle projection fused in the whole-stage-codegen
+  * stage and never materializes a Java String. NULL text → empty array
+  * (the UDF contract), so the expression is never null. */
+case class DistinctShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"distinct_shingles: n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"distinct_shingles expects string, got $t")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_shingles"
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    ShingleKernel.distinctShingles(child.eval(input).asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+         |${childGen.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  graft.plans.ShingleKernel.distinctShingles(
+         |    ${childGen.isNull} ? null : ${childGen.value}, $n);
+       """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): DistinctShingles =
+    copy(child = c)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -503,6 +601,10 @@ object GraftExpressions {
                    mult: Long): Column =
     GraftBridge.column(
       LshProbeKeys(GraftBridge.expression(embedding), tables, bits, probes, mult))
+
+  /** Column surface for the native distinct-shingle kernel. */
+  def distinctShingles(text: Column, n: Int): Column =
+    GraftBridge.column(DistinctShingles(GraftBridge.expression(text), n))
 
   /** Constant-integer argument of a SQL function: fails analysis with a
     * clear message instead of an internal eval error when the argument
@@ -542,5 +644,8 @@ object GraftExpressions {
       exprs => ChunkTextGen(exprs(0), exprs(1), exprs(2)))
     GraftBridge.register(spark, "lsh_keys", lshKeysFromSql)
     GraftBridge.register(spark, "lsh_probe_keys", lshProbeKeysFromSql)
+    GraftBridge.register(spark, "distinct_shingles",
+      exprs => DistinctShingles(exprs(0),
+        litLong(exprs(1), "distinct_shingles", "n").toInt))
   }
 }

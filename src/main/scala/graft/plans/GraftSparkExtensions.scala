@@ -47,5 +47,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("lsh_probe_keys",
         "lsh_probe_keys(embedding, tables, bits, probes, mult) - confidence-ordered multiprobe key sets"),
       (exprs: Seq[Expression]) => GraftExpressions.lshProbeKeysFromSql(exprs)))
+    ext.injectFunction((FunctionIdentifier("distinct_shingles"),
+      info("distinct_shingles",
+        "distinct_shingles(text, n) - distinct word n-gram shingles, first-occurrence order"),
+      (exprs: Seq[Expression]) => DistinctShingles(exprs(0),
+        GraftExpressions.litLong(exprs(1), "distinct_shingles", "n").toInt)))
   }
 }

@@ -113,7 +113,7 @@ object TextOps {
 
   private def q48NearDup(s: SparkSession, dir: String): DataFrame = {
       val docs = Tables(s, dir, "documents")
-        .withColumn("arr", graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3)))
+        .withColumn("arr", graft.plans.GraftExpressions.distinctShingles(col("text"), 3))
       val cand = lshCandidatePairs(
         minhashSig(docs.select(col("doc_id"), explode(col("arr")).as("s"))),
         bands = 8)
@@ -214,7 +214,7 @@ object TextOps {
       // na/nb directly. The DF cap is a window on the self-join key
       // itself (s), so the join reuses that one shuffle's partitioning.
       val sh = Tables(s, dir, "documents")
-        .withColumn("arr", graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3)))
+        .withColumn("arr", graft.plans.GraftExpressions.distinctShingles(col("text"), 3))
         .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
           explode(col("arr")).as("s"))
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
@@ -241,7 +241,7 @@ object TextOps {
     "q96_containment_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val sh = Tables(s, dir, "documents")
-        .withColumn("arr", graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3)))
+        .withColumn("arr", graft.plans.GraftExpressions.distinctShingles(col("text"), 3))
         .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
           explode(col("arr")).as("s"))
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
@@ -268,7 +268,7 @@ object TextOps {
       lshCandidatePairs(minhashSig(
         Tables(s, dir, "documents")
           .select(col("doc_id"),
-            explode(graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3))).as("s"))),
+            explode(graft.plans.GraftExpressions.distinctShingles(col("text"), 3)).as("s"))),
         bands = 4)
     }),
 

@@ -365,7 +365,9 @@ object VectorOps {
       val q = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-      val cents = Similarity.kmeansCentroids(s, e, k = 8, iters = 3)
+      // train-once: the memoized rows ARE the per-invocation trainer's
+      // exact output (kmeansCentroidsMemo), so oracle rows are unchanged
+      val cents = kmeansCentroidsMemo(s, dir, k = 8, iters = 3)
       Similarity.ivfTopK(q, c, cents, 5, nprobe = 2)
     }),
 
@@ -387,7 +389,9 @@ object VectorOps {
       // n <= cap the sample IS the corpus and the sort/cache would be
       // pure overhead (identical results either way)
       val cap = if (n > SemTrainCap) SemTrainCap else Long.MaxValue
-      val cents = Similarity.kmeansCentroids(s, e, k = autoK(n), iters = 3,
+      // train-once (kmeansCentroidsMemo): autoK(n) and cap are both
+      // functions of the table contents the memo key fingerprints
+      val cents = kmeansCentroidsMemo(s, dir, k = autoK(n), iters = 3,
         trainSampleCap = cap)
       Similarity.semDedup(e, cents, 0.45)
     }),
@@ -1031,14 +1035,64 @@ object VectorOps {
   private val eigenMemo =
     scala.collection.concurrent.TrieMap[String, (Array[Long], Long)]()
 
-  /** q103's coarse quantizer, trained once per table dir. */
+  // Round-15 (advisor): memo keys carry a cheap CONTENT fingerprint of
+  // the table directory (part-file names + sizes + mtimes, hashed), so a
+  // table rewritten in place mid-session retrains instead of silently
+  // serving stale centroids/eigenvectors; and hit/miss counters are
+  // exported onto the bench artifact so a reader can tell which reps
+  // timed training and which timed the train-once deployment shape.
+  private[graft] val memoHits = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val memoMisses = new java.util.concurrent.atomic.AtomicLong
+
+  /** `dir` + a fingerprint of the embeddings table's physical files.
+    * Listing footprint is one directory walk (few entries at any SF —
+    * fingerprinting reads NO data), so the stamp costs microseconds
+    * against a training run of corpus-scan jobs. */
+  private def stampedKey(dir: String, table: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.sortBy(_.getName).toSeq).getOrElse(Nil).flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(s"$dir/$table.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    s"$dir@${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))}"
+  }
+
+  private def memoGet[V](m: scala.collection.concurrent.TrieMap[String, V], key: String)
+                        (compute: => V): V =
+    m.get(key) match {
+      case Some(v) => memoHits.incrementAndGet(); v
+      case None => memoMisses.incrementAndGet(); m.getOrElseUpdate(key, compute)
+    }
+
+  /** q47/q68's spherical-k-means centroids, trained once per (table
+    * contents, k, iters, cap) — round-14 verdict task 3: the q103
+    * coarse-quantizer precedent applied to the last per-invocation
+    * trainers. The memoized value is the exact collected centroid rows
+    * the per-invocation training produced (k rows × 64 floats — tiny),
+    * so every downstream assignment, cosine, and oracle row is unchanged
+    * by construction; what disappears is the 3-Lloyd-round × collect
+    * action chain per invocation — the action-count amplifier that let
+    * box contention inflate q47 31× in the r14 artifact. */
+  private[graft] def kmeansCentroidsMemo(s: SparkSession, dir: String, k: Int,
+                                         iters: Int,
+                                         trainSampleCap: Long = Long.MaxValue): DataFrame = {
+    import s.implicits._
+    memoGet(kmeansMemo, s"${stampedKey(dir, "embeddings")}#k$k-i$iters-c$trainSampleCap") {
+      Similarity.kmeansCentroids(s, Tables(s, dir, "embeddings"), k, iters,
+          trainSampleCap = trainSampleCap)
+        .select(col("centroid_id"), col("cvec")).as[(Long, Array[Float])].collect()
+    }.toSeq.toDF("centroid_id", "cvec")
+  }
+
+  /** q103's coarse quantizer, trained once per table contents. */
   private[graft] def coarseCentroidsMemo(s: SparkSession, dir: String,
                                          e: => DataFrame): DataFrame = {
     import s.implicits._
-    kmeansMemo.getOrElseUpdate(s"$dir#coarse",
-        Similarity.kmeansCentroids(s, e, PqKs, PqIters)
-          .select(col("centroid_id"), col("cvec")).as[(Long, Array[Float])].collect())
-      .toSeq.toDF("centroid_id", "cvec")
+    memoGet(kmeansMemo, s"${stampedKey(dir, "embeddings")}#coarse") {
+      Similarity.kmeansCentroids(s, e, PqKs, PqIters)
+        .select(col("centroid_id"), col("cvec")).as[(Long, Array[Float])].collect()
+    }.toSeq.toDF("centroid_id", "cvec")
   }
 
   /** The PqM per-subspace codebooks, trained once per (table dir, tag) —
@@ -1048,23 +1102,26 @@ object VectorOps {
   private[graft] def pqCodebooksMemo(s: SparkSession, dir: String, tag: String,
                                      vectors: => DataFrame, vecCol: String): DataFrame = {
     import s.implicits._
-    pqMemo.getOrElseUpdate(s"$dir#$tag",
-        pqCodebooks(s, vectors, vecCol)
-          .select(col("sub"), col("code"), col("cvec"))
-          .as[(Int, Long, Array[Float])].collect())
-      .toSeq.toDF("sub", "code", "cvec")
+    memoGet(pqMemo, s"${stampedKey(dir, "embeddings")}#$tag") {
+      pqCodebooks(s, vectors, vecCol)
+        .select(col("sub"), col("code"), col("cvec"))
+        .as[(Int, Long, Array[Float])].collect()
+    }.toSeq.toDF("sub", "code", "cvec")
   }
 
   /** q98/q101's shared eigenvector: the corpus moment pass + driver
     * eigeniteration runs once per table dir; q101 then projects against
     * the memoized component without re-scanning for the covariance. */
   private[graft] def pcaEigenMemo(s: SparkSession, dir: String): (Array[Long], Long) =
-    eigenMemo.getOrElseUpdate(dir, pcaEigen(pcaCovariance(s, dir)))
+    memoGet(eigenMemo, stampedKey(dir, "embeddings")) {
+      pcaEigen(pcaCovariance(s, dir))
+    }
 
   /** Test hook: drop every memoized trained artifact (a spec that
     * mutates a table dir in place must retrain). */
   private[graft] def clearTrainedMemo(): Unit = {
     kmeansMemo.clear(); pqMemo.clear(); eigenMemo.clear()
+    memoHits.set(0); memoMisses.set(0)
   }
 
   /** q102's full ADC scoring frame — train codebooks, encode the corpus,

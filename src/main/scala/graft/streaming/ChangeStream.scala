@@ -46,9 +46,10 @@ object ChangeStream {
   def changes(spark: SparkSession, cdcDir: String): DataFrame =
     spark.read.parquet(s"$cdcDir/changes")
 
-  /** The standing (doc_id, h) state after all ingested drops. */
+  /** The standing (doc_id, h) state after all ingested drops —
+    * TxTable-backed since round 15 (Gold.upsert commits versions). */
   def state(spark: SparkSession, cdcDir: String): DataFrame =
-    spark.read.parquet(s"$cdcDir/hashes")
+    graft.etl.Gold.readTable(spark, s"$cdcDir/hashes")
 
   /** Drain available drops from `srcDir`, appending per-doc change rows
     * to `cdcDir/changes` and upserting `cdcDir/hashes`. */
@@ -88,13 +89,14 @@ object ChangeStream {
     try {
       AtomicState.appendOnce(ss, s"$cdcDir/changes", batchId) { staging =>
         val diffed =
-          if (!fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+          if (!graft.etl.TxTable.exists(statePath) &&
+              !fs.exists(new org.apache.hadoop.fs.Path(statePath)))
             cur.withColumn("status", lit("added"))
           else {
             // the batch is the small side: RIGHT outer with the batch
             // broadcast (a right-outer BHJ builds on the left), so the
             // standing state streams through the join unshuffled
-            val prev = ss.read.parquet(statePath)
+            val prev = graft.etl.Gold.readTable(ss, statePath)
               .withColumnRenamed("h", "h_prev")
             prev.join(broadcast(cur), Seq("doc_id"), "right")
               .select(col("doc_id"), col("h"),

@@ -70,7 +70,7 @@ object NearDupStream {
   private def sigOf(batch: DataFrame): DataFrame =
     TextOps.minhashSig(
       batch.withColumn("arr",
-          graft.functions.TextFunctions.shinglesUdf(col("text"), lit(3)))
+          graft.plans.GraftExpressions.distinctShingles(col("text"), 3))
         .select(col("doc_id"), explode(col("arr")).as("s")))
 
   /** n_agree between two signature rows joined as a_mhN / b_mhN columns. */

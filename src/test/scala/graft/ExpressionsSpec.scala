@@ -270,4 +270,57 @@ class ExpressionsSpec extends AnyFunSuite {
     val r = spark.sql("SELECT cosine_sim(embedding, embedding) AS c FROM emb_g").collect()
     assert(r.forall(x => math.abs(x.getDouble(0) - 1.0) < 1e-12))
   }
+
+  test("native distinct_shingles equals the UDF form on the corpus (order included)") {
+    // round-15 task 4: the near-dup family's per-row shingle kernel moved
+    // from a Scala UDF to the codegen-native byte-level expression; the
+    // retired UDF stays in TextFunctions as this spec's independent twin.
+    // Arrays compared ELEMENTWISE, so first-occurrence dedup order is
+    // pinned too (minhash/jaccard are order-insensitive, but identical
+    // output means no consumer can ever drift).
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val both = docs.select(
+      TextFunctions.shinglesUdf(col("text"), lit(3)).as("viaUdf"),
+      GraftExpressions.distinctShingles(col("text"), 3).as("native"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getSeq[String](0) == r.getSeq[String](1)),
+      "native shingles must equal the UDF output elementwise")
+  }
+
+  test("distinct_shingles adversarial inputs match the UDF: null, empties, dups, short") {
+    import spark.implicits._
+    val cases = Seq(
+      null.asInstanceOf[String],
+      "", " ", "   ",
+      "a", "a b", "a b c",                      // below/at the n=3 boundary
+      "a b c d",                                // two overlapping shingles
+      "x y z x y z x y z",                      // within-doc duplicate shingles
+      "  double  spaces   between   tokens  ",  // empty-token filtering
+      "tab\tis not a separator here",           // 0x20 ONLY splits
+      "unicode héllo wörld ünïcode héllo wörld ünïcode", // multibyte + dup
+      "a b c a b c d")                          // dup then novel tail
+    val df = cases.toDF("text").select(
+      TextFunctions.shinglesUdf(col("text"), lit(3)).as("viaUdf"),
+      GraftExpressions.distinctShingles(col("text"), 3).as("native"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"mismatch: udf=${r.getSeq[String](0)} native=${r.getSeq[String](1)}")
+    }
+    // interpreted eval path (e.g. under a non-codegen parent) agrees too
+    GraftExpressions.register(spark)
+    val viaSql = cases.toDF("text")
+      .selectExpr("distinct_shingles(text, 3) AS s").collect().map(_.getSeq[String](0))
+    val viaUdf = cases.map(t => TextFunctions.shingles(t, 3).toSeq)
+    assert(viaSql.toSeq == viaUdf)
+  }
+
+  test("distinct_shingles participates in whole-stage codegen") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val df = docs.select(GraftExpressions.distinctShingles(col("text"), 3).as("arr"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("distinct_shingles"),
+      s"shingle projection fell out of whole-stage codegen:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
 }

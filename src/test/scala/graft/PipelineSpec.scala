@@ -164,6 +164,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(silverPath).count() == n1)
   }
 
+  test("end-to-end on TxTable-backed gold: upsert -> search -> compact -> time travel") {
+    import graft.etl.TxTable
+    // gold committed through the log (round-15 verdict task 7)
+    val goldPath = s"$tmp/gold-tx"
+    val gold = Gold.build(Silver.chunk(Bronze.dedupByContent(fixtureBronze)))
+      .repartition(4) // several small files, so compaction has work to do
+    Gold.upsert(spark, goldPath, gold, "pk")
+    val hits = Gold.search(spark, goldPath, "Canh bao lu quet", 3).collect()
+    assert(hits.length == 3)
+    assert(hits.head.getAs[String]("text") == "Canh bao lu quet")
+    def rows(v: Long = -1L): Set[String] =
+      TxTable.read(spark, goldPath, v).select("pk").collect().map(_.getString(0)).toSet
+    def filesOf(v: Long): Int = TxTable.snapshot(goldPath, v).dirs.map { d =>
+      new java.io.File(s"$goldPath/$d").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }.sum
+    val preVersion = TxTable.latestVersion(goldPath)
+    val preRows = rows()
+    // same-data re-layout commit: content identical, fewer files
+    val cv = TxTable.compact(spark, goldPath)
+    assert(cv == preVersion + 1)
+    assert(rows() == preRows, "compaction changed table content")
+    assert(filesOf(cv) < filesOf(preVersion), "compaction did not reduce file count")
+    // search still answers identically off the compacted snapshot
+    val hits2 = Gold.search(spark, goldPath, "Canh bao lu quet", 3).collect()
+    assert(hits2.map(_.getAs[String]("pk")).toSeq == hits.map(_.getAs[String]("pk")).toSeq)
+    // time travel: the pre-compaction version remains fully readable
+    assert(rows(preVersion) == preRows)
+  }
+
   test("crawl fetches each url exactly once across a depth-2 crawl") {
     import spark.implicits._
     val fetches = spark.sparkContext.longAccumulator("fetches")
@@ -244,13 +274,13 @@ class PipelineSpec extends AnyFunSuite {
     val path = s"$tmp/gold-upsert"
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("pk", "payload", "score")
-    // first landing creates the table
+    // first landing creates the table (TxTable-backed since round 15)
     Gold.upsert(spark, path, base, "pk")
-    assert(spark.read.parquet(path).count() == 3)
+    assert(Gold.readTable(spark, path).count() == 3)
     // batch updates pk=2 and inserts pk=4
     val batch = Seq((2L, "b2", 25.0), (4L, "d", 40.0)).toDF("pk", "payload", "score")
     Gold.upsert(spark, path, batch, "pk")
-    def state() = spark.read.parquet(path).collect()
+    def state() = Gold.readTable(spark, path).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     val afterFirst = state()
     assert(afterFirst == Set((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0), (4L, "d", 40.0)),
@@ -260,6 +290,33 @@ class PipelineSpec extends AnyFunSuite {
     // rewriting everything
     Gold.upsert(spark, path, batch, "pk")
     assert(state() == afterFirst)
+    // the upsert history is a TxTable commit log: version 0 is still the
+    // pre-merge table (time travel), latest is the merged state
+    import graft.etl.TxTable
+    assert(TxTable.exists(path))
+    val v0 = TxTable.read(spark, path, 0).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(v0 == Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)),
+      s"time-travel read of the pre-merge version wrong: $v0")
+  }
+
+  test("gold upsert migrates a legacy plain-parquet table into the commit log") {
+    import spark.implicits._
+    val path = s"$tmp/gold-legacy"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("pk", "payload", "score")
+      .write.parquet(path) // pre-TxTable layout: loose part files at root
+    Gold.upsert(spark, path, Seq((2L, "b2", 25.0)).toDF("pk", "payload", "score"), "pk")
+    val st = Gold.readTable(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(st == Set((1L, "a", 10.0), (2L, "b2", 25.0)))
+    // version 0 = the lifted legacy contents
+    val v0 = graft.etl.TxTable.read(spark, path, 0).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(v0 == Set((1L, "a", 10.0), (2L, "b", 20.0)))
+    // the loose root files were cleared (their bytes live in the log now)
+    val loose = new java.io.File(path).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(loose == 0, "legacy root parquet files must be cleared after migration")
   }
 
   test("silver: refreshPartition re-chunks one day without touching the other's files") {

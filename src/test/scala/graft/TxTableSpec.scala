@@ -106,9 +106,119 @@ class TxTableSpec extends AnyFunSuite {
     TxTable.refresh(spark, root, df(1L -> "a"))
     TxTable.mergeUpsert(spark, root, df(1L -> "A2"), "k")
     TxTable.mergeUpsert(spark, root, df(1L -> "A3"), "k")
-    TxTable.vacuum(root, keepFrom = 1)
+    TxTable.vacuum(root, keepFrom = 1, graceMs = 0)
     assert(rowsOf(root, 1) == Set(1L -> "A2"))
     assert(rowsOf(root, 2) == Set(1L -> "A3"))
+    // reader semantics (round-15 stretch item): resolving a vacuumed
+    // version fails CLEANLY at snapshot resolution (its manifest is
+    // deleted before any of its data), never a partial read
     intercept[IllegalArgumentException] { TxTable.snapshot(root, 0) }
+    // with zero grace, the dropped version's bytes are actually gone
+    val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName).toSet
+    val kept = (TxTable.snapshot(root, 1).dirs ++ TxTable.snapshot(root, 2).dirs)
+      .map(_.stripPrefix("data/")).toSet
+    assert(dataDirs == kept, s"unreferenced dirs survived a zero-grace vacuum: $dataDirs vs $kept")
+  }
+
+  test("vacuum grace window protects an in-flight writer's unreferenced data dir") {
+    // the r14 advisor's race: writer writes its data dir, vacuum runs
+    // before the writer's tryCommit, writer then WINS the commit — with
+    // zero grace the new manifest would reference deleted data (a torn
+    // latest). The mtime grace keeps the young dir alive.
+    val root = tmp()
+    TxTable.refresh(spark, root, df(1L -> "a"))
+    TxTable.mergeUpsert(spark, root, df(1L -> "A2"), "k")
+    // in-flight writer: data written, commit not yet attempted
+    val rel = "data/v2-inflight"
+    df(2L -> "b").write.parquet(s"$root/$rel")
+    TxTable.vacuum(root, keepFrom = 1) // default grace
+    assert(new java.io.File(s"$root/$rel").isDirectory,
+      "vacuum deleted a data dir inside the in-flight grace window")
+    // the writer's commit lands on intact data
+    assert(TxTable.tryCommit(root, 2, "append",
+      TxTable.snapshot(root, 1).dirs :+ rel))
+    assert(rowsOf(root, 2) == Set(1L -> "A2", 2L -> "b"))
+  }
+
+  test("concurrent upsert and compact serialize: no lost update, content preserved") {
+    val root = tmp()
+    TxTable.refresh(spark, root, df(1L -> "a", 2L -> "b"))
+    val t1 = new Thread(() => TxTable.mergeUpsert(spark, root, df(3L -> "c"), "k"))
+    val t2 = new Thread(() => TxTable.compact(spark, root, targetBytes = Long.MaxValue))
+    t1.start(); t2.start(); t1.join(60000); t2.join(60000)
+    assert(TxTable.latestVersion(root) == 2, "both commits must land (as v1 and v2)")
+    assert(rowsOf(root) == Set(1L -> "a", 2L -> "b", 3L -> "c"),
+      s"compact/upsert race lost an update: ${rowsOf(root)}")
+  }
+
+  test("compact is a same-data re-layout commit: rows identical, fewer files, history readable") {
+    import spark.implicits._
+    val root = tmp()
+    val wide = (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v").repartition(8)
+    TxTable.refresh(spark, root, wide)
+    def files(v: Long): Int = TxTable.snapshot(root, v).dirs.map { d =>
+      new java.io.File(s"$root/$d").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }.sum
+    val before = rowsOf(root, 0)
+    val cv = TxTable.compact(spark, root)
+    assert(cv == 1)
+    assert(TxTable.snapshot(root, cv).action == "compact")
+    assert(rowsOf(root, cv) == before)
+    assert(files(cv) < files(0), s"${files(cv)} !< ${files(0)}")
+    assert(rowsOf(root, 0) == before, "pre-compaction version must stay readable")
+  }
+
+  test("partition-scoped merge rewrites only touched partitions; untouched dirs carried by reference") {
+    import spark.implicits._
+    val root = tmp()
+    def pdf(rows: (Long, String, String)*) = rows.toDF("k", "v", "p")
+    TxTable.mergeUpsertPartitioned(spark, root,
+      pdf((1L, "a", "x"), (2L, "b", "x"), (10L, "m", "y"), (20L, "n", "z")), "k", "p")
+    val s0 = TxTable.snapshot(root, 0)
+    assert(s0.entries.map(_._2).toSet == Set("x", "y", "z"))
+    // second batch touches ONLY partition x
+    TxTable.mergeUpsertPartitioned(spark, root, pdf((2L, "B2", "x"), (3L, "c", "x")), "k", "p")
+    val s1 = TxTable.snapshot(root, 1)
+    // y and z entries are the SAME dirs (zero bytes moved for them)
+    def dirOf(s: TxTable.Snapshot, p: String) = s.entries.filter(_._2 == p).map(_._1).toSet
+    assert(dirOf(s1, "y") == dirOf(s0, "y") && dirOf(s1, "z") == dirOf(s0, "z"),
+      "untouched partitions were rewritten")
+    assert(dirOf(s1, "x") != dirOf(s0, "x"), "touched partition was not rewritten")
+    val all = TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(all == Set((1L, "a", "x"), (2L, "B2", "x"), (3L, "c", "x"),
+      (10L, "m", "y"), (20L, "n", "z")), s"partitioned merge content wrong: $all")
+    // time travel still works across scoped commits
+    val v0 = TxTable.read(spark, root, 0).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(v0 == Set((1L, "a", "x"), (2L, "b", "x"), (10L, "m", "y"), (20L, "n", "z")))
+  }
+
+  test("partition-scoped merge refuses a whole-table history (cannot scope over mixed rows)") {
+    import spark.implicits._
+    val root = tmp()
+    TxTable.refresh(spark, root, Seq((1L, "a", "x")).toDF("k", "v", "p"))
+    intercept[IllegalArgumentException] {
+      TxTable.mergeUpsertPartitioned(spark, root,
+        Seq((2L, "b", "x")).toDF("k", "v", "p"), "k", "p")
+    }
+  }
+
+  test("compact preserves a partitioned layout: per-partition groups stay scoped") {
+    import spark.implicits._
+    val root = tmp()
+    def pdf(rows: (Long, String, String)*) = rows.toDF("k", "v", "p")
+    TxTable.mergeUpsertPartitioned(spark, root,
+      pdf((1L, "a", "x"), (10L, "m", "y")), "k", "p")
+    val cv = TxTable.compact(spark, root)
+    val s = TxTable.snapshot(root, cv)
+    assert(s.entries.map(_._2).toSet == Set("x", "y"),
+      "compaction collapsed the partition scoping")
+    // a later scoped merge on x still leaves y's compacted dir untouched
+    TxTable.mergeUpsertPartitioned(spark, root, pdf((2L, "b", "x")), "k", "p")
+    val s2 = TxTable.snapshot(root, cv + 1)
+    assert(s2.entries.filter(_._2 == "y").map(_._1).toSet ==
+      s.entries.filter(_._2 == "y").map(_._1).toSet)
   }
 }
