@@ -23,6 +23,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `lsh_probe_keys(embedding, tables, bits, probes, mult)` —
   *    confidence-ordered multiprobe key sets (exact key + lowest-margin
   *    plane flips) per table
+  *  - `distinct_shingles(text, n)` — distinct word n-gram shingles in
+  *    first-occurrence order, byte-level and codegen-native (the
+  *    near-dup family's per-row kernel)
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
