@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** SCALE.md evidence runner for the LSH sizing claim: times
   * `VectorOps.lshNearDupPairs` at a given bit width on a given scale
@@ -427,6 +428,69 @@ object ScaleProbe {
     // detector at stride 4 (shipped) / 2 / 1 (full positional recall) —
     // span rows grow as 1/stride, duplicate detections monotonically
     // include the coarser stride's
+    // txmerge: the partition-scoped-commit claim measured. Builds a
+    // TxTable of the documents corpus partitioned by lang, then commits
+    // a SMALL fixed batch (the identity-replica slice doc_id < 200 —
+    // same batch at every scale factor) twice: once through the
+    // whole-table merge path and once through the partition-scoped
+    // path. At any corpus scale the scoped commit's rewrite is bounded
+    // by the touched partitions' size, while the whole-table merge
+    // rewrites everything — the gap IS the claim in TxTable.scala's
+    // class doc, as a measured trend instead of an assertion.
+    if (bitsArg == "txmerge") {
+      import graft.etl.TxTable
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val n = docs.count()
+      // the realistic incremental-load shape: a small batch landing in
+      // ONE partition (first lang alphabetically — deterministic at any
+      // replica factor); identity-replica slice so the batch is the
+      // same docs at every scale
+      val oneLang = docs.filter(col("doc_id") < 2000)
+        .agg(min(col("lang"))).head.getString(0)
+      val batch = docs.filter(col("doc_id") < 200 && col("lang") === oneLang)
+        .withColumn("text", concat(col("text"), lit(" [updated]")))
+      val nb = batch.count()
+      val langs = batch.select(col("lang")).distinct().count()
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      // bytes the merge COMMIT physically wrote = size of the latest
+      // version's dirs that the previous version did not reference —
+      // the claim under measurement is "untouched partitions move zero
+      // bytes", which is a property of written volume, not wall time
+      // (at probe scale the write is action-overhead-dominated)
+      def wroteBytes(root: String): Long = {
+        val latest = TxTable.latestVersion(root)
+        val prev = TxTable.snapshot(root, latest - 1).dirs.toSet
+        TxTable.snapshot(root, latest).dirs.filterNot(prev).map { d =>
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root, d))
+          try s.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+          finally s.close()
+        }.sum
+      }
+      val base = java.nio.file.Files.createTempDirectory("graft-txprobe").toString
+      // scoped path: partitioned seed commit, then the scoped merge
+      val scopedRoot = s"$base/scoped"
+      TxTable.mergeUpsertPartitioned(spark, scopedRoot, docs, "doc_id", "lang")
+      val tScoped = timed {
+        TxTable.mergeUpsertPartitioned(spark, scopedRoot, batch, "doc_id", "lang")
+      }
+      val bScoped = wroteBytes(scopedRoot)
+      // whole-table path: same seed data, unpartitioned history
+      val wholeRoot = s"$base/whole"
+      TxTable.refresh(spark, wholeRoot, docs)
+      val tWhole = timed { TxTable.mergeUpsert(spark, wholeRoot, batch, "doc_id") }
+      val bWhole = wroteBytes(wholeRoot)
+      // the scoped commit's latest version must carry the union content
+      val after = TxTable.read(spark, scopedRoot).count()
+      println(f"""{"probe":"txmerge","sf":"$sfDir","corpus":$n,"batch":$nb,"touched_langs":$langs,"scoped_merge_sec":$tScoped%.3f,"whole_merge_sec":$tWhole%.3f,"scoped_wrote_bytes":$bScoped,"whole_wrote_bytes":$bWhole,"rows_after":$after}""")
+      spark.stop()
+      return
+    }
+
     if (bitsArg == "spanstride") {
       val docs = Tables(spark, sfDir, "documents")
       val n = docs.count()

@@ -19,9 +19,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   *    broadcast (the batch is the small side by construction; the
   *    standing key/hash table streams through unshuffled), an appended
   *    change log row per document, and a key-based last-writer-wins
-  *    upsert of the state via [[graft.etl.Gold.upsert]] (write-temp +
-  *    atomic rename, so a crash mid-batch leaves the previous state
-  *    intact).
+  *    upsert of the state via [[graft.etl.Gold.upsert]] — TxTable-
+  *    committed since round 15 (a crash mid-batch leaves the previous
+  *    VERSION intact, and the last few versions stay time-travel
+  *    readable). Because every batch commits a full state copy, the
+  *    ingest bounds storage by vacuuming past [[RetainVersions]] after
+  *    each upsert — without that a long-lived stream would hold one
+  *    state copy PER BATCH (the cost the old rename-swap never had);
+  *    the vacuum's grace window keeps this safe against the (single,
+  *    serialized) writer itself.
   *  - [[changes]] / [[state]]: read the log and the current state back.
   *
   * Exactly-once: the file-source checkpoint replays only new files
@@ -109,6 +115,16 @@ object ChangeStream {
           .write.mode("overwrite").parquet(staging)
       }
       graft.etl.Gold.upsert(ss, statePath, cur, "doc_id")
+      // bound the state's version history: keep the last RetainVersions
+      // commits readable (crash forensics / stream debugging), drop the
+      // bytes behind older ones — otherwise a long-lived stream holds
+      // one full state copy per micro-batch
+      val latest = graft.etl.TxTable.latestVersion(statePath)
+      if (latest >= RetainVersions)
+        graft.etl.TxTable.vacuum(statePath, keepFrom = latest - RetainVersions + 1)
     } finally cur.unpersist()
   }
+
+  /** How many recent state versions an ingesting stream keeps readable. */
+  val RetainVersions = 3
 }

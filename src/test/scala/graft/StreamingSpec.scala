@@ -659,6 +659,18 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy("status").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(c3 == Map("unchanged" -> 1L), c3)
     assert(ChangeStream.state(spark, cdc).count() == 15)
+    // bounded history (round 15): the state is TxTable-committed per
+    // batch, and ingest vacuums past RetainVersions — a long-lived
+    // stream must never hold one state copy per micro-batch
+    import graft.etl.TxTable
+    val statePath = s"$cdc/hashes"
+    val latest = TxTable.latestVersion(statePath)
+    val readable = (0L to latest).count(v =>
+      scala.util.Try(TxTable.snapshot(statePath, v)).isSuccess)
+    assert(readable <= ChangeStream.RetainVersions,
+      s"CDC state history unbounded: $readable versions readable")
+    // the surviving history window still time-travels
+    assert(TxTable.read(spark, statePath, latest).count() == 15)
   }
 
   test("standing near-dup index: streamed matches equal the batch banding over all drops") {
