@@ -24,8 +24,13 @@ import org.apache.spark.sql.SparkSession
   *    live) → delete(old): at every step the full dataset exists under a
   *    well-known name, so any crash leaves a recoverable directory (a
   *    crash between the renames leaves `_old` — nothing is deleted until
-  *    the new files are live). A table format's metadata swap is the
-  *    fully atomic upgrade, out of scope here;
+  *    the new files are live). The fully atomic upgrade is the table
+  *    format's metadata swap — built in round 15 as [[TxTable.compact]]:
+  *    a same-data re-layout COMMIT that serializes with concurrent
+  *    upserts and keeps the pre-compaction version time-travel
+  *    readable. Prefer it for TxTable-backed tables; this directory
+  *    form remains for plain parquet prefixes (standing index
+  *    partitions, silver layouts);
   *  - partitioned layouts compact per partition directory (point this
   *    at one partition, the way [[Silver.refreshPartition]] scopes its
   *    overwrite) so untouched partitions keep their files byte-identical.
