@@ -31,9 +31,34 @@ object Gold {
       col("split_content").as("text"),
       VectorFunctions.hashEmbedUdf(col("split_content"), lit(dim)).as("vector"))
 
-  /** drop_old=True collection refresh (seed_milvus.py:75). */
-  def refresh(gold: DataFrame, path: String): Unit =
-    gold.write.mode("overwrite").parquet(path)
+  /** drop_old=True collection refresh (seed_milvus.py:75) — committed
+    * through the [[TxTable]] log since round 15: the "dropped" old
+    * collection stays time-travel readable until an explicit vacuum
+    * (strictly more capability than the reference's destructive
+    * drop_old, same visible semantics through [[readTable]]). */
+  def refresh(gold: DataFrame, path: String): Unit = {
+    val spark = gold.sparkSession
+    migrateLegacy(spark, path)
+    TxTable.refresh(spark, path, gold)
+  }
+
+  /** A pre-TxTable plain-parquet table at `path` becomes the log's
+    * version 0 (its loose root files are cleared — the bytes live in
+    * the log thereafter); no-op for fresh or already-versioned paths. */
+  private def migrateLegacy(spark: SparkSession, path: String): Unit = {
+    if (TxTable.exists(path)) return
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(target) &&
+        fs.listStatus(target).exists(_.getPath.getName.endsWith(".parquet"))) {
+      val rows = spark.read.parquet(path)
+      TxTable.refresh(spark, path, rows)
+      fs.listStatus(target)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+  }
 
   /** Key-based MERGE: `incoming` rows replace same-key `existing` rows
     * (last-writer-wins — the batch is the later write), unmatched
@@ -71,21 +96,7 @@ object Gold {
     * partitions the incoming keys touch. */
   def upsert(spark: SparkSession, path: String, incoming: DataFrame,
              key: String, broadcastKeys: Boolean = true): Unit = {
-    if (!TxTable.exists(path)) {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-      val target = new org.apache.hadoop.fs.Path(path)
-      if (fs.exists(target) &&
-          fs.listStatus(target).exists(_.getPath.getName.endsWith(".parquet"))) {
-        // legacy layout: lift the existing rows into version 0, then
-        // clear the loose root files (their bytes now live in the log)
-        val rows = spark.read.parquet(path)
-        TxTable.refresh(spark, path, rows)
-        fs.listStatus(target)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .foreach(s => fs.delete(s.getPath, false))
-      }
-    }
+    migrateLegacy(spark, path)
     TxTable.mergeUpsert(spark, path, incoming, key, broadcastKeys)
   }
 

@@ -162,6 +162,16 @@ class PipelineSpec extends AnyFunSuite {
     val n1 = spark.read.parquet(silverPath).count()
     Silver.refresh(Silver.chunk(bronze), silverPath)
     assert(spark.read.parquet(silverPath).count() == n1)
+    // gold refresh is a TxTable commit (round 15): the drop_old
+    // semantics through readTable, with the replaced collection still
+    // readable at its old version
+    import graft.etl.TxTable
+    assert(TxTable.exists(goldPath))
+    val v0 = TxTable.latestVersion(goldPath)
+    Gold.refresh(Gold.build(spark.read.parquet(silverPath)), goldPath)
+    assert(TxTable.latestVersion(goldPath) == v0 + 1)
+    assert(TxTable.read(spark, goldPath, v0).count() ==
+      TxTable.read(spark, goldPath, v0 + 1).count())
   }
 
   test("end-to-end on TxTable-backed gold: upsert -> search -> compact -> time travel") {
