@@ -95,6 +95,16 @@ object Bench {
         try { TempCaches.releaseAll(); spark.catalog.clearCache() }
         catch { case _: Throwable => () }
       }
+      // Round-15: drain the warmup's wake — 104 queries leave thousands
+      // of broadcast/shuffle weak refs for the ContextCleaner, and that
+      // churn was landing on whichever heavy query ran FIRST in the
+      // timed region (q104 measured 4.0 s in-suite vs 1.05 s isolated,
+      // both idle). Forced GC enqueues the refs, the settle lets the
+      // cleaner work through them OUTSIDE the timed region (the JMH
+      // between-iterations hygiene step).
+      System.gc()
+      Thread.sleep(3000)
+      System.gc()
     }
 
     // A failing query reports -1.000, NOT the elapsed time of the throw:
