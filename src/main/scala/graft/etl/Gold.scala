@@ -44,7 +44,15 @@ object Gold {
 
   /** A pre-TxTable plain-parquet table at `path` becomes the log's
     * version 0 (its loose root files are cleared — the bytes live in
-    * the log thereafter); no-op for fresh or already-versioned paths. */
+    * the log thereafter); no-op for fresh or already-versioned paths.
+    * Race-safe (r15 advisor): the adoption goes through
+    * [[TxTable.migrate]]'s FIXED-target version-0 commit, not the
+    * rebasing refresh loop — two concurrent first-writers both pass the
+    * `exists` check, but only the version-0 winner publishes the legacy
+    * contents; the loser discards and lets its caller's own commit
+    * rebase on the winner (previously the loser's retry loop could
+    * commit the legacy rows OVER the winner's already-merged commit —
+    * a lost update). Only the winner clears the loose files. */
   private def migrateLegacy(spark: SparkSession, path: String): Unit = {
     if (TxTable.exists(path)) return
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -53,10 +61,11 @@ object Gold {
     if (fs.exists(target) &&
         fs.listStatus(target).exists(_.getPath.getName.endsWith(".parquet"))) {
       val rows = spark.read.parquet(path)
-      TxTable.refresh(spark, path, rows)
-      fs.listStatus(target)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .foreach(s => fs.delete(s.getPath, false))
+      if (TxTable.migrate(spark, path, rows)) {
+        fs.listStatus(target)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .foreach(s => fs.delete(s.getPath, false))
+      }
     }
   }
 

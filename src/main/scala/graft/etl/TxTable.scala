@@ -53,12 +53,25 @@ import scala.jdk.CollectionConverters._
   * costs the touched partitions' rewrite, not the table's.
   *
   * Scale notes: the log holds one tiny JSON per commit (listing dirs,
-  * not files — the dir is the atomic unit Spark writes); snapshot
-  * resolution is one directory listing + one small file read,
-  * independent of table size. The O_EXCL claim assumes a filesystem
-  * with atomic create (POSIX, HDFS); S3-class stores need a
-  * CAS/coordination service here, the same caveat Delta documents for
-  * its log.
+  * not files — the dir is the atomic unit Spark writes). Every
+  * manifest is a FULL snapshot, so version resolution reads exactly
+  * one manifest — the content Delta materializes only at checkpoint
+  * versions is materialized here at every version (the log stays tiny
+  * because entries are dirs, not files). The remaining O(versions)
+  * cost was log DISCOVERY: `latestVersion` listing the whole `_txlog`
+  * directory — ruinous once a standing CDC pipeline has committed one
+  * version per micro-batch for a month. Round 16 (verdict task 4)
+  * bounds it with `_txlog/_latest.hint`, the `_last_checkpoint`
+  * analogue: an advisory monotonic pointer rewritten (atomic rename)
+  * after every win; resolution reads the hint and probes FORWARD over
+  * the dense version sequence until the first gap — O(1 + commits
+  * since the hint was written), never a full listing, with the listing
+  * fallback kept for hintless legacy logs (and re-seeding the hint).
+  * A stale hint is always BEHIND (it is written only after its
+  * manifest is linked), so probing forward cannot miss the latest.
+  * The O_EXCL claim assumes a filesystem with atomic create (POSIX,
+  * HDFS); S3-class stores need a CAS/coordination service here, the
+  * same caveat Delta documents for its log.
   *
   * The reference's `drop_old=True` full refresh (seed_milvus.py:75) is
   * the special case [[refresh]]: a commit whose manifest lists only
@@ -78,6 +91,48 @@ object TxTable {
   private def manifest(root: String, v: Long): Path =
     logDir(root).resolve(f"v$v%08d.json")
   private val ManifestName = """v(\d{8})\.json""".r
+  private def hintFile(root: String): Path = logDir(root).resolve("_latest.hint")
+
+  // --- observability counters (test-visible; the checkpointing spec
+  // asserts resolution cost on a 1000-commit log through these) ---
+  /** Full `_txlog` directory listings (the O(versions) fallback). */
+  private[graft] val fullListings = new java.util.concurrent.atomic.AtomicLong
+  /** Manifest-existence probes during hinted forward scans. */
+  private[graft] val manifestProbes = new java.util.concurrent.atomic.AtomicLong
+  /** Manifest bodies read (snapshot resolutions). */
+  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong
+  /** Scoped merges committed via partition-level conflict fast-forward
+    * (disjoint concurrent writer adopted without recompute). */
+  private[graft] val fastForwardCommits = new java.util.concurrent.atomic.AtomicLong
+  /** Scoped merges that lost and had to recompute (overlap/whole-table
+    * conflict — the slow rebase path). */
+  private[graft] val rebaseRecomputes = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def resetCounters(): Unit = Seq(fullListings, manifestProbes,
+    manifestReads, fastForwardCommits, rebaseRecomputes).foreach(_.set(0))
+  /** Test seam: runs between a writer finishing its data dirs and its
+    * commit attempt — the only way to deterministically interleave a
+    * concurrent commit inside that window from a spec. No-op in
+    * production. */
+  private[graft] var beforeCommitHook: () => Unit = () => ()
+
+  /** Advisory latest-version pointer (Delta's `_last_checkpoint`
+    * analogue). Best-effort: written via atomic rename after every
+    * winning commit; any failure is swallowed (the full-listing
+    * fallback stays correct without it). */
+  private def writeHint(root: String, v: Long): Unit =
+    try {
+      val tmp = logDir(root).resolve(s".hint-tmp-${UUID.randomUUID()}")
+      Files.writeString(tmp, v.toString)
+      Files.move(tmp, hintFile(root),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Exception => () }
+
+  private def readHint(root: String): Long =
+    try {
+      val p = hintFile(root)
+      if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+    } catch { case _: Exception => -1L }
 
   /** Materialized directory listing with the stream CLOSED (r14 advisor:
     * `latestVersion` runs on every optimistic-loop iteration, so an
@@ -90,12 +145,28 @@ object TxTable {
 
   /** Highest committed version, or -1 for an empty/absent table.
     * Counts only complete `vNNNNNNNN.json` names — a crashed writer's
-    * `.tmp-*` leftovers are invisible. */
+    * `.tmp-*` leftovers are invisible.
+    *
+    * Cost: O(1 + commits since the hint) via the `_latest.hint` forward
+    * probe (versions are dense: every protocol writer targets
+    * latest+1, [[migrate]] targets 0). The full listing runs only for
+    * hintless logs (legacy tables, or a hint pointing at a manifest
+    * vacuum has since removed — impossible for the true latest, which
+    * vacuum always keeps) and re-seeds the hint. */
   def latestVersion(root: String): Long = {
-    val vs = listDir(logDir(root))
-      .map(_.getFileName.toString)
-      .collect { case ManifestName(d) => d.toLong }
-    if (vs.isEmpty) -1L else vs.max
+    val hinted = readHint(root)
+    if (hinted >= 0 && Files.exists(manifest(root, hinted))) {
+      var v = hinted
+      while ({ manifestProbes.incrementAndGet(); Files.exists(manifest(root, v + 1)) }) v += 1
+      v
+    } else {
+      fullListings.incrementAndGet()
+      val vs = listDir(logDir(root))
+        .map(_.getFileName.toString)
+        .collect { case ManifestName(d) => d.toLong }
+      if (vs.isEmpty) -1L
+      else { val mx = vs.max; writeHint(root, mx); mx }
+    }
   }
 
   /** Resolve the snapshot at `version` (default -1 = latest committed).
@@ -105,6 +176,7 @@ object TxTable {
     require(v >= 0, s"TxTable at $root has no committed version")
     val p = manifest(root, v)
     require(Files.exists(p), s"TxTable $root has no committed version $v")
+    manifestReads.incrementAndGet()
     parse(Files.readString(p))
   }
 
@@ -131,6 +203,37 @@ object TxTable {
       try { Files.createLink(manifest(root, version), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
     Files.deleteIfExists(tmp)
+    if (won) writeHint(root, version)
+    won
+  }
+
+  /** [[tryCommit]] as the protocol writers call it, with the two vacuum
+    * race guards (r15 advisor): every listed data dir's mtime is
+    * re-anchored to NOW immediately before the attempt — the vacuum
+    * grace window is measured from mtime, so a multi-partition writer
+    * whose later dirs take longer than graceMs cannot have its FIRST
+    * dirs age past the horizon while still uncommitted — and after
+    * WINNING, every dir is re-verified to exist, failing loudly if a
+    * concurrent vacuum deleted one anyway (a torn commit must never be
+    * reported as success). Carried-by-reference dirs get touched too:
+    * harmless (they are manifest-protected from vacuum regardless). */
+  private def tryCommitAnchored(root: String, version: Long, action: String,
+                                entries: Seq[(String, String)]): Boolean = {
+    val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
+    entries.foreach { case (rel, _) =>
+      val p = Paths.get(root, rel)
+      if (Files.isDirectory(p)) Files.setLastModifiedTime(p, now)
+    }
+    beforeCommitHook()
+    val won = tryCommit(root, version, action, entries.map(_._1), entries.map(_._2))
+    if (won) {
+      val missing = entries.map(_._1)
+        .filterNot(rel => Files.isDirectory(Paths.get(root, rel)))
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"TxTable $root v$version won its commit but data dirs were vacuumed " +
+          s"mid-commit: ${missing.mkString(", ")} — raise vacuum graceMs or do " +
+          "not vacuum concurrently with writers")
+    }
     won
   }
 
@@ -168,8 +271,7 @@ object TxTable {
       val rel = writeData(root, target, batch)
       val base = if (baseV < 0) None else Some(snapshot(root, baseV))
       val baseEntries = base.map(_.entries).getOrElse(Nil)
-      if (tryCommit(root, target, "append",
-          baseEntries.map(_._1) :+ rel, baseEntries.map(_._2) :+ "")) {
+      if (tryCommitAnchored(root, target, "append", baseEntries :+ (rel, ""))) {
         v = target; done = true
       } else dropData(root, rel)
     }
@@ -196,22 +298,48 @@ object TxTable {
     * incoming batch touches; every untouched partition's data dirs are
     * carried into the new manifest BY REFERENCE, zero bytes moved.
     * Partition values are compared in string form (the manifest is
-    * JSON); `incoming` must not carry a NULL partition value. The first
-    * commit on an empty table establishes the partitioned layout;
-    * mixing with whole-table commits ([[refresh]]/[[append]]/
-    * [[mergeUpsert]], part="") is rejected — a whole-table entry can
-    * hold any partition's rows, so a scoped rewrite over it would drop
-    * the other partitions' rows it contains. */
+    * JSON); a NULL partition value is REJECTED up front (r15 advisor:
+    * it used to be silently dropped — data loss without an error), as
+    * are values the flat manifest encoding cannot represent (empty, or
+    * containing ']', which would truncate the bracket-delimited parts
+    * list on re-parse and permanently degrade the table to whole-table
+    * entries). The first commit on an empty table establishes the
+    * partitioned layout; mixing with whole-table commits
+    * ([[refresh]]/[[append]]/[[mergeUpsert]], part="") is rejected — a
+    * whole-table entry can hold any partition's rows, so a scoped
+    * rewrite over it would drop the other partitions' rows it contains.
+    *
+    * Concurrency (round-16, verdict task 5): losing the version race no
+    * longer forces a full recompute when the winner is DISJOINT. The
+    * loser diffs the new latest manifest against its base: if every
+    * partition IT touched still carries exactly its base's entries
+    * (the winner rewrote other partitions only), the loser's fresh dirs
+    * are still the correct merge results — it adopts the winner's
+    * entries for everything else and re-commits at latest+1 (a manifest
+    * merge, zero data recomputed; [[fastForwardCommits]] counts these).
+    * Only an overlapping writer — or a whole-table action like compact,
+    * which rewrites every partition's dirs — forces the rebase
+    * recompute ([[rebaseRecomputes]]). Two writers on disjoint
+    * partitions therefore both commit with one data write each. */
   def mergeUpsertPartitioned(spark: SparkSession, root: String, incoming: DataFrame,
                              key: String, partCol: String,
                              broadcastKeys: Boolean = true): Long = {
     var v = -1L
     var done = false
     // touched partitions: one small distinct over the batch, bounded by
-    // the table's partition count (driver-safe by the layout's design)
-    val touched = incoming.select(col(partCol).cast("string").as("p"))
-      .na.drop().distinct().collect().map(_.getString(0)).toSeq.sorted
+    // the table's partition count (driver-safe by the layout's design).
+    // NULLs are collected rather than dropped so the contract violation
+    // fails fast instead of silently losing the null-partition rows.
+    val pvals = incoming.select(col(partCol).cast("string").as("p"))
+      .distinct().collect().map(r => Option(r.getString(0))).toSeq
+    require(!pvals.contains(None),
+      s"incoming batch carries rows with NULL $partCol — a partition-scoped " +
+        "merge would silently drop them; fix or filter upstream")
+    val touched = pvals.flatten.sorted
     require(touched.nonEmpty, "incoming batch has no non-null partition values")
+    touched.foreach(p => require(p.nonEmpty && !p.contains("]"),
+      s"partition value '$p' is not representable in the manifest encoding " +
+        "(must be non-empty and must not contain ']')"))
     while (!done) {
       val baseV = latestVersion(root)
       val base = if (baseV < 0) None else Some(snapshot(root, baseV))
@@ -221,8 +349,9 @@ object TxTable {
             "requires a partitioned history (start with mergeUpsertPartitioned)")
       }
       val target = baseV + 1
+      val baseEntries = base.toSeq.flatMap(_.entries)
       val fresh = touched.map { p =>
-        val baseDirsP = base.toSeq.flatMap(_.entries).filter(_._2 == p).map(_._1)
+        val baseDirsP = baseEntries.filter(_._2 == p).map(_._1)
         val incP = incoming.filter(col(partCol).cast("string") === p)
         val merged =
           if (baseDirsP.isEmpty) incP
@@ -231,13 +360,51 @@ object TxTable {
             incP, key, broadcastKeys)
         (writeData(root, target, merged), p)
       }
-      val carried = base.toSeq.flatMap(_.entries).filterNot(e => touched.contains(e._2))
-      val entries = carried ++ fresh
-      if (tryCommit(root, target, "merge", entries.map(_._1), entries.map(_._2))) {
-        v = target; done = true
-      } else fresh.foreach(e => dropData(root, e._1)) // lost: discard, rebase, retry
+      // commit loop: first try at target; on loss, fast-forward over any
+      // disjoint winners (dir names keep the v$target prefix — the name
+      // is cosmetic, the manifest is the binding reference)
+      var conflicted = false
+      while (!done && !conflicted) {
+        val curV = latestVersion(root)
+        val curEntries =
+          if (curV < 0) Nil
+          else if (curV == baseV) baseEntries
+          else snapshot(root, curV).entries
+        val disjoint = curV == baseV || (
+          curEntries.forall(_._2.nonEmpty) &&
+            touched.forall(p =>
+              curEntries.filter(_._2 == p).toSet == baseEntries.filter(_._2 == p).toSet))
+        if (!disjoint) conflicted = true
+        else {
+          val carried = curEntries.filterNot(e => touched.contains(e._2))
+          if (tryCommitAnchored(root, curV + 1, "merge", carried ++ fresh)) {
+            if (curV != baseV) fastForwardCommits.incrementAndGet()
+            v = curV + 1; done = true
+          } // else: another commit landed first — re-diff against it
+        }
+      }
+      if (!done) { // overlapping writer (or re-layout): recompute merges
+        rebaseRecomputes.incrementAndGet()
+        fresh.foreach(e => dropData(root, e._1))
+      }
     }
     v
+  }
+
+  /** One-shot legacy adoption: commit `df` as version 0 iff no version
+    * exists yet, returning true iff THIS caller won. A FIXED target
+    * with no retry loop (r15 advisor: a retrying migrator would rebase
+    * to latest+1 and replay the legacy contents OVER a concurrent
+    * writer's already-merged commit — a lost update on exactly the
+    * migration path); losing version 0 means another writer already
+    * established the table, so the caller just proceeds and its own
+    * operation rebases normally. */
+  def migrate(spark: SparkSession, root: String, df: DataFrame): Boolean = {
+    if (exists(root)) return false
+    val rel = writeData(root, 0L, df)
+    val won = tryCommitAnchored(root, 0L, "migrate", Seq((rel, "")))
+    if (!won) dropData(root, rel)
+    won
   }
 
   /** Same-data re-layout commit (round-15, verdict task 7: the
@@ -274,7 +441,7 @@ object TxTable {
         val df = spark.read.parquet(es.map(e => s"$root/${e._1}"): _*).coalesce(nOut)
         (writeData(root, target, df), p)
       }
-      if (tryCommit(root, target, "compact", fresh.map(_._1), fresh.map(_._2))) {
+      if (tryCommitAnchored(root, target, "compact", fresh)) {
         v = target; done = true
       } else fresh.foreach(e => dropData(root, e._1))
     }
@@ -293,7 +460,7 @@ object TxTable {
       val (df, action) = replace(base)
       val target = baseV + 1
       val rel = writeData(root, target, df)
-      if (tryCommit(root, target, action, Seq(rel))) { v = target; done = true }
+      if (tryCommitAnchored(root, target, action, Seq((rel, "")))) { v = target; done = true }
       else dropData(root, rel) // lost the race: discard, rebase, retry
     }
     v
