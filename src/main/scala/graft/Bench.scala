@@ -29,7 +29,11 @@ import org.apache.spark.sql.SparkSession
   *      timed region) and per-query `spread` = max/min of the reps (1
   *      decimal); any query whose spread exceeds 3x is re-timed with two
   *      extra reps and reports the median of all five — a transient spike
-  *      must out-vote three clean reps to reach the artifact;
+  *      must out-vote three clean reps to reach the artifact; round-16:
+  *      each re-repped query also carries its RAW rep times in a
+  *      `reps_raw` map ([[first-round reps], [re-rep reps]], flagged
+  *      queries only so the line stays bounded) — a 49x spike is then
+  *      adjudicable from the artifact without an idle re-run;
   *   6. round-12 self-annotation: `n_ok` = how many queries the `value`
   *      total covers (so a partial total with a non-empty errors map can't
   *      be compared against a full-suite one), and `contended`:true when
@@ -141,7 +145,12 @@ object Bench {
     // (median, spread=max/min of the reps that produced it). A spread > 3x
     // means one rep saw a different box than the others — re-time with two
     // extra reps so the transient must out-vote three clean ones.
-    val results: Seq[(String, (Double, Double))] =
+    // Round-16 (verdict task 7): a re-repped query additionally reports
+    // its RAW rep times — [first-round reps, re-rep reps] — so a
+    // q94-style 49x spike is adjudicable from the artifact alone (which
+    // rep spiked, by how much, and that the median out-voted it). Only
+    // flagged queries carry the field, so the line stays bounded.
+    val results: Seq[(String, (Double, Double, Option[(Seq[Double], Seq[Double])]))] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
@@ -151,25 +160,36 @@ object Bench {
               val s = ts.sorted
               (s(s.length / 2), if (s.head > 0) s.last / s.head else -1.0)
             }
-          val first = stats((1 to reps).map(_ => timeOnce(name, fn)))
-          val fin =
-            if (reps > 1 && first._1 >= 0 && first._2 > 3.0)
-              stats((1 to reps).map(_ => timeOnce(name, fn)) ++
-                (1 to 2).map(_ => timeOnce(name, fn)))
-            else first
-          name -> fin
+          val firstRaw = (1 to reps).map(_ => timeOnce(name, fn))
+          val first = stats(firstRaw)
+          if (reps > 1 && first._1 >= 0 && first._2 > 3.0) {
+            // re-rep protocol unchanged since round 10: the reported
+            // median is over the FIVE fresh reps (reps + 2), so the
+            // transient must out-vote three clean ones to survive
+            val rerepRaw = (1 to reps).map(_ => timeOnce(name, fn)) ++
+              (1 to 2).map(_ => timeOnce(name, fn))
+            val fin = stats(rerepRaw)
+            name -> (fin._1, fin._2, Some((firstRaw, rerepRaw)))
+          } else name -> (first._1, first._2, None)
         }
     val loadAfter = loadavg()
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def r1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + r3(m) }
+    val qs = results.map { case (k, (m, _, _)) => "\"" + k + "\":" + r3(m) }
       .mkString("{", ",", "}")
     // Spread is emitted ONLY where it says something (>= 1.2x across reps,
     // or the -1 error marker): the full 77-entry map made the JSON line
     // ~9 KB and the round-10 archive's tail window truncated it mid-object.
     // An absent key means "reps agreed within 1.2x" by contract.
     val spreads = results.collect {
-      case (k, (_, sp)) if sp >= 1.2 || sp < 0 => "\"" + k + "\":" + r1(sp)
+      case (k, (_, sp, _)) if sp >= 1.2 || sp < 0 => "\"" + k + "\":" + r1(sp)
+    }.mkString("{", ",", "}")
+    // raw reps for the (rare) re-repped queries only: [[first], [rerep]];
+    // the reported median is over the rerep array by the protocol above
+    val repsRaw = results.collect {
+      case (k, (_, _, Some((f, rr)))) =>
+        "\"" + k + "\":[" + f.map(r3).mkString("[", ",", "]") + "," +
+          rr.map(r3).mkString("[", ",", "]") + "]"
     }.mkString("{", ",", "}")
     // total sums only the healthy medians; error entries are -1 markers.
     // n_ok says how many queries that total covers, so a partial total
@@ -184,7 +204,7 @@ object Bench {
     // condition on the artifact so cross-round readers see it without
     // re-deriving it from loadavg/spread themselves.
     val contended = loadBefore > 1.5 ||
-      results.exists { case (_, (_, sp)) => sp > 3.0 }
+      results.exists { case (_, (_, sp, _)) => sp > 3.0 }
     val metric = if (only.isDefined) "total_subset" else "total"
     // Trained-artifact memo telemetry (round-15 advisor): with the
     // train-once memos, the first timed rep of each ANN family trains
@@ -193,7 +213,7 @@ object Bench {
     // counters make that legible on the artifact itself.
     val memo = s"""{"hits":${graft.queries.VectorOps.memoHits.get},"misses":${graft.queries.VectorOps.memoMisses.get}}"""
     val line =
-      s"""{"metric":"$metric","value":${r3(total)},"unit":"sec","n_ok":${healthy.size},"contended":$contended,"queries":$qs,"sf":"$sfDir","reps":$reps,"errors":$errJson,"loadavg_before":${r1(loadBefore)},"loadavg_after":${r1(loadAfter)},"memo":$memo,"spread":$spreads}"""
+      s"""{"metric":"$metric","value":${r3(total)},"unit":"sec","n_ok":${healthy.size},"contended":$contended,"queries":$qs,"sf":"$sfDir","reps":$reps,"errors":$errJson,"loadavg_before":${r1(loadBefore)},"loadavg_after":${r1(loadAfter)},"memo":$memo,"spread":$spreads,"reps_raw":$repsRaw}"""
     // Emit the line FIRST and LAST around the teardown: whichever end of the
     // driver's stdout window survives, a complete copy of the line is in it.
     println(line)

@@ -31,7 +31,20 @@ object ExtensionsProbe {
       "SELECT chunk FROM docs_p LATERAL VIEW chunk_text(text, 200, 20) t AS chunk_id, chunk")
       .collect()
     require(chunks.nonEmpty && chunks.forall(_.getString(0).length <= 200), "chunk_text")
-    println(s"extensions-probe OK: ${r.length} vectors, ${chunks.length} chunks")
+    // the remaining two injected functions (round-16 stretch: every
+    // native expression callable from bare SQL)
+    val pk = spark.sql(
+      "SELECT lsh_probe_keys(embedding, 4, 6, 3, 69621) AS pks FROM emb_p").collect()
+    require(pk.forall { x =>
+      val t = x.getSeq[scala.collection.Seq[Long]](0)
+      t.length == 4 && t.forall(_.length == 4) // per table: exact key + 3 flips
+    }, "lsh_probe_keys")
+    val sh = spark.sql(
+      """SELECT distinct_shingles('the cat sat on the cat sat mat', 3) AS s""").collect()
+    require(sh.head.getSeq[String](0) == Seq("the cat sat", "cat sat on",
+      "sat on the", "on the cat", "cat sat mat"), "distinct_shingles")
+    println(s"extensions-probe OK: ${r.length} vectors, ${chunks.length} chunks, " +
+      s"${pk.length} probe-key rows, ${sh.head.getSeq[String](0).length} shingles")
     spark.stop()
   }
 }

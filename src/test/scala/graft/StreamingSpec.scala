@@ -888,6 +888,60 @@ class StreamingSpec extends AnyFunSuite {
     cents.unpersist(); embs.unpersist()
   }
 
+  test("standing SemDeDup gate: stream over drops ≡ batch q68 on the union; late lowest-id demotes; replay no-op") {
+    import graft.streaming.EmbeddingsStream
+    import graft.operators.Similarity
+    val src = Files.createTempDirectory("graft-sdd-src").toString
+    val idx = Files.createTempDirectory("graft-sdd-idx").toString + "/index"
+    val ded = Files.createTempDirectory("graft-sdd-ded").toString + "/dedup"
+    val ckpt = Files.createTempDirectory("graft-sdd-ckpt").toString
+    val corpus = Tables(spark, sfDir, "embeddings").cache()
+    val cents = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")).cache()
+    val thresh = 0.2 // dup-rich at sf0.001 (428 same-cluster pairs qualify)
+    // drop 1: the ODD ids arrive first; drop 2: the evens — out-of-order
+    // arrival, so drop 2 must demote drop-1 survivors whose lowest-id
+    // keeper arrives late ("lowest-id keeper wins across batches")
+    corpus.filter(col("vec_id") % 2 === 1).write.mode("append").parquet(src)
+    EmbeddingsStream.semDedupIngest(spark, src, cents, idx, ded, ckpt, thresh)
+    val afterFirst = snap(ded)
+    // re-run with nothing new: exactly-once over files
+    EmbeddingsStream.semDedupIngest(spark, src, cents, idx, ded, ckpt, thresh)
+    assert(snap(ded) == afterFirst, "a no-new-files re-run changed the dedup state")
+    corpus.filter(col("vec_id") % 2 === 0).write.mode("append").parquet(src)
+    EmbeddingsStream.semDedupIngest(spark, src, cents, idx, ded, ckpt, thresh)
+    // the standing table is row-identical to batch q68 semantics on the union
+    val streamed = spark.read.parquet(ded)
+      .select(col("vec_id"), col("centroid_id"), col("dup_of"))
+      .collect().map(_.toSeq).toSet
+    val batch = Similarity.semDedup(corpus, cents, thresh)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    // the late-lowest-id path was actually exercised: an odd (drop-1)
+    // vector's keeper is an even (drop-2) id the first fold couldn't know
+    assert(streamed.exists(r => r(2) != null &&
+      r(0).asInstanceOf[Long] % 2 == 1 && r(2).asInstanceOf[Long] % 2 == 0),
+      "no cross-drop demotion exercised — the spec lost its teeth")
+    // and a drop-1 survivor was demoted (its dup_of was null after drop 1)
+    val firstNulls = afterFirst.collect { case r if r(2) == null => r(0).asInstanceOf[Long] }
+    assert(streamed.exists(r => r(2) != null && firstNulls.contains(r(0).asInstanceOf[Long])),
+      "no drop-1 survivor was demoted by a later drop")
+    // crash-replay of the last micro-batch (same batchId): both sink
+    // effects — state fold and index append — are no-ops
+    val (d0, i0) = (snap(ded), snap(idx))
+    EmbeddingsStream.semDedupBatch(
+      corpus.filter(col("vec_id") % 2 === 0), 1L, cents, idx, ded, thresh)
+    assert(snap(ded) == d0, "replayed fold changed the dedup state")
+    assert(snap(idx) == i0, "replayed append duplicated index rows")
+    // the gate's index is ingestBatch's layout: searchIndex works on it
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    assert(EmbeddingsStream.searchIndex(spark, idx, queries, cents, k = 3, nprobe = 2)
+      .count() > 0)
+    cents.unpersist(); corpus.unpersist()
+  }
+
   test("replayed sketchBatch (same batchId) leaves all five sketch states unchanged") {
     import graft.streaming.SketchStream
     val docs = Tables(spark, sfDir, "documents").limit(80).cache()
