@@ -491,6 +491,49 @@ object ScaleProbe {
       return
     }
 
+    // txlog: the O(1)-log-discovery claim measured (round-16 TxTable
+    // `_latest.hint`). Builds an N-commit log (manifests only — the
+    // discovery cost under test is independent of data volume), then
+    // times latest-snapshot resolution (a) hinted — the shipped path —
+    // and (b) hintless, deleting the hint before every resolve so each
+    // one pays the legacy full-directory-listing fallback. This is the
+    // cost a standing CDC pipeline pays on EVERY read and EVERY
+    // optimistic-loop iteration after months of one-commit-per-micro-
+    // batch operation; the counters prove the hinted path never lists.
+    // Third arg = commit count (default 1000).
+    if (bitsArg == "txlog") {
+      import graft.etl.TxTable
+      val n = if (tables == graft.queries.VectorOps.LshTables) 1000 else tables
+      val root = java.nio.file.Files.createTempDirectory("graft-txlog").toString + "/t"
+      (0 until n).foreach(v =>
+        require(TxTable.tryCommit(root, v, "append", Seq(s"data/v$v"))))
+      val reps = 200
+      def timeResolves(dropHint: Boolean): Double = {
+        val hintPath = java.nio.file.Paths.get(root, "_txlog", "_latest.hint")
+        var acc = 0L
+        var i = 0
+        while (i < reps) {
+          if (dropHint) java.nio.file.Files.deleteIfExists(hintPath)
+          val t0 = System.nanoTime()
+          require(TxTable.snapshot(root).version == n - 1)
+          acc += System.nanoTime() - t0
+          i += 1
+        }
+        acc / 1e6 / reps // ms per resolve
+      }
+      timeResolves(dropHint = false) // warmup (page cache, JIT)
+      TxTable.resetCounters()
+      val hintedMs = timeResolves(dropHint = false)
+      val (hLists, hProbes, hReads) = (TxTable.fullListings.get,
+        TxTable.manifestProbes.get, TxTable.manifestReads.get)
+      TxTable.resetCounters()
+      val unhintedMs = timeResolves(dropHint = true)
+      val uLists = TxTable.fullListings.get
+      println(f"""{"probe":"txlog","commits":$n,"resolves":$reps,"hinted_ms":$hintedMs%.4f,"hintless_ms":$unhintedMs%.4f,"speedup":${unhintedMs / hintedMs}%.1f,"hinted_full_listings":$hLists,"hinted_probes_per_resolve":${hProbes.toDouble / reps}%.1f,"hinted_reads_per_resolve":${hReads.toDouble / reps}%.1f,"hintless_full_listings":$uLists}""")
+      spark.stop()
+      return
+    }
+
     if (bitsArg == "spanstride") {
       val docs = Tables(spark, sfDir, "documents")
       val n = docs.count()

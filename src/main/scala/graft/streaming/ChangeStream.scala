@@ -38,9 +38,24 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   *
   * Scale shape: state grows with |distinct keys| but each batch touches
   * it once, hash-joined on the key; the change log is append-only. At
-  * 100 TB the upsert rewrite is the cost to watch — `Gold.upsert`
-  * rewrites only the partitions the incoming keys touch when the state
-  * is partitioned, and the log itself never rewrites.
+  * 100 TB the upsert rewrite is the cost to watch, so the state is
+  * PARTITION-SCOPED since round 16: rows carry a `b =
+  * pmod(xxhash64(doc_id), StateBuckets)` bucket and commit through
+  * [[graft.etl.TxTable.mergeUpsertPartitioned]] — a micro-batch
+  * rewrites only the buckets its doc_ids hash into (untouched buckets'
+  * dirs are carried into the new manifest BY REFERENCE), so a
+  * small-drop batch against a large standing state costs
+  * |touched buckets| / StateBuckets of the state instead of all of it.
+  * Uniform hashing means a batch of K docs touches min(K, StateBuckets)
+  * buckets: the scoped win is the small-incremental-drop case (the CDC
+  * cadence norm), while a bulk backfill touching every bucket degrades
+  * gracefully to the whole-state rewrite it would have paid anyway.
+  * Size StateBuckets at deployment so one bucket's rewrite fits the
+  * per-batch budget. Pre-round-16 states (whole-table TxTable history
+  * or plain parquet) keep committing through [[graft.etl.Gold.upsert]]
+  * — the format rejects mixing scoped and whole-table entries, and a
+  * standing stream must not rewrite its history to upgrade. The log
+  * itself never rewrites.
   */
 object ChangeStream {
 
@@ -53,9 +68,11 @@ object ChangeStream {
     spark.read.parquet(s"$cdcDir/changes")
 
   /** The standing (doc_id, h) state after all ingested drops —
-    * TxTable-backed since round 15 (Gold.upsert commits versions). */
+    * TxTable-backed since round 15; the internal bucket column of a
+    * partition-scoped state (round 16) is not part of the surface. */
   def state(spark: SparkSession, cdcDir: String): DataFrame =
     graft.etl.Gold.readTable(spark, s"$cdcDir/hashes")
+      .select(col("doc_id"), col("h"))
 
   /** Drain available drops from `srcDir`, appending per-doc change rows
     * to `cdcDir/changes` and upserting `cdcDir/hashes`. */
@@ -114,11 +131,26 @@ object ChangeStream {
             col("status"), col("h"))
           .write.mode("overwrite").parquet(staging)
       }
-      graft.etl.Gold.upsert(ss, statePath, cur, "doc_id")
+      // partition-scoped state commit (round 16): fresh/bucketed states
+      // rewrite only the buckets this batch's doc_ids hash into; a
+      // legacy whole-table history stays on the whole-table merge (the
+      // format rejects mixing, and history must not be rewritten)
+      val legacy = (graft.etl.TxTable.exists(statePath) &&
+        graft.etl.TxTable.snapshot(statePath).entries.exists(_._2.isEmpty)) ||
+        (!graft.etl.TxTable.exists(statePath) &&
+          fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+      if (legacy) graft.etl.Gold.upsert(ss, statePath, cur, "doc_id")
+      else graft.etl.TxTable.mergeUpsertPartitioned(ss, statePath,
+        cur.withColumn("b",
+          pmod(xxhash64(col("doc_id")), lit(StateBuckets)).cast("string")),
+        "doc_id", "b")
       // bound the state's version history: keep the last RetainVersions
       // commits readable (crash forensics / stream debugging), drop the
       // bytes behind older ones — otherwise a long-lived stream holds
-      // one full state copy per micro-batch
+      // one full state copy per micro-batch (with the scoped commit the
+      // per-version overhead is already only the touched buckets, but
+      // carried-forward old bucket dirs still pin their bytes until the
+      // referencing manifests age out)
       val latest = graft.etl.TxTable.latestVersion(statePath)
       if (latest >= RetainVersions)
         graft.etl.TxTable.vacuum(statePath, keepFrom = latest - RetainVersions + 1)
@@ -127,4 +159,9 @@ object ChangeStream {
 
   /** How many recent state versions an ingesting stream keeps readable. */
   val RetainVersions = 3
+
+  /** Hash-bucket count of a partition-scoped state. Deployment rule:
+    * size so one bucket's rewrite (|state| / StateBuckets plus the
+    * batch's matching rows) fits the per-micro-batch write budget. */
+  val StateBuckets = 16
 }

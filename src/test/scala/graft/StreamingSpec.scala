@@ -659,11 +659,26 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy("status").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(c3 == Map("unchanged" -> 1L), c3)
     assert(ChangeStream.state(spark, cdc).count() == 15)
+    import graft.etl.TxTable
+    val statePath = s"$cdc/hashes"
+    // round 16: the state is partition-scoped (hash buckets) — the
+    // single-doc drop 3 rewrote ONLY doc 7's bucket; every other
+    // bucket's dirs were carried into the new manifest BY REFERENCE
+    val vCur = TxTable.latestVersion(statePath)
+    val sPrev = TxTable.snapshot(statePath, vCur - 1)
+    val sCur = TxTable.snapshot(statePath, vCur)
+    assert(sCur.entries.forall(_._2.nonEmpty), "CDC state history is not partition-scoped")
+    val touchedB = spark.range(1)
+      .select(pmod(xxhash64(lit(7L)), lit(ChangeStream.StateBuckets)).cast("string"))
+      .head.getString(0)
+    def bDirs(s: TxTable.Snapshot, p: String) = s.entries.filter(_._2 == p).map(_._1).toSet
+    assert(bDirs(sCur, touchedB) != bDirs(sPrev, touchedB), "touched bucket not rewritten")
+    (sPrev.entries.map(_._2).toSet - touchedB).foreach { p =>
+      assert(bDirs(sCur, p) == bDirs(sPrev, p), s"untouched bucket $p was rewritten")
+    }
     // bounded history (round 15): the state is TxTable-committed per
     // batch, and ingest vacuums past RetainVersions — a long-lived
     // stream must never hold one state copy per micro-batch
-    import graft.etl.TxTable
-    val statePath = s"$cdc/hashes"
     val latest = TxTable.latestVersion(statePath)
     val readable = (0L to latest).count(v =>
       scala.util.Try(TxTable.snapshot(statePath, v)).isSuccess)
