@@ -491,6 +491,49 @@ object ScaleProbe {
       return
     }
 
+    // txskip: the data-skipping claim measured (round-16 TxTable stats
+    // + clustered compact). Builds a TxTable of the documents corpus,
+    // range-clusters it on doc_id into ~32 dirs with exact per-dir
+    // stats, then times a FIXED narrow scan (doc_id < 200 — the
+    // identity-replica slice, same rows at any scale factor) through
+    // the stats-pruned path vs the full filter. At any corpus scale the
+    // pruned scan reads O(range) dirs; the unpruned filter reads the
+    // table.
+    if (bitsArg == "txskip") {
+      import graft.etl.TxTable
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val n = docs.count()
+      val root = java.nio.file.Files.createTempDirectory("graft-txskip").toString + "/t"
+      TxTable.refresh(spark, root, docs)
+      def dirBytes(rel: String): Long = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root, rel))
+        try s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => java.nio.file.Files.size(p)).sum
+        finally s.close()
+      }
+      val total = TxTable.snapshot(root).dirs.map(dirBytes).sum
+      val cv = TxTable.compact(spark, root,
+        targetBytes = math.max(1L, total / 32), clusterBy = Seq("doc_id"))
+      val dirs = TxTable.snapshot(root, cv).dirs.length
+      val (kept, dropped) = TxTable.pruneDirs(root, "doc_id", 0, 199)
+      def med3(f: => Long): (Double, Long) = {
+        val r = f // warmup + row check
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (ts(1), r)
+      }
+      val (tPruned, rows) = med3(TxTable.scan(spark, root, "doc_id", 0, 199).count())
+      val (tFull, rowsFull) = med3(TxTable.read(spark, root)
+        .filter(col("doc_id").between(0, 199)).count())
+      require(rows == rowsFull, s"pruned scan row drift: $rows vs $rowsFull")
+      println(f"""{"probe":"txskip","sf":"$sfDir","corpus":$n,"dirs":$dirs,"kept_dirs":${kept.length},"pruned_dirs":$dropped,"rows":$rows,"pruned_scan_sec":$tPruned%.3f,"full_filter_sec":$tFull%.3f}""")
+      spark.stop()
+      return
+    }
+
     // txlog: the O(1)-log-discovery claim measured (round-16 TxTable
     // `_latest.hint`). Builds an N-commit log (manifests only — the
     // discovery cost under test is independent of data volume), then

@@ -73,6 +73,16 @@ import scala.jdk.CollectionConverters._
   * HDFS); S3-class stores need a CAS/coordination service here, the
   * same caveat Delta documents for its log.
   *
+  * Data skipping (round 16, Armbrust et al. §data-skipping): commits
+  * may record per-dir min/max column stats in an ADVISORY
+  * `v<N>.stats.json` sidecar (written after the manifest wins; carried
+  * forward for dirs a later commit keeps, since dirs are immutable).
+  * [[compact]] with `clusterBy` range-clusters each partition group
+  * into per-bucket dirs with exact stats, and [[scan]] prunes
+  * non-overlapping dirs at the manifest level before Spark ever lists
+  * a file — the [[pruneDirs]] decision never drops a dir without a
+  * stat on the queried column, so skipping is always sound.
+  *
   * The reference's `drop_old=True` full refresh (seed_milvus.py:75) is
   * the special case [[refresh]]: a commit whose manifest lists only
   * the new data — with history retained instead of destroyed.
@@ -114,6 +124,40 @@ object TxTable {
     * concurrent commit inside that window from a spec. No-op in
     * production. */
   private[graft] var beforeCommitHook: () => Unit = () => ()
+
+  /** Per-data-dir column statistic (round 16 — the Delta paper's
+    * data-skipping recipe, §4.3 of Armbrust et al.: min/max per file
+    * kept in the log, scans prune objects whose range cannot match).
+    * The unit here is the DIR (the manifest's atomic entry); values are
+    * doubles (exact for integral values up to 2^53 — stats are recorded
+    * for numeric columns only). Stats are ADVISORY: they live in a
+    * `vNNNNNNNN.stats.json` sidecar written after the manifest wins, a
+    * missing/crashed sidecar just means no pruning for that version,
+    * and a dir without a stat is always scanned. */
+  final case class DirStat(dir: String, col: String, min: Double, max: Double)
+
+  private def statsFile(root: String, v: Long): Path =
+    logDir(root).resolve(f"v$v%08d.stats.json")
+
+  private def renderStats(v: Long, stats: Seq[DirStat]): String = {
+    val items = stats.map(s =>
+      s"""{"dir":"${s.dir}","col":"${s.col}","min":${s.min},"max":${s.max}}""")
+    s"""{"version":$v,"stats":[${items.mkString(",")}]}"""
+  }
+
+  private val StatItem =
+    """\{"dir":"([^"]*)","col":"([^"]*)","min":([-0-9.eE+]+|NaN|Infinity|-Infinity),"max":([-0-9.eE+]+|NaN|Infinity|-Infinity)\}""".r
+
+  /** Stats recorded at `version` (empty when the sidecar is absent —
+    * older versions, crashed writers, raw tryCommit users). */
+  def readStats(root: String, version: Long): Seq[DirStat] = {
+    val p = statsFile(root, version)
+    if (!Files.exists(p)) return Nil
+    try StatItem.findAllMatchIn(Files.readString(p))
+      .map(m => DirStat(m.group(1), m.group(2), m.group(3).toDouble, m.group(4).toDouble))
+      .toSeq
+    catch { case _: Exception => Nil }
+  }
 
   /** Advisory latest-version pointer (Delta's `_last_checkpoint`
     * analogue). Best-effort: written via atomic rename after every
@@ -218,7 +262,8 @@ object TxTable {
     * reported as success). Carried-by-reference dirs get touched too:
     * harmless (they are manifest-protected from vacuum regardless). */
   private def tryCommitAnchored(root: String, version: Long, action: String,
-                                entries: Seq[(String, String)]): Boolean = {
+                                entries: Seq[(String, String)],
+                                freshStats: Seq[DirStat] = Nil): Boolean = {
     val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
     entries.foreach { case (rel, _) =>
       val p = Paths.get(root, rel)
@@ -233,6 +278,18 @@ object TxTable {
         s"TxTable $root v$version won its commit but data dirs were vacuumed " +
           s"mid-commit: ${missing.mkString(", ")} — raise vacuum graceMs or do " +
           "not vacuum concurrently with writers")
+      // data-skipping stats: dirs are immutable, so any prior version's
+      // stat for a dir this commit carries stays exact — carry those
+      // forward, add this commit's fresh ones (advisory best-effort:
+      // a crash before this write only disables pruning at `version`)
+      val dirs = entries.map(_._1).toSet
+      val carried =
+        if (version > 0) readStats(root, version - 1).filter(s => dirs(s.dir))
+        else Nil
+      val all = carried ++ freshStats
+      if (all.nonEmpty)
+        try Files.writeString(statsFile(root, version), renderStats(version, all))
+        catch { case _: Exception => () }
     }
     won
   }
@@ -418,7 +475,8 @@ object TxTable {
     * interleaving). Pre-compaction versions stay readable (time travel)
     * until [[vacuum]]. Returns the committed version. */
   def compact(spark: SparkSession, root: String,
-              targetBytes: Long = Compact.DefaultTargetBytes): Long = {
+              targetBytes: Long = Compact.DefaultTargetBytes,
+              clusterBy: Seq[String] = Nil): Long = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     var v = -1L
     var done = false
@@ -435,17 +493,99 @@ object TxTable {
       // one re-layout dir per partition group (preserves the scoped
       // layout so later partition merges still rewrite only their slice)
       val groups = base.entries.groupBy(_._2).toSeq.sortBy(_._1)
-      val fresh = groups.map { case (p, es) =>
+      val freshAll: Seq[((String, String), Seq[DirStat])] = groups.flatMap { case (p, es) =>
         val bytes = es.map(e => dirBytes(e._1)).sum
         val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        val df = spark.read.parquet(es.map(e => s"$root/${e._1}"): _*).coalesce(nOut)
-        (writeData(root, target, df), p)
+        val df = spark.read.parquet(es.map(e => s"$root/${e._1}"): _*)
+        if (clusterBy.isEmpty) Seq(((writeData(root, target, df.coalesce(nOut)), p), Nil))
+        else clusteredDirs(spark, root, target, p, df, nOut, clusterBy)
       }
-      if (tryCommitAnchored(root, target, "compact", fresh)) {
+      val fresh = freshAll.map(_._1)
+      if (tryCommitAnchored(root, target, "compact", fresh, freshAll.flatMap(_._2))) {
         v = target; done = true
       } else fresh.foreach(e => dropData(root, e._1))
     }
     v
+  }
+
+  /** Range-clustered re-layout of one partition group (round 16 — the
+    * Delta paper's data-skipping layout step: cluster so per-object
+    * min/max ranges are TIGHT, then prune scans on them; linear
+    * clustering on the leading column, the paper's simpler alternative
+    * to Z-order, with lexicographic locality on the remaining
+    * `clusterBy` columns via the in-dir sort). The group splits into
+    * `nOut` range buckets of its leading cluster column (approxQuantile
+    * boundaries — sampling only positions the cuts; the recorded stats
+    * are EXACT per-bucket min/max from one grouped aggregation), each
+    * bucket written as its own data dir so [[scan]] prunes at the
+    * manifest level. Leading column must be numeric. */
+  private def clusteredDirs(spark: SparkSession, root: String, target: Long,
+                            part: String, df: DataFrame, nOut: Int,
+                            clusterBy: Seq[String]): Seq[((String, String), Seq[DirStat])] = {
+    import org.apache.spark.sql.functions.{lit, when, min => fmin, max => fmax, count => fcount}
+    val c0 = clusterBy.head
+    val work = df.cache()
+    try {
+      val bounds =
+        if (nOut <= 1) Array.empty[Double]
+        else work.stat.approxQuantile(c0,
+          (1 until nOut).map(_.toDouble / nOut).toArray, 0.001).distinct
+      val bucketed = work.withColumn("_cb",
+        bounds.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col(c0).cast("double") > lit(b), 1).otherwise(0)
+        })
+      // one pass: per-bucket row counts + EXACT min/max of every cluster col
+      val aggs = clusterBy.flatMap(c => Seq(
+        fmin(col(c).cast("double")).as(s"_min_$c"), fmax(col(c).cast("double")).as(s"_max_$c")))
+      val statRows = bucketed.groupBy(col("_cb"))
+        .agg(fcount(lit(1)).as("_n"), aggs: _*)
+        .collect() // ≤ nOut + 1 rows: ceil(bytes/target) — driver-bounded
+        .filter(_.getLong(1) > 0L)
+        .sortBy(_.getInt(0))
+      statRows.map { r =>
+        val b = r.getInt(0)
+        val slice = bucketed.filter(col("_cb") === b).drop("_cb")
+          .coalesce(1).sortWithinPartitions(clusterBy.map(col): _*)
+        val rel = writeData(root, target, slice)
+        val stats = clusterBy.map(c =>
+          DirStat(rel, c, r.getDouble(r.fieldIndex(s"_min_$c")),
+            r.getDouble(r.fieldIndex(s"_max_$c"))))
+        ((rel, part), stats)
+      }.toSeq
+    } finally work.unpersist()
+  }
+
+  /** Manifest-level data skipping (the Delta paper's §4.3 read path):
+    * which of `version`'s dirs can contain rows with `col` in
+    * [lo, hi]? A dir with a recorded stat is dropped when its range
+    * cannot overlap; a dir WITHOUT a stat on `col` is always kept
+    * (stats are advisory). Returns (kept dirs, dropped count). */
+  def pruneDirs(root: String, col: String, lo: Double, hi: Double,
+                version: Long = -1L): (Seq[String], Int) = {
+    val s = snapshot(root, version)
+    val byDir = readStats(root, s.version).filter(_.col == col)
+      .map(st => st.dir -> st).toMap
+    val kept = s.dirs.filter(d =>
+      byDir.get(d).forall(st => st.max >= lo && st.min <= hi))
+    (kept, s.dirs.length - kept.length)
+  }
+
+  /** Stats-pruned range scan: reads ONLY the dirs whose recorded
+    * min/max can overlap [lo, hi], then applies the exact predicate —
+    * result ≡ `read(...).filter(col between lo and hi)` by
+    * construction (pruned dirs cannot contain matching rows; kept dirs
+    * still filter row-by-row). After a [[compact]] with `clusterBy`,
+    * a narrow range touches O(range/bucket-width) dirs of the table
+    * however many dirs it has. */
+  def scan(spark: SparkSession, root: String, column: String,
+           lo: Double, hi: Double, version: Long = -1L): DataFrame = {
+    val (kept, _) = pruneDirs(root, column, lo, hi, version)
+    val s = snapshot(root, version)
+    val base =
+      if (kept.nonEmpty) spark.read.parquet(kept.map(d => s"$root/$d"): _*)
+      else // all dirs pruned: an empty frame still needs the table's schema
+        spark.read.parquet(s.dirs.map(d => s"$root/$d"): _*).limit(0)
+    base.filter(col(column).cast("double").between(lo, hi))
   }
 
   /** The shared optimistic-retry skeleton: compute the full replacement
@@ -497,7 +637,10 @@ object TxTable {
     require(keepFrom <= latest, s"keepFrom $keepFrom beyond latest $latest")
     val keep = (keepFrom to latest).filter(v => Files.exists(manifest(root, v)))
       .flatMap(v => snapshot(root, v).dirs).toSet
-    (0L until keepFrom).foreach(v => Files.deleteIfExists(manifest(root, v)))
+    (0L until keepFrom).foreach { v =>
+      Files.deleteIfExists(manifest(root, v))
+      Files.deleteIfExists(statsFile(root, v))
+    }
     val horizon = System.currentTimeMillis() - graceMs
     listDir(Paths.get(root, "data"))
       .filter(p => Files.getLastModifiedTime(p).toMillis < horizon)

@@ -312,6 +312,74 @@ class TxTableSpec extends AnyFunSuite {
       s"overlapping rebase lost an update: $all")
   }
 
+  test("clustered compact + dir stats: pruned scan reads only overlapping dirs, result exact") {
+    import spark.implicits._
+    val root = tmp()
+    val mk = (pred: Long => Boolean) =>
+      (0L until 4000L).filter(pred).map(i => (i, s"v$i")).toDF("k", "v")
+    // land UNCLUSTERED (interleaved halves): every pre-compact dir spans
+    // the whole key range, so nothing is prunable before the re-layout
+    TxTable.refresh(spark, root, mk(_ % 2 == 0))
+    TxTable.append(spark, root, mk(_ % 2 == 1))
+    import scala.jdk.CollectionConverters._
+    def bytesUnder(rel: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root, rel))
+      try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => java.nio.file.Files.size(p)).sum
+      finally s.close()
+    }
+    val total = TxTable.snapshot(root).dirs.map(bytesUnder).sum
+    val cv = TxTable.compact(spark, root, targetBytes = math.max(1L, total / 6),
+      clusterBy = Seq("k"))
+    val s = TxTable.snapshot(root, cv)
+    assert(s.dirs.length >= 4, s"expected a multi-dir clustered layout, got ${s.dirs.length}")
+    // exact, complete stats: one per dir, and tight (each dir covers a
+    // narrow slice of the 0..3999 range, not all of it)
+    val stats = TxTable.readStats(root, cv)
+    assert(stats.map(_.dir).toSet == s.dirs.toSet, "every clustered dir must carry a stat")
+    assert(stats.forall(st => st.max - st.min < 3999.0 / 2),
+      s"clustered ranges not tight: ${stats.map(st => (st.min, st.max))}")
+    // a narrow range prunes most dirs at the MANIFEST level…
+    val (kept, dropped) = TxTable.pruneDirs(root, "k", 100, 300)
+    assert(dropped > 0 && kept.length < s.dirs.length,
+      s"no manifest-level pruning: kept ${kept.length} of ${s.dirs.length}")
+    // …and the pruned scan is value-identical to the unpruned filter
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = asSet(TxTable.read(spark, root)
+      .filter(org.apache.spark.sql.functions.col("k").between(100, 300)))
+    assert(want.size == 201 && asSet(TxTable.scan(spark, root, "k", 100, 300)) == want)
+    // an all-pruned range returns an EMPTY frame with the table schema
+    val empty = TxTable.scan(spark, root, "k", 100000, 200000)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("k", "v"))
+    // rows are physically clustered inside each dir too (the in-dir sort)
+    assert(TxTable.compact(spark, root, clusterBy = Seq("k")) == cv + 1)
+  }
+
+  test("dir stats carry forward across scoped merges; unstatted dirs are never pruned") {
+    import spark.implicits._
+    val root = tmp()
+    def pdf(rows: (Long, String, String)*) = rows.toDF("k", "v", "p")
+    TxTable.mergeUpsertPartitioned(spark, root,
+      pdf((0L until 100L).map(i => (i, s"v$i", if (i < 50) "x" else "y")): _*), "k", "p")
+    val cv = TxTable.compact(spark, root, targetBytes = 1L, clusterBy = Seq("k"))
+    val nStats = TxTable.readStats(root, cv).length
+    assert(nStats >= 2, "clustered compact recorded no stats")
+    // scoped merge touches ONLY partition x: y's dirs (and their stats)
+    // are carried by reference; x's rewritten dir has no stats yet
+    val mv = TxTable.mergeUpsertPartitioned(spark, root, pdf((1L, "X", "x")), "k", "p")
+    val after = TxTable.readStats(root, mv)
+    val yDirs = TxTable.snapshot(root, mv).entries.filter(_._2 == "y").map(_._1).toSet
+    assert(yDirs.subsetOf(after.map(_.dir).toSet),
+      "carried partition lost its stats across a scoped merge")
+    // pruning still honors the unstatted rewritten dirs (always kept):
+    // the updated row (k=1 in the new x dir) must survive a pruned scan
+    val got = TxTable.scan(spark, root, "k", 0, 10).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.contains(1L -> "X"), s"pruned scan lost the unstatted dir's rows: $got")
+    assert(got == (0L to 10L).map(i => (i, if (i == 1) "X" else s"v$i")).toSet)
+  }
+
   test("migrate is a fixed-target version-0 adoption: the loser never replays over a winner") {
     val root = tmp()
     assert(TxTable.migrate(spark, root, df(1L -> "legacy")), "first migrate must win v0")
