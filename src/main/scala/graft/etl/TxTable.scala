@@ -237,7 +237,13 @@ object TxTable {
 
   /** Attempt to commit `dirs` (relative to root) as `version`. Returns
     * true iff this writer won the version; false = a concurrent writer
-    * claimed it first — re-read, rebase, retry. */
+    * claimed it first — re-read, rebase, retry.
+    *
+    * Contract for direct callers: versions must stay DENSE (every
+    * protocol writer targets latest+1; [[migrate]] targets 0) — the
+    * hinted forward probe in [[latestVersion]] stops at the first gap,
+    * so a direct commit that skips versions would be invisible to
+    * hinted discovery until the gap fills. */
   def tryCommit(root: String, version: Long, action: String, dirs: Seq[String],
                 parts: Seq[String] = Nil): Boolean = {
     Files.createDirectories(logDir(root))
