@@ -341,10 +341,14 @@ object VectorOps {
     // IVF approximate top-k end-to-end (the retrieval path composing
     // q35's assignment): corpus and queries assigned to their max-cosine
     // centroid, each query probing ONLY its centroid's partition
-    // (nprobe=1) — a 1/|centroids| scan per query at scale.
+    // (nprobe=1) — a 1/|centroids| scan per query at scale. Query batch
+    // bounded by the q25/q102/q71 audit-slice rule (vec_id < Q25Cap):
+    // identity at the oracle gates, FIXED at any replica scale, so the
+    // probe cost stays |batch|-bounded instead of growing with the
+    // corpus (round-16 verdict task 1).
     "q45_ivf_topk" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = e.filter(col("vec_id") < Q25Cap && col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       val cents = e.filter(col("vec_id") < 8)
@@ -360,9 +364,11 @@ object VectorOps {
     // the whole 3-iteration chain is oracle-checked as a DuckDB CTE.
     // Recall vs the exact q24 top-k (and monotonicity in nprobe) is
     // asserted in SimilaritySpec.
+    // Query batch bounded by the audit-slice rule (vec_id < Q25Cap) —
+    // same contract and same identity-at-the-gates argument as q45.
     "q47_ivf_kmeans_topk" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = e.filter(col("vec_id") < Q25Cap && col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       // train-once: the memoized rows ARE the per-invocation trainer's
@@ -590,9 +596,12 @@ object VectorOps {
     // deployment `label` becomes a secondary partition column under
     // `centroid_id` and the predicate prunes files the same way the
     // probe does.
+    // Query batch bounded by the audit-slice rule (vec_id < Q25Cap) —
+    // same contract as q45/q47: a retrieval batch is fixed, the corpus
+    // grows.
     "q90_filtered_ann" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = e.filter(col("vec_id") < Q25Cap && col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
           col("label").as("qlabel"))
       val c = e.select(col("vec_id").as("neighbor_id"),
@@ -626,9 +635,11 @@ object VectorOps {
     // assigned and joined once, then two cheap branches (a max-agg and
     // a rank window). Margin is a per-row subtraction of two cosines
     // computed by the same kernel on both engines — deterministic.
+    // Anchor batch bounded by the audit-slice rule (vec_id < Q25Cap) —
+    // a mining run pairs a FIXED anchor set against a growing corpus.
     "q95_hard_negatives" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = e.filter(col("vec_id") < Q25Cap && col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
           col("label").as("qlabel"))
       val c = e.select(col("vec_id").as("neighbor_id"),
@@ -1400,7 +1411,8 @@ object VectorOps {
          |  SELECT e.vec_id AS query_id, e.embedding AS qv, c.centroid_id,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${duckCosineExpr("e.embedding", "cvec")} DESC, centroid_id ASC) AS rk
-         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id % 50 = 0) t WHERE rk = 1),
+         |  FROM embeddings e CROSS JOIN cents c
+         |  WHERE e.vec_id < $Q25Cap AND e.vec_id % 50 = 0) t WHERE rk = 1),
          |cand AS (
          |  SELECT qa.query_id, ca.neighbor_id, ${duckCosineExpr("qa.qv", "ca.cv")} AS cosine
          |  FROM ca JOIN qa USING (centroid_id)
@@ -1430,7 +1442,8 @@ object VectorOps {
          |  SELECT e.vec_id AS query_id, e.embedding AS qv, c.centroid_id,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${duckCosineExpr("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rk
-         |  FROM embeddings e CROSS JOIN c3 c WHERE e.vec_id % 50 = 0) t WHERE rk <= 2),
+         |  FROM embeddings e CROSS JOIN c3 c
+         |  WHERE e.vec_id < $Q25Cap AND e.vec_id % 50 = 0) t WHERE rk <= 2),
          |cand AS (
          |  SELECT qa.query_id, ca.neighbor_id, ${duckCosineExpr("qa.qv", "ca.cv")} AS cosine
          |  FROM ca JOIN qa USING (centroid_id)
@@ -1585,7 +1598,8 @@ object VectorOps {
          |    c.centroid_id,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${duckCosineExpr("e.embedding", "cvec")} DESC, centroid_id ASC) AS rk
-         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id % 50 = 0) t WHERE rk = 1),
+         |  FROM embeddings e CROSS JOIN cents c
+         |  WHERE e.vec_id < $Q25Cap AND e.vec_id % 50 = 0) t WHERE rk = 1),
          |cand AS (
          |  SELECT qa.query_id, qa.qlabel, ca.neighbor_id,
          |    ${duckCosineExpr("qa.qv", "ca.cv")} AS cosine
@@ -1612,7 +1626,8 @@ object VectorOps {
          |    c.centroid_id,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${duckCosineExpr("e.embedding", "cvec")} DESC, centroid_id ASC) AS rk
-         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id % 50 = 0) t WHERE rk <= 2),
+         |  FROM embeddings e CROSS JOIN cents c
+         |  WHERE e.vec_id < $Q25Cap AND e.vec_id % 50 = 0) t WHERE rk <= 2),
          |cand AS (
          |  SELECT qa.query_id, qa.qlabel, ca.neighbor_id, ca.clabel,
          |    ${duckCosineExpr("qa.qv", "ca.cv")} AS cosine
