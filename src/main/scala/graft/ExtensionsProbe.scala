@@ -43,8 +43,37 @@ object ExtensionsProbe {
       """SELECT distinct_shingles('the cat sat on the cat sat mat', 3) AS s""").collect()
     require(sh.head.getSeq[String](0) == Seq("the cat sat", "cat sat on",
       "sat on the", "on the cat", "cat sat mat"), "distinct_shingles")
+    // round 17: the TxTable SQL surface — time travel and data skipping
+    // from bare SQL through the injected TABLE functions
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-extprobe").toString + "/t"
+    graft.etl.TxTable.refresh(spark, root,
+      spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v")))
+    graft.etl.TxTable.mergeUpsert(spark,  root,
+      spark.range(5).select(col("id").as("k"), (col("id") * 1000).as("v")), "k")
+    val cv = graft.etl.TxTable.compact(spark, root,
+      targetBytes = 2048, clusterBy = Seq("k"))
+    // time travel: version 0 predates the upsert
+    val v0 = spark.sql(s"SELECT sum(v) AS s FROM graft_table('$root', 0)")
+      .head.getLong(0)
+    require(v0 == (0L until 1000L).map(_ * 2).sum, "graft_table time travel")
+    val vLatest = spark.sql(s"SELECT sum(v) AS s FROM graft_table('$root')")
+      .head.getLong(0)
+    require(vLatest == (5L until 1000L).map(_ * 2).sum + (0L until 5L).map(_ * 1000).sum,
+      "graft_table latest")
+    // pruned range scan: manifest-level skipping + the exact predicate
+    val (_, droppedDirs) = graft.etl.TxTable.pruneDirs(root, "k", 100, 110, cv)
+    require(droppedDirs > 0, "clustered compact produced nothing to prune")
+    val ranged = spark.sql(
+      s"SELECT k, v FROM graft_table_scan('$root', 'k', 100, 110) ORDER BY k").collect()
+    require(ranged.length == 11 && ranged.forall(x => x.getLong(1) == 2 * x.getLong(0)),
+      "graft_table_scan range")
+    require(spark.sql(
+      s"SELECT count(*) AS n FROM graft_table_scan('$root', 'k', 50000, 60000)")
+      .head.getLong(0) == 0, "graft_table_scan all-pruned range")
     println(s"extensions-probe OK: ${r.length} vectors, ${chunks.length} chunks, " +
-      s"${pk.length} probe-key rows, ${sh.head.getSeq[String](0).length} shingles")
+      s"${pk.length} probe-key rows, ${sh.head.getSeq[String](0).length} shingles, " +
+      s"txtable TVFs green ($droppedDirs dirs pruned)")
     spark.stop()
   }
 }

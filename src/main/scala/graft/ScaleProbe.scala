@@ -12,7 +12,7 @@ import scala.jdk.CollectionConverters._
   * replica in ScaleGen output, so exact ground truth is available at
   * any replication factor).
   *
-  * Usage: ScaleProbe <sfDir> [bits|auto|auto2|knn|decontam|semdedup|bm25|ivfindex] [tables|k]
+  * Usage: ScaleProbe <sfDir> [bits|auto|auto2|knn|decontam|semdedup|bm25|ivfindex|lshprofile|txskipmerge|...] [tables|k|commits]
   * `auto` (the default) sizes bits from the corpus count exactly like
   * the shipped q40 — the no-manual-resizing path. `auto2` is the same
   * width with two-sided probing (`lshNearDupPairs(..., twoSided)`), the
@@ -27,11 +27,16 @@ import scala.jdk.CollectionConverters._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val (sfDir, bitsArg, tables) = args match {
-      case Array(d) => (d, "auto", graft.queries.VectorOps.LshTables)
-      case Array(d, b) => (d, b, graft.queries.VectorOps.LshTables)
-      case Array(d, b, t) => (d, b, t.toInt)
+    // third arg is mode-dependent (tables | k | commit count); parse it
+    // as an Option so each mode applies its OWN default — overloading a
+    // default VALUE as the absent sentinel made an explicit request for
+    // that value silently mean "default" (r16 advisor)
+    val (sfDir, bitsArg, thirdArg) = args match {
+      case Array(d) => (d, "auto", None)
+      case Array(d, b) => (d, b, None)
+      case Array(d, b, t) => (d, b, Some(t.toInt))
     }
+    val tables = thirdArg.getOrElse(graft.queries.VectorOps.LshTables)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -370,7 +375,7 @@ object ScaleProbe {
     if (bitsArg == "semdedup") {
       val e = Tables(spark, sfDir, "embeddings")
       val n = e.count()
-      val k = if (args.length >= 3) args(2).toInt else graft.queries.VectorOps.autoK(n)
+      val k = thirdArg.getOrElse(graft.queries.VectorOps.autoK(n))
       def run = {
         val semCap = graft.queries.VectorOps.SemTrainCap
         val cap = if (n > semCap) semCap else Long.MaxValue
@@ -534,6 +539,87 @@ object ScaleProbe {
       return
     }
 
+    // txskipmerge: the round-17 every-commit-stats claim measured — a
+    // STANDING table built purely through ingest commits (refresh +
+    // appends, stats declared once, NEVER compacted), then the same
+    // fixed narrow scan as `txskip` through the stats-pruned path vs
+    // the full filter. Before round 17 every one of these dirs was
+    // unstatted (only clustered compact wrote stats), so the pruned
+    // scan would have read the whole table; now each ingest batch's
+    // dir carries its own min/max and the scan reads O(range) dirs.
+    if (bitsArg == "txskipmerge") {
+      import graft.etl.TxTable
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val n = docs.count()
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val nBatches = 32
+      val span = maxId / nBatches + 1
+      val root = java.nio.file.Files.createTempDirectory("graft-txskipm").toString + "/t"
+      // ingest-shaped history: batch i covers doc_id [i*span, (i+1)*span)
+      // — the range-correlated arrival every time-ordered pipeline has
+      TxTable.refresh(spark, root, docs.filter(col("doc_id") < span))
+      TxTable.setStatsColumns(spark, root, Seq("doc_id"))
+      (1 until nBatches).foreach { i =>
+        TxTable.append(spark, root, docs.filter(
+          col("doc_id") >= i * span && col("doc_id") < (i + 1) * span))
+      }
+      val dirs = TxTable.snapshot(root).dirs.length
+      val (kept, dropped) = TxTable.pruneDirs(root, "doc_id", 0, 199)
+      def med3(f: => Long): (Double, Long) = {
+        val r = f
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (ts(1), r)
+      }
+      val (tPruned, rows) = med3(TxTable.scan(spark, root, "doc_id", 0, 199).count())
+      val (tFull, rowsFull) = med3(TxTable.read(spark, root)
+        .filter(col("doc_id").between(0, 199)).count())
+      require(rows == rowsFull, s"pruned scan row drift: $rows vs $rowsFull")
+      println(f"""{"probe":"txskipmerge","sf":"$sfDir","corpus":$n,"dirs":$dirs,"kept_dirs":${kept.length},"pruned_dirs":$dropped,"rows":$rows,"pruned_scan_sec":$tPruned%.3f,"full_filter_sec":$tFull%.3f}""")
+      spark.stop()
+      return
+    }
+
+    // lshprofile: q40's ×100 cost split (r16 verdict task 5) — time the
+    // CANDIDATE stage (key explode + hot-bucket blacklist + band join +
+    // pair distinct) separately from the EXACT-CONFIRM stage (two
+    // embedding joins + cosine filter, timed from materialized
+    // candidates), plus the blacklist volume, so tuning targets the
+    // half that actually dominates. Single rep per stage: the split
+    // RATIO is the deliverable and a q40 run at ×100 is ~5 min.
+    if (bitsArg == "lshprofile") {
+      import graft.queries.VectorOps
+      val e = Tables(spark, sfDir, "embeddings")
+      val n = e.count()
+      val bits = VectorOps.autoBits(n)
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      // blacklist volume (same expressions the candidate stage uses)
+      val idx = e.select(col("vec_id"),
+          posexplode(graft.plans.GraftExpressions.lshKeys(
+            col("embedding"), tables, bits, VectorOps.LshMult)))
+        .select(col("vec_id"), col("pos").as("tbl"), col("col").as("k"))
+      val (idxRows, _) = timed(idx.count())
+      val (hotBuckets, _) = timed(idx.groupBy(col("tbl"), col("k"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > VectorOps.LshBucketCap).count())
+      val cand = VectorOps.lshCandidatesVec(e, tables, bits)
+      val (nCand, candSec) = timed(cand.count())
+      val cached = cand.cache()
+      cached.count() // materialize outside the confirm timing
+      val (nPairs, confirmSec) = timed(
+        VectorOps.lshConfirm(e, cached, 0.45).count())
+      cached.unpersist()
+      val (_, fullSec) = timed(
+        VectorOps.lshNearDupPairs(e, tables, bits, 0.45).count())
+      println(f"""{"probe":"lshprofile","sf":"$sfDir","corpus":$n,"bits":$bits,"tables":$tables,"idx_rows":$idxRows,"hot_buckets":$hotBuckets,"candidates":$nCand,"pairs":$nPairs,"candidate_sec":$candSec%.3f,"confirm_sec":$confirmSec%.3f,"end_to_end_sec":$fullSec%.3f}""")
+      spark.stop()
+      return
+    }
+
     // txlog: the O(1)-log-discovery claim measured (round-16 TxTable
     // `_latest.hint`). Builds an N-commit log (manifests only — the
     // discovery cost under test is independent of data volume), then
@@ -546,7 +632,7 @@ object ScaleProbe {
     // Third arg = commit count (default 1000).
     if (bitsArg == "txlog") {
       import graft.etl.TxTable
-      val n = if (tables == graft.queries.VectorOps.LshTables) 1000 else tables
+      val n = thirdArg.getOrElse(1000)
       val root = java.nio.file.Files.createTempDirectory("graft-txlog").toString + "/t"
       (0 until n).foreach(v =>
         require(TxTable.tryCommit(root, v, "append", Seq(s"data/v$v"))))

@@ -90,9 +90,27 @@ import scala.jdk.CollectionConverters._
 object TxTable {
 
   /** `parts(i)` is the partition value of `dirs(i)` ("" = whole-table
-    * entry); pre-partitioning manifests parse with all-"" parts. */
+    * entry); pre-partitioning manifests parse with all-"" parts.
+    *
+    * Round-17 table contract fields (all optional — pre-contract
+    * manifests parse with the empty defaults and stay unconstrained):
+    *  - `statsCols`: the declared data-skipping column set
+    *    ([[setStatsColumns]]); every commit computes fresh-dir min/max
+    *    for these, so pruning works BETWEEN compactions too.
+    *  - `schemaDdl`: the table's schema fingerprint (nullable-normalized
+    *    `StructType.toDDL`); commits with a different schema are
+    *    rejected unless `evolve = true` — Delta's enforcement/evolution
+    *    split (Armbrust et al. §3.3).
+    *  - `layout`: an opaque partition-scoping descriptor recorded at
+    *    layout creation (e.g. a CDC state's hash-bucket count) and
+    *    validated on every scoped merge, so a writer built with a
+    *    different bucketing constant fails fast instead of mis-scoping
+    *    keys into fresh buckets. */
   final case class Snapshot(version: Long, action: String, dirs: Seq[String],
-                            parts: Seq[String] = Nil) {
+                            parts: Seq[String] = Nil,
+                            statsCols: Seq[String] = Nil,
+                            schemaDdl: String = "",
+                            layout: String = "") {
     def entries: Seq[(String, String)] =
       dirs.zip(if (parts.length == dirs.length) parts else Seq.fill(dirs.length)(""))
   }
@@ -202,6 +220,11 @@ object TxTable {
     if (hinted >= 0 && Files.exists(manifest(root, hinted))) {
       var v = hinted
       while ({ manifestProbes.incrementAndGet(); Files.exists(manifest(root, v + 1)) }) v += 1
+      // re-seed a stale hint (a writer that won but crashed before its
+      // writeHint): without this a read-heavy, write-idle table pays the
+      // O(commits-since-hint) forward probe on EVERY resolve until some
+      // future commit happens to rewrite the hint (r16 advisor)
+      if (v > hinted) writeHint(root, v)
       v
     } else {
       fullListings.incrementAndGet()
@@ -245,15 +268,18 @@ object TxTable {
     * so a direct commit that skips versions would be invisible to
     * hinted discovery until the gap fills. */
   def tryCommit(root: String, version: Long, action: String, dirs: Seq[String],
-                parts: Seq[String] = Nil): Boolean = {
+                parts: Seq[String] = Nil): Boolean =
+    tryCommitSnap(root, Snapshot(version, action, dirs, parts))
+
+  private def tryCommitSnap(root: String, snap: Snapshot): Boolean = {
     Files.createDirectories(logDir(root))
-    val tmp = logDir(root).resolve(s"v$version.json.tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, render(Snapshot(version, action, dirs, parts)))
+    val tmp = logDir(root).resolve(s"v${snap.version}.json.tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, render(snap))
     val won =
-      try { Files.createLink(manifest(root, version), tmp); true }
+      try { Files.createLink(manifest(root, snap.version), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
     Files.deleteIfExists(tmp)
-    if (won) writeHint(root, version)
+    if (won) writeHint(root, snap.version)
     won
   }
 
@@ -267,16 +293,17 @@ object TxTable {
     * concurrent vacuum deleted one anyway (a torn commit must never be
     * reported as success). Carried-by-reference dirs get touched too:
     * harmless (they are manifest-protected from vacuum regardless). */
-  private def tryCommitAnchored(root: String, version: Long, action: String,
-                                entries: Seq[(String, String)],
+  private def tryCommitAnchored(root: String, snap: Snapshot,
                                 freshStats: Seq[DirStat] = Nil): Boolean = {
+    val version = snap.version
+    val entries = snap.entries
     val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
     entries.foreach { case (rel, _) =>
       val p = Paths.get(root, rel)
       if (Files.isDirectory(p)) Files.setLastModifiedTime(p, now)
     }
     beforeCommitHook()
-    val won = tryCommit(root, version, action, entries.map(_._1), entries.map(_._2))
+    val won = tryCommitSnap(root, snap)
     if (won) {
       val missing = entries.map(_._1)
         .filterNot(rel => Files.isDirectory(Paths.get(root, rel)))
@@ -300,6 +327,57 @@ object TxTable {
     won
   }
 
+  /** Exact per-dir min/max for the declared stats columns — ONE min/max
+    * aggregation over each freshly-written dir (a columnar scan of just
+    * those columns; the write itself already cost a full pass, so this
+    * is a small constant factor on the commit). A column missing from
+    * the dir's schema, all-NULL, or carrying a NaN yields NO stat — an
+    * unstatted (dir, col) is always scanned, so skipping stays sound
+    * (the r16 advisor's NaN finding: Spark's max() is NaN-greatest, so
+    * a NaN-polluted range comparison would silently drop live dirs). */
+  private def dirStatsOf(spark: SparkSession, root: String,
+                         rels: Seq[String], cols: Seq[String]): Seq[DirStat] =
+    if (cols.isEmpty) Nil
+    else rels.flatMap { rel =>
+      val df = spark.read.parquet(s"$root/$rel")
+      val present = cols.filter(df.columns.contains)
+      if (present.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+        val aggs = present.flatMap(c => Seq(
+          fmin(col(c).cast("double")).as(s"_mn_$c"),
+          fmax(col(c).cast("double")).as(s"_mx_$c")))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        present.flatMap { c =>
+          val (i, j) = (r.fieldIndex(s"_mn_$c"), r.fieldIndex(s"_mx_$c"))
+          if (r.isNullAt(i) || r.isNullAt(j) ||
+              r.getDouble(i).isNaN || r.getDouble(j).isNaN) Nil
+          else Seq(DirStat(rel, c, r.getDouble(i), r.getDouble(j)))
+        }
+      }
+    }
+
+  /** The schema-enforcement gate (Delta's recipe): every commit records
+    * the nullable-normalized DDL of the frame it writes; a commit whose
+    * schema differs from the table's recorded one is rejected up front
+    * unless the caller passes `evolve = true`, which records the new
+    * schema instead. Nullability is normalized out of the fingerprint —
+    * an in-memory frame's non-null Long and its parquet round-trip's
+    * nullable Long are the same contract. Pre-contract tables (no
+    * recorded schema) accept any frame and start recording. */
+  private def resolveSchema(root: String, base: Option[Snapshot],
+                            df: DataFrame, evolve: Boolean): String = {
+    val ddl = org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true))).toDDL
+    base.foreach { s =>
+      if (s.schemaDdl.nonEmpty && s.schemaDdl != ddl && !evolve)
+        throw new IllegalArgumentException(
+          s"TxTable $root schema mismatch: table has [${s.schemaDdl}], " +
+            s"commit has [$ddl] — pass evolve = true to change the table schema")
+    }
+    ddl
+  }
+
   /** Write `df` as a fresh immutable data dir; returns the dir name
     * relative to root. Unreferenced until some manifest lists it. */
   private def writeData(root: String, version: Long, df: DataFrame): String = {
@@ -318,23 +396,31 @@ object TxTable {
   }
 
   /** Full-replace commit — the reference's `drop_old=True` refresh with
-    * history kept. Returns the committed version. */
-  def refresh(spark: SparkSession, root: String, df: DataFrame): Long =
-    commitLoop(root) { base =>
+    * history kept. Returns the committed version. `evolve` permits a
+    * schema change (recorded for subsequent commits to enforce). */
+  def refresh(spark: SparkSession, root: String, df: DataFrame,
+              evolve: Boolean = false): Long =
+    commitLoop(root, evolve) { base =>
       (df, "refresh")
     }
 
   /** Append-only commit: prior snapshot's dirs + the new batch. */
-  def append(spark: SparkSession, root: String, batch: DataFrame): Long = {
+  def append(spark: SparkSession, root: String, batch: DataFrame,
+             evolve: Boolean = false): Long = {
     var v = -1L
     var done = false
     while (!done) {
       val baseV = latestVersion(root)
+      val base = if (baseV < 0) None else Some(snapshot(root, baseV))
+      val ddl = resolveSchema(root, base, batch, evolve)
+      val statsCols = base.map(_.statsCols).getOrElse(Nil)
       val target = baseV + 1
       val rel = writeData(root, target, batch)
-      val base = if (baseV < 0) None else Some(snapshot(root, baseV))
-      val baseEntries = base.map(_.entries).getOrElse(Nil)
-      if (tryCommitAnchored(root, target, "append", baseEntries :+ (rel, ""))) {
+      val fresh = dirStatsOf(spark, root, Seq(rel), statsCols)
+      val baseEntries = base.map(_.entries).getOrElse(Nil) :+ (rel, "")
+      val snap = Snapshot(target, "append", baseEntries.map(_._1),
+        baseEntries.map(_._2), statsCols, ddl, base.map(_.layout).getOrElse(""))
+      if (tryCommitAnchored(root, snap, fresh)) {
         v = target; done = true
       } else dropData(root, rel)
     }
@@ -347,11 +433,16 @@ object TxTable {
     * REBASED onto the winner's snapshot and retried, so no concurrent
     * writer's rows are ever lost. Returns the committed version. */
   def mergeUpsert(spark: SparkSession, root: String, incoming: DataFrame,
-                  key: String, broadcastKeys: Boolean = true): Long =
-    commitLoop(root) { base =>
+                  key: String, broadcastKeys: Boolean = true,
+                  evolve: Boolean = false): Long =
+    commitLoop(root, evolve) { base =>
       base match {
         case None    => (incoming, "merge")
         case Some(s) =>
+          // gate the INCOMING frame before merging: unionByName inside
+          // Gold.merge would otherwise surface a mismatched schema as an
+          // AnalysisException instead of the contract's rejection
+          resolveSchema(root, Some(s), incoming, evolve)
           (Gold.merge(read(spark, root, s.version), incoming, key, broadcastKeys), "merge")
       }
     }
@@ -386,7 +477,9 @@ object TxTable {
     * partitions therefore both commit with one data write each. */
   def mergeUpsertPartitioned(spark: SparkSession, root: String, incoming: DataFrame,
                              key: String, partCol: String,
-                             broadcastKeys: Boolean = true): Long = {
+                             broadcastKeys: Boolean = true,
+                             evolve: Boolean = false,
+                             layout: String = ""): Long = {
     var v = -1L
     var done = false
     // touched partitions: one small distinct over the batch, bounded by
@@ -410,7 +503,20 @@ object TxTable {
         require(s.entries.forall(_._2.nonEmpty),
           s"TxTable $root has whole-table entries; partition-scoped merge " +
             "requires a partitioned history (start with mergeUpsertPartitioned)")
+        // layout contract (r16 verdict task — the StateBuckets-rebuild
+        // hazard): a caller-declared scoping descriptor must match the
+        // one recorded at layout creation; a writer compiled with a
+        // different bucketing constant fails HERE instead of silently
+        // mis-scoping keys into fresh buckets (duplicate-key corruption)
+        if (s.layout.nonEmpty && layout.nonEmpty && layout != s.layout)
+          throw new IllegalArgumentException(
+            s"TxTable $root layout mismatch: table was created with " +
+              s"[${s.layout}], this writer declares [$layout] — the " +
+              "scoping constant is part of the persistent layout")
       }
+      val ddl = resolveSchema(root, base, incoming, evolve)
+      val statsCols = base.map(_.statsCols).getOrElse(Nil)
+      val tableLayout = base.map(_.layout).filter(_.nonEmpty).getOrElse(layout)
       val target = baseV + 1
       val baseEntries = base.toSeq.flatMap(_.entries)
       val fresh = touched.map { p =>
@@ -423,24 +529,30 @@ object TxTable {
             incP, key, broadcastKeys)
         (writeData(root, target, merged), p)
       }
+      // fresh-dir stats once per attempt (dirs are reused verbatim
+      // across the fast-forward re-diffs below)
+      val freshStats = dirStatsOf(spark, root, fresh.map(_._1), statsCols)
       // commit loop: first try at target; on loss, fast-forward over any
       // disjoint winners (dir names keep the v$target prefix — the name
       // is cosmetic, the manifest is the binding reference)
       var conflicted = false
       while (!done && !conflicted) {
         val curV = latestVersion(root)
-        val curEntries =
-          if (curV < 0) Nil
-          else if (curV == baseV) baseEntries
-          else snapshot(root, curV).entries
+        val curSnap = if (curV < 0 || curV == baseV) base
+                      else Some(snapshot(root, curV))
+        val curEntries = curSnap.toSeq.flatMap(_.entries)
         val disjoint = curV == baseV || (
           curEntries.forall(_._2.nonEmpty) &&
+            // a concurrent schema evolution invalidates the merge output
+            curSnap.forall(s => s.schemaDdl.isEmpty || s.schemaDdl == ddl) &&
             touched.forall(p =>
               curEntries.filter(_._2 == p).toSet == baseEntries.filter(_._2 == p).toSet))
         if (!disjoint) conflicted = true
         else {
-          val carried = curEntries.filterNot(e => touched.contains(e._2))
-          if (tryCommitAnchored(root, curV + 1, "merge", carried ++ fresh)) {
+          val all = curEntries.filterNot(e => touched.contains(e._2)) ++ fresh
+          val snap = Snapshot(curV + 1, "merge", all.map(_._1), all.map(_._2),
+            statsCols, ddl, tableLayout)
+          if (tryCommitAnchored(root, snap, freshStats)) {
             if (curV != baseV) fastForwardCommits.incrementAndGet()
             v = curV + 1; done = true
           } // else: another commit landed first — re-diff against it
@@ -464,8 +576,10 @@ object TxTable {
     * operation rebases normally. */
   def migrate(spark: SparkSession, root: String, df: DataFrame): Boolean = {
     if (exists(root)) return false
+    val ddl = resolveSchema(root, None, df, evolve = false)
     val rel = writeData(root, 0L, df)
-    val won = tryCommitAnchored(root, 0L, "migrate", Seq((rel, "")))
+    val won = tryCommitAnchored(root,
+      Snapshot(0L, "migrate", Seq(rel), Seq(""), Nil, ddl, ""))
     if (!won) dropData(root, rel)
     won
   }
@@ -507,7 +621,13 @@ object TxTable {
         else clusteredDirs(spark, root, target, p, df, nOut, clusterBy)
       }
       val fresh = freshAll.map(_._1)
-      if (tryCommitAnchored(root, target, "compact", fresh, freshAll.flatMap(_._2))) {
+      // declared stats columns not covered by the clustered pass get the
+      // same per-dir min/max every other commit path records
+      val declared = dirStatsOf(spark, root, fresh.map(_._1),
+        base.statsCols.filterNot(clusterBy.contains))
+      val snap = Snapshot(target, "compact", fresh.map(_._1), fresh.map(_._2),
+        base.statsCols, base.schemaDdl, base.layout)
+      if (tryCommitAnchored(root, snap, freshAll.flatMap(_._2) ++ declared)) {
         v = target; done = true
       } else fresh.foreach(e => dropData(root, e._1))
     }
@@ -553,9 +673,16 @@ object TxTable {
         val slice = bucketed.filter(col("_cb") === b).drop("_cb")
           .coalesce(1).sortWithinPartitions(clusterBy.map(col): _*)
         val rel = writeData(root, target, slice)
-        val stats = clusterBy.map(c =>
-          DirStat(rel, c, r.getDouble(r.fieldIndex(s"_min_$c")),
-            r.getDouble(r.fieldIndex(s"_max_$c"))))
+        // all-NULL cluster column in a bucket → null aggregate (getDouble
+        // would NPE); NaN rows → NaN max (NaN-greatest ordering). Either
+        // way: omit the stat — an unstatted (dir, col) is always scanned
+        // (r16 advisor, both findings)
+        val stats = clusterBy.flatMap { c =>
+          val (i, j) = (r.fieldIndex(s"_min_$c"), r.fieldIndex(s"_max_$c"))
+          if (r.isNullAt(i) || r.isNullAt(j) ||
+              r.getDouble(i).isNaN || r.getDouble(j).isNaN) Nil
+          else Seq(DirStat(rel, c, r.getDouble(i), r.getDouble(j)))
+        }
         ((rel, part), stats)
       }.toSeq
     } finally work.unpersist()
@@ -567,12 +694,24 @@ object TxTable {
     * cannot overlap; a dir WITHOUT a stat on `col` is always kept
     * (stats are advisory). Returns (kept dirs, dropped count). */
   def pruneDirs(root: String, col: String, lo: Double, hi: Double,
-                version: Long = -1L): (Seq[String], Int) = {
-    val s = snapshot(root, version)
+                version: Long = -1L): (Seq[String], Int) =
+    pruneOf(root, snapshot(root, version), col, lo, hi)
+
+  /** [[pruneDirs]] against an already-resolved snapshot (so [[scan]]
+    * resolves exactly once — a concurrent commit or vacuum between two
+    * resolutions could otherwise mix versions; r16 advisor). The
+    * overlap test is the NEGATED-disjoint form `!(max < lo || min >
+    * hi)`: comparisons against a NaN stat are false, so a NaN-polluted
+    * sidecar KEEPS its dir — the direct `max >= lo && min <= hi` form
+    * silently dropped dirs whose finite rows overlap (r16 advisor's
+    * soundness finding; fresh stats never record NaN, this guards
+    * sidecars written by older builds). */
+  private def pruneOf(root: String, s: Snapshot, col: String,
+                      lo: Double, hi: Double): (Seq[String], Int) = {
     val byDir = readStats(root, s.version).filter(_.col == col)
       .map(st => st.dir -> st).toMap
     val kept = s.dirs.filter(d =>
-      byDir.get(d).forall(st => st.max >= lo && st.min <= hi))
+      byDir.get(d).forall(st => !(st.max < lo || st.min > hi)))
     (kept, s.dirs.length - kept.length)
   }
 
@@ -585,8 +724,8 @@ object TxTable {
     * however many dirs it has. */
   def scan(spark: SparkSession, root: String, column: String,
            lo: Double, hi: Double, version: Long = -1L): DataFrame = {
-    val (kept, _) = pruneDirs(root, column, lo, hi, version)
     val s = snapshot(root, version)
+    val (kept, _) = pruneOf(root, s, column, lo, hi)
     val base =
       if (kept.nonEmpty) spark.read.parquet(kept.map(d => s"$root/$d"): _*)
       else // all dirs pruned: an empty frame still needs the table's schema
@@ -595,8 +734,10 @@ object TxTable {
   }
 
   /** The shared optimistic-retry skeleton: compute the full replacement
-    * frame off the CURRENT snapshot, write it, race for base+1. */
-  private def commitLoop(root: String)(
+    * frame off the CURRENT snapshot, write it, race for base+1. Schema
+    * is enforced against the table's recorded DDL (unless `evolve`);
+    * declared stats columns get fresh-dir min/max computed per commit. */
+  private def commitLoop(root: String, evolve: Boolean = false)(
       replace: Option[Snapshot] => (DataFrame, String)): Long = {
     var v = -1L
     var done = false
@@ -604,10 +745,44 @@ object TxTable {
       val baseV = latestVersion(root)
       val base = if (baseV < 0) None else Some(snapshot(root, baseV))
       val (df, action) = replace(base)
+      val ddl = resolveSchema(root, base, df, evolve)
+      val statsCols = base.map(_.statsCols).getOrElse(Nil)
       val target = baseV + 1
       val rel = writeData(root, target, df)
-      if (tryCommitAnchored(root, target, action, Seq((rel, "")))) { v = target; done = true }
+      val fresh = dirStatsOf(df.sparkSession, root, Seq(rel), statsCols)
+      val snap = Snapshot(target, action, Seq(rel), Seq(""), statsCols, ddl,
+        base.map(_.layout).getOrElse(""))
+      if (tryCommitAnchored(root, snap, fresh)) { v = target; done = true }
       else dropData(root, rel) // lost the race: discard, rebase, retry
+    }
+    v
+  }
+
+  /** Declare (or re-declare) the table's data-skipping stats columns —
+    * a metadata commit (action "setstats") that carries every current
+    * entry forward BY REFERENCE, records `cols` in the manifest so
+    * every subsequent commit computes fresh-dir min/max for them
+    * (r16 verdict: ingest/merge commits used to write unstatted dirs,
+    * so a standing upsert/CDC table was scan-unprunable between
+    * compactions), and BACKFILLS stats for current dirs that lack them
+    * (dirs are immutable, so a backfilled stat is exact forever). */
+  def setStatsColumns(spark: SparkSession, root: String,
+                      cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "declare at least one stats column")
+    var v = -1L
+    var done = false
+    while (!done) {
+      val baseV = latestVersion(root)
+      require(baseV >= 0, s"TxTable at $root has no committed version")
+      val base = snapshot(root, baseV)
+      val have = readStats(root, baseV).filter(s => cols.contains(s.col))
+        .map(s => (s.dir, s.col)).toSet
+      val needing = base.dirs.filter(d => !cols.forall(c => have((d, c))))
+      val fresh = dirStatsOf(spark, root, needing, cols)
+        .filterNot(s => have((s.dir, s.col)))
+      val snap = Snapshot(baseV + 1, "setstats", base.dirs, base.parts,
+        cols, base.schemaDdl, base.layout)
+      if (tryCommitAnchored(root, snap, fresh)) { v = snap.version; done = true }
     }
     v
   }
@@ -664,20 +839,29 @@ object TxTable {
     val parts =
       if (s.parts.isEmpty || s.parts.forall(_.isEmpty)) ""
       else s""","parts":[${s.parts.map(q).mkString(",")}]"""
-    s"""{"version":${s.version},"action":${q(s.action)},"dirs":[${s.dirs.map(q).mkString(",")}]$parts}"""
+    val statsCols =
+      if (s.statsCols.isEmpty) ""
+      else s""","statsCols":[${s.statsCols.map(q).mkString(",")}]"""
+    val schema = if (s.schemaDdl.isEmpty) "" else s""","schema":${q(s.schemaDdl)}"""
+    val layout = if (s.layout.isEmpty) "" else s""","layout":${q(s.layout)}"""
+    s"""{"version":${s.version},"action":${q(s.action)},"dirs":[${s.dirs.map(q).mkString(",")}]$parts$statsCols$schema$layout}"""
   }
 
   private def parse(body: String): Snapshot = {
     val version = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
       .map(_.group(1).toLong).getOrElse(sys.error(s"bad manifest: $body"))
-    val action = """"action"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
-      .map(_.group(1)).getOrElse("unknown")
+    def strFld(fld: String, default: String): String =
+      ("\"" + fld + """"\s*:\s*"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(body)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .getOrElse(default)
     def strList(fld: String): Seq[String] = {
       val listBody = ("\"" + fld + """"\s*:\s*\[([^\]]*)\]""").r.findFirstMatchIn(body)
         .map(_.group(1)).getOrElse("")
       """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(listBody)
         .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
     }
-    Snapshot(version, action, strList("dirs"), strList("parts"))
+    Snapshot(version, strFld("action", "unknown"), strList("dirs"),
+      strList("parts"), strList("statsCols"), strFld("schema", ""),
+      strFld("layout", ""))
   }
 }

@@ -26,6 +26,21 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `distinct_shingles(text, n)` — distinct word n-gram shingles in
   *    first-occurrence order, byte-level and codegen-native (the
   *    near-dup family's per-row kernel)
+  *
+  * Injected TABLE functions (round 17 — the [[graft.etl.TxTable]]
+  * format's SQL surface, so time travel and data skipping are reachable
+  * without Scala):
+  *  - `graft_table('path'[, version])` — snapshot read of a TxTable;
+  *    `version` = -1 / omitted reads latest, any committed version time
+  *    travels.
+  *  - `graft_table_scan('path', 'column', lo, hi[, version])` — the
+  *    stats-pruned range scan: dirs whose recorded min/max cannot
+  *    overlap [lo, hi] are pruned at the MANIFEST level before Spark
+  *    lists a file; the exact row predicate is part of the returned
+  *    plan, so the result ≡ `graft_table(path) WHERE column BETWEEN lo
+  *    AND hi`.
+  * Arguments must be literals: a table function resolves to a logical
+  * plan at analysis time, so the path/version cannot come from a row.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -55,5 +70,50 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         "distinct_shingles(text, n) - distinct word n-gram shingles, first-occurrence order"),
       (exprs: Seq[Expression]) => DistinctShingles(exprs(0),
         GraftExpressions.litLong(exprs(1), "distinct_shingles", "n").toInt)))
+    ext.injectTableFunction((FunctionIdentifier("graft_table"),
+      info("graft_table",
+        "graft_table(path[, version]) - snapshot read of a TxTable (time travel via version)"),
+      (exprs: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = litStr(exprs, 0, "graft_table", "path")
+        val version =
+          if (exprs.length > 1) GraftExpressions.litLong(exprs(1), "graft_table", "version")
+          else -1L
+        graft.etl.TxTable.read(spark, path, version).queryExecution.logical
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_table_scan"),
+      info("graft_table_scan",
+        "graft_table_scan(path, column, lo, hi[, version]) - stats-pruned range scan of a TxTable"),
+      (exprs: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = litStr(exprs, 0, "graft_table_scan", "path")
+        val column = litStr(exprs, 1, "graft_table_scan", "column")
+        val lo = litNum(exprs, 2, "graft_table_scan", "lo")
+        val hi = litNum(exprs, 3, "graft_table_scan", "hi")
+        val version =
+          if (exprs.length > 4) GraftExpressions.litLong(exprs(4), "graft_table_scan", "version")
+          else -1L
+        graft.etl.TxTable.scan(spark, path, column, lo, hi, version)
+          .queryExecution.logical
+      }))
+  }
+
+  private def litStr(exprs: Seq[Expression], i: Int, fn: String, arg: String): String = {
+    require(i < exprs.length, s"$fn: missing argument '$arg'")
+    val e = exprs(i)
+    require(e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.StringType],
+      s"$fn: '$arg' must be a literal string")
+    e.eval().toString
+  }
+
+  private def litNum(exprs: Seq[Expression], i: Int, fn: String, arg: String): Double = {
+    require(i < exprs.length, s"$fn: missing argument '$arg'")
+    val e = exprs(i)
+    require(e.foldable, s"$fn: '$arg' must be a numeric literal")
+    e.eval() match {
+      case n: Number => n.doubleValue()
+      case d: java.math.BigDecimal => d.doubleValue()
+      case v => throw new IllegalArgumentException(s"$fn: '$arg' is not numeric: $v")
+    }
   }
 }

@@ -135,7 +135,16 @@ object VectorOps {
     * one-sided. */
   private[graft] def lshNearDupPairs(e: DataFrame, tables: Int, bits: Int,
                                      thresh: Double,
-                                     twoSided: Boolean = false): DataFrame = {
+                                     twoSided: Boolean = false): DataFrame =
+    lshConfirm(e, lshCandidatesVec(e, tables, bits, twoSided), thresh)
+
+  /** q40's candidate stage alone — the banding/probing/blacklist half,
+    * ending at the distinct (id_a, id_b) pair set; split out so
+    * ScaleProbe's `lshprofile` mode can time it separately from the
+    * exact-confirm half (r16 verdict task 5: q40 is the ×100 tail, and
+    * tuning needs to know which half dominates). */
+  private[graft] def lshCandidatesVec(e: DataFrame, tables: Int, bits: Int,
+                                      twoSided: Boolean = false): DataFrame = {
     val idx = e.select(col("vec_id"),
         posexplode(graft.plans.GraftExpressions.lshKeys(
           col("embedding"), tables, bits, LshMult)))
@@ -160,20 +169,25 @@ object VectorOps {
     val idCond =
       if (twoSided) col("y.vec_id") =!= col("x.vec_id")
       else col("y.vec_id") < col("x.vec_id")
-    val cand = x.join(y, col("x.tbl") === col("y.tbl") && col("x.k") === col("y.pk")
+    x.join(y, col("x.tbl") === col("y.tbl") && col("x.k") === col("y.pk")
         && idCond)
       // least/greatest normalizes the two-sided directions onto one pair
       // key; in the one-sided mode y < x already, so this is the identity
       .select(least(col("y.vec_id"), col("x.vec_id")).as("id_a"),
         greatest(col("y.vec_id"), col("x.vec_id")).as("id_b"))
       .distinct()
+  }
+
+  /** q40's exact-confirm stage: fetch both endpoints' embeddings and
+    * keep pairs whose true cosine clears `thresh`. */
+  private[graft] def lshConfirm(e: DataFrame, cand: DataFrame,
+                                thresh: Double): DataFrame =
     cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
       .withColumn("cosine", cosine("va", "vb"))
       .filter(col("cosine") > thresh)
       .select(col("id_a"), col("id_b"), col("cosine"))
-  }
 
   /** DuckDB CTE chain replaying `Similarity.kmeansCentroids(k, iters)`
     * exactly (seeds = k lowest-id vectors renumbered 0..k-1; per

@@ -140,10 +140,21 @@ object ChangeStream {
         (!graft.etl.TxTable.exists(statePath) &&
           fs.exists(new org.apache.hadoop.fs.Path(statePath)))
       if (legacy) graft.etl.Gold.upsert(ss, statePath, cur, "doc_id")
-      else graft.etl.TxTable.mergeUpsertPartitioned(ss, statePath,
-        cur.withColumn("b",
-          pmod(xxhash64(col("doc_id")), lit(StateBuckets)).cast("string")),
-        "doc_id", "b")
+      else {
+        // bucket count comes from the TABLE's layout descriptor, not the
+        // compile-time constant: a binary rebuilt with a different
+        // StateBuckets would otherwise hash the same doc_id into a FRESH
+        // bucket that never collides with its old rows — duplicate keys
+        // (r16 verdict task). The descriptor is recorded at layout
+        // creation and validated by mergeUpsertPartitioned thereafter;
+        // a pre-descriptor scoped state (r16 builds, all 16-bucket) gets
+        // it recorded retroactively.
+        val buckets = bucketCountOf(statePath).getOrElse(StateBuckets)
+        graft.etl.TxTable.mergeUpsertPartitioned(ss, statePath,
+          cur.withColumn("b",
+            pmod(xxhash64(col("doc_id")), lit(buckets)).cast("string")),
+          "doc_id", "b", layout = layoutDescriptor(buckets))
+      }
       // bound the state's version history: keep the last RetainVersions
       // commits readable (crash forensics / stream debugging), drop the
       // bytes behind older ones — otherwise a long-lived stream holds
@@ -160,8 +171,29 @@ object ChangeStream {
   /** How many recent state versions an ingesting stream keeps readable. */
   val RetainVersions = 3
 
-  /** Hash-bucket count of a partition-scoped state. Deployment rule:
-    * size so one bucket's rewrite (|state| / StateBuckets plus the
-    * batch's matching rows) fits the per-micro-batch write budget. */
+  /** Hash-bucket count for a NEWLY CREATED partition-scoped state (an
+    * existing state's count always comes from its recorded layout
+    * descriptor — see [[bucketCountOf]]). Deployment rule: size so one
+    * bucket's rewrite (|state| / StateBuckets plus the batch's matching
+    * rows) fits the per-micro-batch write budget. */
   val StateBuckets = 16
+
+  /** The layout descriptor recorded in the state table's manifest:
+    * `pmod(xxhash64(doc_id), N)` spelled out, so the scoping rule is
+    * self-describing and a mismatched writer fails fast in
+    * [[graft.etl.TxTable.mergeUpsertPartitioned]]. */
+  private[graft] def layoutDescriptor(buckets: Int): String =
+    s"hash-bucket(doc_id):$buckets"
+
+  private val LayoutPattern = """hash-bucket\(doc_id\):(\d+)""".r
+
+  /** The bucket count the state table was CREATED with, read from its
+    * recorded layout descriptor; None for a fresh table or a
+    * pre-descriptor history (all of which were built with 16). */
+  private[graft] def bucketCountOf(statePath: String): Option[Int] =
+    if (!graft.etl.TxTable.exists(statePath)) None
+    else graft.etl.TxTable.snapshot(statePath).layout match {
+      case LayoutPattern(n) => Some(n.toInt)
+      case _ => None
+    }
 }

@@ -686,6 +686,12 @@ class StreamingSpec extends AnyFunSuite {
       s"CDC state history unbounded: $readable versions readable")
     // the surviving history window still time-travels
     assert(TxTable.read(spark, statePath, latest).count() == 15)
+    // round 17: the scoping constant is part of the persistent layout —
+    // recorded at creation, read back (not assumed) by every later batch,
+    // so a binary rebuilt with a different StateBuckets cannot mis-scope
+    assert(TxTable.snapshot(statePath).layout ==
+      s"hash-bucket(doc_id):${ChangeStream.StateBuckets}")
+    assert(ChangeStream.bucketCountOf(statePath).contains(ChangeStream.StateBuckets))
   }
 
   test("standing near-dup index: streamed matches equal the batch banding over all drops") {

@@ -392,6 +392,148 @@ class TxTableSpec extends AnyFunSuite {
       "a losing migrator replayed legacy contents over a later commit")
   }
 
+  test("declared stats columns: merge commits stat fresh dirs; a never-compacted table prunes scans") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tmp()
+    def pdf(rows: (Long, String, String)*) = rows.toDF("k", "v", "p")
+    // seed two partitions with disjoint key ranges through the MERGE path
+    TxTable.mergeUpsertPartitioned(spark, root,
+      pdf(((0L until 50L).map(i => (i, s"v$i", "x")) ++
+        (1000L until 1050L).map(i => (i, s"v$i", "y"))): _*), "k", "p")
+    // declare stats on k: a metadata commit that BACKFILLS current dirs
+    val sv = TxTable.setStatsColumns(spark, root, Seq("k"))
+    assert(TxTable.snapshot(root, sv).statsCols == Seq("k"))
+    val backfilled = TxTable.readStats(root, sv)
+    assert(TxTable.snapshot(root, sv).dirs.forall(d =>
+      backfilled.exists(s => s.dir == d && s.col == "k")),
+      "setStatsColumns must backfill every current dir")
+    // subsequent scoped merges stat their FRESH dirs too — no compact ever
+    val mv = TxTable.mergeUpsertPartitioned(spark, root,
+      pdf((2000L, "z0", "z"), (2001L, "z1", "z")), "k", "p")
+    val after = TxTable.readStats(root, mv)
+    assert(TxTable.snapshot(root, mv).dirs.forall(d =>
+      after.exists(s => s.dir == d && s.col == "k")),
+      "a merge commit on a stats-declared table left its fresh dir unstatted")
+    // …and so does append
+    val av = TxTable.append(spark, root, pdf((3000L, "a0", "w")))
+    assert(TxTable.readStats(root, av).exists(s =>
+      s.col == "k" && s.min == 3000.0 && s.max == 3000.0))
+    // a narrow range over this never-compacted table prunes at the
+    // manifest level, with result identity vs the unpruned filter
+    val (kept, dropped) = TxTable.pruneDirs(root, "k", 1000, 1049)
+    assert(dropped >= 3 && kept.length == 1,
+      s"merge-committed table did not prune: kept ${kept.length}, dropped $dropped")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = asSet(TxTable.read(spark, root).filter(col("k").between(1000, 1049)))
+    assert(want.size == 50 && asSet(TxTable.scan(spark, root, "k", 1000, 1049)) == want)
+  }
+
+  test("schema contract: mismatched commit rejected up front; evolve records the new schema") {
+    import spark.implicits._
+    val root = tmp()
+    TxTable.refresh(spark, root, df(1L -> "a"))
+    assert(TxTable.snapshot(root).schemaDdl.nonEmpty, "commits must record the schema")
+    val wrong = Seq((1L, "a", 3.5)).toDF("k", "v", "w")
+    val e = intercept[IllegalArgumentException] { TxTable.append(spark, root, wrong) }
+    assert(e.getMessage.contains("schema mismatch"))
+    intercept[IllegalArgumentException] { TxTable.mergeUpsert(spark, root, wrong, "k") }
+    intercept[IllegalArgumentException] { TxTable.refresh(spark, root, wrong) }
+    assert(TxTable.latestVersion(root) == 0, "a rejected commit must not advance the version")
+    // nullability is normalized OUT of the fingerprint: a parquet
+    // round-trip of the table's own rows commits fine
+    assert(TxTable.append(spark, root, TxTable.read(spark, root).limit(0)) == 1)
+    // evolve: accepted, recorded, and ENFORCED for later commits
+    val ev = TxTable.refresh(spark, root, wrong, evolve = true)
+    assert(TxTable.snapshot(root, ev).schemaDdl.contains("w"))
+    intercept[IllegalArgumentException] { TxTable.append(spark, root, df(9L -> "x")) }
+    // the partitioned path enforces the same contract
+    val root2 = tmp()
+    def pdf(rows: (Long, String, String)*) = rows.toDF("k", "v", "p")
+    TxTable.mergeUpsertPartitioned(spark, root2, pdf((1L, "a", "x")), "k", "p")
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.mergeUpsertPartitioned(spark, root2,
+        Seq((2L, 7.0, "x")).toDF("k", "v", "p"), "k", "p")
+    }
+    assert(e2.getMessage.contains("schema mismatch"))
+  }
+
+  test("layout contract: scoping descriptor recorded at creation, carried, validated on merges") {
+    import spark.implicits._
+    val root = tmp()
+    def pdf(rows: (Long, String, String)*) = rows.toDF("k", "v", "p")
+    TxTable.mergeUpsertPartitioned(spark, root, pdf((1L, "a", "x")), "k", "p",
+      layout = "hash-bucket(k):16")
+    assert(TxTable.snapshot(root).layout == "hash-bucket(k):16")
+    // matching and silent writers proceed; the descriptor carries forward
+    TxTable.mergeUpsertPartitioned(spark, root, pdf((2L, "b", "y")), "k", "p",
+      layout = "hash-bucket(k):16")
+    TxTable.mergeUpsertPartitioned(spark, root, pdf((3L, "c", "x")), "k", "p")
+    assert(TxTable.snapshot(root).layout == "hash-bucket(k):16")
+    // a writer built with a DIFFERENT scoping constant fails fast —
+    // before any data write (the r16 StateBuckets-rebuild hazard)
+    val e = intercept[IllegalArgumentException] {
+      TxTable.mergeUpsertPartitioned(spark, root, pdf((4L, "d", "x")), "k", "p",
+        layout = "hash-bucket(k):32")
+    }
+    assert(e.getMessage.contains("layout mismatch"))
+    assert(TxTable.latestVersion(root) == 2)
+    // compact carries the descriptor through the re-layout
+    val cv = TxTable.compact(spark, root)
+    assert(TxTable.snapshot(root, cv).layout == "hash-bucket(k):16")
+  }
+
+  test("NaN-polluted sidecar stats keep their dir: pruning stays sound") {
+    val root = tmp()
+    TxTable.refresh(spark, root, df(1L -> "a"))
+    val dir = TxTable.snapshot(root, 0).dirs.head
+    // an older build could have persisted NaN stats (Spark max() is
+    // NaN-greatest); the negated-overlap test must KEEP such dirs —
+    // the direct min<=hi && max>=lo form silently dropped them
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_txlog", "v00000000.stats.json"),
+      s"""{"version":0,"stats":[{"dir":"$dir","col":"k","min":NaN,"max":NaN}]}""")
+    val (kept, dropped) = TxTable.pruneDirs(root, "k", 0, 10)
+    assert(kept == Seq(dir) && dropped == 0, "a NaN stat must never prune a dir")
+    assert(TxTable.scan(spark, root, "k", 0, 10).count() == 1)
+  }
+
+  test("all-NULL cluster column: compact omits the stat instead of failing") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = tmp()
+    TxTable.refresh(spark, root, spark.range(100)
+      .select(col("id").as("k"), lit(null).cast("double").as("w")))
+    // previously: getDouble on the null aggregate threw NPE, failing the
+    // whole compact (r16 advisor); now the (dir, w) stat is just omitted
+    val cv = TxTable.compact(spark, root, targetBytes = Long.MaxValue,
+      clusterBy = Seq("k", "w"))
+    val stats = TxTable.readStats(root, cv)
+    assert(stats.exists(_.col == "k") && !stats.exists(_.col == "w"))
+    // the unstatted column never prunes — all rows stay reachable
+    val (_, dropped) = TxTable.pruneDirs(root, "w", 0, 1)
+    assert(dropped == 0)
+    assert(TxTable.scan(spark, root, "w", 0, 1).count() == 0) // exact filter still applies
+  }
+
+  test("a stale hint re-seeds after the forward probe (read-heavy write-idle table)") {
+    val root = tmp()
+    TxTable.refresh(spark, root, df(1L -> "a"))
+    val dir = TxTable.snapshot(root, 0).dirs.head
+    (1 to 50).foreach(v => assert(TxTable.tryCommit(root, v, "append", Seq(dir))))
+    // simulate a winner that crashed between its link and its writeHint
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_txlog", "_latest.hint"), "0")
+    TxTable.resetCounters()
+    assert(TxTable.latestVersion(root) == 50)
+    assert(TxTable.manifestProbes.get() >= 50, "sanity: stale hint pays the probe once")
+    TxTable.resetCounters()
+    assert(TxTable.latestVersion(root) == 50)
+    assert(TxTable.manifestProbes.get() <= 2,
+      "hint not re-seeded: the second resolve re-paid the O(commits-since-hint) probe")
+    assert(TxTable.fullListings.get() == 0)
+  }
+
   test("compact preserves a partitioned layout: per-partition groups stay scoped") {
     import spark.implicits._
     val root = tmp()
