@@ -330,11 +330,16 @@ object TxTable {
   /** Exact per-dir min/max for the declared stats columns — ONE min/max
     * aggregation over each freshly-written dir (a columnar scan of just
     * those columns; the write itself already cost a full pass, so this
-    * is a small constant factor on the commit). A column missing from
-    * the dir's schema, all-NULL, or carrying a NaN yields NO stat — an
-    * unstatted (dir, col) is always scanned, so skipping stays sound
-    * (the r16 advisor's NaN finding: Spark's max() is NaN-greatest, so
-    * a NaN-polluted range comparison would silently drop live dirs). */
+    * is a small constant factor on the commit). Three stat shapes:
+    *  - finite min/max: the normal range stat;
+    *  - NULL aggregates (empty dir, or the column is all-NULL): the
+    *    EMPTY-RANGE sentinel (min = +Inf, max = -Inf) — such a dir has
+    *    no row that any range predicate can match (NULL never satisfies
+    *    BETWEEN), so pruning it is sound and an ingest pipeline's empty
+    *    batches stop costing a scan forever;
+    *  - NaN anywhere: NO stat (Spark's max() is NaN-greatest, so the
+    *    range is meaningless) — an unstatted (dir, col) is always
+    *    scanned, the sound default (r16 advisor's NaN finding). */
   private def dirStatsOf(spark: SparkSession, root: String,
                          rels: Seq[String], cols: Seq[String]): Seq[DirStat] =
     if (cols.isEmpty) Nil
@@ -350,8 +355,9 @@ object TxTable {
         val r = df.agg(aggs.head, aggs.tail: _*).head()
         present.flatMap { c =>
           val (i, j) = (r.fieldIndex(s"_mn_$c"), r.fieldIndex(s"_mx_$c"))
-          if (r.isNullAt(i) || r.isNullAt(j) ||
-              r.getDouble(i).isNaN || r.getDouble(j).isNaN) Nil
+          if (r.isNullAt(i) || r.isNullAt(j))
+            Seq(DirStat(rel, c, Double.PositiveInfinity, Double.NegativeInfinity))
+          else if (r.getDouble(i).isNaN || r.getDouble(j).isNaN) Nil
           else Seq(DirStat(rel, c, r.getDouble(i), r.getDouble(j)))
         }
       }

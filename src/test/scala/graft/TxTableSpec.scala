@@ -484,6 +484,21 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.snapshot(root, cv).layout == "hash-bucket(k):16")
   }
 
+  test("an empty ingest batch yields an always-pruned dir (empty-range sentinel stat)") {
+    val root = tmp()
+    TxTable.refresh(spark, root, df(1L -> "a"))
+    TxTable.setStatsColumns(spark, root, Seq("k"))
+    // an ingest pipeline's empty batch: no row can ever match a range
+    // predicate, so the dir gets the (+Inf, -Inf) sentinel and every
+    // range scan prunes it forever
+    TxTable.append(spark, root, df(1L -> "x").limit(0))
+    val (kept, dropped) = TxTable.pruneDirs(root, "k", -1e18, 1e18)
+    assert(dropped == 1 && kept.length == 1,
+      s"empty dir not pruned: kept ${kept.length}, dropped $dropped")
+    assert(TxTable.scan(spark, root, "k", 0, 10).count() == 1)
+    assert(rowsOf(root) == Set(1L -> "a"))
+  }
+
   test("NaN-polluted sidecar stats keep their dir: pruning stays sound") {
     val root = tmp()
     TxTable.refresh(spark, root, df(1L -> "a"))
