@@ -34,11 +34,23 @@ object VectorOps {
     * quadratic (SCALE.md measured 27× cost at 10× data with `bits` pinned
     * to 6). `autoBits(n)` is the smallest width ≥ the spec-pinned floor
     * (LshBits = 6) that keeps expected occupancy ≤ TargetOccupancy:
-    * the minimal b with 2^b ≥ n / TargetOccupancy, i.e. (16 << b) ≥ n.
+    * the minimal b with 2^b ≥ n / TargetOccupancy, i.e. (8 << b) ≥ n.
     * Pure integer arithmetic — no log2 doubles — so the DuckDB oracle
     * twin (a generate_series + bit-shift scan) picks the identical width
-    * from its own COUNT(*) with zero FP-parity risk. */
-  private[graft] val TargetOccupancy = 16L
+    * from its own COUNT(*) with zero FP-parity risk.
+    *
+    * TargetOccupancy went 16 → 8 in round 17 off the lshprofile split
+    * (verdict task 5): at the ×100 replica the candidate stage was 69%
+    * of q40's wall, and the width frontier measured occ 8 as a STRICT
+    * win — 379.6 s/recall 0.049 (occ 12 effective) → 162.9 s/recall
+    * 0.090 — because halving occupancy halves the occupancy² candidate
+    * volume AND shrinks the hot-bucket blacklist's true-pair losses,
+    * while one more bit's key-compute cost only binds a step later
+    * (occ 3: 342 s — the frontier's other wall;
+    * probe_lshprofile_r17.jsonl / the lsh_neardup width rows). The
+    * sf0.01 oracle gate keeps bits = 6 under either constant, so the
+    * checked pair set is unchanged. */
+  private[graft] val TargetOccupancy = 8L
   private[graft] def autoBits(n: Long): Int =
     (LshBits to 40).find(b => (TargetOccupancy << b) >= n).getOrElse(40)
 
@@ -93,8 +105,10 @@ object VectorOps {
     * are dropped (probe side stays full), which bounds join output at
     * probes·Cap per probe key — ∝ n overall. Dense-region pairs lost
     * to a hot bucket in one table keep their 7 other tables. 96 =
-    * 6 × TargetOccupancy sits comfortably above the max observed gate
-    * bucket (35 at sf0.01, 85 at sf0.1), so the cap does NOT bind at
+    * 12 × TargetOccupancy sits comfortably above the max observed gate
+    * bucket (35 at sf0.01, 85 at sf0.1 at the pre-r17 width; the r17
+    * occupancy change only narrows buckets, SimilaritySpec re-checks
+    * the no-bind property at both gates), so the cap does NOT bind at
     * either oracle gate and the checked pair sets are unchanged; the
     * DuckDB twin mirrors the cap with the same HAVING > cap bucket
     * blacklist. */
@@ -345,7 +359,7 @@ object VectorOps {
     // lowest-margin flip set from its own COUNT(*) and plane dots). The
     // count() is one driver-side scalar — the standard build-time step
     // of any ANN index build. At the driver's sf0.01/sf0.1 gates
-    // autoBits gives 6/7 ≤ MaxProbes, where the probe set IS full
+    // autoBits gives 6/8 ≤ MaxProbes, where the probe set IS full
     // Hamming-1 (pre-cap identical).
     "q40_lsh_neardup" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
@@ -1355,7 +1369,9 @@ object VectorOps {
 
     // The twin of the self-sizing q40: `params` derives the identical
     // bit width from COUNT(*) by the same integer rule as autoBits (a
-    // generate_series scan for the smallest b >= 6 with (16 << b) >= n —
+    // generate_series scan for the smallest b >= 6 with
+    // (TargetOccupancy << b) >= n, the constant interpolated so the two
+    // engines can never disagree —
     // no log2 doubles, so no FP-parity risk). `dots` materializes the
     // per-(vec, table) plane-dot list with a nested lambda over the
     // DYNAMIC plane index tbl*bits + b; `keyed` derives the sign key

@@ -201,19 +201,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("autoBits: integer sizing rule — floor 6, occupancy <= 16, monotone") {
+  test("autoBits: integer sizing rule — floor 6, occupancy <= 8, monotone") {
+    // TargetOccupancy = 8 since round 17 (the measured ×100 frontier:
+    // occ 8 halves candidate volume AND raises recall vs occ 16 —
+    // narrower buckets also shrink the hot-bucket blacklist's losses)
     import graft.queries.VectorOps.autoBits
     assert(autoBits(1) == 6)                 // floor: never below the spec-pinned width
-    assert(autoBits(16L << 6) == 6)          // exact boundary stays at the floor
-    assert(autoBits((16L << 6) + 1) == 7)    // one past the boundary steps up
-    assert(autoBits(500) == 6)               // sf0.01 gate
-    assert(autoBits(2000) == 7)              // sf0.1 gate
-    assert(autoBits(20000) == 11)            // ScaleGen x10 replica
+    assert(autoBits(8L << 6) == 6)           // exact boundary stays at the floor
+    assert(autoBits((8L << 6) + 1) == 7)     // one past the boundary steps up
+    assert(autoBits(500) == 6)               // sf0.01 gate (oracle width unchanged)
+    assert(autoBits(2000) == 8)              // sf0.1 gate (still full Hamming-1: = MaxProbes)
+    assert(autoBits(20000) == 12)            // ScaleGen x10 replica
+    assert(autoBits(200000) == 15)           // x100 replica — the measured frontier point
     // occupancy bound + monotonicity over a wide range
     var prev = 0
     for (exp <- 0 to 30; n <- Seq((1L << exp), (1L << exp) + 1)) {
       val b = autoBits(n)
-      assert(n <= (16L << b), s"occupancy broken at n=$n bits=$b")
+      assert(n <= (8L << b), s"occupancy broken at n=$n bits=$b")
       assert(b >= prev, s"non-monotone at n=$n")
       prev = b
     }
