@@ -713,12 +713,37 @@ object TxTable {
     * soundness finding; fresh stats never record NaN, this guards
     * sidecars written by older builds). */
   private def pruneOf(root: String, s: Snapshot, col: String,
-                      lo: Double, hi: Double): (Seq[String], Int) = {
-    val byDir = readStats(root, s.version).filter(_.col == col)
-      .map(st => st.dir -> st).toMap
-    val kept = s.dirs.filter(d =>
-      byDir.get(d).forall(st => !(st.max < lo || st.min > hi)))
+                      lo: Double, hi: Double): (Seq[String], Int) =
+    pruneSnapshot(root, s, Map(col -> (lo, hi)))
+
+  /** Multi-column conjunctive prune against a resolved snapshot: a dir
+    * is dropped iff SOME constrained column's recorded range cannot
+    * overlap its [lo, hi] — the manifest-level translation of a
+    * conjunction of range predicates (the shape a query's pushed
+    * filters take in the [[graft.sources.GraftTableSource]] connector).
+    * Per column the test is the same NaN-safe negated-disjoint form as
+    * [[pruneDirs]]; an unconstrained or unstatted (dir, col) never
+    * drops a dir, so skipping stays sound for ANY ranges map. */
+  def pruneSnapshot(root: String, s: Snapshot,
+                    ranges: Map[String, (Double, Double)]): (Seq[String], Int) = {
+    if (ranges.isEmpty) return (s.dirs, 0)
+    val byDirCol = readStats(root, s.version)
+      .map(st => (st.dir, st.col) -> st).toMap
+    val kept = s.dirs.filter { d =>
+      ranges.forall { case (c, (lo, hi)) =>
+        byDirCol.get((d, c)).forall(st => !(st.max < lo || st.min > hi)) }
+    }
     (kept, s.dirs.length - kept.length)
+  }
+
+  /** The table's schema at `version`: the manifest's recorded DDL when
+    * the contract is active (no file I/O beyond the manifest), else the
+    * parquet footers of the snapshot's dirs (pre-contract tables). */
+  def tableSchema(spark: SparkSession, root: String,
+                  version: Long = -1L): org.apache.spark.sql.types.StructType = {
+    val s = snapshot(root, version)
+    if (s.schemaDdl.nonEmpty) org.apache.spark.sql.types.StructType.fromDDL(s.schemaDdl)
+    else spark.read.parquet(s.dirs.map(d => s"$root/$d"): _*).schema
   }
 
   /** Stats-pruned range scan: reads ONLY the dirs whose recorded

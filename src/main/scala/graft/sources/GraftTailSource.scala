@@ -1,0 +1,102 @@
+package graft.sources
+
+import graft.etl.TxTable
+
+import org.apache.spark.sql.{DataFrame, GraftBridge, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+
+/** `spark.readStream.format("graft").load(path)` — incremental tailing
+  * of a [[TxTable]] commit log as a Structured Streaming source, the
+  * Delta-streaming-source recipe (Armbrust et al. §4.4: "treat the log
+  * as a message queue"): the stream OFFSET is the table VERSION, each
+  * micro-batch is exactly the data dirs that versions (start, end] ADDED
+  * relative to their predecessors, and the checkpoint's offset log makes
+  * consumption exactly-once per committed dir across restarts (dirs are
+  * immutable, versions dense, so (start, end] is replay-stable).
+  *
+  * Rewrite semantics, mirroring Delta's documented streaming contract.
+  * The hazard test is structural, not action-name matching: a version
+  * REWRITES rows iff it DROPS a dir its predecessor listed (the
+  * dropped dir's rows may reappear inside the version's fresh dirs —
+  * refresh/compact/merge all have this shape; an append, a migrate, a
+  * metadata-only setstats, or a merge/refresh landing on an EMPTY
+  * table drop nothing and stream as pure appends). On a rewriting
+  * version the source FAILS by default (a checkpointed stream must not
+  * silently double-count) — exactly Delta's error asking for
+  * `ignoreChanges`. With option `ignoreChanges=true` the fresh dirs are
+  * re-emitted (downstream dedupes by key — at-least-once on rewritten
+  * rows, the contract Delta documents); a deletion-only version
+  * (dirs dropped, none added) is likewise accepted only under
+  * `ignoreChanges` (Delta's `ignoreDeletes` case, folded into the one
+  * option here).
+  *
+  * Options: `startingVersion` = N (tail from version N inclusive;
+  * default 0 = replay the full committed history first, the
+  * FileStreamSource convention) or `"latest"` (only versions committed
+  * after stream start). `ignoreChanges` as above.
+  *
+  * Vacuuming versions the stream has not processed yet makes getBatch
+  * fail loudly on the missing manifest (data loss must never be
+  * silent); retention must trail the slowest stream, the same
+  * operational contract as the table's readers.
+  */
+final case class GraftTailSource(sqlContext: SQLContext, root: String,
+                                 userSchema: Option[StructType],
+                                 parameters: Map[String, String]) extends Source {
+
+  private val spark: SparkSession = sqlContext.sparkSession
+  private val ignoreChanges =
+    parameters.get("ignoreChanges").exists(_.trim.toBoolean)
+  /** Highest version NOT part of the stream (exclusive lower bound). */
+  private val startExclusive: Long =
+    parameters.get("startingVersion").map(_.trim) match {
+      case None           => -1L // full history
+      case Some("latest") => TxTable.latestVersion(root)
+      case Some(n)        => n.toLong - 1L
+    }
+
+  override val schema: StructType =
+    userSchema.getOrElse(TxTable.tableSchema(spark, root))
+
+  private def ver(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other         => other.json.trim.toLong // SerializedOffset on restart
+  }
+
+  override def getOffset: Option[Offset] = {
+    val v = TxTable.latestVersion(root)
+    if (v < 0 || v <= startExclusive) None else Some(LongOffset(v))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(ver).getOrElse(startExclusive)
+    val to = ver(end)
+    val fresh = ((from + 1) to to).flatMap { v =>
+      val s = TxTable.snapshot(root, v)
+      val prev =
+        if (v == 0) Set.empty[String]
+        else TxTable.snapshot(root, v - 1).dirs.toSet
+      val added = s.dirs.filterNot(prev)
+      val dropped = prev -- s.dirs.toSet
+      if (dropped.nonEmpty && !ignoreChanges)
+        throw new IllegalStateException(
+          s"graft stream on $root: version $v ('${s.action}') drops " +
+            s"${dropped.size} dir(s) the stream may already have emitted " +
+            "rows from — rewritten/deleted rows cannot stream exactly-once; " +
+            "pass option(\"ignoreChanges\",\"true\") to re-emit the " +
+            "version's fresh dirs (dedupe downstream by key), or keep the " +
+            "table append-only")
+      added
+    }
+    val batch =
+      if (fresh.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(fresh.map(d => s"$root/$d"): _*)
+    GraftBridge.streamingFrame(batch)
+  }
+
+  override def commit(end: Offset): Unit = () // offsets live in the checkpoint
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,204 @@
+package graft
+
+import graft.etl.TxTable
+import graft.sources.GraftTableSource
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `format("graft")` connector: the TxTable format behind Spark's
+  * standard reader/writer/readStream API. Pins the three contracts the
+  * Scaladoc claims: (1) reads are pinned consistent snapshots with
+  * versionAsOf time travel and WHERE-clause-driven manifest-level dir
+  * skipping that can only skip, never change a result; (2) writes are
+  * transactional commits with the SaveMode semantics; (3) the streaming
+  * tail is exactly-once per committed dir across restarts and fails
+  * loudly on rewriting versions unless ignoreChanges opts into
+  * re-emission (the Delta streaming-source contract). */
+class GraftSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-src-$name").toString + "/t"
+
+  private def kv(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+
+  private def ks(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.collect().map(r => (r.getLong(r.fieldIndex("k")), r.getString(r.fieldIndex("v")))).toSet
+
+  test("write/read round-trip with SaveMode semantics and time travel") {
+    val root = tmp("rt")
+    // default mode is ErrorIfExists: first save creates the table
+    kv(1L -> "a", 2L -> "b").write.format("graft").save(root)
+    assert(ks(spark.read.format("graft").load(root)) == Set(1L -> "a", 2L -> "b"))
+    intercept[IllegalStateException] {
+      kv(9L -> "x").write.format("graft").save(root)
+    }
+    kv(3L -> "c").write.format("graft").mode(SaveMode.Append).save(root)
+    assert(ks(spark.read.format("graft").load(root)) ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // Ignore: existing table -> no-op
+    kv(9L -> "x").write.format("graft").mode(SaveMode.Ignore).save(root)
+    assert(ks(spark.read.format("graft").load(root)) ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    kv(9L -> "z").write.format("graft").mode(SaveMode.Overwrite).save(root)
+    assert(ks(spark.read.format("graft").load(root)) == Set(9L -> "z"))
+    // time travel: every prior version is still a readable pinned snapshot
+    assert(ks(spark.read.format("graft").option("versionAsOf", 0).load(root)) ==
+      Set(1L -> "a", 2L -> "b"))
+    assert(ks(spark.read.format("graft").option("versionAsOf", 1).load(root)) ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("a loaded DataFrame is a pinned snapshot: later commits are invisible to it") {
+    val root = tmp("pin")
+    kv(1L -> "a").write.format("graft").save(root)
+    val pinned = spark.read.format("graft").load(root)
+    kv(2L -> "b").write.format("graft").mode(SaveMode.Append).save(root)
+    assert(ks(pinned) == Set(1L -> "a"))
+    assert(ks(spark.read.format("graft").load(root)) == Set(1L -> "a", 2L -> "b"))
+  }
+
+  /** An ingest-shaped table: batches of 100 contiguous keys, stats on k
+    * declared after the first batch, never compacted. */
+  private def ingestTable(name: String, batches: Int): String = {
+    import spark.implicits._
+    val root = tmp(name)
+    (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v")
+      .write.format("graft").save(root)
+    TxTable.setStatsColumns(spark, root, Seq("k"))
+    (1 until batches).foreach { b =>
+      (b * 100L until (b + 1) * 100L).map(k => (k, s"v$k")).toDF("k", "v")
+        .write.format("graft").mode(SaveMode.Append).save(root)
+    }
+    root
+  }
+
+  test("WHERE-clause range pushdown prunes dirs at the manifest level, result identical") {
+    import spark.implicits._
+    val root = ingestTable("prune", 8)
+    val t = spark.read.format("graft").load(root)
+    val got = t.where($"k" >= 250L && $"k" < 320L)
+    assert(ks(got) == (250L until 320L).map(k => k -> s"v$k").toSet)
+    // the range spans batches 2 and 3 only: at least 6 of 8 dirs skipped
+    assert(GraftTableSource.lastPrunedDirs.get >= 6,
+      s"expected >=6 pruned, got ${GraftTableSource.lastPrunedDirs.get}")
+    assert(GraftTableSource.lastKeptDirs.get <= 2)
+    // equality lands in exactly one dir
+    assert(ks(t.where($"k" === 555L)) == Set(555L -> "v555"))
+    assert(GraftTableSource.lastKeptDirs.get == 1)
+    // IN-list prunes to the min..max span
+    assert(ks(t.where($"k".isin(10L, 20L))) == Set(10L -> "v10", 20L -> "v20"))
+    assert(GraftTableSource.lastKeptDirs.get == 1)
+    // no filter: nothing pruned, full table back
+    assert(t.count() == 800L)
+    assert(GraftTableSource.lastPrunedDirs.get == 0)
+  }
+
+  test("all-pruned scan returns an empty frame with the table schema") {
+    import spark.implicits._
+    val root = ingestTable("allpruned", 3)
+    val t = spark.read.format("graft").load(root)
+    val empty = t.where($"k" > 100000L)
+    assert(empty.count() == 0)
+    assert(GraftTableSource.lastKeptDirs.get == 0)
+    assert(empty.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("untranslatable / disjunctive predicates do not prune and stay correct") {
+    import spark.implicits._
+    val root = ingestTable("safe", 4)
+    val t = spark.read.format("graft").load(root)
+    // OR spans two far-apart dirs: connector must not range-collapse it wrongly
+    assert(ks(t.where($"k" === 5L || $"k" === 350L)) ==
+      Set(5L -> "v5", 350L -> "v350"))
+    // predicate on the unstatted string column: all dirs kept, exact rows back
+    assert(ks(t.where($"v" === "v123")) == Set(123L -> "v123"))
+    assert(GraftTableSource.lastPrunedDirs.get == 0)
+  }
+
+  test("column projection through the connector") {
+    import spark.implicits._
+    val root = ingestTable("proj", 2)
+    val vs = spark.read.format("graft").load(root)
+      .where($"k" < 3L).select("v").collect().map(_.getString(0)).toSet
+    assert(vs == Set("v0", "v1", "v2"))
+  }
+
+  test("streaming tail: full-history replay, incremental appends, exactly-once across restart") {
+    import spark.implicits._
+    val root = tmp("tail")
+    val out = tmp("tail-out")
+    val ckpt = tmp("tail-ckpt")
+    kv(1L -> "a", 2L -> "b").write.format("graft").save(root)
+    kv(3L -> "c").write.format("graft").mode(SaveMode.Append).save(root)
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run() // replays the full committed history (versions 0..1)
+    assert(ks(spark.read.parquet(out)) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // two more appends while the stream is DOWN, then restart from the
+    // checkpoint: each committed dir arrives exactly once (no replay of
+    // 0..1, no loss of 2..3) — the offsets-are-versions contract
+    kv(4L -> "d").write.format("graft").mode(SaveMode.Append).save(root)
+    kv(5L -> "e").write.format("graft").mode(SaveMode.Append).save(root)
+    run()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 5, s"exactly-once violated: ${rows.length} rows")
+    assert(ks(spark.read.parquet(out)) ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e"))
+  }
+
+  test("streaming tail fails on a rewriting version unless ignoreChanges") {
+    val root = tmp("rw")
+    kv(1L -> "a").write.format("graft").save(root)
+    TxTable.mergeUpsert(spark, root, kv(1L -> "A2", 2L -> "b"), "k")
+
+    def drain(ignoreChanges: Boolean): Set[(Long, String)] = {
+      val name = s"rwsink_$ignoreChanges"
+      val reader = spark.readStream.format("graft")
+      val src = (if (ignoreChanges) reader.option("ignoreChanges", "true") else reader)
+        .load(root)
+      val q = src.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+      ks(spark.table(name))
+    }
+    val ex = intercept[StreamingQueryException] { drain(ignoreChanges = false) }
+    assert(ex.getMessage.contains("ignoreChanges") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ignoreChanges")))
+    // with ignoreChanges: version 1's fresh (rewritten) dirs re-emit; the
+    // stream sees v0's original row AND v1's merged rows — at-least-once
+    // on rewrites, dedupe downstream by key (the documented contract)
+    assert(drain(ignoreChanges = true) ==
+      Set(1L -> "a", 1L -> "A2", 2L -> "b"))
+  }
+
+  test("startingVersion=latest tails only post-start commits") {
+    val root = tmp("latest")
+    kv(1L -> "old").write.format("graft").save(root)
+    val src = spark.readStream.format("graft")
+      .option("startingVersion", "latest").load(root)
+    val q = src.writeStream.format("memory").queryName("latest_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("latest_sink").count() == 0)
+    kv(2L -> "new").write.format("graft").mode(SaveMode.Append).save(root)
+    q.processAllAvailable()
+    q.stop()
+    assert(ks(spark.table("latest_sink")) == Set(2L -> "new"))
+  }
+}
