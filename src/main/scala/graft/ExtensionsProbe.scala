@@ -71,6 +71,16 @@ object ExtensionsProbe {
     require(spark.sql(
       s"SELECT count(*) AS n FROM graft_table_scan('$root', 'k', 50000, 60000)")
       .head.getLong(0) == 0, "graft_table_scan all-pruned range")
+    // round 17: string bounds dispatch to the DirStrStat scan
+    val sroot = java.nio.file.Files.createTempDirectory("graft-extprobe-s").toString + "/t"
+    graft.etl.TxTable.refresh(spark, sroot, spark.range(3)
+      .select(col("id").as("k"), org.apache.spark.sql.functions.lit("en").as("lang")))
+    graft.etl.TxTable.setStatsColumns(spark, sroot, Seq("lang"))
+    graft.etl.TxTable.append(spark, sroot, spark.range(2)
+      .select(col("id").as("k"), org.apache.spark.sql.functions.lit("fr").as("lang")))
+    require(spark.sql(
+      s"SELECT count(*) AS n FROM graft_table_scan('$sroot', 'lang', 'en', 'en')")
+      .head.getLong(0) == 3, "graft_table_scan string bounds")
     println(s"extensions-probe OK: ${r.length} vectors, ${chunks.length} chunks, " +
       s"${pk.length} probe-key rows, ${sh.head.getSeq[String](0).length} shingles, " +
       s"txtable TVFs green ($droppedDirs dirs pruned)")

@@ -12,7 +12,7 @@ import scala.jdk.CollectionConverters._
   * replica in ScaleGen output, so exact ground truth is available at
   * any replication factor).
   *
-  * Usage: ScaleProbe <sfDir> [bits|auto|auto2|knn|decontam|semdedup|bm25|ivfindex|lshprofile|txskipmerge|...] [tables|k|commits]
+  * Usage: ScaleProbe <sfDir> [bits|auto|auto2|knn|decontam|semdedup|bm25|ivfindex|lshprofile|txskipmerge|gsource|...] [tables|k|commits]
   * `auto` (the default) sizes bits from the corpus count exactly like
   * the shipped q40 — the no-manual-resizing path. `auto2` is the same
   * width with two-sided probing (`lshNearDupPairs(..., twoSided)`), the
@@ -578,6 +578,51 @@ object ScaleProbe {
         .filter(col("doc_id").between(0, 199)).count())
       require(rows == rowsFull, s"pruned scan row drift: $rows vs $rowsFull")
       println(f"""{"probe":"txskipmerge","sf":"$sfDir","corpus":$n,"dirs":$dirs,"kept_dirs":${kept.length},"pruned_dirs":$dropped,"rows":$rows,"pruned_scan_sec":$tPruned%.3f,"full_filter_sec":$tFull%.3f}""")
+      spark.stop()
+      return
+    }
+
+    // gsource: the round-17 format("graft") connector measured — the
+    // same ingest-shaped never-compacted table as txskipmerge, read
+    // back through `spark.read.format("graft")` with plain WHERE
+    // clauses. What's measured is the full automatic path: Catalyst
+    // pushes the predicates into buildScan, the connector translates
+    // them to ranges, and the manifest-level skip happens with no
+    // explicit scan API. Three shapes: a numeric range, a string
+    // equality (per-batch lang labels → DirStrStat pruning), and the
+    // unpruned full filter as the control.
+    if (bitsArg == "gsource") {
+      import graft.etl.TxTable
+      import graft.sources.GraftTableSource
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val n = docs.count()
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val nBatches = 32
+      val span = maxId / nBatches + 1
+      val root = java.nio.file.Files.createTempDirectory("graft-gsource").toString + "/t"
+      def batch(i: Int) = docs.filter(
+        col("doc_id") >= i * span && col("doc_id") < (i + 1) * span)
+        .withColumn("src", format_string("ingest-%02d", lit(i)))
+      TxTable.refresh(spark, root, batch(0))
+      TxTable.setStatsColumns(spark, root, Seq("doc_id", "src"))
+      (1 until nBatches).foreach(i => TxTable.append(spark, root, batch(i)))
+      val t = spark.read.format("graft").load(root)
+      def med3(f: => Long): (Double, Long) = {
+        val r = f
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (ts(1), r)
+      }
+      val (tRange, rowsRange) = med3(t.where(col("doc_id").between(0, 199)).count())
+      val keptRange = GraftTableSource.lastKeptDirs.get
+      val (tEq, rowsEq) = med3(t.where(col("src") === "ingest-07").count())
+      val keptEq = GraftTableSource.lastKeptDirs.get
+      val (tFull, rowsFull) = med3(TxTable.read(spark, root)
+        .filter(col("doc_id").between(0, 199)).count())
+      require(rowsRange == rowsFull, s"connector row drift: $rowsRange vs $rowsFull")
+      println(f"""{"probe":"gsource","sf":"$sfDir","corpus":$n,"dirs":$nBatches,"range_kept":$keptRange,"range_rows":$rowsRange,"range_sec":$tRange%.3f,"streq_kept":$keptEq,"streq_rows":$rowsEq,"streq_sec":$tEq%.3f,"full_filter_sec":$tFull%.3f}""")
       spark.stop()
       return
     }

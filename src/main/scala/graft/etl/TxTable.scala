@@ -154,17 +154,100 @@ object TxTable {
     * and a dir without a stat is always scanned. */
   final case class DirStat(dir: String, col: String, min: Double, max: Double)
 
+  /** Per-dir STRING column statistic (round 17 — the same Delta-paper
+    * recipe for string-typed columns: language codes, URL prefixes,
+    * ISO-date strings). `min`/`max` are CLOSED bounds in code-point
+    * order — the order Spark's own min()/max() aggregates use for
+    * strings (UTF8String compares bytes unsigned = code points), and
+    * the order [[strCompare]] reproduces for the prune test; values
+    * longer than [[StrStatMaxLen]] are truncated Delta-style (min:
+    * plain prefix, a sound lower bound; max: prefix with its last code
+    * point incremented, a sound strict upper bound — if no code point
+    * can be incremented the stat is omitted). The all-NULL / empty-dir
+    * sentinel is (min = "￿", max = "") — min > max, so every
+    * range prunes the dir, mirroring the numeric (+Inf, -Inf)
+    * sentinel. */
+  final case class DirStrStat(dir: String, col: String, min: String, max: String)
+
+  /** Truncation cap for recorded string stats (Delta uses 32; 64 keeps
+    * typical URL/path prefixes discriminating). */
+  val StrStatMaxLen = 64
+
+  /** Code-point (= UTF-8 binary = Spark UTF8String) string order. Java's
+    * String.compareTo is UTF-16 code-UNIT order, which ranks
+    * supplementary characters (surrogate pairs) BELOW U+E000..U+FFFF
+    * — the opposite of the
+    * order Spark's min/max used to record the stats, so using it for
+    * the prune test would be UNSOUND on non-BMP text. */
+  private[graft] def strCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Sound truncated lower bound: a prefix is ≤ the full string. */
+  private[graft] def truncMin(s: String): String =
+    if (s.length <= StrStatMaxLen) s else s.substring(0, StrStatMaxLen)
+
+  /** Strict upper bound for the set of strings with prefix `p`:
+    * increment p's rightmost incrementable code point (skipping the
+    * surrogate gap) and drop what follows. None when every code point
+    * is U+10FFFF (or p is empty) — no finite bound exists. */
+  private[graft] def strIncrement(p: String): Option[String] = {
+    val cps = p.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < 0x10FFFF) {
+        val next = if (cps(i) == 0xD7FF) 0xE000 else cps(i) + 1
+        val sb = new java.lang.StringBuilder
+        (0 until i).foreach(k => sb.appendCodePoint(cps(k)))
+        sb.appendCodePoint(next)
+        return Some(sb.toString)
+      }
+      i -= 1
+    }
+    None
+  }
+
+  /** [[strCompare]] as an Ordering (for min/max over candidate sets). */
+  private[graft] val strOrdering: Ordering[String] =
+    (a: String, b: String) => strCompare(a, b)
+
+  /** Sound truncated upper bound: values ≤ [[StrStatMaxLen]] stay
+    * exact; longer ones record the incremented prefix ([[strIncrement]]
+    * — > every string sharing it), or no stat at all when nothing is
+    * incrementable. */
+  private[graft] def truncMax(s: String): Option[String] =
+    if (s.length <= StrStatMaxLen) Some(s)
+    else strIncrement(s.substring(0, StrStatMaxLen))
+
   private def statsFile(root: String, v: Long): Path =
     logDir(root).resolve(f"v$v%08d.stats.json")
 
-  private def renderStats(v: Long, stats: Seq[DirStat]): String = {
+  private def qs(x: String): String = "\"" + x.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+  } + "\""
+
+  private def renderStats(v: Long, stats: Seq[DirStat],
+                          strStats: Seq[DirStrStat] = Nil): String = {
     val items = stats.map(s =>
-      s"""{"dir":"${s.dir}","col":"${s.col}","min":${s.min},"max":${s.max}}""")
+      s"""{"dir":"${s.dir}","col":"${s.col}","min":${s.min},"max":${s.max}}""") ++
+      strStats.map(s =>
+        s"""{"dir":${qs(s.dir)},"col":${qs(s.col)},"smin":${qs(s.min)},"smax":${qs(s.max)}}""")
     s"""{"version":$v,"stats":[${items.mkString(",")}]}"""
   }
 
   private val StatItem =
     """\{"dir":"([^"]*)","col":"([^"]*)","min":([-0-9.eE+]+|NaN|Infinity|-Infinity),"max":([-0-9.eE+]+|NaN|Infinity|-Infinity)\}""".r
+  private val StrStatItem =
+    ("""\{"dir":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)",""" +
+      """"smin":"((?:[^"\\]|\\.)*)","smax":"((?:[^"\\]|\\.)*)"\}""").r
+  private def unq(x: String): String =
+    x.replace("\\\"", "\"").replace("\\\\", "\\")
 
   /** Stats recorded at `version` (empty when the sidecar is absent —
     * older versions, crashed writers, raw tryCommit users). */
@@ -173,6 +256,18 @@ object TxTable {
     if (!Files.exists(p)) return Nil
     try StatItem.findAllMatchIn(Files.readString(p))
       .map(m => DirStat(m.group(1), m.group(2), m.group(3).toDouble, m.group(4).toDouble))
+      .toSeq
+    catch { case _: Exception => Nil }
+  }
+
+  /** String-column stats recorded at `version` (same sidecar, distinct
+    * record shape). */
+  def readStrStats(root: String, version: Long): Seq[DirStrStat] = {
+    val p = statsFile(root, version)
+    if (!Files.exists(p)) return Nil
+    try StrStatItem.findAllMatchIn(Files.readString(p))
+      .map(m => DirStrStat(unq(m.group(1)), unq(m.group(2)),
+        unq(m.group(3)), unq(m.group(4))))
       .toSeq
     catch { case _: Exception => Nil }
   }
@@ -294,7 +389,8 @@ object TxTable {
     * reported as success). Carried-by-reference dirs get touched too:
     * harmless (they are manifest-protected from vacuum regardless). */
   private def tryCommitAnchored(root: String, snap: Snapshot,
-                                freshStats: Seq[DirStat] = Nil): Boolean = {
+                                freshStats: Seq[DirStat] = Nil,
+                                freshStrStats: Seq[DirStrStat] = Nil): Boolean = {
     val version = snap.version
     val entries = snap.entries
     val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
@@ -319,9 +415,14 @@ object TxTable {
       val carried =
         if (version > 0) readStats(root, version - 1).filter(s => dirs(s.dir))
         else Nil
+      val carriedStr =
+        if (version > 0) readStrStats(root, version - 1).filter(s => dirs(s.dir))
+        else Nil
       val all = carried ++ freshStats
-      if (all.nonEmpty)
-        try Files.writeString(statsFile(root, version), renderStats(version, all))
+      val allStr = carriedStr ++ freshStrStats
+      if (all.nonEmpty || allStr.nonEmpty)
+        try Files.writeString(statsFile(root, version),
+          renderStats(version, all, allStr))
         catch { case _: Exception => () }
     }
     won
@@ -341,27 +442,46 @@ object TxTable {
     *    range is meaningless) — an unstatted (dir, col) is always
     *    scanned, the sound default (r16 advisor's NaN finding). */
   private def dirStatsOf(spark: SparkSession, root: String,
-                         rels: Seq[String], cols: Seq[String]): Seq[DirStat] =
-    if (cols.isEmpty) Nil
-    else rels.flatMap { rel =>
+                         rels: Seq[String],
+                         cols: Seq[String]): (Seq[DirStat], Seq[DirStrStat]) = {
+    if (cols.isEmpty) return (Nil, Nil)
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    import org.apache.spark.sql.types.StringType
+    val acc = rels.map { rel =>
       val df = spark.read.parquet(s"$root/$rel")
-      val present = cols.filter(df.columns.contains)
-      if (present.isEmpty) Nil
+      val typed = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val present = cols.filter(typed.contains)
+      if (present.isEmpty) (Nil, Nil)
       else {
-        import org.apache.spark.sql.functions.{min => fmin, max => fmax}
-        val aggs = present.flatMap(c => Seq(
-          fmin(col(c).cast("double")).as(s"_mn_$c"),
-          fmax(col(c).cast("double")).as(s"_mx_$c")))
-        val r = df.agg(aggs.head, aggs.tail: _*).head()
-        present.flatMap { c =>
-          val (i, j) = (r.fieldIndex(s"_mn_$c"), r.fieldIndex(s"_mx_$c"))
-          if (r.isNullAt(i) || r.isNullAt(j))
-            Seq(DirStat(rel, c, Double.PositiveInfinity, Double.NegativeInfinity))
-          else if (r.getDouble(i).isNaN || r.getDouble(j).isNaN) Nil
-          else Seq(DirStat(rel, c, r.getDouble(i), r.getDouble(j)))
+        // strings aggregate RAW (Spark's min/max on StringType is
+        // UTF8String = code-point order, matching strCompare); numerics
+        // keep the cast-to-double form
+        val aggs = present.flatMap { c =>
+          val v = if (typed(c) == StringType) col(c) else col(c).cast("double")
+          Seq(fmin(v).as(s"_mn_$c"), fmax(v).as(s"_mx_$c"))
         }
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        val numS = scala.collection.mutable.ArrayBuffer.empty[DirStat]
+        val strS = scala.collection.mutable.ArrayBuffer.empty[DirStrStat]
+        present.foreach { c =>
+          val (i, j) = (r.fieldIndex(s"_mn_$c"), r.fieldIndex(s"_mx_$c"))
+          if (typed(c) == StringType) {
+            if (r.isNullAt(i) || r.isNullAt(j)) // empty/all-NULL: sentinel
+              strS += DirStrStat(rel, c, "￿", "")
+            else truncMax(r.getString(j)).foreach(mx =>
+              strS += DirStrStat(rel, c, truncMin(r.getString(i)), mx))
+          } else {
+            if (r.isNullAt(i) || r.isNullAt(j))
+              numS += DirStat(rel, c, Double.PositiveInfinity, Double.NegativeInfinity)
+            else if (!r.getDouble(i).isNaN && !r.getDouble(j).isNaN)
+              numS += DirStat(rel, c, r.getDouble(i), r.getDouble(j))
+          }
+        }
+        (numS.toSeq, strS.toSeq)
       }
     }
+    (acc.flatMap(_._1), acc.flatMap(_._2))
+  }
 
   /** The schema-enforcement gate (Delta's recipe): every commit records
     * the nullable-normalized DDL of the frame it writes; a commit whose
@@ -422,11 +542,11 @@ object TxTable {
       val statsCols = base.map(_.statsCols).getOrElse(Nil)
       val target = baseV + 1
       val rel = writeData(root, target, batch)
-      val fresh = dirStatsOf(spark, root, Seq(rel), statsCols)
+      val (fresh, freshStr) = dirStatsOf(spark, root, Seq(rel), statsCols)
       val baseEntries = base.map(_.entries).getOrElse(Nil) :+ (rel, "")
       val snap = Snapshot(target, "append", baseEntries.map(_._1),
         baseEntries.map(_._2), statsCols, ddl, base.map(_.layout).getOrElse(""))
-      if (tryCommitAnchored(root, snap, fresh)) {
+      if (tryCommitAnchored(root, snap, fresh, freshStr)) {
         v = target; done = true
       } else dropData(root, rel)
     }
@@ -537,7 +657,7 @@ object TxTable {
       }
       // fresh-dir stats once per attempt (dirs are reused verbatim
       // across the fast-forward re-diffs below)
-      val freshStats = dirStatsOf(spark, root, fresh.map(_._1), statsCols)
+      val (freshStats, freshStrStats) = dirStatsOf(spark, root, fresh.map(_._1), statsCols)
       // commit loop: first try at target; on loss, fast-forward over any
       // disjoint winners (dir names keep the v$target prefix — the name
       // is cosmetic, the manifest is the binding reference)
@@ -558,7 +678,7 @@ object TxTable {
           val all = curEntries.filterNot(e => touched.contains(e._2)) ++ fresh
           val snap = Snapshot(curV + 1, "merge", all.map(_._1), all.map(_._2),
             statsCols, ddl, tableLayout)
-          if (tryCommitAnchored(root, snap, freshStats)) {
+          if (tryCommitAnchored(root, snap, freshStats, freshStrStats)) {
             if (curV != baseV) fastForwardCommits.incrementAndGet()
             v = curV + 1; done = true
           } // else: another commit landed first — re-diff against it
@@ -629,11 +749,11 @@ object TxTable {
       val fresh = freshAll.map(_._1)
       // declared stats columns not covered by the clustered pass get the
       // same per-dir min/max every other commit path records
-      val declared = dirStatsOf(spark, root, fresh.map(_._1),
+      val (declared, declaredStr) = dirStatsOf(spark, root, fresh.map(_._1),
         base.statsCols.filterNot(clusterBy.contains))
       val snap = Snapshot(target, "compact", fresh.map(_._1), fresh.map(_._2),
         base.statsCols, base.schemaDdl, base.layout)
-      if (tryCommitAnchored(root, snap, freshAll.flatMap(_._2) ++ declared)) {
+      if (tryCommitAnchored(root, snap, freshAll.flatMap(_._2) ++ declared, declaredStr)) {
         v = target; done = true
       } else fresh.foreach(e => dropData(root, e._1))
     }
@@ -725,13 +845,23 @@ object TxTable {
     * [[pruneDirs]]; an unconstrained or unstatted (dir, col) never
     * drops a dir, so skipping stays sound for ANY ranges map. */
   def pruneSnapshot(root: String, s: Snapshot,
-                    ranges: Map[String, (Double, Double)]): (Seq[String], Int) = {
-    if (ranges.isEmpty) return (s.dirs, 0)
+                    ranges: Map[String, (Double, Double)],
+                    strRanges: Map[String, (String, Option[String])] = Map.empty): (Seq[String], Int) = {
+    if (ranges.isEmpty && strRanges.isEmpty) return (s.dirs, 0)
     val byDirCol = readStats(root, s.version)
+      .map(st => (st.dir, st.col) -> st).toMap
+    val strByDirCol = readStrStats(root, s.version)
       .map(st => (st.dir, st.col) -> st).toMap
     val kept = s.dirs.filter { d =>
       ranges.forall { case (c, (lo, hi)) =>
-        byDirCol.get((d, c)).forall(st => !(st.max < lo || st.min > hi)) }
+        byDirCol.get((d, c)).forall(st => !(st.max < lo || st.min > hi)) } &&
+      // string ranges: hi = None is unbounded above ("" is already the
+      // natural lower bound, no extra case needed); comparisons in
+      // code-point order to match how the stats were aggregated
+      strRanges.forall { case (c, (lo, hiOpt)) =>
+        strByDirCol.get((d, c)).forall(st =>
+          !(strCompare(st.max, lo) < 0 ||
+            hiOpt.exists(hi => strCompare(st.min, hi) > 0))) }
     }
     (kept, s.dirs.length - kept.length)
   }
@@ -764,6 +894,21 @@ object TxTable {
     base.filter(col(column).cast("double").between(lo, hi))
   }
 
+  /** [[scan]] for a STRING column: prunes on the [[DirStrStat]] sidecar
+    * records (code-point order — the order Spark's `BETWEEN` uses on
+    * strings, so the exact row predicate and the dir-level prune agree)
+    * then applies the exact predicate. Result ≡
+    * `read(...).filter(col between lo and hi)` by construction. */
+  def scanString(spark: SparkSession, root: String, column: String,
+                 lo: String, hi: String, version: Long = -1L): DataFrame = {
+    val s = snapshot(root, version)
+    val (kept, _) = pruneSnapshot(root, s, Map.empty, Map(column -> (lo, Some(hi))))
+    val base =
+      if (kept.nonEmpty) spark.read.parquet(kept.map(d => s"$root/$d"): _*)
+      else spark.read.parquet(s.dirs.map(d => s"$root/$d"): _*).limit(0)
+    base.filter(col(column).between(lo, hi))
+  }
+
   /** The shared optimistic-retry skeleton: compute the full replacement
     * frame off the CURRENT snapshot, write it, race for base+1. Schema
     * is enforced against the table's recorded DDL (unless `evolve`);
@@ -780,10 +925,10 @@ object TxTable {
       val statsCols = base.map(_.statsCols).getOrElse(Nil)
       val target = baseV + 1
       val rel = writeData(root, target, df)
-      val fresh = dirStatsOf(df.sparkSession, root, Seq(rel), statsCols)
+      val (fresh, freshStr) = dirStatsOf(df.sparkSession, root, Seq(rel), statsCols)
       val snap = Snapshot(target, action, Seq(rel), Seq(""), statsCols, ddl,
         base.map(_.layout).getOrElse(""))
-      if (tryCommitAnchored(root, snap, fresh)) { v = target; done = true }
+      if (tryCommitAnchored(root, snap, fresh, freshStr)) { v = target; done = true }
       else dropData(root, rel) // lost the race: discard, rebase, retry
     }
     v
@@ -806,14 +951,17 @@ object TxTable {
       val baseV = latestVersion(root)
       require(baseV >= 0, s"TxTable at $root has no committed version")
       val base = snapshot(root, baseV)
-      val have = readStats(root, baseV).filter(s => cols.contains(s.col))
-        .map(s => (s.dir, s.col)).toSet
+      val have = (readStats(root, baseV).filter(s => cols.contains(s.col))
+        .map(s => (s.dir, s.col)) ++
+        readStrStats(root, baseV).filter(s => cols.contains(s.col))
+          .map(s => (s.dir, s.col))).toSet
       val needing = base.dirs.filter(d => !cols.forall(c => have((d, c))))
-      val fresh = dirStatsOf(spark, root, needing, cols)
-        .filterNot(s => have((s.dir, s.col)))
+      val (freshAll, freshStrAll) = dirStatsOf(spark, root, needing, cols)
+      val fresh = freshAll.filterNot(s => have((s.dir, s.col)))
+      val freshStr = freshStrAll.filterNot(s => have((s.dir, s.col)))
       val snap = Snapshot(baseV + 1, "setstats", base.dirs, base.parts,
         cols, base.schemaDdl, base.layout)
-      if (tryCommitAnchored(root, snap, fresh)) { v = snap.version; done = true }
+      if (tryCommitAnchored(root, snap, fresh, freshStr)) { v = snap.version; done = true }
     }
     v
   }

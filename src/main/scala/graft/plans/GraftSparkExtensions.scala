@@ -88,13 +88,24 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         val spark = org.apache.spark.sql.SparkSession.active
         val path = litStr(exprs, 0, "graft_table_scan", "path")
         val column = litStr(exprs, 1, "graft_table_scan", "column")
-        val lo = litNum(exprs, 2, "graft_table_scan", "lo")
-        val hi = litNum(exprs, 3, "graft_table_scan", "hi")
         val version =
           if (exprs.length > 4) GraftExpressions.litLong(exprs(4), "graft_table_scan", "version")
           else -1L
-        graft.etl.TxTable.scan(spark, path, column, lo, hi, version)
-          .queryExecution.logical
+        // bound type picks the stat family: string literals scan the
+        // DirStrStat (code-point order) sidecar records, numerics the
+        // numeric ones
+        val scanned =
+          if (exprs.length > 2 &&
+              exprs(2).dataType.isInstanceOf[org.apache.spark.sql.types.StringType]) {
+            val lo = litStr(exprs, 2, "graft_table_scan", "lo")
+            val hi = litStr(exprs, 3, "graft_table_scan", "hi")
+            graft.etl.TxTable.scanString(spark, path, column, lo, hi, version)
+          } else {
+            val lo = litNum(exprs, 2, "graft_table_scan", "lo")
+            val hi = litNum(exprs, 3, "graft_table_scan", "hi")
+            graft.etl.TxTable.scan(spark, path, column, lo, hi, version)
+          }
+        scanned.queryExecution.logical
       }))
   }
 

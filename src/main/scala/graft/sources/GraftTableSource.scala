@@ -125,7 +125,8 @@ final case class GraftTableRelation(sqlContext: SQLContext, root: String,
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val ranges = GraftTableSource.conjunctiveRanges(filters)
-    val (kept, pruned) = TxTable.pruneSnapshot(root, snap, ranges)
+    val strRanges = GraftTableSource.conjunctiveStrRanges(filters)
+    val (kept, pruned) = TxTable.pruneSnapshot(root, snap, ranges, strRanges)
     GraftTableSource.lastKeptDirs.set(kept.length)
     GraftTableSource.lastPrunedDirs.set(pruned)
     val base =
@@ -180,6 +181,45 @@ object GraftTableSource {
     }
     filters.flatMap(one).groupBy(_._1).map { case (c, cs) =>
       c -> (cs.map(_._2).max, cs.map(_._3).min)
+    }
+  }
+
+  /** String-typed counterpart of [[conjunctiveRanges]] — [lo, hi]
+    * bounds in code-point order against the sidecar's
+    * [[TxTable.DirStrStat]] records, hi = None meaning unbounded above
+    * (no finite string bounds a `>` predicate — a "biggest string"
+    * sentinel would be unsound). `StringStartsWith(p)` translates to
+    * [p, increment(p)]: every string with prefix p sorts inside that
+    * range (the same increment rule the stat writer's max truncation
+    * uses; an un-incrementable prefix keeps the sound lower bound).
+    * Open bounds widen to closed; Or/Not contribute nothing — all
+    * sound, they just don't prune. */
+  private[graft] def conjunctiveStrRanges(filters: Array[Filter]): Map[String, (String, Option[String])] = {
+    def str(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case _         => None
+    }
+    def one(f: Filter): Seq[(String, String, Option[String])] = f match {
+      case EqualTo(a, v)            => str(v).map(s => (a, s, Some(s))).toSeq
+      case GreaterThan(a, v)        => str(v).map(s => (a, s, None)).toSeq
+      case GreaterThanOrEqual(a, v) => str(v).map(s => (a, s, None)).toSeq
+      case LessThan(a, v)           => str(v).map(s => (a, "", Some(s))).toSeq
+      case LessThanOrEqual(a, v)    => str(v).map(s => (a, "", Some(s))).toSeq
+      case StringStartsWith(a, p) if p.nonEmpty =>
+        Seq((a, p, TxTable.strIncrement(p)))
+      case In(a, vs) =>
+        val ss = vs.toSeq.flatMap(str)
+        if (ss.nonEmpty && ss.length == vs.length)
+          Seq((a, ss.min(TxTable.strOrdering), Some(ss.max(TxTable.strOrdering))))
+        else Nil
+      case And(l, r) => one(l) ++ one(r)
+      case _         => Nil
+    }
+    filters.flatMap(one).groupBy(_._1).map { case (c, cs) =>
+      val lo = cs.map(_._2).max(TxTable.strOrdering)
+      val his = cs.flatMap(_._3)
+      val hi = if (his.isEmpty) None else Some(his.min(TxTable.strOrdering))
+      c -> (lo, hi)
     }
   }
 

@@ -132,6 +132,54 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(vs == Set("v0", "v1", "v2"))
   }
 
+  /** A lang-partitioned-arrival table: one batch per language code,
+    * string stats declared on `lang` (plus numeric on `k`). */
+  private def langTable(name: String): (String, Seq[String]) = {
+    import spark.implicits._
+    val langs = Seq("de", "en", "fr", "ja")
+    val root = tmp(name)
+    def batch(i: Int) =
+      (0L until 50L).map(j => (i * 50L + j, langs(i))).toDF("k", "lang")
+    batch(0).write.format("graft").save(root)
+    TxTable.setStatsColumns(spark, root, Seq("k", "lang"))
+    (1 until langs.length).foreach(i =>
+      batch(i).write.format("graft").mode(SaveMode.Append).save(root))
+    (root, langs)
+  }
+
+  test("string-column stats prune: equality, prefix, IN, and mixed conjunctions") {
+    import spark.implicits._
+    val (root, _) = langTable("strprune")
+    val t = spark.read.format("graft").load(root)
+    // equality on the string column lands in exactly one batch dir
+    assert(t.where($"lang" === "en").count() == 50L)
+    assert(GraftTableSource.lastKeptDirs.get == 1)
+    // prefix predicate (StartsWith pushes as StringStartsWith)
+    assert(t.where($"lang".startsWith("f")).count() == 50L)
+    assert(GraftTableSource.lastKeptDirs.get == 1)
+    // IN-list spans its min..max in code-point order
+    assert(t.where($"lang".isin("de", "en")).count() == 100L)
+    assert(GraftTableSource.lastKeptDirs.get == 2)
+    // string + numeric conjunction: both stat families prune together
+    val got = t.where($"lang" === "ja" && $"k" < 155L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(150L, 151L, 152L, 153L, 154L))
+    assert(GraftTableSource.lastKeptDirs.get == 1)
+    // string range predicate
+    assert(t.where($"lang" >= "e" && $"lang" <= "g").count() == 100L)
+    assert(GraftTableSource.lastKeptDirs.get == 2)
+  }
+
+  test("SQL surface: CREATE TEMPORARY VIEW ... USING graft prunes from the WHERE clause") {
+    val (root, _) = langTable("sqlview")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_sql_t USING graft OPTIONS (path '$root')")
+    val n = spark.sql("SELECT count(*) AS n FROM graft_sql_t WHERE lang = 'de' AND k < 10")
+      .head().getLong(0)
+    assert(n == 10L)
+    assert(GraftTableSource.lastKeptDirs.get == 1,
+      s"SQL WHERE should reach buildScan: kept ${GraftTableSource.lastKeptDirs.get}")
+  }
+
   test("streaming tail: full-history replay, incremental appends, exactly-once across restart") {
     import spark.implicits._
     val root = tmp("tail")

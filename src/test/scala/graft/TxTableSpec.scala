@@ -565,4 +565,63 @@ class TxTableSpec extends AnyFunSuite {
     assert(s2.entries.filter(_._2 == "y").map(_._1).toSet ==
       s.entries.filter(_._2 == "y").map(_._1).toSet)
   }
+
+  test("string-stat primitives: code-point order, prefix increment, truncation bounds") {
+    // Java compareTo ranks the emoji (U+1F600, a surrogate pair) below
+    // U+FFFF; code-point order must rank it above — the soundness edge
+    val emoji = new String(Character.toChars(0x1F600))
+    assert("￿".compareTo(emoji) > 0, "JVM premise: compareTo is code-unit order")
+    assert(TxTable.strCompare("￿", emoji) < 0, "code-point order")
+    assert(TxTable.strCompare("ab", "abc") < 0 && TxTable.strCompare("abc", "abd") < 0)
+    // increment: plain, surrogate-gap skip, carry position, unbounded
+    assert(TxTable.strIncrement("ab").contains("ac"))
+    assert(TxTable.strIncrement("a퟿").contains("a"))
+    assert(TxTable.strIncrement("").isEmpty)
+    val maxCp = new String(Character.toChars(0x10FFFF))
+    assert(TxTable.strIncrement("a" + maxCp).contains("b"))
+    assert(TxTable.strIncrement(maxCp).isEmpty)
+    // truncation: min is a prefix (<= original), max strictly > original
+    val long = "x" * 100 + "tail"
+    assert(TxTable.truncMin(long) == "x" * TxTable.StrStatMaxLen)
+    val mx = TxTable.truncMax(long).get
+    assert(TxTable.strCompare(mx, long) > 0)
+    assert(TxTable.truncMax("short").contains("short"))
+  }
+
+  test("string stats: scanString prunes by dir, truncation stays sound, sentinel prunes empty dirs") {
+    import spark.implicits._
+    val root = tmp()
+    def sdf(rows: (Long, String)*) = rows.toDF("k", "s")
+    // batch A: long strings sharing a 64+-char prefix; batch B: far away
+    val longA = (0 until 5).map(i => s"${"a" * 80}$i")
+    TxTable.refresh(spark, root, sdf(longA.zipWithIndex.map { case (s, i) => (i.toLong, s) }: _*))
+    TxTable.setStatsColumns(spark, root, Seq("s"))
+    TxTable.append(spark, root, sdf(100L -> "zeta", 101L -> "zulu"))
+    // all-NULL string batch: records the always-pruned sentinel
+    TxTable.append(spark, root,
+      Seq((200L, Option.empty[String])).toDF("k", "s"))
+    val latest = TxTable.latestVersion(root)
+    val strStats = TxTable.readStrStats(root, latest)
+    assert(strStats.exists(st => st.min == "￿" && st.max == ""), "sentinel missing")
+    // truncation soundness: a query INSIDE the shared 64-prefix region
+    // must keep batch A (its recorded max is the incremented prefix,
+    // which bounds every full-length value from above)
+    val probe = "a" * 80 + "3"
+    val hitA = TxTable.scanString(spark, root, "s", probe, probe)
+    assert(hitA.count() == 1L, "truncated max wrongly pruned the dir holding the value")
+    // a z-range query prunes batch A and the null batch, keeps B only
+    val (keptZ, prunedZ) = TxTable.pruneSnapshot(root, TxTable.snapshot(root, latest),
+      Map.empty, Map("s" -> ("z", Some("zz"))))
+    assert(keptZ.length == 1 && prunedZ == 2,
+      s"expected 1 kept / 2 pruned, got ${keptZ.length} / $prunedZ")
+    assert(TxTable.scanString(spark, root, "s", "z", "zz")
+      .collect().map(_.getString(1)).toSet == Set("zeta", "zulu"))
+    // identity contract: scanString ≡ full read + exact filter
+    val full = TxTable.read(spark, root).filter($"s".between("a", "b"))
+      .collect().map(_.getLong(0)).toSet
+    val pruned = TxTable.scanString(spark, root, "s", "a", "b")
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned == full && full == (0L until 5L).toSet)
+  }
+
 }
