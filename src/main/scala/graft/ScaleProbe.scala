@@ -604,10 +604,18 @@ object ScaleProbe {
       def batch(i: Int) = docs.filter(
         col("doc_id") >= i * span && col("doc_id") < (i + 1) * span)
         .withColumn("src", format_string("ingest-%02d", lit(i)))
+        .withColumn("sha", sha2(col("text"), 256))
       TxTable.refresh(spark, root, batch(0))
       TxTable.setStatsColumns(spark, root, Seq("doc_id", "src"))
+      // the content hash is the range-unprunable key shape: every dir's
+      // string min/max spans the whole hex space — only a bloom prunes it
+      TxTable.setBloomColumns(spark, root, Seq("sha"))
       (1 until nBatches).foreach(i => TxTable.append(spark, root, batch(i)))
       val t = spark.read.format("graft").load(root)
+      // probe the max-id doc: guaranteed present (replica id spaces are
+      // sparse, so a mid-range batch can be empty at some scales)
+      val probeSha = docs.filter(col("doc_id") === maxId)
+        .select(sha2(col("text"), 256)).head.getString(0)
       def med3(f: => Long): (Double, Long) = {
         val r = f
         val ts = (1 to 3).map { _ =>
@@ -619,10 +627,13 @@ object ScaleProbe {
       val keptRange = GraftTableSource.lastKeptDirs.get
       val (tEq, rowsEq) = med3(t.where(col("src") === "ingest-07").count())
       val keptEq = GraftTableSource.lastKeptDirs.get
+      val (tSha, rowsSha) = med3(t.where(col("sha") === probeSha).count())
+      val keptSha = GraftTableSource.lastKeptDirs.get
       val (tFull, rowsFull) = med3(TxTable.read(spark, root)
         .filter(col("doc_id").between(0, 199)).count())
       require(rowsRange == rowsFull, s"connector row drift: $rowsRange vs $rowsFull")
-      println(f"""{"probe":"gsource","sf":"$sfDir","corpus":$n,"dirs":$nBatches,"range_kept":$keptRange,"range_rows":$rowsRange,"range_sec":$tRange%.3f,"streq_kept":$keptEq,"streq_rows":$rowsEq,"streq_sec":$tEq%.3f,"full_filter_sec":$tFull%.3f}""")
+      require(rowsSha >= 1, "bloom lookup lost a present key")
+      println(f"""{"probe":"gsource","sf":"$sfDir","corpus":$n,"dirs":$nBatches,"range_kept":$keptRange,"range_rows":$rowsRange,"range_sec":$tRange%.3f,"streq_kept":$keptEq,"streq_rows":$rowsEq,"streq_sec":$tEq%.3f,"bloom_kept":$keptSha,"bloom_rows":$rowsSha,"bloom_sec":$tSha%.3f,"full_filter_sec":$tFull%.3f}""")
       spark.stop()
       return
     }

@@ -126,7 +126,8 @@ final case class GraftTableRelation(sqlContext: SQLContext, root: String,
                          filters: Array[Filter]): RDD[Row] = {
     val ranges = GraftTableSource.conjunctiveRanges(filters)
     val strRanges = GraftTableSource.conjunctiveStrRanges(filters)
-    val (kept, pruned) = TxTable.pruneSnapshot(root, snap, ranges, strRanges)
+    val points = GraftTableSource.conjunctivePoints(filters)
+    val (kept, pruned) = TxTable.pruneSnapshot(root, snap, ranges, strRanges, points)
     GraftTableSource.lastKeptDirs.set(kept.length)
     GraftTableSource.lastPrunedDirs.set(pruned)
     val base =
@@ -220,6 +221,34 @@ object GraftTableSource {
       val his = cs.flatMap(_._3)
       val hi = if (his.isEmpty) None else Some(his.min(TxTable.strOrdering))
       c -> (lo, hi)
+    }
+  }
+
+  /** Per-column candidate-value POINT sets implied by a conjunction of
+    * EqualTo/In filters — the shape the per-dir Bloom filters prune
+    * (high-cardinality keys where every dir's min/max range spans the
+    * whole key space). Multiple point conjuncts on one column
+    * intersect; an empty intersection (contradictory predicate) prunes
+    * every filtered dir, which is sound — no row satisfies it. */
+  private[graft] def conjunctivePoints(filters: Array[Filter]): Map[String, Seq[Any]] = {
+    // only the exact types the Bloom builder hashes (integrals as
+    // longs, strings as UTF-8): a Double/Decimal value would truncate
+    // through Number.longValue in mightContain — a false NEGATIVE, i.e.
+    // an unsound prune. Anything else simply doesn't bloom-prune.
+    def bloomable(v: Any): Boolean = v match {
+      case _: String | _: java.lang.Long | _: java.lang.Integer |
+           _: java.lang.Short | _: java.lang.Byte => true
+      case _ => false
+    }
+    def one(f: Filter): Seq[(String, Set[Any])] = f match {
+      case EqualTo(a, v) if bloomable(v) => Seq((a, Set(v)))
+      case In(a, vs) if vs.nonEmpty && vs.forall(bloomable) =>
+        Seq((a, vs.toSet))
+      case And(l, r) => one(l) ++ one(r)
+      case _         => Nil
+    }
+    filters.flatMap(one).groupBy(_._1).map { case (c, cs) =>
+      c -> cs.map(_._2).reduce(_ intersect _).toSeq
     }
   }
 

@@ -170,6 +170,29 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(GraftTableSource.lastKeptDirs.get == 2)
   }
 
+  test("bloom-column equality pushdown prunes through the connector") {
+    import spark.implicits._
+    val root = tmp("bloom")
+    def batch(i: Int) = (0 until 30)
+      .map(j => (i * 30L + j, f"h-${(j * 11 + i) % 30}%02d-$i%02d")).toDF("k", "sha")
+    batch(0).write.format("graft").save(root)
+    TxTable.setBloomColumns(spark, root, Seq("sha"))
+    (1 until 5).foreach(i =>
+      batch(i).write.format("graft").mode(SaveMode.Append).save(root))
+    val t = spark.read.format("graft").load(root)
+    // WHERE sha = <present> reads the one dir holding it (fpp-modulo)
+    val probe = f"h-${(5 * 11 + 2) % 30}%02d-${2}%02d"
+    val hit = t.where($"sha" === probe).collect()
+    assert(hit.length == 1 && hit.head.getString(1) == probe)
+    assert(GraftTableSource.lastKeptDirs.get <= 2,
+      s"bloom pushdown kept ${GraftTableSource.lastKeptDirs.get} of 5 dirs")
+    // IN-list keeps the union of matching dirs; result exact
+    val p2 = f"h-${(5 * 11 + 4) % 30}%02d-${4}%02d"
+    assert(t.where($"sha".isin(probe, p2)).count() == 2)
+    // absent key: everything prunable pruned, empty result
+    assert(t.where($"sha" === "h-zz-zz").count() == 0)
+  }
+
   test("SQL surface: CREATE TEMPORARY VIEW ... USING graft prunes from the WHERE clause") {
     val (root, _) = langTable("sqlview")
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_sql_t USING graft OPTIONS (path '$root')")

@@ -566,6 +566,90 @@ class TxTableSpec extends AnyFunSuite {
       s.entries.filter(_._2 == "y").map(_._1).toSet)
   }
 
+  test("bloom columns: point lookups prune dirs range stats cannot; no false negatives") {
+    import spark.implicits._
+    val root = tmp()
+    // hash-like keys: every batch's [min, max] range spans the key
+    // space (interleaved values), so RANGE stats prune nothing — the
+    // exact shape bloom filters exist for
+    def batch(i: Int) = (0 until 40)
+      .map(j => (i * 40L + j, f"sha-${(j * 7 + i) % 40}%02d-$i%02d")).toDF("k", "sha")
+    TxTable.refresh(spark, root, batch(0))
+    TxTable.setBloomColumns(spark, root, Seq("sha"))
+    (1 until 6).foreach(i => TxTable.append(spark, root, batch(i)))
+    // every present key is FOUND (no false negatives), each in one dir
+    (0 until 6).foreach { i =>
+      val probe = f"sha-${(3 * 7 + i) % 40}%02d-$i%02d"
+      val hit = TxTable.lookup(spark, root, "sha", probe).collect()
+      assert(hit.length == 1 && hit.head.getString(1) == probe,
+        s"lookup lost present key $probe")
+    }
+    // an absent key prunes everything (fpp-modulo): count how many of
+    // the 6 dirs a miss actually scans — with fpp 3% virtually all 6
+    // are pruned; assert at least half to keep the test deterministic
+    val sMiss = TxTable.snapshot(root)
+    val (keptMiss, _) = TxTable.pruneSnapshot(root, sMiss, Map.empty, Map.empty,
+      Map("sha" -> Seq("sha-not-present-anywhere")))
+    assert(keptMiss.length <= 3, s"miss kept ${keptMiss.length} of 6 dirs")
+    assert(TxTable.lookup(spark, root, "sha", "sha-not-present-anywhere").count() == 0)
+    // a dir without a filter is always kept: a raw tryCommit-style dir
+    // (simulated by deleting one bloom file) must not be pruned
+    val victim = sMiss.dirs.head
+    val bfFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "_txlog", "bloom"))
+    val victimFile = try {
+      import scala.jdk.CollectionConverters._
+      bfFiles.iterator().asScala.find(
+        _.getFileName.toString.startsWith(victim.replace('/', '_') + ".")).get
+    } finally bfFiles.close()
+    java.nio.file.Files.delete(victimFile)
+    val (keptMiss2, _) = TxTable.pruneSnapshot(root, sMiss, Map.empty, Map.empty,
+      Map("sha" -> Seq("sha-not-present-anywhere")))
+    assert(keptMiss2.contains(victim), "unfiltered dir was pruned — unsound")
+    // non-hashable candidate types never prune (Double would truncate
+    // through longValue — a false negative)
+    val (keptDouble, _) = TxTable.pruneSnapshot(root, sMiss, Map.empty, Map.empty,
+      Map("sha" -> Seq(3.14: java.lang.Double)))
+    assert(keptDouble.length == sMiss.dirs.length)
+    // an EMPTY ingest batch publishes an explicitly-empty filter (the
+    // bloom twin of the empty-range sentinel): every lookup prunes it
+    TxTable.append(spark, root, batch(0).filter("k < 0"))
+    val sEmpty = TxTable.snapshot(root)
+    val emptyDir = (sEmpty.dirs.toSet -- sMiss.dirs.toSet).head
+    val (keptAfter, _) = TxTable.pruneSnapshot(root, sEmpty, Map.empty, Map.empty,
+      Map("sha" -> Seq("sha-00-00")))
+    assert(!keptAfter.contains(emptyDir), "empty dir kept by a point lookup")
+  }
+
+  test("blooms follow their dirs: merge rewrites rebuild, vacuum removes, lookups stay exact") {
+    import spark.implicits._
+    val root = tmp()
+    def pdf(rows: (Long, String, String)*) = rows.toDF("k", "sha", "p")
+    TxTable.mergeUpsertPartitioned(spark, root,
+      pdf((1L, "h-aa", "x"), (2L, "h-bb", "y")), "k", "p")
+    TxTable.setBloomColumns(spark, root, Seq("sha"))
+    // scoped merge rewrites partition x: its fresh dir gets a fresh
+    // filter, and the new key is immediately findable
+    TxTable.mergeUpsertPartitioned(spark, root, pdf((3L, "h-cc", "x")), "k", "p")
+    assert(TxTable.lookup(spark, root, "sha", "h-cc").count() == 1)
+    assert(TxTable.lookup(spark, root, "sha", "h-aa").count() == 1) // carried dir
+    val sBefore = TxTable.snapshot(root)
+    val (keptCc, _) = TxTable.pruneSnapshot(root, sBefore, Map.empty, Map.empty,
+      Map("sha" -> Seq("h-cc")))
+    assert(keptCc.length < sBefore.dirs.length, "bloom pruned nothing on the rewrite")
+    // vacuum to latest: dropped dirs' bloom files go with them
+    val bloomDir = java.nio.file.Paths.get(root, "_txlog", "bloom")
+    def bloomCount = {
+      val s = java.nio.file.Files.list(bloomDir)
+      try { import scala.jdk.CollectionConverters._; s.iterator().asScala.length }
+      finally s.close()
+    }
+    val before = bloomCount
+    TxTable.vacuum(root, TxTable.latestVersion(root), graceMs = 0)
+    assert(bloomCount < before, "vacuum left orphaned bloom files")
+    assert(TxTable.lookup(spark, root, "sha", "h-cc").count() == 1)
+  }
+
   test("string-stat primitives: code-point order, prefix increment, truncation bounds") {
     // Java compareTo ranks the emoji (U+1F600, a surrogate pair) below
     // U+FFFF; code-point order must rank it above — the soundness edge
