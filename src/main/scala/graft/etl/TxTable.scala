@@ -834,7 +834,8 @@ object TxTable {
     * until [[vacuum]]. Returns the committed version. */
   def compact(spark: SparkSession, root: String,
               targetBytes: Long = Compact.DefaultTargetBytes,
-              clusterBy: Seq[String] = Nil): Long = {
+              clusterBy: Seq[String] = Nil,
+              zOrder: Boolean = false): Long = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     var v = -1L
     var done = false
@@ -856,7 +857,7 @@ object TxTable {
         val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
         val df = spark.read.parquet(es.map(e => s"$root/${e._1}"): _*)
         if (clusterBy.isEmpty) Seq(((writeData(root, target, df.coalesce(nOut)), p), Nil))
-        else clusteredDirs(spark, root, target, p, df, nOut, clusterBy)
+        else clusteredDirs(spark, root, target, p, df, nOut, clusterBy, zOrder)
       }
       val fresh = freshAll.map(_._1)
       // declared stats columns not covered by the clustered pass get the
@@ -875,29 +876,40 @@ object TxTable {
 
   /** Range-clustered re-layout of one partition group (round 16 — the
     * Delta paper's data-skipping layout step: cluster so per-object
-    * min/max ranges are TIGHT, then prune scans on them; linear
-    * clustering on the leading column, the paper's simpler alternative
-    * to Z-order, with lexicographic locality on the remaining
-    * `clusterBy` columns via the in-dir sort). The group splits into
-    * `nOut` range buckets of its leading cluster column (approxQuantile
-    * boundaries — sampling only positions the cuts; the recorded stats
-    * are EXACT per-bucket min/max from one grouped aggregation), each
-    * bucket written as its own data dir so [[scan]] prunes at the
-    * manifest level. Leading column must be numeric. */
+    * min/max ranges are TIGHT, then prune scans on them). Two layouts:
+    *
+    *  - LINEAR (default): `nOut` range buckets of the leading cluster
+    *    column, lexicographic locality on the rest via the in-dir sort
+    *    — tight ranges on the leading column only.
+    *  - Z-ORDER (`zOrder = true`, ≥ 2 cluster columns — the Delta
+    *    `OPTIMIZE ZORDER BY` recipe): each column maps to its
+    *    quantile-rank bucket index, the per-column indices BIT-
+    *    INTERLEAVE into a Morton key ([[zValue]]), and the buckets are
+    *    key ranges — each dir covers a near-square region of the
+    *    multi-column space, so a predicate on ANY clustered column
+    *    prunes ~dirs^((k-1)/k) of the dirs instead of either all
+    *    (non-leading linear) or 1/nOut (leading only).
+    *
+    * approxQuantile boundaries only POSITION the cuts — the recorded
+    * stats are EXACT per-bucket min/max from one grouped aggregation,
+    * so skipping soundness never depends on the sampling. Cluster
+    * columns must be numeric. */
   private def clusteredDirs(spark: SparkSession, root: String, target: Long,
                             part: String, df: DataFrame, nOut: Int,
-                            clusterBy: Seq[String]): Seq[((String, String), Seq[DirStat])] = {
+                            clusterBy: Seq[String],
+                            zOrder: Boolean = false): Seq[((String, String), Seq[DirStat])] = {
     import org.apache.spark.sql.functions.{lit, when, min => fmin, max => fmax, count => fcount}
-    val c0 = clusterBy.head
-    val work = df.cache()
+    val useZ = zOrder && clusterBy.length >= 2
+    val work = (if (useZ) df.withColumn("_zv", zValue(df, clusterBy)) else df).cache()
     try {
+      val keyName = if (useZ) "_zv" else clusterBy.head
       val bounds =
         if (nOut <= 1) Array.empty[Double]
-        else work.stat.approxQuantile(c0,
+        else work.stat.approxQuantile(keyName,
           (1 until nOut).map(_.toDouble / nOut).toArray, 0.001).distinct
       val bucketed = work.withColumn("_cb",
         bounds.foldLeft(lit(0)) { (acc, b) =>
-          acc + when(col(c0).cast("double") > lit(b), 1).otherwise(0)
+          acc + when(col(keyName).cast("double") > lit(b), 1).otherwise(0)
         })
       // one pass: per-bucket row counts + EXACT min/max of every cluster col
       val aggs = clusterBy.flatMap(c => Seq(
@@ -909,8 +921,10 @@ object TxTable {
         .sortBy(_.getInt(0))
       statRows.map { r =>
         val b = r.getInt(0)
+        val sortCols = if (useZ) Seq(col("_zv")) else clusterBy.map(col)
         val slice = bucketed.filter(col("_cb") === b).drop("_cb")
-          .coalesce(1).sortWithinPartitions(clusterBy.map(col): _*)
+          .coalesce(1).sortWithinPartitions(sortCols: _*)
+          .drop("_zv") // no-op on the linear path
         val rel = writeData(root, target, slice)
         // all-NULL cluster column in a bucket → null aggregate (getDouble
         // would NPE); NaN rows → NaN max (NaN-greatest ordering). Either
@@ -925,6 +939,32 @@ object TxTable {
         ((rel, part), stats)
       }.toSeq
     } finally work.unpersist()
+  }
+
+  /** Morton (bit-interleaved) clustering key: each column maps to its
+    * quantile-rank bucket index (≤ 2^bitsPerCol ranks, NULLs to rank 0
+    * like the linear path), and bit j of column i lands at interleaved
+    * position j·k + i — so a contiguous key range covers a near-square
+    * region of the k-column space. Quantile ranks, not raw values:
+    * interleaving is only balanced when every column's index is
+    * uniformly spread, which rank-bucketing gives for ANY value
+    * distribution (the standard Z-order-on-ranks construction). */
+  private def zValue(df: DataFrame,
+                     cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, when, shiftleft, shiftright}
+    val k = cols.length
+    val bitsPerCol = math.max(2, 16 / k)
+    val buckets = 1 << bitsPerCol
+    val idx = cols.map { c =>
+      val bounds = df.stat.approxQuantile(c,
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001).distinct
+      bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(c).cast("double") > lit(b), 1).otherwise(0)
+      }
+    }
+    (for { j <- 0 until bitsPerCol; i <- 0 until k } yield
+      shiftleft(shiftright(idx(i), j).bitwiseAND(lit(1)), j * k + i))
+      .reduce(_ + _)
   }
 
   /** Manifest-level data skipping (the Delta paper's §4.3 read path):

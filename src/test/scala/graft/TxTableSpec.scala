@@ -566,6 +566,42 @@ class TxTableSpec extends AnyFunSuite {
       s.entries.filter(_._2 == "y").map(_._1).toSet)
   }
 
+  test("z-order compact: predicates on EITHER clustered column prune; linear prunes only the leading") {
+    import spark.implicits._
+    val zroot = tmp(); val lroot = tmp()
+    // a 64×64 grid: x and y independent and uniform — the layout shape
+    // where linear clustering is provably one-sided
+    val grid = (0 until 4096).map(i => (i.toLong, (i % 64).toLong, (i / 64).toLong))
+      .toDF("id", "x", "y")
+    TxTable.refresh(spark, zroot, grid)
+    TxTable.refresh(spark, lroot, grid)
+    val zv = TxTable.compact(spark, zroot, targetBytes = 1024,
+      clusterBy = Seq("x", "y"), zOrder = true)
+    val lv = TxTable.compact(spark, lroot, targetBytes = 1024,
+      clusterBy = Seq("x", "y")) // linear control, same columns
+    val zDirs = TxTable.snapshot(zroot, zv).dirs.length
+    val lDirs = TxTable.snapshot(lroot, lv).dirs.length
+    assert(zDirs >= 8, s"need a multi-dir layout to test pruning, got $zDirs")
+    // z-order: a narrow slice on x AND a narrow slice on y each prune
+    val (keptZx, _) = TxTable.pruneDirs(zroot, "x", 0, 4, zv)
+    val (keptZy, _) = TxTable.pruneDirs(zroot, "y", 0, 4, zv)
+    assert(keptZx.length <= zDirs / 2, s"x-slice kept ${keptZx.length} of $zDirs")
+    assert(keptZy.length <= zDirs / 2, s"y-slice kept ${keptZy.length} of $zDirs")
+    // linear: leading column prunes, the second column cannot (every
+    // x-bucket spans the full y range)
+    val (keptLx, _) = TxTable.pruneDirs(lroot, "x", 0, 4, lv)
+    val (keptLy, _) = TxTable.pruneDirs(lroot, "y", 0, 4, lv)
+    assert(keptLx.length <= lDirs / 2)
+    assert(keptLy.length == lDirs, "linear layout should not prune the non-leading column")
+    // identity on both axes through the pruned scan
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    assert(ids(TxTable.scan(spark, zroot, "x", 0, 4, zv)) ==
+      ids(TxTable.read(spark, zroot, zv).filter($"x".between(0L, 4L))))
+    assert(ids(TxTable.scan(spark, zroot, "y", 0, 4, zv)) ==
+      ids(TxTable.read(spark, zroot, zv).filter($"y".between(0L, 4L))))
+  }
+
   test("bloom columns: point lookups prune dirs range stats cannot; no false negatives") {
     import spark.implicits._
     val root = tmp()
