@@ -81,6 +81,10 @@ object ExtensionsProbe {
     require(spark.sql(
       s"SELECT count(*) AS n FROM graft_table_scan('$sroot', 'lang', 'en', 'en')")
       .head.getLong(0) == 3, "graft_table_scan string bounds")
+    val hist = spark.sql(
+      s"SELECT version, action FROM graft_table_history('$sroot') ORDER BY version").collect()
+    require(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "refresh"), (1L, "setstats"), (2L, "append")), "graft_table_history")
     println(s"extensions-probe OK: ${r.length} vectors, ${chunks.length} chunks, " +
       s"${pk.length} probe-key rows, ${sh.head.getSeq[String](0).length} shingles, " +
       s"txtable TVFs green ($droppedDirs dirs pruned)")

@@ -200,9 +200,22 @@ object TxTable {
     Integer.compare(a.length - i, b.length - j)
   }
 
-  /** Sound truncated lower bound: a prefix is ≤ the full string. */
-  private[graft] def truncMin(s: String): String =
-    if (s.length <= StrStatMaxLen) s else s.substring(0, StrStatMaxLen)
+  /** Truncate to ≤ `maxChars` UTF-16 chars WITHOUT splitting a
+    * surrogate pair: a cut straddling a pair leaves a lone high
+    * surrogate (~0xD800) in the prefix, which sorts BELOW the
+    * supplementary code point (≥ 0x10000) it was part of — an
+    * incremented max built on that prefix would under-bound the dir's
+    * values and let pruning drop live rows (r17 reviewer). */
+  private def cpPrefix(s: String, maxChars: Int): String =
+    if (s.length <= maxChars) s
+    else if (Character.isHighSurrogate(s.charAt(maxChars - 1)) &&
+             Character.isLowSurrogate(s.charAt(maxChars)))
+      s.substring(0, maxChars - 1)
+    else s.substring(0, maxChars)
+
+  /** Sound truncated lower bound: a code-point prefix is ≤ the full
+    * string in code-point order. */
+  private[graft] def truncMin(s: String): String = cpPrefix(s, StrStatMaxLen)
 
   /** Strict upper bound for the set of strings with prefix `p`:
     * increment p's rightmost incrementable code point (skipping the
@@ -234,7 +247,7 @@ object TxTable {
     * incrementable. */
   private[graft] def truncMax(s: String): Option[String] =
     if (s.length <= StrStatMaxLen) Some(s)
-    else strIncrement(s.substring(0, StrStatMaxLen))
+    else strIncrement(cpPrefix(s, StrStatMaxLen))
 
   private def statsFile(root: String, v: Long): Path =
     logDir(root).resolve(f"v$v%08d.stats.json")
@@ -350,7 +363,7 @@ object TxTable {
     * truncate through `Number.longValue` inside `mightContain` — a
     * false negative, i.e. an unsound prune — so non-hashable candidate
     * values never prune. */
-  private def bloomHashable(v: Any): Boolean = v match {
+  private[graft] def bloomHashable(v: Any): Boolean = v match {
     case _: String | _: java.lang.Long | _: java.lang.Integer |
          _: java.lang.Short | _: java.lang.Byte => true
     case _ => false
@@ -458,6 +471,10 @@ object TxTable {
   }
 
   def exists(root: String): Boolean = latestVersion(root) >= 0
+
+  /** Is `version`'s manifest still retained (not vacuumed)? */
+  def versionExists(root: String, version: Long): Boolean =
+    version >= 0 && Files.exists(manifest(root, version))
 
   /** Attempt to commit `dirs` (relative to root) as `version`. Returns
     * true iff this writer won the version; false = a concurrent writer
@@ -837,6 +854,9 @@ object TxTable {
               clusterBy: Seq[String] = Nil,
               zOrder: Boolean = false): Long = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(!zOrder || clusterBy.length >= 2,
+      "zOrder interleaves multiple columns — pass >= 2 clusterBy columns " +
+        "(a single column is just the linear layout)")
     var v = -1L
     var done = false
     while (!done) {
@@ -900,7 +920,10 @@ object TxTable {
                             zOrder: Boolean = false): Seq[((String, String), Seq[DirStat])] = {
     import org.apache.spark.sql.functions.{lit, when, min => fmin, max => fmax, count => fcount}
     val useZ = zOrder && clusterBy.length >= 2
-    val work = (if (useZ) df.withColumn("_zv", zValue(df, clusterBy)) else df).cache()
+    // cache the INPUT before any quantile pass — zValue's rank bounds,
+    // the _zv bucket bounds, and the per-bucket writes all re-read it
+    val src = df.cache()
+    val work = if (useZ) src.withColumn("_zv", zValue(src, clusterBy)) else src
     try {
       val keyName = if (useZ) "_zv" else clusterBy.head
       val bounds =
@@ -938,7 +961,7 @@ object TxTable {
         }
         ((rel, part), stats)
       }.toSeq
-    } finally work.unpersist()
+    } finally src.unpersist()
   }
 
   /** Morton (bit-interleaved) clustering key: each column maps to its
@@ -951,16 +974,24 @@ object TxTable {
     * distribution (the standard Z-order-on-ranks construction). */
   private def zValue(df: DataFrame,
                      cols: Seq[String]): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{lit, when, shiftleft, shiftright}
+    import org.apache.spark.sql.functions.{array, filter, lit, shiftleft, shiftright, size}
     val k = cols.length
     val bitsPerCol = math.max(2, 16 / k)
     val buckets = 1 << bitsPerCol
-    val idx = cols.map { c =>
-      val bounds = df.stat.approxQuantile(c,
-        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001).distinct
-      bounds.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(col(c).cast("double") > lit(b), 1).otherwise(0)
-      }
+    // one multi-column quantile pass for every column's rank bounds
+    // (the per-column form would re-scan the input k times)
+    val allBounds = df.stat.approxQuantile(cols.toArray,
+      (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+    // rank = |{bounds below the value}| via a bounds-ARRAY + lambda —
+    // NOT a when-chain fold: 255 nested whens, re-inlined into every
+    // interleave term and bucket filter by Catalyst's project collapse,
+    // blow up janino's compile-time memory (measured OOM in the spec
+    // suite). An array literal is data, not control flow — codegen
+    // stays flat. NULL values rank 0, matching the linear path.
+    val idx = cols.zipWithIndex.map { case (c, ci) =>
+      val bounds = allBounds(ci).distinct.sorted
+      size(filter(array(bounds.map(lit): _*),
+        b => col(c).cast("double") > b))
     }
     (for { j <- 0 until bitsPerCol; i <- 0 until k } yield
       shiftleft(shiftright(idx(i), j).bitwiseAND(lit(1)), j * k + i))
@@ -1179,6 +1210,37 @@ object TxTable {
     v
   }
 
+  /** The table's commit history, newest first (Delta's DESCRIBE
+    * HISTORY analogue): one row per still-retained version with its
+    * action, entry/partition counts, dirs added vs the predecessor
+    * (the streaming tail's per-version emission; for the OLDEST
+    * retained version after a vacuum the predecessor is gone, so the
+    * full snapshot counts as added — the same bootstrap semantics the
+    * streaming tail uses), and the manifest's mtime as the commit
+    * wall-clock. Vacuumed versions are absent — history is exactly
+    * what time travel can still read. One manifest read per retained
+    * version (the predecessor's dir set is carried across the loop). */
+  def history(spark: SparkSession, root: String,
+              version: Long = -1L): DataFrame = {
+    val latest = if (version >= 0) version else latestVersion(root)
+    require(latest >= 0, s"TxTable at $root has no committed version")
+    var prev = Set.empty[String]
+    val rows = (0L to latest).flatMap { v =>
+      val p = manifest(root, v)
+      if (!Files.exists(p)) { prev = Set.empty; None }
+      else {
+        val s = parse(Files.readString(p))
+        val added = s.dirs.count(d => !prev(d))
+        val parts = s.entries.map(_._2).filter(_.nonEmpty).distinct.length
+        prev = s.dirs.toSet
+        Some((v, s.action, s.dirs.length, added, parts,
+          new java.sql.Timestamp(Files.getLastModifiedTime(p).toMillis)))
+      }
+    }.reverse
+    import spark.implicits._
+    rows.toDF("version", "action", "dirs", "dirs_added", "partitions", "committed_at")
+  }
+
   /** Default in-flight-writer grace for [[vacuum]]: an unreferenced data
     * dir younger than this is assumed to belong to a concurrent commit
     * between its writeData and tryCommit and is NOT deleted. */
@@ -1225,9 +1287,7 @@ object TxTable {
   // --- tiny hand-rolled JSON (no new dependencies; the manifest
   // grammar is flat: version, action, dirs, parts) ---
   private def render(s: Snapshot): String = {
-    def q(x: String) = "\"" + x.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
-    } + "\""
+    val q = qs _ // the one shared JSON string escape (stats sidecar too)
     val parts =
       if (s.parts.isEmpty || s.parts.forall(_.isEmpty)) ""
       else s""","parts":[${s.parts.map(q).mkString(",")}]"""
@@ -1247,13 +1307,13 @@ object TxTable {
       .map(_.group(1).toLong).getOrElse(sys.error(s"bad manifest: $body"))
     def strFld(fld: String, default: String): String =
       ("\"" + fld + """"\s*:\s*"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(body)
-        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .map(m => unq(m.group(1)))
         .getOrElse(default)
     def strList(fld: String): Seq[String] = {
       val listBody = ("\"" + fld + """"\s*:\s*\[([^\]]*)\]""").r.findFirstMatchIn(body)
         .map(_.group(1)).getOrElse("")
       """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(listBody)
-        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+        .map(m => unq(m.group(1))).toSeq
     }
     Snapshot(version, strFld("action", "unknown"), strList("dirs"),
       strList("parts"), strList("statsCols"), strFld("schema", ""),

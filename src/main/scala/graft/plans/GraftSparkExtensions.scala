@@ -38,7 +38,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    overlap [lo, hi] are pruned at the MANIFEST level before Spark
   *    lists a file; the exact row predicate is part of the returned
   *    plan, so the result ≡ `graft_table(path) WHERE column BETWEEN lo
-  *    AND hi`.
+  *    AND hi`. String lo/hi literals dispatch to the string-stat scan.
+  *  - `graft_table_history('path')` — the commit history, newest first
+  *    (version, action, dir counts, partitions, commit time).
   * Arguments must be literals: a table function resolves to a logical
   * plan at analysis time, so the path/version cannot come from a row.
   */
@@ -106,6 +108,14 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
             graft.etl.TxTable.scan(spark, path, column, lo, hi, version)
           }
         scanned.queryExecution.logical
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_table_history"),
+      info("graft_table_history",
+        "graft_table_history(path) - commit history of a TxTable, newest first"),
+      (exprs: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = litStr(exprs, 0, "graft_table_history", "path")
+        graft.etl.TxTable.history(spark, path).queryExecution.logical
       }))
   }
 

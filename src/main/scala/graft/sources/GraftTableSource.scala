@@ -99,7 +99,7 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
-    GraftTailSource(sqlContext, pathOf(parameters), schema, parameters)
+    GraftTailSource(sqlContext, pathOf(parameters), schema, parameters, metadataPath)
 }
 
 /** One pinned-version snapshot of a TxTable as a DSv1 relation. */
@@ -231,18 +231,15 @@ object GraftTableSource {
     * intersect; an empty intersection (contradictory predicate) prunes
     * every filtered dir, which is sound — no row satisfies it. */
   private[graft] def conjunctivePoints(filters: Array[Filter]): Map[String, Seq[Any]] = {
-    // only the exact types the Bloom builder hashes (integrals as
-    // longs, strings as UTF-8): a Double/Decimal value would truncate
-    // through Number.longValue in mightContain — a false NEGATIVE, i.e.
-    // an unsound prune. Anything else simply doesn't bloom-prune.
-    def bloomable(v: Any): Boolean = v match {
-      case _: String | _: java.lang.Long | _: java.lang.Integer |
-           _: java.lang.Short | _: java.lang.Byte => true
-      case _ => false
-    }
+    // only the exact types the Bloom builder hashes
+    // (TxTable.bloomHashable — ONE definition, shared with the prune
+    // side so the whitelists cannot drift apart): a Double/Decimal
+    // value would truncate through Number.longValue in mightContain —
+    // a false NEGATIVE, i.e. an unsound prune. Anything else simply
+    // doesn't bloom-prune.
     def one(f: Filter): Seq[(String, Set[Any])] = f match {
-      case EqualTo(a, v) if bloomable(v) => Seq((a, Set(v)))
-      case In(a, vs) if vs.nonEmpty && vs.forall(bloomable) =>
+      case EqualTo(a, v) if TxTable.bloomHashable(v) => Seq((a, Set(v)))
+      case In(a, vs) if vs.nonEmpty && vs.forall(TxTable.bloomHashable) =>
         Seq((a, vs.toSet))
       case And(l, r) => one(l) ++ one(r)
       case _         => Nil

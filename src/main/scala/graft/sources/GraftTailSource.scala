@@ -44,16 +44,40 @@ import org.apache.spark.sql.types.StructType
   */
 final case class GraftTailSource(sqlContext: SQLContext, root: String,
                                  userSchema: Option[StructType],
-                                 parameters: Map[String, String]) extends Source {
+                                 parameters: Map[String, String],
+                                 metadataPath: String) extends Source {
 
   private val spark: SparkSession = sqlContext.sparkSession
   private val ignoreChanges =
     parameters.get("ignoreChanges").exists(_.trim.toBoolean)
-  /** Highest version NOT part of the stream (exclusive lower bound). */
+  /** Highest version NOT part of the stream (exclusive lower bound).
+    * `latest` is resolved ONCE per stream and persisted in the
+    * source's checkpoint metadata dir: re-deriving it on every source
+    * re-creation would silently anchor a RESTART at the new latest —
+    * a replayed first batch returns empty (committed data lost) and
+    * commits made while the stream was down are withheld until an
+    * unrelated later commit (r17 reviewer). */
   private val startExclusive: Long =
     parameters.get("startingVersion").map(_.trim) match {
       case None           => -1L // full history
-      case Some("latest") => TxTable.latestVersion(root)
+      case Some("latest") =>
+        val dir = java.nio.file.Paths.get(metadataPath.stripPrefix("file:"))
+        val anchor = dir.resolve("graft-latest-anchor")
+        if (java.nio.file.Files.exists(anchor))
+          java.nio.file.Files.readString(anchor).trim.toLong
+        else {
+          val v = TxTable.latestVersion(root)
+          try {
+            java.nio.file.Files.createDirectories(dir)
+            val tmp = dir.resolve(s".anchor-tmp-${java.util.UUID.randomUUID()}")
+            java.nio.file.Files.writeString(tmp, v.toString)
+            java.nio.file.Files.move(tmp, anchor,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          } catch { case _: Exception => () } // lost a race: re-read below
+          if (java.nio.file.Files.exists(anchor))
+            java.nio.file.Files.readString(anchor).trim.toLong
+          else v
+        }
       case Some(n)        => n.toLong - 1L
     }
 
@@ -73,22 +97,44 @@ final case class GraftTailSource(sqlContext: SQLContext, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startExclusive)
     val to = ver(end)
+    // A fresh stream (no checkpointed offset yet) may start past
+    // vacuumed history: the first RETAINED version bootstraps as a full
+    // snapshot (prev = empty — nothing was emitted yet, so re-emission
+    // is impossible) and earlier vacuumed versions contribute nothing.
+    // A RESUMED stream finding a vacuumed version (or a vacuumed
+    // predecessor it needs for the diff) must fail loudly instead:
+    // it HAS emitted rows, so both skipping and full re-emission would
+    // silently break exactly-once — retention must trail the slowest
+    // stream (r17 reviewer: startingVersion=N on a vacuumed table
+    // previously failed even for the safe fresh-start case).
+    val bootstrap = start.isEmpty
+    def gone(v: Long): Nothing = throw new IllegalStateException(
+      s"graft stream on $root: version $v was vacuumed under a running " +
+        "stream — the diff against already-emitted data is lost; keep " +
+        "vacuum retention behind the slowest stream's offset")
     val fresh = ((from + 1) to to).flatMap { v =>
-      val s = TxTable.snapshot(root, v)
-      val prev =
-        if (v == 0) Set.empty[String]
-        else TxTable.snapshot(root, v - 1).dirs.toSet
-      val added = s.dirs.filterNot(prev)
-      val dropped = prev -- s.dirs.toSet
-      if (dropped.nonEmpty && !ignoreChanges)
-        throw new IllegalStateException(
-          s"graft stream on $root: version $v ('${s.action}') drops " +
-            s"${dropped.size} dir(s) the stream may already have emitted " +
-            "rows from — rewritten/deleted rows cannot stream exactly-once; " +
-            "pass option(\"ignoreChanges\",\"true\") to re-emit the " +
-            "version's fresh dirs (dedupe downstream by key), or keep the " +
-            "table append-only")
-      added
+      if (!TxTable.versionExists(root, v)) {
+        if (bootstrap) Nil else gone(v)
+      } else {
+        val s = TxTable.snapshot(root, v)
+        val prev =
+          if (v == 0) Set.empty[String]
+          else if (TxTable.versionExists(root, v - 1))
+            TxTable.snapshot(root, v - 1).dirs.toSet
+          else if (bootstrap) Set.empty[String] // full-snapshot bootstrap
+          else gone(v - 1)
+        val added = s.dirs.filterNot(prev)
+        val dropped = prev -- s.dirs.toSet
+        if (dropped.nonEmpty && !ignoreChanges)
+          throw new IllegalStateException(
+            s"graft stream on $root: version $v ('${s.action}') drops " +
+              s"${dropped.size} dir(s) the stream may already have emitted " +
+              "rows from — rewritten/deleted rows cannot stream exactly-once; " +
+              "pass option(\"ignoreChanges\",\"true\") to re-emit the " +
+              "version's fresh dirs (dedupe downstream by key), or keep the " +
+              "table append-only")
+        added
+      }
     }
     val batch =
       if (fresh.isEmpty) spark.createDataFrame(

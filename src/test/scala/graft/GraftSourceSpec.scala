@@ -258,6 +258,67 @@ class GraftSourceSpec extends AnyFunSuite {
       Set(1L -> "a", 1L -> "A2", 2L -> "b"))
   }
 
+  test("startingVersion=latest anchor persists across restart: down-time commits are not lost") {
+    val root = tmp("lrestart")
+    val out = tmp("lrestart-out")
+    val ckpt = tmp("lrestart-ckpt")
+    kv(1L -> "old").write.format("graft").save(root) // v0, pre-anchor
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "latest").load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // anchors "latest" = v0 in the checkpoint metadata; emits nothing
+    // two commits while the stream is DOWN — a re-derived anchor would
+    // silently withhold (or on crash-replay, lose) exactly these
+    kv(2L -> "b").write.format("graft").mode(SaveMode.Append).save(root)
+    kv(3L -> "c").write.format("graft").mode(SaveMode.Append).save(root)
+    run()
+    assert(ks(spark.read.parquet(out)) == Set(2L -> "b", 3L -> "c"),
+      "restart re-anchored 'latest' and dropped down-time commits")
+  }
+
+  test("fresh stream bootstraps past vacuumed history; resumed stream fails on a vacuumed gap") {
+    // fresh start: versions 0-1 vacuumed, 2-3 retained — the first
+    // retained version bootstraps as a full snapshot, then normal tail
+    val root = tmp("vacboot")
+    kv(1L -> "a").write.format("graft").save(root)
+    kv(2L -> "b").write.format("graft").mode(SaveMode.Append).save(root)
+    kv(3L -> "c").write.format("graft").mode(SaveMode.Append).save(root)
+    kv(4L -> "d").write.format("graft").mode(SaveMode.Append).save(root)
+    TxTable.vacuum(root, 2, graceMs = 0)
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("vacboot_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(ks(spark.table("vacboot_sink")) ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    // resumed stream: offset log says v0 was consumed; v1 is then
+    // vacuumed — the diff against emitted data is unrecoverable, the
+    // stream must fail loudly rather than skip or double-emit
+    val root2 = tmp("vacgap")
+    val out2 = tmp("vacgap-out")
+    val ckpt2 = tmp("vacgap-ckpt")
+    kv(1L -> "a").write.format("graft").save(root2)
+    def run2(): Unit = {
+      val q2 = spark.readStream.format("graft").load(root2)
+        .writeStream.format("parquet")
+        .option("path", out2).option("checkpointLocation", ckpt2)
+        .outputMode("append").start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    run2() // consumes v0
+    kv(2L -> "b").write.format("graft").mode(SaveMode.Append).save(root2)
+    kv(3L -> "c").write.format("graft").mode(SaveMode.Append).save(root2)
+    TxTable.vacuum(root2, 2, graceMs = 0) // v1's manifest is gone mid-stream
+    val ex = intercept[StreamingQueryException] { run2() }
+    assert(ex.getMessage.contains("vacuumed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("vacuumed")))
+  }
+
   test("startingVersion=latest tails only post-start commits") {
     val root = tmp("latest")
     kv(1L -> "old").write.format("graft").save(root)

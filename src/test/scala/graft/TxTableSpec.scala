@@ -566,6 +566,23 @@ class TxTableSpec extends AnyFunSuite {
       s.entries.filter(_._2 == "y").map(_._1).toSet)
   }
 
+  test("history lists retained versions newest-first with per-version added-dir counts") {
+    val root = tmp()
+    TxTable.refresh(spark, root, df(1L -> "a"))
+    TxTable.append(spark, root, df(2L -> "b"))
+    TxTable.mergeUpsert(spark, root, df(1L -> "A2"), "k")
+    val h = TxTable.history(spark, root).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L), "newest first")
+    assert(h.map(_.getString(1)).toSeq == Seq("merge", "append", "refresh"))
+    // refresh added 1 dir, append added 1 (carrying the first), the
+    // whole-table merge rewrote into 1 fresh dir
+    assert(h.map(_.getInt(3)).toSeq == Seq(1, 1, 1))
+    assert(h.map(_.getInt(2)).toSeq == Seq(1, 2, 1))
+    // vacuumed versions disappear: history is what time travel can read
+    TxTable.vacuum(root, 2, graceMs = 0)
+    assert(TxTable.history(spark, root).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("z-order compact: predicates on EITHER clustered column prune; linear prunes only the leading") {
     import spark.implicits._
     val zroot = tmp(); val lroot = tmp()
@@ -706,6 +723,17 @@ class TxTableSpec extends AnyFunSuite {
     val mx = TxTable.truncMax(long).get
     assert(TxTable.strCompare(mx, long) > 0)
     assert(TxTable.truncMax("short").contains("short"))
+    // a surrogate pair STRADDLING the truncation boundary must not
+    // split: a lone high surrogate (~0xD800) sorts below the
+    // supplementary code point it was part of, so an incremented max
+    // built on it would under-bound the dir and prune live rows
+    val straddle = "a" * (TxTable.StrStatMaxLen - 1) + emoji + "tail"
+    val mxS = TxTable.truncMax(straddle).get
+    assert(TxTable.strCompare(mxS, straddle) > 0,
+      "truncated max under-bounds across a straddled surrogate pair")
+    val mnS = TxTable.truncMin(straddle)
+    assert(TxTable.strCompare(mnS, straddle) <= 0)
+    assert(!Character.isHighSurrogate(mnS.last), "prefix split a surrogate pair")
   }
 
   test("string stats: scanString prunes by dir, truncation stays sound, sentinel prunes empty dirs") {
