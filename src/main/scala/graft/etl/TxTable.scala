@@ -1210,6 +1210,82 @@ object TxTable {
     v
   }
 
+  /** Row-level DELETE of specific key values — the takedown-list
+    * operation a training-data pipeline runs for content removal:
+    * remove every row whose `column` is in `values`, rewriting ONLY
+    * the dirs that might contain one (Bloom filters + range/string
+    * stats prune the rest — on a bloom-indexed key the cost is
+    * O(matching dirs), not O(table)); every other dir is carried into
+    * the new manifest BY REFERENCE, zero bytes moved. A rewritten dir
+    * that loses all its rows drops out of the manifest entirely.
+    * History keeps pre-delete versions readable until [[vacuum]] —
+    * actually-forgetting requires vacuuming past the delete, exactly
+    * Delta's documented GDPR recipe. Returns the committed version
+    * (a no-op delete — nothing matched — still commits, recording
+    * that the delete ran). */
+  def deleteKeys(spark: SparkSession, root: String, column: String,
+                 values: Seq[Any]): Long = {
+    require(values.nonEmpty, "deleteKeys needs at least one value")
+    deleteImpl(spark, root, "deleteKeys",
+      prune = s => pruneSnapshot(root, s, Map.empty, Map.empty,
+        Map(column -> values))._1.toSet,
+      keep = col(column).isNull || !col(column).isin(values: _*))
+  }
+
+  /** Row-level DELETE of a numeric range (`column` in [lo, hi]) —
+    * range stats prune the rewrite set the same way [[scan]] prunes
+    * reads; e.g. dropping a bad ingest day from a date-clustered
+    * table rewrites O(that day's dirs). NULLs never match a range and
+    * are kept. */
+  def deleteRange(spark: SparkSession, root: String, column: String,
+                  lo: Double, hi: Double): Long =
+    deleteImpl(spark, root, "deleteRange",
+      prune = s => pruneSnapshot(root, s, Map(column -> (lo, hi)))._1.toSet,
+      keep = !col(column).cast("double").between(lo, hi) ||
+        col(column).isNull)
+
+  /** Shared optimistic delete loop: candidate dirs (prune) are
+    * rewritten without the matching rows, everything else carries by
+    * reference. Stats/blooms rebuild for the fresh dirs only — carried
+    * dirs keep their exact stats (immutable), and a REWRITTEN dir's
+    * stale (dir, col) stats can't leak because fresh dirs get new
+    * names. */
+  private def deleteImpl(spark: SparkSession, root: String, action: String,
+                         prune: Snapshot => Set[String],
+                         keep: org.apache.spark.sql.Column): Long = {
+    var v = -1L
+    var done = false
+    while (!done) {
+      val baseV = latestVersion(root)
+      require(baseV >= 0, s"TxTable at $root has no committed version")
+      val base = snapshot(root, baseV)
+      val target = baseV + 1
+      val candidates = prune(base)
+      val rewritten: Seq[(String, Option[(String, String)])] =
+        base.entries.filter(e => candidates(e._1)).map { case (dir, part) =>
+          val kept = spark.read.parquet(s"$root/$dir").filter(keep)
+          if (kept.isEmpty) (dir, None) // dir fully deleted
+          else (dir, Some((writeData(root, target, kept), part)))
+        }
+      val replacement = rewritten.map { case (old, repl) => old -> repl }.toMap
+      val entries = base.entries.flatMap { case e @ (dir, part) =>
+        replacement.get(dir) match {
+          case None            => Some(e)   // untouched: carried by reference
+          case Some(Some(r))   => Some(r)   // rewritten
+          case Some(None)      => None      // fully deleted
+        }
+      }
+      val freshRels = rewritten.flatMap(_._2).map(_._1)
+      val (fresh, freshStr) = dirStatsOf(spark, root, freshRels, base.statsCols)
+      buildBlooms(spark, root, freshRels, base.bloomCols)
+      val snap = Snapshot(target, action, entries.map(_._1), entries.map(_._2),
+        base.statsCols, base.schemaDdl, base.layout, base.bloomCols)
+      if (tryCommitAnchored(root, snap, fresh, freshStr)) { v = target; done = true }
+      else freshRels.foreach(dropData(root, _))
+    }
+    v
+  }
+
   /** The table's commit history, newest first (Delta's DESCRIBE
     * HISTORY analogue): one row per still-retained version with its
     * action, entry/partition counts, dirs added vs the predecessor

@@ -319,6 +319,43 @@ class GraftSourceSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("vacuumed")))
   }
 
+  test("standing CDC consumption: scoped merges tail with ignoreChanges + last-writer dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val root = tmp("cdc")
+    def pdf(rows: (Long, String, String, Long)*) = rows.toDF("k", "v", "p", "seq")
+    // upstream: a partition-scoped upsert pipeline (the ChangeStream
+    // shape) — v1 rewrites partition x only, y carries by reference
+    TxTable.mergeUpsertPartitioned(spark, root,
+      pdf((1L, "a", "x", 1L), (2L, "b", "y", 1L)), "k", "p")
+    TxTable.mergeUpsertPartitioned(spark, root, pdf((1L, "a2", "x", 2L)), "k", "p")
+    val q = spark.readStream.format("graft").option("ignoreChanges", "true")
+      .load(root)
+      .writeStream.format("memory").queryName("cdc_sink")
+      .outputMode("append").start()
+    def state = {
+      val w = Window.partitionBy($"k").orderBy($"seq".desc)
+      spark.table("cdc_sink").withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).select("k", "v")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    try {
+      q.processAllAvailable()
+      // re-emission is at-least-once on the rewritten partition (k=1
+      // appears as both "a" and "a2"); last-writer dedup restores state
+      assert(state == Set(1L -> "a2", 2L -> "b"))
+      // a live upsert while the stream runs
+      TxTable.mergeUpsertPartitioned(spark, root,
+        pdf((2L, "b2", "y", 3L), (3L, "c", "y", 3L)), "k", "p")
+      q.processAllAvailable()
+      assert(state == Set(1L -> "a2", 2L -> "b2", 3L -> "c"))
+      // the deduped downstream state ≡ the upstream table's latest
+      assert(TxTable.read(spark, root).select("k", "v")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet == state)
+    } finally q.stop()
+  }
+
   test("startingVersion=latest tails only post-start commits") {
     val root = tmp("latest")
     kv(1L -> "old").write.format("graft").save(root)

@@ -566,6 +566,62 @@ class TxTableSpec extends AnyFunSuite {
       s.entries.filter(_._2 == "y").map(_._1).toSet)
   }
 
+  test("deleteKeys: takedown rewrites only the dirs that might hold a key; the rest carry by reference") {
+    import spark.implicits._
+    val root = tmp()
+    def batch(i: Int) = (0 until 20)
+      .map(j => (i * 20L + j, f"doc-$i%02d-$j%02d")).toDF("k", "sha")
+    TxTable.refresh(spark, root, batch(0))
+    TxTable.setBloomColumns(spark, root, Seq("sha"))
+    (1 until 5).foreach(i => TxTable.append(spark, root, batch(i)))
+    val before = TxTable.snapshot(root)
+    // take down two keys living in batches 1 and 3
+    val dv = TxTable.deleteKeys(spark, root, "sha", Seq("doc-01-05", "doc-03-07"))
+    val after = TxTable.snapshot(root, dv)
+    assert(after.action == "deleteKeys")
+    // rows gone, everything else intact
+    val left = TxTable.read(spark, root).collect().map(_.getString(1)).toSet
+    assert(!left("doc-01-05") && !left("doc-03-07") && left.size == 98)
+    // untouched dirs carried BY REFERENCE (same dir names), ≤ 2 rewritten
+    val carried = before.dirs.toSet intersect after.dirs.toSet
+    assert(carried.size >= 3,
+      s"only ${carried.size} of 5 dirs carried — delete rewrote non-matching dirs")
+    // time travel: the pre-delete version still holds the keys (GDPR
+    // forgetting additionally needs vacuum, as documented)
+    assert(TxTable.read(spark, root, before.version)
+      .filter($"sha" === "doc-01-05").count() == 1)
+    // rewritten dirs got fresh blooms: surviving neighbors still found,
+    // deleted keys prune everywhere
+    assert(TxTable.lookup(spark, root, "sha", "doc-01-06").count() == 1)
+    assert(TxTable.lookup(spark, root, "sha", "doc-01-05").count() == 0)
+  }
+
+  test("deleteRange: a fully-deleted dir drops out of the manifest; NULLs survive") {
+    import spark.implicits._
+    val root = tmp()
+    def batch(i: Int) = (0 until 10).map(j => (Some(i * 10L + j), s"v$i-$j"))
+      .toDF("k", "v")
+    TxTable.refresh(spark, root, batch(0))
+    TxTable.setStatsColumns(spark, root, Seq("k"))
+    (1 until 4).foreach(i => TxTable.append(spark, root, batch(i)))
+    TxTable.append(spark, root,
+      Seq((Option.empty[Long], "null-row")).toDF("k", "v"))
+    val before = TxTable.snapshot(root)
+    // batch 2's whole span [20, 29]: its dir must VANISH, not rewrite
+    val dv = TxTable.deleteRange(spark, root, "k", 20, 29)
+    val after = TxTable.snapshot(root, dv)
+    assert(after.dirs.length == before.dirs.length - 1)
+    assert((before.dirs.toSet -- after.dirs.toSet).size == 1)
+    val rows = TxTable.read(spark, root).collect()
+    assert(rows.length == 31 && !rows.exists(r => !r.isNullAt(0) &&
+      r.getLong(0) >= 20 && r.getLong(0) <= 29))
+    assert(rows.exists(_.isNullAt(0)), "NULL row must survive a range delete")
+    // partial delete rewrites just that dir, stats stay prunable
+    TxTable.deleteRange(spark, root, "k", 0, 4)
+    assert(TxTable.scan(spark, root, "k", 0, 9).collect()
+      .map(_.getString(1)).toSet == (5 until 10).map(j => s"v0-$j").toSet)
+  }
+
   test("history lists retained versions newest-first with per-version added-dir counts") {
     val root = tmp()
     TxTable.refresh(spark, root, df(1L -> "a"))
