@@ -85,6 +85,9 @@ object ExtensionsProbe {
       s"SELECT version, action FROM graft_table_history('$sroot') ORDER BY version").collect()
     require(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((0L, "refresh"), (1L, "setstats"), (2L, "append")), "graft_table_history")
+    require(spark.sql(
+      s"SELECT count(*) AS n FROM graft_table_stats('$sroot') WHERE kind = 'str_range'")
+      .head.getLong(0) == 2, "graft_table_stats")
     println(s"extensions-probe OK: ${r.length} vectors, ${chunks.length} chunks, " +
       s"${pk.length} probe-key rows, ${sh.head.getSeq[String](0).length} shingles, " +
       s"txtable TVFs green ($droppedDirs dirs pruned)")

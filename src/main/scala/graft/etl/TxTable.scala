@@ -1286,6 +1286,26 @@ object TxTable {
     v
   }
 
+  /** The recorded data-skipping state at `version` as a frame — one
+    * row per (dir, stat): numeric and string min/max plus whether a
+    * Bloom filter is published for each declared bloom column. The
+    * observability twin of [[history]]: "why didn't my predicate
+    * prune?" is answered by looking at exactly this. */
+  def statsOf(spark: SparkSession, root: String,
+              version: Long = -1L): DataFrame = {
+    val s = snapshot(root, version)
+    val num = readStats(root, s.version)
+      .map(st => (st.dir, st.col, "range", st.min.toString, st.max.toString))
+    val str = readStrStats(root, s.version)
+      .map(st => (st.dir, st.col, "str_range", st.min, st.max))
+    val blooms = for {
+      d <- s.dirs; c <- s.bloomCols
+      if Files.exists(bloomFile(root, d, c))
+    } yield (d, c, "bloom", "", "")
+    import spark.implicits._
+    (num ++ str ++ blooms).toDF("dir", "col", "kind", "min", "max")
+  }
+
   /** The table's commit history, newest first (Delta's DESCRIBE
     * HISTORY analogue): one row per still-retained version with its
     * action, entry/partition counts, dirs added vs the predecessor

@@ -117,6 +117,17 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         val path = litStr(exprs, 0, "graft_table_history", "path")
         graft.etl.TxTable.history(spark, path).queryExecution.logical
       }))
+    ext.injectTableFunction((FunctionIdentifier("graft_table_stats"),
+      info("graft_table_stats",
+        "graft_table_stats(path[, version]) - per-dir data-skipping stats (range/str_range/bloom)"),
+      (exprs: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = litStr(exprs, 0, "graft_table_stats", "path")
+        val version =
+          if (exprs.length > 1) GraftExpressions.litLong(exprs(1), "graft_table_stats", "version")
+          else -1L
+        graft.etl.TxTable.statsOf(spark, path, version).queryExecution.logical
+      }))
   }
 
   private def litStr(exprs: Seq[Expression], i: Int, fn: String, arg: String): String = {

@@ -102,10 +102,18 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
     GraftTailSource(sqlContext, pathOf(parameters), schema, parameters, metadataPath)
 }
 
-/** One pinned-version snapshot of a TxTable as a DSv1 relation. */
+/** One pinned-version snapshot of a TxTable as a DSv1 relation.
+  * `InsertableRelation` makes `INSERT INTO` / `INSERT OVERWRITE` on a
+  * `USING graft` view a transactional append/refresh commit — the
+  * last DML shape the SQL surface was missing (reads, time travel,
+  * and skipping already flow through the TVFs and this relation). */
 final case class GraftTableRelation(sqlContext: SQLContext, root: String,
                                     versionAsOf: Long)
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    if (overwrite) TxTable.refresh(sqlContext.sparkSession, root, data)
+    else TxTable.append(sqlContext.sparkSession, root, data)
 
   private val spark: SparkSession = sqlContext.sparkSession
   /** Resolved ONCE: the relation is a consistent snapshot — concurrent

@@ -203,6 +203,41 @@ class GraftSourceSpec extends AnyFunSuite {
       s"SQL WHERE should reach buildScan: kept ${GraftTableSource.lastKeptDirs.get}")
   }
 
+  test("SQL DML: INSERT INTO / INSERT OVERWRITE a USING graft view are transactional commits") {
+    val root = tmp("dml")
+    kv(1L -> "a").write.format("graft").save(root)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_dml_t USING graft OPTIONS (path '$root')")
+    spark.sql("INSERT INTO graft_dml_t VALUES (2, 'b'), (3, 'c')")
+    // the view itself is a pinned snapshot (pre-insert); a fresh read
+    // sees the appended commit, and history records it
+    assert(ks(spark.read.format("graft").load(root)) ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    spark.sql("INSERT OVERWRITE TABLE graft_dml_t VALUES (9, 'z')")
+    assert(ks(spark.read.format("graft").load(root)) == Set(9L -> "z"))
+    assert(TxTable.history(spark, root).collect().map(_.getString(1)).toSeq ==
+      Seq("refresh", "append", "refresh"))
+    // pre-DML versions remain readable
+    assert(ks(spark.read.format("graft").option("versionAsOf", 0).load(root)) ==
+      Set(1L -> "a"))
+  }
+
+  test("statsOf exposes the skipping state: range, string, and bloom rows per dir") {
+    import spark.implicits._
+    val root = tmp("stats")
+    Seq((1L, "en", "h-1")).toDF("k", "lang", "sha")
+      .write.format("graft").save(root)
+    TxTable.setStatsColumns(spark, root, Seq("k", "lang"))
+    TxTable.setBloomColumns(spark, root, Seq("sha"))
+    Seq((2L, "fr", "h-2")).toDF("k", "lang", "sha")
+      .write.format("graft").mode(SaveMode.Append).save(root)
+    val st = TxTable.statsOf(spark, root).collect()
+      .map(r => (r.getString(1), r.getString(2))).groupBy(identity)
+      .map { case (kc, rows) => kc -> rows.length }
+    // both dirs statted on both declared columns + bloomed on sha
+    assert(st(("k", "range")) == 2 && st(("lang", "str_range")) == 2 &&
+      st(("sha", "bloom")) == 2, s"unexpected stats shape: $st")
+  }
+
   test("streaming tail: full-history replay, incremental appends, exactly-once across restart") {
     import spark.implicits._
     val root = tmp("tail")
