@@ -115,15 +115,28 @@ object TxTable {
     *  - `bloomCols`: the declared point-lookup column set
     *    ([[setBloomColumns]]); every commit builds a per-dir Bloom
     *    filter for these, so equality/IN predicates prune dirs that
-    *    range stats cannot (high-cardinality hash-like keys). */
+    *    range stats cannot (high-cardinality hash-like keys).
+    *  - `txnApps`/`txnIds` (aligned lists): per-writer idempotence
+    *    records — the highest batch id each named writer has
+    *    committed (Delta's `txn` action). They ride the MANIFEST
+    *    because the manifest link is the atomic point: a sidecar
+    *    updated after the win would leave a crash window in which a
+    *    replayed streaming batch double-commits. Every commit path
+    *    carries them forward. */
   final case class Snapshot(version: Long, action: String, dirs: Seq[String],
                             parts: Seq[String] = Nil,
                             statsCols: Seq[String] = Nil,
                             schemaDdl: String = "",
                             layout: String = "",
-                            bloomCols: Seq[String] = Nil) {
+                            bloomCols: Seq[String] = Nil,
+                            txnApps: Seq[String] = Nil,
+                            txnIds: Seq[Long] = Nil) {
     def entries: Seq[(String, String)] =
       dirs.zip(if (parts.length == dirs.length) parts else Seq.fill(dirs.length)(""))
+    /** The per-writer idempotence map (empty for pre-txn manifests). */
+    def txns: Map[String, Long] =
+      if (txnApps.length == txnIds.length) txnApps.zip(txnIds).toMap
+      else Map.empty
   }
 
   private def logDir(root: String): Path = Paths.get(root, "_txlog")
@@ -672,10 +685,53 @@ object TxTable {
       val baseEntries = base.map(_.entries).getOrElse(Nil) :+ (rel, "")
       val snap = Snapshot(target, "append", baseEntries.map(_._1),
         baseEntries.map(_._2), statsCols, ddl, base.map(_.layout).getOrElse(""),
-        bloomCols)
+        bloomCols, base.toSeq.flatMap(_.txnApps), base.toSeq.flatMap(_.txnIds))
       if (tryCommitAnchored(root, snap, fresh, freshStr)) {
         v = target; done = true
       } else dropData(root, rel)
+    }
+    v
+  }
+
+  /** Idempotent append for replayable writers (Delta's `txn` recipe —
+    * the streaming-sink contract): commit `batch` tagged with
+    * (`appId`, `batchId`); if the table has already committed this
+    * appId at `batchId` or beyond, the call is a NO-OP returning the
+    * current version — so an at-least-once writer (a Structured
+    * Streaming sink replaying `addBatch` after a crash, a retried job)
+    * gets exactly-once table contents. The txn record rides the
+    * manifest (atomic with the data becoming visible); batch ids must
+    * be monotonically increasing per appId, which the streaming
+    * engine's batch counter provides. */
+  def appendIdempotent(spark: SparkSession, root: String, batch: DataFrame,
+                       appId: String, batchId: Long,
+                       evolve: Boolean = false): Long = {
+    require(appId.nonEmpty, "appId must be non-empty")
+    var v = -1L
+    var done = false
+    while (!done) {
+      val baseV = latestVersion(root)
+      val base = if (baseV < 0) None else Some(snapshot(root, baseV))
+      val already = base.exists(_.txns.get(appId).exists(_ >= batchId))
+      if (already) { v = baseV; done = true }
+      else {
+        val ddl = resolveSchema(root, base, batch, evolve)
+        val statsCols = base.map(_.statsCols).getOrElse(Nil)
+        val bloomCols = base.map(_.bloomCols).getOrElse(Nil)
+        val target = baseV + 1
+        val rel = writeData(root, target, batch)
+        val (fresh, freshStr) = dirStatsOf(spark, root, Seq(rel), statsCols)
+        buildBlooms(spark, root, Seq(rel), bloomCols)
+        val baseEntries = base.map(_.entries).getOrElse(Nil) :+ (rel, "")
+        val txns = base.map(_.txns).getOrElse(Map.empty) + (appId -> batchId)
+        val snap = Snapshot(target, "append", baseEntries.map(_._1),
+          baseEntries.map(_._2), statsCols, ddl,
+          base.map(_.layout).getOrElse(""), bloomCols,
+          txns.keys.toSeq, txns.keys.toSeq.map(txns))
+        if (tryCommitAnchored(root, snap, fresh, freshStr)) {
+          v = target; done = true
+        } else dropData(root, rel)
+      }
     }
     v
   }
@@ -806,7 +862,8 @@ object TxTable {
         else {
           val all = curEntries.filterNot(e => touched.contains(e._2)) ++ fresh
           val snap = Snapshot(curV + 1, "merge", all.map(_._1), all.map(_._2),
-            statsCols, ddl, tableLayout, bloomCols)
+            statsCols, ddl, tableLayout, bloomCols,
+            curSnap.toSeq.flatMap(_.txnApps), curSnap.toSeq.flatMap(_.txnIds))
           if (tryCommitAnchored(root, snap, freshStats, freshStrStats)) {
             if (curV != baseV) fastForwardCommits.incrementAndGet()
             v = curV + 1; done = true
@@ -886,7 +943,8 @@ object TxTable {
         base.statsCols.filterNot(clusterBy.contains))
       buildBlooms(spark, root, fresh.map(_._1), base.bloomCols)
       val snap = Snapshot(target, "compact", fresh.map(_._1), fresh.map(_._2),
-        base.statsCols, base.schemaDdl, base.layout, base.bloomCols)
+        base.statsCols, base.schemaDdl, base.layout, base.bloomCols,
+        base.txnApps, base.txnIds)
       if (tryCommitAnchored(root, snap, freshAll.flatMap(_._2) ++ declared, declaredStr)) {
         v = target; done = true
       } else fresh.foreach(e => dropData(root, e._1))
@@ -1144,7 +1202,8 @@ object TxTable {
       val (fresh, freshStr) = dirStatsOf(df.sparkSession, root, Seq(rel), statsCols)
       buildBlooms(df.sparkSession, root, Seq(rel), bloomCols)
       val snap = Snapshot(target, action, Seq(rel), Seq(""), statsCols, ddl,
-        base.map(_.layout).getOrElse(""), bloomCols)
+        base.map(_.layout).getOrElse(""), bloomCols,
+        base.toSeq.flatMap(_.txnApps), base.toSeq.flatMap(_.txnIds))
       if (tryCommitAnchored(root, snap, fresh, freshStr)) { v = target; done = true }
       else dropData(root, rel) // lost the race: discard, rebase, retry
     }
@@ -1177,7 +1236,8 @@ object TxTable {
       val fresh = freshAll.filterNot(s => have((s.dir, s.col)))
       val freshStr = freshStrAll.filterNot(s => have((s.dir, s.col)))
       val snap = Snapshot(baseV + 1, "setstats", base.dirs, base.parts,
-        cols, base.schemaDdl, base.layout, base.bloomCols)
+        cols, base.schemaDdl, base.layout, base.bloomCols,
+        base.txnApps, base.txnIds)
       if (tryCommitAnchored(root, snap, fresh, freshStr)) { v = snap.version; done = true }
     }
     v
@@ -1204,7 +1264,8 @@ object TxTable {
         !cols.forall(c => Files.exists(bloomFile(root, d, c))))
       buildBlooms(spark, root, needing, cols)
       val snap = Snapshot(baseV + 1, "setbloom", base.dirs, base.parts,
-        base.statsCols, base.schemaDdl, base.layout, cols)
+        base.statsCols, base.schemaDdl, base.layout, cols,
+        base.txnApps, base.txnIds)
       if (tryCommitAnchored(root, snap)) { v = snap.version; done = true }
     }
     v
@@ -1279,7 +1340,8 @@ object TxTable {
       val (fresh, freshStr) = dirStatsOf(spark, root, freshRels, base.statsCols)
       buildBlooms(spark, root, freshRels, base.bloomCols)
       val snap = Snapshot(target, action, entries.map(_._1), entries.map(_._2),
-        base.statsCols, base.schemaDdl, base.layout, base.bloomCols)
+        base.statsCols, base.schemaDdl, base.layout, base.bloomCols,
+        base.txnApps, base.txnIds)
       if (tryCommitAnchored(root, snap, fresh, freshStr)) { v = target; done = true }
       else freshRels.foreach(dropData(root, _))
     }
@@ -1395,7 +1457,11 @@ object TxTable {
     val bloomCols =
       if (s.bloomCols.isEmpty) ""
       else s""","bloomCols":[${s.bloomCols.map(q).mkString(",")}]"""
-    s"""{"version":${s.version},"action":${q(s.action)},"dirs":[${s.dirs.map(q).mkString(",")}]$parts$statsCols$schema$layout$bloomCols}"""
+    val txns =
+      if (s.txnApps.isEmpty) ""
+      else s""","txnApps":[${s.txnApps.map(q).mkString(",")}]""" +
+        s""","txnIds":[${s.txnIds.mkString(",")}]"""
+    s"""{"version":${s.version},"action":${q(s.action)},"dirs":[${s.dirs.map(q).mkString(",")}]$parts$statsCols$schema$layout$bloomCols$txns}"""
   }
 
   private def parse(body: String): Snapshot = {
@@ -1411,8 +1477,14 @@ object TxTable {
       """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(listBody)
         .map(m => unq(m.group(1))).toSeq
     }
+    def numList(fld: String): Seq[Long] = {
+      val listBody = ("\"" + fld + """"\s*:\s*\[([^\]]*)\]""").r.findFirstMatchIn(body)
+        .map(_.group(1)).getOrElse("")
+      """-?\d+""".r.findAllIn(listBody).map(_.toLong).toSeq
+    }
     Snapshot(version, strFld("action", "unknown"), strList("dirs"),
       strList("parts"), strList("statsCols"), strFld("schema", ""),
-      strFld("layout", ""), strList("bloomCols"))
+      strFld("layout", ""), strList("bloomCols"),
+      strList("txnApps"), numList("txnIds"))
   }
 }

@@ -51,7 +51,7 @@ import org.apache.spark.sql.types.StructType
   * [[GraftTailSource]] (same format name via `readStream`).
   */
 class GraftTableSource extends RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider with DataSourceRegister {
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -100,6 +100,25 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     GraftTailSource(sqlContext, pathOf(parameters), schema, parameters, metadataPath)
+
+  // --- streaming write (writeStream.format("graft")): see GraftTableSink ---
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+      s"graft sink supports Append (idempotent commits) and Complete " +
+        s"(full-replace refresh per batch); got $outputMode — for Update-" +
+        "shaped upserts use foreachBatch with TxTable.mergeUpsert")
+    val appId = parameters.get("appId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink needs a writer identity for idempotent commits: set " +
+          "option(\"appId\", ...) or a checkpointLocation"))
+    GraftTableSink(sqlContext, pathOf(parameters), appId, outputMode)
+  }
 }
 
 /** One pinned-version snapshot of a TxTable as a DSv1 relation.

@@ -19,4 +19,11 @@ object GraftBridge {
     val c = df.asInstanceOf[classic.Dataset[Row]]
     c.sparkSession.internalCreateDataFrame(c.queryExecution.toRdd, c.schema, isStreaming = true)
   }
+  // the reverse direction, for a V1 Sink's addBatch frame: re-wrap the
+  // incremental plan's rows as a writable BATCH frame (df.write on the
+  // streaming frame itself throws)
+  def batchFrame(df: Dataset[Row]): DataFrame = {
+    val c = df.asInstanceOf[classic.Dataset[Row]]
+    c.sparkSession.internalCreateDataFrame(c.queryExecution.toRdd, c.schema, isStreaming = false)
+  }
 }

@@ -354,6 +354,39 @@ class GraftSourceSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("vacuumed")))
   }
 
+  test("table-to-table streaming: graft source -> graft sink, exactly-once on both edges") {
+    val a = tmp("t2t-a")
+    val b = tmp("t2t-b")
+    val ckpt = tmp("t2t-ckpt")
+    kv(1L -> "a").write.format("graft").save(a)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(a)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(b)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(ks(spark.read.format("graft").load(b)) == Set(1L -> "a"))
+    // appends while the stream is down, then restart: each source dir
+    // consumed once, each sink batch committed once
+    kv(2L -> "b").write.format("graft").mode(SaveMode.Append).save(a)
+    kv(3L -> "c").write.format("graft").mode(SaveMode.Append).save(a)
+    run()
+    val rows = spark.read.format("graft").load(b).collect()
+    assert(rows.length == 3, s"exactly-once violated: ${rows.length} rows")
+    assert(ks(spark.read.format("graft").load(b)) ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // the sink's txn ledger rides B's manifest…
+    val txns = TxTable.snapshot(b).txns
+    assert(txns.nonEmpty, "sink committed without a txn record")
+    // …and a replayed batch id no-ops instead of double-committing
+    val before = TxTable.latestVersion(b)
+    TxTable.appendIdempotent(spark, b, kv(9L -> "z"), txns.keys.head, 0L)
+    assert(TxTable.latestVersion(b) == before, "replayed batch committed twice")
+    assert(spark.read.format("graft").load(b).count() == 3)
+  }
+
   test("standing CDC consumption: scoped merges tail with ignoreChanges + last-writer dedup") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -566,6 +566,28 @@ class TxTableSpec extends AnyFunSuite {
       s.entries.filter(_._2 == "y").map(_._1).toSet)
   }
 
+  test("appendIdempotent: replayed batch ids no-op; the txn ledger survives other commits") {
+    val root = tmp()
+    assert(TxTable.appendIdempotent(spark, root, df(1L -> "a"), "app1", 0L) == 0)
+    // exact replay and a LOWER batch id both no-op
+    assert(TxTable.appendIdempotent(spark, root, df(9L -> "x"), "app1", 0L) == 0)
+    assert(TxTable.latestVersion(root) == 0)
+    assert(rowsOf(root) == Set(1L -> "a"))
+    // a higher batch id commits; a second writer identity is independent
+    assert(TxTable.appendIdempotent(spark, root, df(2L -> "b"), "app1", 1L) == 1)
+    assert(TxTable.appendIdempotent(spark, root, df(3L -> "c"), "app2", 0L) == 2)
+    assert(rowsOf(root) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(TxTable.snapshot(root).txns == Map("app1" -> 1L, "app2" -> 0L))
+    // the ledger must survive unrelated commits (compact, merge,
+    // setstats) or a post-compaction replay would double-commit
+    TxTable.mergeUpsert(spark, root, df(2L -> "B2"), "k")
+    TxTable.compact(spark, root)
+    assert(TxTable.snapshot(root).txns == Map("app1" -> 1L, "app2" -> 0L))
+    assert(TxTable.appendIdempotent(spark, root, df(9L -> "x"), "app1", 1L) ==
+      TxTable.latestVersion(root)) // still a no-op after the compact
+    assert(!rowsOf(root).contains(9L -> "x"))
+  }
+
   test("deleteKeys: takedown rewrites only the dirs that might hold a key; the rest carry by reference") {
     import spark.implicits._
     val root = tmp()
