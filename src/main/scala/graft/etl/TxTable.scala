@@ -133,10 +133,17 @@ object TxTable {
                             txnIds: Seq[Long] = Nil) {
     def entries: Seq[(String, String)] =
       dirs.zip(if (parts.length == dirs.length) parts else Seq.fill(dirs.length)(""))
-    /** The per-writer idempotence map (empty for pre-txn manifests). */
-    def txns: Map[String, Long] =
-      if (txnApps.length == txnIds.length) txnApps.zip(txnIds).toMap
-      else Map.empty
+    /** The per-writer idempotence map (empty for pre-txn manifests).
+      * A LENGTH MISMATCH is manifest corruption and throws: degrading
+      * to an empty map would un-record every writer's high-water mark
+      * and turn the next replayed batch into a silent double-commit —
+      * the one failure mode the ledger exists to prevent. */
+    def txns: Map[String, Long] = {
+      if (txnApps.length != txnIds.length) throw new IllegalStateException(
+        s"corrupt txn ledger at version $version: ${txnApps.length} apps " +
+          s"vs ${txnIds.length} ids — refusing to treat replays as new batches")
+      txnApps.zip(txnIds).toMap
+    }
   }
 
   private def logDir(root: String): Path = Paths.get(root, "_txlog")
@@ -675,6 +682,14 @@ object TxTable {
     while (!done) {
       val baseV = latestVersion(root)
       val base = if (baseV < 0) None else Some(snapshot(root, baseV))
+      // a whole-table ("") entry on a partition-scoped layout makes
+      // every later scoped merge fail its partitioned-history check —
+      // permanently. Fail THIS call instead (r17 reviewer; refresh is
+      // exempt: a full replace legitimately re-establishes layout)
+      base.foreach(s => require(s.entries.forall(_._2.isEmpty),
+        s"TxTable $root has a partition-scoped layout — append would " +
+          "permanently break scoped merges; use mergeUpsertPartitioned " +
+          "(or refresh to deliberately re-layout)"))
       val ddl = resolveSchema(root, base, batch, evolve)
       val statsCols = base.map(_.statsCols).getOrElse(Nil)
       val bloomCols = base.map(_.bloomCols).getOrElse(Nil)
@@ -707,11 +722,23 @@ object TxTable {
                        appId: String, batchId: Long,
                        evolve: Boolean = false): Long = {
     require(appId.nonEmpty, "appId must be non-empty")
+    // same manifest-encoding constraint as partition values: a ']'
+    // truncates the bracket-delimited list on re-parse, desyncing the
+    // apps/ids lists — which now fails loudly at read, but better to
+    // refuse the write (the sink sanitizes its derived ids before
+    // calling)
+    require(!appId.contains("]"),
+      s"appId '$appId' is not representable in the manifest encoding " +
+        "(must not contain ']')")
     var v = -1L
     var done = false
     while (!done) {
       val baseV = latestVersion(root)
       val base = if (baseV < 0) None else Some(snapshot(root, baseV))
+      base.foreach(s => require(s.entries.forall(_._2.isEmpty),
+        s"TxTable $root has a partition-scoped layout — a whole-table " +
+          "append would permanently break scoped merges; route the sink " +
+          "through foreachBatch + mergeUpsertPartitioned instead"))
       val already = base.exists(_.txns.get(appId).exists(_ >= batchId))
       if (already) { v = baseV; done = true }
       else {
@@ -1287,10 +1314,33 @@ object TxTable {
   def deleteKeys(spark: SparkSession, root: String, column: String,
                  values: Seq[Any]): Long = {
     require(values.nonEmpty, "deleteKeys needs at least one value")
+    // a NULL takedown value matches no row, but its presence makes
+    // isin() return NULL for every non-matching row — which the keep
+    // filter would then DROP, deleting the whole candidate dir's
+    // content (r17 reviewer). Reject it rather than silently ignore.
+    require(values.forall(_ != null),
+      "takedown values must be non-null — NULL matches no row and " +
+        "poisons the membership predicate")
+    // statted columns prune by the value set's span too, not just by
+    // bloom: an undeclared-bloom column with range/string stats still
+    // bounds the rewrite set
+    val nums = values.collect { case n: Number => n.doubleValue() }
+    val strs = values.collect { case s: String => s }
+    val ranges =
+      if (nums.length == values.length) Map(column -> (nums.min, nums.max))
+      else Map.empty[String, (Double, Double)]
+    val strRanges =
+      if (strs.length == values.length)
+        Map(column -> (strs.min(strOrdering), Option(strs.max(strOrdering))))
+      else Map.empty[String, (String, Option[String])]
     deleteImpl(spark, root, "deleteKeys",
-      prune = s => pruneSnapshot(root, s, Map.empty, Map.empty,
+      prune = s => pruneSnapshot(root, s, ranges, strRanges,
         Map(column -> values))._1.toSet,
-      keep = col(column).isNull || !col(column).isin(values: _*))
+      // coalesce(…, false): a row whose membership test is NULL (e.g.
+      // a NULL cell) is NOT a match and must be KEPT — bare !isin
+      // propagates the NULL into filter(), which drops it
+      keep = !org.apache.spark.sql.functions.coalesce(
+        col(column).isin(values: _*), org.apache.spark.sql.functions.lit(false)))
   }
 
   /** Row-level DELETE of a numeric range (`column` in [lo, hi]) —
@@ -1302,8 +1352,16 @@ object TxTable {
                   lo: Double, hi: Double): Long =
     deleteImpl(spark, root, "deleteRange",
       prune = s => pruneSnapshot(root, s, Map(column -> (lo, hi)))._1.toSet,
-      keep = !col(column).cast("double").between(lo, hi) ||
-        col(column).isNull)
+      // try_cast + coalesce(…, false): a NULL comparison (NULL cell,
+      // or a value the double cast cannot represent — e.g. a string
+      // column, which ANSI mode's plain cast would make a runtime
+      // ERROR) is NOT a match and must be KEPT; the bare form
+      // propagated the NULL into filter() and silently deleted every
+      // such row, the exact opposite of scan()'s read-side semantics
+      // (r17 reviewer)
+      keep = !org.apache.spark.sql.functions.coalesce(
+        col(column).try_cast("double").between(lo, hi),
+        org.apache.spark.sql.functions.lit(false)))
 
   /** Shared optimistic delete loop: candidate dirs (prune) are
     * rewritten without the matching rows, everything else carries by
@@ -1324,9 +1382,15 @@ object TxTable {
       val candidates = prune(base)
       val rewritten: Seq[(String, Option[(String, String)])] =
         base.entries.filter(e => candidates(e._1)).map { case (dir, part) =>
+          // one scan per candidate: filter+write in a single pass, then
+          // a parquet METADATA count decides fully-deleted (a separate
+          // isEmpty probe would re-read the whole dir first)
           val kept = spark.read.parquet(s"$root/$dir").filter(keep)
-          if (kept.isEmpty) (dir, None) // dir fully deleted
-          else (dir, Some((writeData(root, target, kept), part)))
+          val rel = writeData(root, target, kept)
+          if (spark.read.parquet(s"$root/$rel").count() == 0L) {
+            dropData(root, rel)
+            (dir, None) // dir fully deleted
+          } else (dir, Some((rel, part)))
         }
       val replacement = rewritten.map { case (old, repl) => old -> repl }.toMap
       val entries = base.entries.flatMap { case e @ (dir, part) =>

@@ -112,11 +112,33 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
       s"graft sink supports Append (idempotent commits) and Complete " +
         s"(full-replace refresh per batch); got $outputMode — for Update-" +
         "shaped upserts use foreachBatch with TxTable.mergeUpsert")
-    val appId = parameters.get("appId")
-      .orElse(parameters.get("checkpointLocation"))
-      .getOrElse(throw new IllegalArgumentException(
-        "graft sink needs a writer identity for idempotent commits: set " +
-          "option(\"appId\", ...) or a checkpointLocation"))
+    // partitionBy would be silently dropped — the txn-append path
+    // writes whole-table entries only; fail loudly like Update does
+    require(partitionColumns.isEmpty,
+      "graft sink does not lay out partitionBy columns — for a " +
+        "partition-scoped table use foreachBatch with mergeUpsertPartitioned")
+    // writer identity for the txn ledger. Derived checkpoint paths are
+    // NORMALIZED (absolute, no '.', no trailing slash, no scheme) so a
+    // cosmetic respelling across restarts ('ckpt' vs './ckpt/') cannot
+    // change the identity and un-record the replay high-water mark;
+    // the session-conf checkpoint root (plus queryName, which scopes
+    // the engine's actual checkpoint under that root) works too. ']'
+    // is sanitized — appendIdempotent rejects it (manifest encoding).
+    def normalize(p: String): String =
+      try java.nio.file.Paths.get(p.stripPrefix("file:"))
+        .toAbsolutePath.normalize.toString
+      catch { case _: Exception => p }
+    val appId = parameters.get("appId").getOrElse {
+      val ckpt = parameters.get("checkpointLocation").map(normalize)
+        .orElse(sqlContext.sparkSession.conf
+          .getOption("spark.sql.streaming.checkpointLocation").map(normalize)
+          .map(root => parameters.get("queryName")
+            .fold(root)(q => s"$root/$q")))
+        .getOrElse(throw new IllegalArgumentException(
+          "graft sink needs a writer identity for idempotent commits: set " +
+            "option(\"appId\", ...) or a checkpointLocation"))
+      ckpt
+    }.replace(']', '_')
     GraftTableSink(sqlContext, pathOf(parameters), appId, outputMode)
   }
 }

@@ -415,8 +415,12 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.snapshot(root, mv).dirs.forall(d =>
       after.exists(s => s.dir == d && s.col == "k")),
       "a merge commit on a stats-declared table left its fresh dir unstatted")
-    // …and so does append
-    val av = TxTable.append(spark, root, pdf((3000L, "a0", "w")))
+    // …and so does a scoped merge opening a brand-new partition
+    // (plain append on a partition-scoped layout is now REJECTED —
+    // it would permanently break scoped merges; the append-path stats
+    // behavior is covered on whole-table layouts in GraftSourceSpec)
+    val av = TxTable.mergeUpsertPartitioned(spark, root,
+      pdf((3000L, "a0", "w")), "k", "p")
     assert(TxTable.readStats(root, av).exists(s =>
       s.col == "k" && s.min == 3000.0 && s.max == 3000.0))
     // a narrow range over this never-compacted table prunes at the
@@ -642,6 +646,50 @@ class TxTableSpec extends AnyFunSuite {
     TxTable.deleteRange(spark, root, "k", 0, 4)
     assert(TxTable.scan(spark, root, "k", 0, 9).collect()
       .map(_.getString(1)).toSet == (5 until 10).map(j => s"v0-$j").toSet)
+    // a range delete on a STRING column must delete NOTHING (the
+    // double cast is NULL for every row — NULL is not a match; the
+    // un-coalesced form deleted every such row, the read-side scan()'s
+    // exact opposite)
+    val nBefore = TxTable.read(spark, root).count()
+    TxTable.deleteRange(spark, root, "v", 0, 100)
+    assert(TxTable.read(spark, root).count() == nBefore,
+      "string-column range delete must be a no-op, not a table wipe")
+    // a NULL takedown value poisons isin for every row — reject it
+    intercept[IllegalArgumentException] {
+      TxTable.deleteKeys(spark, root, "v", Seq("v0-5", null))
+    }
+    assert(TxTable.read(spark, root).count() == nBefore)
+  }
+
+  test("whole-table appends are rejected on a partition-scoped layout; corrupt txn ledgers fail loudly") {
+    import spark.implicits._
+    val root = tmp()
+    TxTable.mergeUpsertPartitioned(spark, root,
+      Seq((1L, "a", "x")).toDF("k", "v", "p"), "k", "p")
+    intercept[IllegalArgumentException] {
+      TxTable.append(spark, root, Seq((2L, "b", "y")).toDF("k", "v", "p"))
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.appendIdempotent(spark, root,
+        Seq((2L, "b", "y")).toDF("k", "v", "p"), "app", 0L)
+    }
+    // appId carrying ']' would desync the bracket-delimited ledger
+    val root2 = tmp()
+    intercept[IllegalArgumentException] {
+      TxTable.appendIdempotent(spark, root2, df(1L -> "a"), "bad]app", 0L)
+    }
+    // a hand-corrupted ledger (apps/ids desynced) must THROW, not
+    // silently un-record every writer's high-water mark
+    TxTable.appendIdempotent(spark, root2, df(1L -> "a"), "app", 0L)
+    val m1 = java.nio.file.Paths.get(root2, "_txlog", "v00000001.json")
+    java.nio.file.Files.writeString(m1,
+      """{"version":1,"action":"append","dirs":["data/v0-missing"],""" +
+        """"txnApps":["app"],"txnIds":[]}""")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root2, "_txlog", "_latest.hint"))
+    intercept[IllegalStateException] {
+      TxTable.appendIdempotent(spark, root2, df(2L -> "b"), "app", 1L)
+    }
   }
 
   test("history lists retained versions newest-first with per-version added-dir counts") {
