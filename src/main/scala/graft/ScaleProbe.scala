@@ -638,6 +638,55 @@ object ScaleProbe {
       return
     }
 
+    // gstream: the streaming table→table pair measured — table A is the
+    // corpus as an append-only TxTable, tailed into table B through
+    // `readStream.format("graft")` → `writeStream.format("graft")`
+    // (checkpointed offsets, idempotent sink commits). Two numbers:
+    // the BOOTSTRAP (full-history replay, ∝ corpus — paid once per
+    // stream), and the INCREMENTAL per-batch wall for a FIXED 200-row
+    // batch appended to A while the stream runs — the standing cost,
+    // which must stay FLAT as the accumulated corpus grows (O(new
+    // dirs) per batch on both edges: hinted O(1) log discovery, one
+    // manifest diff, one batch write).
+    if (bitsArg == "gstream") {
+      import graft.etl.TxTable
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val n = docs.count()
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val nBatches = 8
+      val span = maxId / nBatches + 1
+      val base = java.nio.file.Files.createTempDirectory("graft-gstream").toString
+      val a = s"$base/a"; val b = s"$base/b"; val ckpt = s"$base/ckpt"
+      TxTable.refresh(spark, a, docs.filter(col("doc_id") < span))
+      (1 until nBatches).foreach(i => TxTable.append(spark, a, docs.filter(
+        col("doc_id") >= i * span && col("doc_id") < (i + 1) * span)))
+      val q = spark.readStream.format("graft").load(a)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(b)
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val bootstrapSec = (System.nanoTime() - t0) / 1e9
+      val inc = docs.limit(200).cache()
+      val incRows = inc.count()
+      val times = (1 to 5).map { _ =>
+        TxTable.append(spark, a, inc)
+        val t1 = System.nanoTime()
+        q.processAllAvailable()
+        (System.nanoTime() - t1) / 1e9
+      }.sorted
+      q.stop()
+      inc.unpersist()
+      val aRows = TxTable.read(spark, a).count()
+      val bRows = TxTable.read(spark, b).count()
+      require(aRows == bRows, s"stream lost rows: A=$aRows B=$bRows")
+      require(bRows == n + 5 * incRows, "unexpected row accounting")
+      println(f"""{"probe":"gstream","sf":"$sfDir","corpus":$n,"bootstrap_sec":$bootstrapSec%.3f,"incr_batch_rows":$incRows,"incr_median_sec":${times(2)}%.3f,"rows_exact":$bRows}""")
+      spark.stop()
+      return
+    }
+
     // lshprofile: q40's ×100 cost split (r16 verdict task 5) — time the
     // CANDIDATE stage (key explode + hot-bucket blacklist + band join +
     // pair distinct) separately from the EXACT-CONFIRM stage (two
