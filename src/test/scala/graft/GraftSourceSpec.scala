@@ -170,6 +170,25 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(GraftTableSource.lastKeptDirs.get == 2)
   }
 
+  test("pruning composes with time travel: a versionAsOf read prunes on that version's sidecar") {
+    import spark.implicits._
+    val root = ingestTable("ttprune", 4)
+    val oldV = TxTable.latestVersion(root)
+    // later commits extend the key range; the pinned old version must
+    // prune (and see) only ITS OWN dirs
+    (4 until 6).foreach { b =>
+      (b * 100L until (b + 1) * 100L).map(k => (k, s"v$k")).toDF("k", "v")
+        .write.format("graft").mode(SaveMode.Append).save(root)
+    }
+    val pinned = spark.read.format("graft").option("versionAsOf", oldV).load(root)
+    assert(ks(pinned.where($"k" >= 150L && $"k" < 250L)) ==
+      (150L until 250L).map(k => k -> s"v$k").toSet)
+    assert(GraftTableSource.lastKeptDirs.get == 2)
+    // rows committed after the pinned version are invisible even when
+    // their range matches
+    assert(pinned.where($"k" >= 400L).count() == 0)
+  }
+
   test("bloom-column equality pushdown prunes through the connector") {
     import spark.implicits._
     val root = tmp("bloom")
