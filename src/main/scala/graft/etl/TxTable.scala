@@ -1313,6 +1313,60 @@ object TxTable {
     v
   }
 
+  /** Zero-copy table fork (Delta's SHALLOW CLONE, adapted to a
+    * hard-link filesystem): `dst`'s version 0 lists its OWN data dirs
+    * whose files are hard links to `src`'s — O(files) metadata moves,
+    * zero data bytes, so forking a 100 TB corpus for an experiment
+    * costs a directory walk. Links share inodes: a later [[vacuum]] on
+    * either side unlinks only its own paths, and the shared bytes live
+    * until BOTH sides drop them — the clone stays readable after the
+    * source is vacuumed to nothing (spec-pinned). Schema, declared
+    * stats/bloom columns, partition scoping, the stats sidecar, and
+    * the Bloom filter files all carry (dirs are content-identical,
+    * so the re-keyed stats stay exact); the txn ledger does NOT — a
+    * clone is a new table and a replayed writer must not be suppressed
+    * by the original's history. S3-class stores have no link(2); a
+    * clone there must copy (or reference absolute URIs) — the same
+    * documented caveat as the O_EXCL commit claim. Returns true iff
+    * this call created the clone (fixed version-0 target, no retry —
+    * losing means another creator established `dst`, exactly
+    * [[migrate]]'s rule). */
+  def cloneTable(spark: SparkSession, src: String, dst: String,
+                 version: Long = -1L): Boolean = {
+    val s = snapshot(src, version)
+    if (exists(dst)) return false
+    val mapped = s.entries.map { case (rel, part) =>
+      val newRel = s"data/v0-${UUID.randomUUID().toString.take(8)}"
+      val from = Paths.get(src, rel)
+      val to = Paths.get(dst, newRel)
+      Files.createDirectories(to)
+      listDir(from).filter(Files.isRegularFile(_)).foreach { f =>
+        Files.createLink(to.resolve(f.getFileName), f)
+      }
+      (rel, newRel, part)
+    }
+    val rekey = mapped.map(m => m._1 -> m._2).toMap
+    val stats = readStats(src, s.version)
+      .flatMap(st => rekey.get(st.dir).map(nd => st.copy(dir = nd)))
+    val strStats = readStrStats(src, s.version)
+      .flatMap(st => rekey.get(st.dir).map(nd => st.copy(dir = nd)))
+    mapped.foreach { case (rel, newRel, _) =>
+      s.bloomCols.foreach { c =>
+        val bf = bloomFile(src, rel, c)
+        if (Files.exists(bf)) {
+          Files.createDirectories(bloomDirPath(dst))
+          try Files.createLink(bloomFile(dst, newRel, c), bf)
+          catch { case _: Exception => () } // advisory, like the build
+        }
+      }
+    }
+    val snap = Snapshot(0L, "clone", mapped.map(_._2), mapped.map(_._3),
+      s.statsCols, s.schemaDdl, s.layout, s.bloomCols)
+    val won = tryCommitAnchored(dst, snap, stats, strStats)
+    if (!won) mapped.foreach(m => dropData(dst, m._2))
+    won
+  }
+
   /** Row-level DELETE of specific key values — the takedown-list
     * operation a training-data pipeline runs for content removal:
     * remove every row whose `column` is in `values`, rewriting ONLY

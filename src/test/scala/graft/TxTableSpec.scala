@@ -661,6 +661,47 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.read(spark, root).count() == nBefore)
   }
 
+  test("cloneTable: zero-copy fork — stats and blooms carry, divergence isolates, source vacuum survives") {
+    import spark.implicits._
+    val src = tmp(); val dst = tmp()
+    def batch(i: Int) = (0 until 20)
+      .map(j => (i * 20L + j, s"h-$i-$j")).toDF("k", "sha")
+    TxTable.refresh(spark, src, batch(0))
+    TxTable.setStatsColumns(spark, src, Seq("k"))
+    TxTable.setBloomColumns(spark, src, Seq("sha"))
+    (1 until 3).foreach(i => TxTable.append(spark, src, batch(i)))
+    assert(TxTable.cloneTable(spark, src, dst))
+    assert(!TxTable.cloneTable(spark, src, dst), "second creator must lose")
+    // identical content, zero data copied (files are hard links)
+    def rows(root: String) = TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(dst) == rows(src) && rows(dst).size == 60)
+    val aFile = {
+      val d = java.nio.file.Paths.get(dst, TxTable.snapshot(dst).dirs.head)
+      val s0 = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s0.iterator().asScala.find(_.getFileName.toString.startsWith("part-")).get
+      } finally s0.close()
+    }
+    assert(java.nio.file.Files.getAttribute(aFile, "unix:nlink")
+      .asInstanceOf[Number].intValue >= 2, "clone copied instead of linking")
+    // re-keyed stats prune on the clone; carried blooms serve lookups
+    val (keptC, prunedC) = TxTable.pruneDirs(dst, "k", 0, 19)
+    assert(prunedC >= 2 && keptC.length == 1)
+    assert(TxTable.lookup(spark, dst, "sha", "h-1-5").count() == 1)
+    // divergence is isolated both ways
+    TxTable.append(spark, dst, batch(9))
+    TxTable.deleteKeys(spark, src, "sha", Seq("h-0-0"))
+    assert(rows(dst).size == 80 && !rows(src).contains(0L -> "h-0-0"))
+    assert(rows(dst).contains(0L -> "h-0-0"), "src delete leaked into the clone")
+    // the clone outlives a source wiped and vacuumed to nothing:
+    // hard links keep the shared bytes alive until BOTH sides drop them
+    TxTable.refresh(spark, src, batch(0).filter("k < 0"))
+    TxTable.vacuum(src, TxTable.latestVersion(src), graceMs = 0)
+    assert(rows(dst).size == 80, "vacuuming the source broke the clone")
+  }
+
   test("whole-table appends are rejected on a partition-scoped layout; corrupt txn ledgers fail loudly") {
     import spark.implicits._
     val root = tmp()
