@@ -798,6 +798,70 @@ object TxTable {
       }
     }
 
+  /** Idempotent keyed MERGE for replayable writers — [[mergeUpsert]]
+    * semantics under the [[appendIdempotent]] txn-ledger contract: the
+    * commit is tagged (`appId`, `batchId`); a replayed batch (appId
+    * already at `batchId` or beyond) NO-OPS. This is the Update-mode
+    * streaming sink's primitive: a Structured Streaming query emitting
+    * keyed upserts lands exactly-once in the table across `addBatch`
+    * replays, one `writeStream` instead of foreachBatch glue. Keys may
+    * be composite — `keys` rows merge last-writer-wins per distinct
+    * key tuple (single-key delegates to [[Gold.merge]]'s broadcast
+    * path). */
+  def mergeUpsertIdempotent(spark: SparkSession, root: String,
+                            incoming: DataFrame, keys: Seq[String],
+                            appId: String, batchId: Long,
+                            evolve: Boolean = false): Long = {
+    require(keys.nonEmpty, "mergeUpsertIdempotent needs at least one key column")
+    require(appId.nonEmpty, "appId must be non-empty")
+    require(!appId.contains("]"),
+      s"appId '$appId' is not representable in the manifest encoding " +
+        "(must not contain ']')")
+    var v = -1L
+    var done = false
+    while (!done) {
+      val baseV = latestVersion(root)
+      val base = if (baseV < 0) None else Some(snapshot(root, baseV))
+      base.foreach(s => require(s.entries.forall(_._2.isEmpty),
+        s"TxTable $root has a partition-scoped layout — a whole-table " +
+          "merge would permanently break scoped merges; route the sink " +
+          "through foreachBatch + mergeUpsertPartitioned instead"))
+      val already = base.exists(_.txns.get(appId).exists(_ >= batchId))
+      if (already) { v = baseV; done = true }
+      else {
+        val ddl = resolveSchema(root, base, incoming, evolve)
+        val merged = base match {
+          case None    => incoming
+          case Some(s) =>
+            if (keys.length == 1)
+              Gold.merge(read(spark, root, s.version), incoming, keys.head)
+            else {
+              // composite key: anti-join the current table against the
+              // batch's (small, broadcastable) key tuples, then union
+              import org.apache.spark.sql.functions.broadcast
+              val cur = read(spark, root, s.version)
+              cur.join(broadcast(incoming.select(keys.map(col): _*).distinct()),
+                keys, "left_anti").unionByName(incoming)
+            }
+        }
+        val statsCols = base.map(_.statsCols).getOrElse(Nil)
+        val bloomCols = base.map(_.bloomCols).getOrElse(Nil)
+        val target = baseV + 1
+        val rel = writeData(root, target, merged)
+        val (fresh, freshStr) = dirStatsOf(spark, root, Seq(rel), statsCols)
+        buildBlooms(spark, root, Seq(rel), bloomCols)
+        val txns = base.map(_.txns).getOrElse(Map.empty) + (appId -> batchId)
+        val snap = Snapshot(target, "merge", Seq(rel), Seq(""), statsCols,
+          ddl, base.map(_.layout).getOrElse(""), bloomCols,
+          txns.keys.toSeq, txns.keys.toSeq.map(txns))
+        if (tryCommitAnchored(root, snap, fresh, freshStr)) {
+          v = target; done = true
+        } else dropData(root, rel)
+      }
+    }
+    v
+  }
+
   /** Partition-scoped MERGE — the commit shape the class doc promises
     * for 100 TB: rewrite ONLY the partitions (`partCol` values) the
     * incoming batch touches; every untouched partition's data dirs are

@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.OutputMode
 
 /** `df.writeStream.format("graft")` — the transactional sink half of
   * the streaming story (the source half is [[GraftTailSource]]): each
-  * micro-batch commits through [[TxTable.appendIdempotent]] tagged
+  * micro-batch commits through the manifest's txn ledger tagged
   * (appId, batchId), so the engine's at-least-once `addBatch` replay
   * (crash after the table commit, before the engine's own batch
   * commit) lands EXACTLY ONCE in the table — the replayed batch id is
@@ -18,27 +18,34 @@ import org.apache.spark.sql.streaming.OutputMode
   * read a TxTable incrementally, transform, and write a TxTable, with
   * exactly-once on BOTH edges.
   *
-  * Output modes: Append commits each batch's rows; Complete commits a
-  * full-replace [[TxTable.refresh]] per batch (the full-result shape
-  * of streaming aggregations — replay repeats the identical refresh,
-  * harmless by idempotence of content). Update is rejected: its rows
-  * are upserts, which need a key the sink API doesn't carry — use
-  * `foreachBatch` with [[TxTable.mergeUpsert]] for that shape.
+  * Output modes: Append commits each batch's rows
+  * ([[TxTable.appendIdempotent]]); Complete commits a full-replace
+  * [[TxTable.refresh]] per batch (the full-result shape of streaming
+  * aggregations — replay repeats the identical refresh, harmless by
+  * idempotence of content); Update, with `option("mergeKey", "k1,k2")`,
+  * MERGES each batch's rows by key through
+  * [[TxTable.mergeUpsertIdempotent]] — the standing-CDC upsert
+  * pipeline as one `writeStream`, last-writer-wins per key,
+  * exactly-once across replays.
   *
   * `appId` option: the writer identity for the txn map; defaults to
   * the query's checkpoint location (stable across restarts, exactly
   * what Delta keys on). A table written by several streams needs
-  * distinct appIds, which distinct checkpoints give for free.
-  */
+  * distinct appIds, which distinct checkpoints give for free. */
 final case class GraftTableSink(sqlContext: SQLContext, root: String,
-                                appId: String, mode: OutputMode) extends Sink {
+                                appId: String, mode: OutputMode,
+                                mergeKeys: Option[Seq[String]]) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = GraftBridge.batchFrame(data)
-    if (mode == OutputMode.Complete())
-      TxTable.refresh(sqlContext.sparkSession, root, batch)
-    else
-      TxTable.appendIdempotent(sqlContext.sparkSession, root, batch,
-        appId, batchId)
+    val spark = sqlContext.sparkSession
+    mergeKeys match {
+      case Some(keys) =>
+        TxTable.mergeUpsertIdempotent(spark, root, batch, keys, appId, batchId)
+      case None if mode == OutputMode.Complete() =>
+        TxTable.refresh(spark, root, batch)
+      case None =>
+        TxTable.appendIdempotent(spark, root, batch, appId, batchId)
+    }
   }
 }

@@ -3,10 +3,15 @@ package graft.sources
 import graft.etl.TxTable
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftParquetBridge, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.{expressions => ce}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** `spark.read.format("graft")` / `df.write.format("graft")` — the
   * [[TxTable]] format as a first-class Spark data source, so the table
@@ -16,41 +21,66 @@ import org.apache.spark.sql.types.StructType
   * `DataSourceRegister`), not just the Scala `TxTable` calls and the
   * `graft_table(...)` SQL table functions.
   *
-  * Read path (DSv1 `PrunedFilteredScan` — the stable public connector
-  * surface; chosen over DSv2 because its `buildScan` can delegate to a
-  * full native parquet scan plan instead of re-implementing columnar
-  * parquet reading in a `PartitionReader`):
-  *  - the snapshot VERSION is pinned at relation creation
-  *    (`versionAsOf` option, default latest), so one DataFrame is one
-  *    consistent snapshot however many actions/retries scan it;
-  *  - Catalyst pushes the query's conjunctive filters into
-  *    `buildScan`; the connector translates range-expressible ones
-  *    (=, <, <=, >, >=, IN, and AND-combinations) into per-column
-  *    [lo, hi] ranges and prunes non-overlapping data dirs at the
-  *    MANIFEST level via [[TxTable.pruneSnapshot]] — whole directories
-  *    are skipped before Spark ever lists a file, the Delta-paper read
-  *    path, now driven by the WHERE clause instead of an explicit API;
-  *  - the kept dirs are read through a regular parquet scan with the
-  *    translatable filters re-applied (so parquet row-group skipping
-  *    and column pruning still engage below the manifest-level skip);
-  *  - every filter is reported unhandled (`unhandledFilters` identity),
-  *    so Spark re-applies the exact predicates on top — pruning can
-  *    therefore only SKIP work, never change a result, whatever the
+  * Read path (DSv2 [[TableProvider]], the default):
+  *  - `load()` resolves a [[GraftTable]] whose snapshot VERSION is
+  *    pinned at table resolution (`versionAsOf` option, default
+  *    latest), so one DataFrame is one consistent snapshot however
+  *    many actions/retries scan it;
+  *  - Catalyst pushes the query's conjunctive filters into the
+  *    [[GraftScanBuilder]]; the connector translates range-expressible
+  *    ones (=, <, <=, >, >=, IN, prefix, and AND-combinations) into
+  *    per-column [lo, hi] ranges / point sets and prunes
+  *    non-overlapping data dirs at the MANIFEST level via
+  *    [[TxTable.pruneSnapshot]] — whole directories are skipped before
+  *    Spark ever lists a file, the Delta-paper read path, driven by
+  *    the WHERE clause;
+  *  - the kept dirs are then scanned by Spark's OWN vectorized parquet
+  *    `Scan` (built via [[GraftParquetBridge.parquetScan]]) with the
+  *    translatable filters pushed into it — so the plan is a columnar
+  *    `BatchScan ParquetScan` inside whole-stage codegen, with parquet
+  *    row-group skipping and column pruning engaged below the
+  *    manifest-level dir skip. No `RDD[Row]` boundary: connector reads
+  *    cost the same as direct parquet reads of the kept dirs;
+  *  - every pushed filter is also RETURNED as a residual from
+  *    `pushFilters`, so Spark re-applies the exact predicates on top —
+  *    pruning can only SKIP work, never change a result, whatever the
   *    translation does.
   *
-  * Write path (`CreatableRelationProvider`): SaveMode.Append →
+  * DSv1 fallback: the same class still implements `RelationProvider`
+  * (a `PrunedFilteredScan` over the identical pruning logic), selected
+  * by adding `graft` to `spark.sql.sources.useV1SourceList` — the
+  * standard per-source V1 escape hatch. `CREATE TEMPORARY VIEW ...
+  * USING graft` always resolves through the V1 relation (Spark's
+  * `CreateTempViewUsing` is a V1 path); such a view pins its snapshot
+  * AND schema at view creation — later commits, including the view's
+  * own `INSERT INTO`, are invisible until the view is re-created
+  * (re-issue `CREATE OR REPLACE TEMPORARY VIEW`, or use
+  * `graft_table(path)` which resolves per query). This mirrors the
+  * pinned-DataFrame contract and is spec-pinned.
+  *
+  * Write path (`CreatableRelationProvider` — the V2 table deliberately
+  * does not implement `SupportsWrite`, so `df.write` falls back to this
+  * V1 path and its SaveMode contract): SaveMode.Append →
   * [[TxTable.append]] (a transactional commit, racing writers
   * serialize); Overwrite → [[TxTable.refresh]] (full-replace commit,
   * history kept — time travel still reads every prior version);
   * ErrorIfExists/Ignore follow their SaveMode contracts. Option
   * `evolve=true` permits a schema change (the table contract's
-  * enforcement/evolution split).
+  * enforcement/evolution split). Options `statsColumns` /
+  * `bloomColumns` (comma-separated) declare the table's data-skipping
+  * columns as part of the FIRST write — the pure-SQL/DataFrame route to
+  * [[TxTable.setStatsColumns]]/[[TxTable.setBloomColumns]], so a
+  * connector-only user gets skipping without Scala calls; on an
+  * existing table they re-declare (idempotent if unchanged).
   *
   * Options: `path` (required), `versionAsOf` (read; default latest),
-  * `evolve` (write; default false). Streaming reads live in
-  * [[GraftTailSource]] (same format name via `readStream`).
+  * `evolve`, `statsColumns`, `bloomColumns` (write). Streaming reads
+  * live in [[GraftTailSource]]; the streaming sink in
+  * [[GraftTableSink]] (same format name via `readStream`/
+  * `writeStream`).
   */
-class GraftTableSource extends RelationProvider with CreatableRelationProvider
+class GraftTableSource extends TableProvider
+    with RelationProvider with CreatableRelationProvider
     with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -58,6 +88,33 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft source requires a path: spark.read.format(\"graft\").load(path)"))
+
+  // --- DSv2 read path ---
+
+  /** Schema probe. A nonexistent table reports an empty schema instead
+    * of throwing: `df.write.format("graft")` on a fresh path probes the
+    * provider for a table before falling back to the V1 write path, and
+    * that first write must succeed. Reads of a nonexistent table fail
+    * at scan build with the TxTable error. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft source requires a path: spark.read.format(\"graft\").load(path)"))
+    val version = Option(options.get("versionAsOf")).map(_.trim.toLong).getOrElse(-1L)
+    if (!TxTable.exists(root)) new StructType()
+    else GraftTableSource.schemaOf(SparkSession.active, root,
+      TxTable.snapshot(root, version))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val root = Option(opts.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft source requires a path"))
+    val version = Option(opts.get("versionAsOf")).map(_.trim.toLong).getOrElse(-1L)
+    GraftTable(root, version)
+  }
+
+  // --- DSv1 fallback read + the write path ---
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -72,15 +129,28 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
     val root = pathOf(parameters)
     val evolve = parameters.get("evolve").exists(_.trim.toBoolean)
     val spark = data.sparkSession
-    mode match {
-      case SaveMode.Append    => TxTable.append(spark, root, data, evolve)
-      case SaveMode.Overwrite => TxTable.refresh(spark, root, data, evolve)
+    def cols(key: String): Seq[String] = parameters.get(key).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val wrote: Boolean = mode match {
+      case SaveMode.Append    => TxTable.append(spark, root, data, evolve); true
+      case SaveMode.Overwrite => TxTable.refresh(spark, root, data, evolve); true
       case SaveMode.ErrorIfExists =>
         if (TxTable.exists(root)) throw new IllegalStateException(
           s"graft table at $root already exists (SaveMode.ErrorIfExists)")
-        TxTable.refresh(spark, root, data, evolve)
+        TxTable.refresh(spark, root, data, evolve); true
       case SaveMode.Ignore =>
-        if (!TxTable.exists(root)) TxTable.refresh(spark, root, data, evolve)
+        if (!TxTable.exists(root)) { TxTable.refresh(spark, root, data, evolve); true }
+        else false
+    }
+    // declare AFTER the data commit: setStats/setBloom backfill stats
+    // for every existing dir (dirs are immutable, so backfilled stats
+    // are exact), so the just-written dirs are covered too and every
+    // later commit stats its own fresh dirs
+    if (wrote) {
+      val stats = cols("statsColumns")
+      val blooms = cols("bloomColumns")
+      if (stats.nonEmpty) TxTable.setStatsColumns(spark, root, stats)
+      if (blooms.nonEmpty) TxTable.setBloomColumns(spark, root, blooms)
     }
     GraftTableRelation(sqlContext, root, -1L)
   }
@@ -108,46 +178,151 @@ class GraftTableSource extends RelationProvider with CreatableRelationProvider
                           partitionColumns: Seq[String],
                           outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
     import org.apache.spark.sql.streaming.OutputMode
-    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
-      s"graft sink supports Append (idempotent commits) and Complete " +
-        s"(full-replace refresh per batch); got $outputMode — for Update-" +
-        "shaped upserts use foreachBatch with TxTable.mergeUpsert")
+    val mergeKey = parameters.get("mergeKey").map(_.split(',').map(_.trim)
+      .filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+    require(outputMode != OutputMode.Update() || mergeKey.nonEmpty,
+      "graft sink in Update mode needs the upsert key: set " +
+        "option(\"mergeKey\", \"k1,k2\") — each batch's rows then MERGE " +
+        "by key through the txn ledger (exactly-once across replays)")
     // partitionBy would be silently dropped — the txn-append path
     // writes whole-table entries only; fail loudly like Update does
     require(partitionColumns.isEmpty,
       "graft sink does not lay out partitionBy columns — for a " +
         "partition-scoped table use foreachBatch with mergeUpsertPartitioned")
-    // writer identity for the txn ledger. Derived checkpoint paths are
-    // NORMALIZED (absolute, no '.', no trailing slash, no scheme) so a
-    // cosmetic respelling across restarts ('ckpt' vs './ckpt/') cannot
-    // change the identity and un-record the replay high-water mark;
-    // the session-conf checkpoint root (plus queryName, which scopes
-    // the engine's actual checkpoint under that root) works too. ']'
-    // is sanitized — appendIdempotent rejects it (manifest encoding).
-    def normalize(p: String): String =
-      try java.nio.file.Paths.get(p.stripPrefix("file:"))
-        .toAbsolutePath.normalize.toString
-      catch { case _: Exception => p }
+    // Writer identity for the txn ledger. ONLY identity-stable inputs
+    // are accepted: an explicit appId, an explicit checkpointLocation
+    // option, or the session-conf checkpoint root PLUS queryName (the
+    // engine checkpoints a named query at <root>/<queryName>). The bare
+    // conf root alone is REJECTED: the engine checkpoints each such
+    // query under a fresh random UUID subdir, so two queries (or two
+    // runs) would share one appId while their batchIds describe
+    // different rows — appendIdempotent would then silently drop
+    // non-duplicate batches (r17 advisor).
     val appId = parameters.get("appId").getOrElse {
-      val ckpt = parameters.get("checkpointLocation").map(normalize)
+      parameters.get("checkpointLocation").map(GraftTableSource.normalizeCheckpoint)
         .orElse(sqlContext.sparkSession.conf
-          .getOption("spark.sql.streaming.checkpointLocation").map(normalize)
-          .map(root => parameters.get("queryName")
-            .fold(root)(q => s"$root/$q")))
+          .getOption("spark.sql.streaming.checkpointLocation")
+          .flatMap(root => parameters.get("queryName")
+            .map(q => s"${GraftTableSource.normalizeCheckpoint(root)}/$q")))
         .getOrElse(throw new IllegalArgumentException(
-          "graft sink needs a writer identity for idempotent commits: set " +
-            "option(\"appId\", ...) or a checkpointLocation"))
-      ckpt
-    }.replace(']', '_')
-    GraftTableSink(sqlContext, pathOf(parameters), appId, outputMode)
+          "graft sink needs a stable writer identity for idempotent " +
+            "commits: set option(\"appId\", ...), or " +
+            "option(\"checkpointLocation\", ...), or queryName(...) " +
+            "together with spark.sql.streaming.checkpointLocation (the " +
+            "bare conf root is not unique per query — the engine " +
+            "checkpoints unnamed queries under a random subdir)"))
+    }.replace(']', '_') // appendIdempotent rejects ']' (manifest encoding)
+    GraftTableSink(sqlContext, pathOf(parameters), appId, outputMode, mergeKey)
   }
 }
 
-/** One pinned-version snapshot of a TxTable as a DSv1 relation.
-  * `InsertableRelation` makes `INSERT INTO` / `INSERT OVERWRITE` on a
-  * `USING graft` view a transactional append/refresh commit — the
-  * last DML shape the SQL surface was missing (reads, time travel,
-  * and skipping already flow through the TVFs and this relation). */
+/** One pinned-version TxTable snapshot as a DSv2 table. The V2 surface
+  * exists for the READ plan, where it scans through Spark's vectorized
+  * parquet `BatchScan` instead of a DSv1 `RDD[Row]` boundary. Writes
+  * declare `V1_BATCH_WRITE` (not `BATCH_WRITE`): SQL DML (`INSERT
+  * INTO` / `INSERT OVERWRITE` on a `USING graft` view, which resolves
+  * as a V2 relation) plans through [[newWriteBuilder]]'s `V1Write` into
+  * the same transactional append/refresh commits, while `df.write`
+  * keeps falling back to the V1 `CreatableRelationProvider` SaveMode
+  * path (ErrorIfExists/Ignore semantics, skip-column options);
+  * `readStream`/`writeStream` fall back to the V1 streaming
+  * source/sink. */
+final case class GraftTable(root: String, versionAsOf: Long)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  /** Resolved lazily but ONCE per table instance = once per `load()`:
+    * the DataFrame is a consistent snapshot — concurrent commits after
+    * DataFrame creation are invisible to it, and versionAsOf time
+    * travel is just pinning a different number. */
+  private lazy val snap: TxTable.Snapshot = TxTable.snapshot(root, versionAsOf)
+
+  override def name(): String =
+    if (versionAsOf >= 0) s"graft.`$root`@v$versionAsOf" else s"graft.`$root`"
+
+  override def schema(): StructType =
+    if (!TxTable.exists(root)) new StructType()
+    else GraftTableSource.schemaOf(SparkSession.active, root, snap)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(SparkSession.active, root, snap, schema())
+
+  /** SQL DML entry (INSERT INTO → append; INSERT OVERWRITE → truncate →
+    * refresh): a `V1Write` handing Spark the transactional
+    * `InsertableRelation`, so DML lands as the same manifest commits as
+    * every other write path. */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
+                if (overwrite || overwriteFlag)
+                  TxTable.refresh(data.sparkSession, root, data)
+                else TxTable.append(data.sparkSession, root, data)
+            }
+        }
+    }
+}
+
+/** Scan builder: receives Catalyst's pushed filters and required
+  * columns, prunes data dirs at the manifest level, then delegates the
+  * kept dirs to Spark's own vectorized parquet scan with the same
+  * filters pushed (row-group skipping below the dir skip). All filters
+  * are returned as residuals — Spark re-applies the originals, so the
+  * connector can only skip work, never change a result. */
+final class GraftScanBuilder(spark: SparkSession, root: String,
+                             snap: TxTable.Snapshot, tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // all residual: Spark re-applies the exact predicates
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val ranges = GraftTableSource.conjunctiveRanges(pushed)
+    val strRanges = GraftTableSource.conjunctiveStrRanges(pushed)
+    val points = GraftTableSource.conjunctivePoints(pushed)
+    val (kept, pruned) = TxTable.pruneSnapshot(root, snap, ranges, strRanges, points)
+    GraftTableSource.lastKeptDirs.set(kept.length)
+    GraftTableSource.lastPrunedDirs.set(pruned)
+    val attrs = tableSchema.fields
+      .map(f => f.name -> ce.AttributeReference(f.name, f.dataType, f.nullable)())
+      .toMap
+    val catalyst = pushed.toIndexedSeq
+      .flatMap(f => GraftTableSource.toCatalyst(f, attrs))
+    GraftParquetBridge.parquetScan(spark, kept.map(d => s"$root/$d"),
+      tableSchema, required, catalyst)
+  }
+}
+
+/** One pinned-version snapshot of a TxTable as a DSv1 relation — the
+  * `useV1SourceList` fallback read path, and the resolution target for
+  * `CREATE TEMPORARY VIEW ... USING graft` (always V1 in Spark) and for
+  * SQL DML: `InsertableRelation` makes `INSERT INTO` / `INSERT
+  * OVERWRITE` on such a view a transactional append/refresh commit.
+  * The view (like any loaded DataFrame) is a PINNED snapshot: its own
+  * INSERTs are invisible to it until re-created — spec-pinned. */
 final case class GraftTableRelation(sqlContext: SQLContext, root: String,
                                     versionAsOf: Long)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
@@ -163,9 +338,7 @@ final case class GraftTableRelation(sqlContext: SQLContext, root: String,
     * pinning a different number). */
   private val snap = TxTable.snapshot(root, versionAsOf)
 
-  override val schema: StructType =
-    if (snap.schemaDdl.nonEmpty) StructType.fromDDL(snap.schemaDdl)
-    else spark.read.parquet(snap.dirs.map(d => s"$root/$d"): _*).schema
+  override val schema: StructType = GraftTableSource.schemaOf(spark, root, snap)
 
   /** All filters stay Spark's responsibility — the connector uses them
     * only to SKIP dirs/row-groups, never to claim exactness. */
@@ -200,9 +373,42 @@ final case class GraftTableRelation(sqlContext: SQLContext, root: String,
 object GraftTableSource {
 
   /** Last buildScan's manifest-level skip counts (test/probe
-    * observability, same role as TxTable's resolution counters). */
+    * observability, same role as TxTable's resolution counters). Set by
+    * both the DSv2 scan build and the DSv1 buildScan. */
   private[graft] val lastKeptDirs = new java.util.concurrent.atomic.AtomicInteger
   private[graft] val lastPrunedDirs = new java.util.concurrent.atomic.AtomicInteger
+
+  /** The snapshot's schema: the manifest's recorded DDL when the schema
+    * contract is active, else inferred from the snapshot's parquet. */
+  private[graft] def schemaOf(spark: SparkSession, root: String,
+                              snap: TxTable.Snapshot): StructType =
+    if (snap.schemaDdl.nonEmpty) StructType.fromDDL(snap.schemaDdl)
+    else spark.read.parquet(snap.dirs.map(d => s"$root/$d"): _*).schema
+
+  /** Writer-identity normalization for the sink's txn-ledger appId.
+    * LOCAL paths (no scheme, or file:) absolutize + normalize, so a
+    * cosmetic respelling across restarts ('ckpt' vs './ckpt/') cannot
+    * change the identity and un-record the replay high-water mark.
+    * Scheme'd URIs (hdfs://, s3a://, ...) pass through verbatim minus
+    * trailing slashes — resolving them against the driver's CWD would
+    * silently change the identity when the CWD changes (r17 advisor). */
+  private[graft] def normalizeCheckpoint(p: String): String = {
+    val trimmed = p.replaceAll("/+$", "")
+    val scheme = "^[a-zA-Z][a-zA-Z0-9+.\\-]*:".r.findFirstIn(trimmed)
+    scheme match {
+      case Some(s) if s.equalsIgnoreCase("file:") =>
+        try java.nio.file.Paths.get(new java.net.URI(trimmed).getPath)
+          .toAbsolutePath.normalize.toString
+        catch { case _: Exception =>
+          try java.nio.file.Paths.get(trimmed.stripPrefix("file:"))
+            .toAbsolutePath.normalize.toString
+          catch { case _: Exception => trimmed } }
+      case Some(_) => trimmed // remote URI: identity is the URI itself
+      case None =>
+        try java.nio.file.Paths.get(trimmed).toAbsolutePath.normalize.toString
+        catch { case _: Exception => trimmed }
+    }
+  }
 
   private def num(v: Any): Option[Double] = v match {
     case n: Number => Some(n.doubleValue())
@@ -298,9 +504,9 @@ object GraftTableSource {
     }
   }
 
-  /** Filter → Column for re-application inside the parquet scan plan.
-    * Partial on purpose: an untranslated filter is simply not pushed
-    * (Spark applies the original on top either way). */
+  /** Filter → Column for re-application inside the DSv1 parquet scan
+    * plan. Partial on purpose: an untranslated filter is simply not
+    * pushed (Spark applies the original on top either way). */
   private[graft] def toColumn(f: Filter): Option[Column] = f match {
     case EqualTo(a, v)            => Some(col(a) === lit(v))
     case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
@@ -318,5 +524,37 @@ object GraftTableSource {
     case Or(l, r)  => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
     case Not(c)    => toColumn(c).map(!_)
     case _         => None
+  }
+
+  /** Filter → RESOLVED Catalyst expression against `attrs` (the full
+    * table schema's attribute references), for pushing into the
+    * delegated DSv2 parquet scan — resolved literals carry the column's
+    * type, so parquet row-group predicate conversion sees exactly what
+    * a native scan would. Partial + exception-safe on purpose: a filter
+    * that doesn't translate is simply not pushed inward (Spark applies
+    * the original on top either way). */
+  private[graft] def toCatalyst(f: Filter,
+                                attrs: Map[String, ce.AttributeReference]): Option[ce.Expression] = {
+    def at(n: String): Option[ce.AttributeReference] = attrs.get(n)
+    def l(v: Any, dt: DataType): ce.Literal = ce.Literal.create(v, dt)
+    def build: Option[ce.Expression] = f match {
+      case EqualTo(n, v)            => at(n).map(a => ce.EqualTo(a, l(v, a.dataType)))
+      case EqualNullSafe(n, v)      => at(n).map(a => ce.EqualNullSafe(a, l(v, a.dataType)))
+      case GreaterThan(n, v)        => at(n).map(a => ce.GreaterThan(a, l(v, a.dataType)))
+      case GreaterThanOrEqual(n, v) => at(n).map(a => ce.GreaterThanOrEqual(a, l(v, a.dataType)))
+      case LessThan(n, v)           => at(n).map(a => ce.LessThan(a, l(v, a.dataType)))
+      case LessThanOrEqual(n, v)    => at(n).map(a => ce.LessThanOrEqual(a, l(v, a.dataType)))
+      case In(n, vs)                => at(n).map(a => ce.In(a, vs.toIndexedSeq.map(v => l(v, a.dataType))))
+      case IsNull(n)                => at(n).map(ce.IsNull)
+      case IsNotNull(n)             => at(n).map(ce.IsNotNull)
+      case StringStartsWith(n, v)   => at(n).map(a => ce.StartsWith(a, l(v, a.dataType)))
+      case StringEndsWith(n, v)     => at(n).map(a => ce.EndsWith(a, l(v, a.dataType)))
+      case StringContains(n, v)     => at(n).map(a => ce.Contains(a, l(v, a.dataType)))
+      case And(lf, rf) => for (le <- toCatalyst(lf, attrs); re <- toCatalyst(rf, attrs)) yield ce.And(le, re)
+      case Or(lf, rf)  => for (le <- toCatalyst(lf, attrs); re <- toCatalyst(rf, attrs)) yield ce.Or(le, re)
+      case Not(c)      => toCatalyst(c, attrs).map(ce.Not)
+      case _           => None
+    }
+    try build catch { case _: Exception => None } // untranslatable value: skip
   }
 }

@@ -56,27 +56,45 @@ final case class GraftTailSource(sqlContext: SQLContext, root: String,
     * re-creation would silently anchor a RESTART at the new latest —
     * a replayed first batch returns empty (committed data lost) and
     * commits made while the stream was down are withheld until an
-    * unrelated later commit (r17 reviewer). */
+    * unrelated later commit (r17 reviewer). The anchor goes through
+    * the CHECKPOINT's Hadoop FileSystem (not java.nio), so a non-local
+    * checkpoint (hdfs:/s3a:) persists it too; a persist failure is
+    * LOUD — falling back to re-deriving 'latest' would reintroduce the
+    * exact restart data-loss mode the anchor prevents (r17 advisor). */
   private val startExclusive: Long =
     parameters.get("startingVersion").map(_.trim) match {
       case None           => -1L // full history
       case Some("latest") =>
-        val dir = java.nio.file.Paths.get(metadataPath.stripPrefix("file:"))
-        val anchor = dir.resolve("graft-latest-anchor")
-        if (java.nio.file.Files.exists(anchor))
-          java.nio.file.Files.readString(anchor).trim.toLong
+        import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+        val mdir = new HPath(metadataPath)
+        val fs: FileSystem = mdir.getFileSystem(
+          spark.sessionState.newHadoopConf())
+        val anchor = new HPath(mdir, "graft-latest-anchor")
+        def readAnchor(): Long = {
+          val in = fs.open(anchor)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+        if (fs.exists(anchor)) readAnchor()
         else {
           val v = TxTable.latestVersion(root)
           try {
-            java.nio.file.Files.createDirectories(dir)
-            val tmp = dir.resolve(s".anchor-tmp-${java.util.UUID.randomUUID()}")
-            java.nio.file.Files.writeString(tmp, v.toString)
-            java.nio.file.Files.move(tmp, anchor,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          } catch { case _: Exception => () } // lost a race: re-read below
-          if (java.nio.file.Files.exists(anchor))
-            java.nio.file.Files.readString(anchor).trim.toLong
-          else v
+            fs.mkdirs(mdir)
+            val tmp = new HPath(mdir, s".anchor-tmp-${java.util.UUID.randomUUID()}")
+            val out = fs.create(tmp, true)
+            try out.write(v.toString.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            if (!fs.rename(tmp, anchor)) fs.delete(tmp, false) // lost a race
+          } catch { case _: Exception => () } // adjudicated below, loudly
+          if (fs.exists(anchor)) readAnchor()
+          else throw new IllegalStateException(
+            s"graft stream on $root: could not persist the " +
+              s"startingVersion=latest anchor at $anchor — refusing to " +
+              "re-derive 'latest' (a restart would silently drop the " +
+              "commits made while the stream was down); fix the " +
+              "checkpoint filesystem or pass an explicit startingVersion")
         }
       case Some(n)        => n.toLong - 1L
     }

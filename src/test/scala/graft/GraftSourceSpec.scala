@@ -457,4 +457,188 @@ class GraftSourceSpec extends AnyFunSuite {
     q.stop()
     assert(ks(spark.table("latest_sink")) == Set(2L -> "new"))
   }
+
+  // --- round 18: DSv2 read path ---
+
+  test("DSv2: a connector read plans as a columnar BatchScan ParquetScan, no RDD boundary") {
+    import spark.implicits._
+    val root = ingestTable("v2plan", 4)
+    val df = spark.read.format("graft").load(root)
+      .where($"k" >= 150L && $"k" < 250L).select("v")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), s"expected a DSv2 BatchScan:\n$plan")
+    assert(plan.contains("ParquetScan"),
+      s"expected delegation to the vectorized ParquetScan:\n$plan")
+    assert(!plan.contains("ExistingRDD"),
+      s"DSv1 RDD[Row] boundary leaked into the V2 plan:\n$plan")
+    assert(plan.contains("ColumnarToRow"),
+      s"expected a vectorized columnar read:\n$plan")
+    // the filters reach the parquet scan (row-group skipping below the
+    // manifest-level dir skip)
+    assert(plan.contains("GreaterThanOrEqual(k,150)") || plan.contains("PushedFilters"),
+      s"filters not pushed into the delegated scan:\n$plan")
+    assert(df.collect().map(_.getString(0)).toSet ==
+      (150L until 250L).map(k => s"v$k").toSet)
+    // manifest-level pruning engaged on the same read
+    assert(GraftTableSource.lastKeptDirs.get <= 2 &&
+      GraftTableSource.lastPrunedDirs.get >= 2)
+  }
+
+  test("useV1SourceList forces the DSv1 fallback: identical results and pruning") {
+    import spark.implicits._
+    val root = ingestTable("v1fb", 4)
+    val expected = (150L until 250L).map(k => k -> s"v$k").toSet
+    spark.conf.set("spark.sql.sources.useV1SourceList", "graft")
+    try {
+      val df = spark.read.format("graft").load(root)
+        .where($"k" >= 150L && $"k" < 250L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BatchScan"), s"V1 fallback not taken:\n$plan")
+      assert(ks(df) == expected)
+      assert(GraftTableSource.lastKeptDirs.get <= 2 &&
+        GraftTableSource.lastPrunedDirs.get >= 2)
+    } finally spark.conf.unset("spark.sql.sources.useV1SourceList")
+    // and back on V2, same answer
+    assert(ks(spark.read.format("graft").load(root)
+      .where($"k" >= 150L && $"k" < 250L)) == expected)
+  }
+
+  test("temp view pins snapshot at creation: its own INSERT INTO is invisible until re-created") {
+    val root = tmp("viewpin")
+    kv(1L -> "a").write.format("graft").save(root)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_pin_t USING graft OPTIONS (path '$root')")
+    spark.sql("INSERT INTO graft_pin_t VALUES (2, 'b')")
+    // the documented pinned-view contract: the view still reads its
+    // creation-time snapshot — the insert landed (fresh reads see it)
+    // but the view does not, until re-created
+    assert(ks(spark.table("graft_pin_t")) == Set(1L -> "a"),
+      "temp view silently un-pinned: saw a post-creation commit")
+    assert(ks(spark.read.format("graft").load(root)) ==
+      Set(1L -> "a", 2L -> "b"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_pin_t USING graft OPTIONS (path '$root')")
+    assert(ks(spark.table("graft_pin_t")) == Set(1L -> "a", 2L -> "b"))
+  }
+
+  // --- round 18: writer-declared skipping + Update-mode sink ---
+
+  test("statsColumns/bloomColumns writer options declare skipping without Scala calls") {
+    import spark.implicits._
+    val root = tmp("wopts")
+    (0L until 100L).map(k => (k, f"h-$k%03d")).toDF("k", "sha")
+      .write.format("graft")
+      .option("statsColumns", "k").option("bloomColumns", "sha")
+      .save(root)
+    (100L until 200L).map(k => (k, f"h-$k%03d")).toDF("k", "sha")
+      .write.format("graft").mode(SaveMode.Append).save(root)
+    // recorded state is visible in the stats surface
+    val st = TxTable.statsOf(spark, root).collect()
+      .map(r => (r.getString(1), r.getString(2))).groupBy(identity)
+      .map { case (kc, rows) => kc -> rows.length }
+    assert(st(("k", "range")) == 2 && st(("sha", "bloom")) == 2,
+      s"writer options did not declare skipping: $st")
+    val t = spark.read.format("graft").load(root)
+    // range pruning from the option-declared stats column
+    assert(t.where($"k" === 150L).count() == 1L)
+    assert(GraftTableSource.lastKeptDirs.get == 1)
+    // bloom pruning from the option-declared bloom column
+    assert(t.where($"sha" === "h-042").count() == 1L)
+    assert(GraftTableSource.lastKeptDirs.get == 1)
+  }
+
+  test("Update-mode sink with mergeKey: keyed upserts land exactly-once across replays") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("upsink")
+    val ckpt = tmp("upsink-ckpt")
+    val in = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = in.toDF().toDF("k", "v")
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("mergeKey", "k")
+        .outputMode("update").start(root)
+      try q.processAllAvailable() finally q.stop()
+    }
+    in.addData((1L, "a"), (2L, "b"))
+    run()
+    assert(ks(spark.read.format("graft").load(root)) == Set(1L -> "a", 2L -> "b"))
+    in.addData((1L, "a2"), (3L, "c")) // upsert k=1, insert k=3
+    run()
+    assert(ks(spark.read.format("graft").load(root)) ==
+      Set(1L -> "a2", 2L -> "b", 3L -> "c"),
+      "mergeKey upsert did not last-writer-win")
+    // replaying an already-committed batch id no-ops (txn ledger)
+    val txns = TxTable.snapshot(root).txns
+    assert(txns.nonEmpty)
+    val before = TxTable.latestVersion(root)
+    TxTable.mergeUpsertIdempotent(spark, root, kv(9L -> "z"), Seq("k"),
+      txns.keys.head, txns.values.head)
+    assert(TxTable.latestVersion(root) == before, "replayed merge batch committed twice")
+    assert(ks(spark.read.format("graft").load(root)) ==
+      Set(1L -> "a2", 2L -> "b", 3L -> "c"))
+    // Update without mergeKey fails loudly at sink creation
+    val ex = intercept[Exception] {
+      in.toDF().toDF("k", "v").writeStream.format("graft")
+        .option("checkpointLocation", tmp("upsink-bad"))
+        .outputMode("update").start(tmp("upsink-bad-t"))
+    }
+    assert(ex.getMessage.contains("mergeKey"))
+  }
+
+  test("composite mergeKey: upsert by (k, v) tuple") {
+    import spark.implicits._
+    val root = tmp("comp")
+    def df(rows: (Long, String, Long)*) = rows.toDF("k", "g", "n")
+    TxTable.refresh(spark, root, df((1L, "x", 10L), (1L, "y", 20L)))
+    TxTable.mergeUpsertIdempotent(spark, root, df((1L, "y", 99L), (2L, "x", 30L)),
+      Seq("k", "g"), "app", 0L)
+    val got = spark.read.format("graft").load(root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "x", 10L), (1L, "y", 99L), (2L, "x", 30L)))
+  }
+
+  // --- round 18: sink writer-identity hardening (r17 advisor) ---
+
+  test("sink rejects the bare conf checkpoint root as writer identity; accepts root+queryName") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val confRoot = tmp("confroot")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", confRoot)
+    try {
+      // bare conf root: the engine would checkpoint under a random UUID
+      // subdir — two queries would share one appId. Must throw.
+      val ex = intercept[Exception] {
+        in.toDF().toDF("k", "v").writeStream.format("graft")
+          .outputMode("append").start(tmp("idbad"))
+      }
+      assert(ex.getMessage.contains("appId") ||
+        ex.getMessage.contains("identity"), s"wrong error: ${ex.getMessage}")
+      // conf root + queryName is a stable identity: accepted
+      val root = tmp("idgood")
+      in.addData((1L, "a"))
+      val q = in.toDF().toDF("k", "v").writeStream.format("graft")
+        .queryName("idgood_q").outputMode("append").start(root)
+      try q.processAllAvailable() finally q.stop()
+      assert(ks(spark.read.format("graft").load(root)) == Set(1L -> "a"))
+      val appId = TxTable.snapshot(root).txns.keys.head
+      assert(appId.contains("idgood_q"),
+        s"appId should derive from conf root + queryName, got $appId")
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+  }
+
+  test("checkpoint identity normalization: local respellings converge, remote URIs pass verbatim") {
+    val n = GraftTableSource.normalizeCheckpoint _
+    // cosmetic local respellings converge to one identity
+    assert(n("/a/b/ckpt") == n("/a/b/ckpt/"))
+    assert(n("/a/b/./ckpt") == n("/a/b/ckpt"))
+    assert(n("file:///a/b/ckpt") == n("/a/b/ckpt"))
+    // scheme'd URIs must NOT resolve against the driver CWD: verbatim
+    // minus trailing slashes (r17 advisor — a CWD change would silently
+    // fork the writer identity and un-record the replay high-water mark)
+    assert(n("hdfs://nn:8020/ckpt/q1/") == "hdfs://nn:8020/ckpt/q1")
+    assert(n("s3a://bucket/ckpt") == "s3a://bucket/ckpt")
+  }
 }
