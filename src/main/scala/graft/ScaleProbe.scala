@@ -717,10 +717,24 @@ object ScaleProbe {
       cached.count() // materialize outside the confirm timing
       val (nPairs, confirmSec) = timed(
         VectorOps.lshConfirm(e, cached, 0.45).count())
+      // r18: the SQ8 pre-filter's cut, measured on the same cached
+      // candidate set — survivors = confirm-stage input after the
+      // lossless upper-bound filter, then the filtered confirm's cost
+      val (nSurv, prefilterSec) = timed(
+        VectorOps.sq8Prefilter(e, cached, 0.45).count())
+      val surv = VectorOps.sq8Prefilter(e, cached, 0.45).cache()
+      surv.count()
+      val (nPairsF, confirmFSec) = timed(
+        VectorOps.lshConfirm(e, surv, 0.45).count())
+      surv.unpersist()
       cached.unpersist()
       val (_, fullSec) = timed(
         VectorOps.lshNearDupPairs(e, tables, bits, 0.45).count())
-      println(f"""{"probe":"lshprofile","sf":"$sfDir","corpus":$n,"bits":$bits,"tables":$tables,"idx_rows":$idxRows,"hot_buckets":$hotBuckets,"candidates":$nCand,"pairs":$nPairs,"candidate_sec":$candSec%.3f,"confirm_sec":$confirmSec%.3f,"end_to_end_sec":$fullSec%.3f}""")
+      val (_, fullPreSec) = timed(
+        VectorOps.lshNearDupPairs(e, tables, bits, 0.45, prefilter = true).count())
+      require(nPairsF == nPairs,
+        s"LOSSLESS VIOLATION: prefiltered confirm found $nPairsF pairs vs $nPairs")
+      println(f"""{"probe":"lshprofile","sf":"$sfDir","corpus":$n,"bits":$bits,"tables":$tables,"idx_rows":$idxRows,"hot_buckets":$hotBuckets,"candidates":$nCand,"pairs":$nPairs,"survivors":$nSurv,"candidate_sec":$candSec%.3f,"confirm_sec":$confirmSec%.3f,"prefilter_sec":$prefilterSec%.3f,"confirm_filtered_sec":$confirmFSec%.3f,"end_to_end_sec":$fullSec%.3f,"end_to_end_prefiltered_sec":$fullPreSec%.3f}""")
       spark.stop()
       return
     }
@@ -764,6 +778,62 @@ object ScaleProbe {
       val unhintedMs = timeResolves(dropHint = true)
       val uLists = TxTable.fullListings.get
       println(f"""{"probe":"txlog","commits":$n,"resolves":$reps,"hinted_ms":$hintedMs%.4f,"hintless_ms":$unhintedMs%.4f,"speedup":${unhintedMs / hintedMs}%.1f,"hinted_full_listings":$hLists,"hinted_probes_per_resolve":${hProbes.toDouble / reps}%.1f,"hinted_reads_per_resolve":${hReads.toDouble / reps}%.1f,"hintless_full_listings":$uLists}""")
+      spark.stop()
+      return
+    }
+
+    // txmanifest: per-commit + per-resolve cost vs TABLE DIR COUNT
+    // (r17 verdict task 2). Every manifest is a full snapshot — render,
+    // parse, and the commit-time vacuum-guard dir touch are all
+    // O(dirs) — so a commit on a 100k-dir table pays 100k-entry string
+    // work per commit and per resolve. This probe builds an n-dir table
+    // (real empty dirs, so the mtime-touch loop runs for real), then
+    // times (a) the raw manifest write, (b) snapshot resolution
+    // (read + regex parse), (c) a REAL append commit on top — the cost
+    // a standing ingest pipeline pays per micro-batch at that dir
+    // count. Third arg = dir count (default sweeps 1k/10k/100k).
+    if (bitsArg == "txmanifest") {
+      import graft.etl.TxTable
+      val sizes = thirdArg.map(Seq(_)).getOrElse(Seq(1000, 10000, 100000))
+      sizes.foreach { n =>
+        val root = java.nio.file.Files.createTempDirectory("graft-txmanifest").toString + "/t"
+        val dirs = (0 until n).map(i => f"data/v0-$i%08x")
+        dirs.foreach(d => java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(root, d)))
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (_, commitSec) = timed(
+          require(TxTable.tryCommit(root, 0L, "refresh", dirs)))
+        val mBytes = java.nio.file.Files.size(
+          java.nio.file.Paths.get(root, "_txlog", "v00000000.json"))
+        // resolve COLD (cache dropped each round: full read + linear
+        // parse) and WARM (immutable-manifest cache hit)
+        val colds = (0 until 5).map { _ =>
+          TxTable.clearResolutionCaches()
+          timed(require(TxTable.snapshot(root).dirs.length == n))._2
+        }.sorted
+        val coldSec = colds(2)
+        val warms = (0 until 5).map(_ => timed(
+          require(TxTable.snapshot(root).dirs.length == n))._2).sorted
+        val warmSec = warms(2)
+        // a real append commit on the n-dir table: parse + schema gate +
+        // tiny parquet write + O(n) vacuum-guard touch + O(n) render
+        import spark.implicits._
+        val batch = (0L until 10L).toDF("k")
+        val (_, appendSec) = timed(TxTable.append(spark, root, batch))
+        // prune resolution cost at n dirs (stats absent -> all kept):
+        // the read-side manifest overhead a connector scan pays
+        val snap = TxTable.snapshot(root)
+        val (_, pruneSec) = timed(
+          TxTable.pruneSnapshot(root, snap, Map("k" -> (0.0, 1.0)), Map.empty, Map.empty))
+        println(f"""{"probe":"txmanifest","dirs":$n,"manifest_bytes":$mBytes,"commit_render_sec":$commitSec%.4f,"resolve_cold_sec":$coldSec%.4f,"resolve_warm_sec":$warmSec%.5f,"append_commit_sec":$appendSec%.3f,"prune_resolve_sec":$pruneSec%.4f}""")
+        // drop the tree to keep /tmp bounded at 100k dirs
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root).getParent)
+        try walk.iterator().asScala.toSeq.reverse.foreach(p =>
+          java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
       spark.stop()
       return
     }

@@ -579,6 +579,144 @@ case class DistinctShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Per-vector SQ8 side-car for the q40 confirm pre-filter: one codegen'd
+  * pass packs `[maxAbs: double][norm: double][codes: int8 × dims]` into
+  * a 16+dims-byte binary. `maxAbs = max|x_i|`; `norm = sqrt(Σx_i²)` with
+  * the SAME sequential accumulation as [[CosineSim]] (so the filter's
+  * denominator is bit-identical to the confirm's); codes are q69's grid,
+  * `floor(x·127/maxAbs)` (floor, not round — the cross-engine parity
+  * rule), each in [-127, 127]. A zero vector (maxAbs = 0) packs all-zero
+  * codes. ~80 bytes versus the 256+-byte float array: the pair joins of
+  * the pre-filter shuffle 3-4× fewer payload bytes than embedding
+  * fetches would. */
+case class Sq8Blob(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq8_blob expects array<float>, got $other")
+    }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sq8_blob"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    Sq8Blob.pack(x)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val x = ctx.freshName("x")
+      s"""
+         |float[] $x = $a.toFloatArray();
+         |${ev.value} = graft.plans.Sq8Blob.pack($x);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Sq8Blob =
+    copy(child = c)
+}
+
+object Sq8Blob {
+  /** Shared by eval and codegen — one definition of the layout. */
+  def pack(x: Array[Float]): Array[Byte] = {
+    var mx = 0.0; var ss = 0.0; var i = 0
+    while (i < x.length) {
+      val v = x(i).toDouble
+      val av = math.abs(v)
+      if (av > mx) mx = av
+      ss += v * v
+      i += 1
+    }
+    val out = new Array[Byte](16 + x.length)
+    val bb = java.nio.ByteBuffer.wrap(out)
+    bb.putDouble(0, mx)
+    bb.putDouble(8, math.sqrt(ss))
+    i = 0
+    while (i < x.length) {
+      val c = if (mx == 0.0) 0L
+        else math.floor(x(i).toDouble * 127.0 / mx).toLong
+      out(16 + i) = c.toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** Provable UPPER bound on the true cosine of the two vectors behind two
+  * [[Sq8Blob]] side-cars — the q40 confirm pre-filter kernel. With
+  * `s = maxAbs/127` per side, floor quantization gives
+  * `x_i - x̂_i ∈ [0, s_a)`, so
+  * `dot(a,b) ≤ s_a·s_b·(Σc_a·c_b + Σ|c_a| + Σ|c_b| + dims)` — every sum
+  * an exact 64-bit integer, one fused loop over the code bytes. Divided
+  * by the stored exact norms (bit-identical to [[CosineSim]]'s
+  * accumulation), the result is ≥ the true cosine up to final-multiply
+  * rounding (covered by the caller's 1e-9 threshold slack), so
+  * `filter(upper > thresh - 1e-9)` can only DROP pairs the exact
+  * confirm would drop too — a lossless candidate cut, no oracle or
+  * recall change by construction. Ragged blob lengths yield NULL (the
+  * confirm's NULL-cosine contract); a zero-norm side divides to NaN,
+  * which fails the filter exactly as the confirm's NaN does. */
+case class Sq8UpperCos(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == BinaryType)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sq8_upper_cos expects two binary (sq8_blob) args, got ${left.dataType}, ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_upper_cos"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = Sq8UpperCos.upper(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    if (java.lang.Double.isNaN(r) && Sq8UpperCos.ragged(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |if (graft.plans.Sq8UpperCos.ragged($a, $b)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.plans.Sq8UpperCos.upper($a, $b);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Sq8UpperCos =
+    copy(left = l, right = r)
+}
+
+object Sq8UpperCos {
+  def ragged(a: Array[Byte], b: Array[Byte]): Boolean =
+    a.length < 16 || b.length < 16 || a.length != b.length
+
+  /** NaN for ragged inputs (callers null it out) or zero norms. */
+  def upper(a: Array[Byte], b: Array[Byte]): Double = {
+    if (ragged(a, b)) return Double.NaN
+    val ba = java.nio.ByteBuffer.wrap(a)
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val mxa = ba.getDouble(0); val nrma = ba.getDouble(8)
+    val mxb = bb.getDouble(0); val nrmb = bb.getDouble(8)
+    val n = a.length - 16
+    var idot = 0L; var absA = 0L; var absB = 0L
+    var i = 0
+    while (i < n) {
+      val ca = a(16 + i).toLong; val cb = b(16 + i).toLong
+      idot += ca * cb
+      absA += math.abs(ca); absB += math.abs(cb)
+      i += 1
+    }
+    val sa = mxa / 127.0; val sb = mxb / 127.0
+    ((idot + absA + absB + n).toDouble * sa * sb) / (nrma * nrmb)
+  }
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -605,6 +743,14 @@ object GraftExpressions {
   /** Column surface for the native distinct-shingle kernel. */
   def distinctShingles(text: Column, n: Int): Column =
     GraftBridge.column(DistinctShingles(GraftBridge.expression(text), n))
+
+  /** Column surface for the SQ8 side-car pack. */
+  def sq8Blob(embedding: Column): Column =
+    GraftBridge.column(Sq8Blob(GraftBridge.expression(embedding)))
+
+  /** Column surface for the SQ8 cosine upper bound. */
+  def sq8UpperCos(a: Column, b: Column): Column =
+    GraftBridge.column(Sq8UpperCos(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Constant-integer argument of a SQL function: fails analysis with a
     * clear message instead of an internal eval error when the argument
@@ -647,5 +793,8 @@ object GraftExpressions {
     GraftBridge.register(spark, "distinct_shingles",
       exprs => DistinctShingles(exprs(0),
         litLong(exprs(1), "distinct_shingles", "n").toInt))
+    GraftBridge.register(spark, "sq8_blob", exprs => Sq8Blob(exprs(0)))
+    GraftBridge.register(spark, "sq8_upper_cos",
+      exprs => Sq8UpperCos(exprs(0), exprs(1)))
   }
 }

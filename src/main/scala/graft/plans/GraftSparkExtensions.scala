@@ -72,6 +72,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         "distinct_shingles(text, n) - distinct word n-gram shingles, first-occurrence order"),
       (exprs: Seq[Expression]) => DistinctShingles(exprs(0),
         GraftExpressions.litLong(exprs(1), "distinct_shingles", "n").toInt)))
+    ext.injectFunction((FunctionIdentifier("sq8_blob"),
+      info("sq8_blob", "sq8_blob(embedding) - SQ8 side-car [maxAbs][norm][int8 codes]"),
+      (exprs: Seq[Expression]) => Sq8Blob(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("sq8_upper_cos"),
+      info("sq8_upper_cos",
+        "sq8_upper_cos(a, b) - provable upper bound on cosine from two sq8_blob side-cars"),
+      (exprs: Seq[Expression]) => Sq8UpperCos(exprs(0), exprs(1))))
     ext.injectTableFunction((FunctionIdentifier("graft_table"),
       info("graft_table",
         "graft_table(path[, version]) - snapshot read of a TxTable (time travel via version)"),

@@ -323,4 +323,66 @@ class ExpressionsSpec extends AnyFunSuite {
       s"shingle projection fell out of whole-stage codegen:\n$plan")
     assert(df.collect().nonEmpty)
   }
+
+  test("sq8_upper_cos is a SOUND upper bound on exact cosine over the corpus") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"),
+      GraftExpressions.sq8Blob(col("embedding")).as("ba")).filter(col("ia") < 60)
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"),
+      GraftExpressions.sq8Blob(col("embedding")).as("bb"))
+      .filter(col("ib") >= 60 && col("ib") < 120)
+    val rows = a.crossJoin(b).select(
+      GraftExpressions.cosineSimNative(col("va"), col("vb")).as("exact"),
+      GraftExpressions.sq8UpperCos(col("ba"), col("bb")).as("upper")).collect()
+    assert(rows.length == 3600)
+    // soundness: upper >= exact for EVERY pair (the lossless-filter
+    // guarantee), and the bound is tight enough to filter (mean slack
+    // well under the 0.45-threshold scale)
+    assert(rows.forall(r => r.getDouble(1) >= r.getDouble(0)),
+      "sq8_upper_cos fell below the exact cosine — the pre-filter would drop true pairs")
+    val slack = rows.map(r => r.getDouble(1) - r.getDouble(0))
+    assert(slack.sum / slack.length < 0.1,
+      s"bound too loose to filter: mean slack ${slack.sum / slack.length}")
+  }
+
+  test("sq8 expressions: eval/codegen parity, degenerate inputs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, -2f, 3f, -4f)),
+      (2L, Array(0f, 0f, 0f, 0f)),   // zero vector: codes 0, NaN upper
+      (3L, Array(1e-30f, 2e-30f, -1e-30f, 0f)), // tiny but nonzero norms
+      (4L, Array(127f, -127f, 64f, 1f))
+    ).toDF("id", "v")
+      .withColumn("blob", GraftExpressions.sq8Blob(col("v")))
+    val a = df.select(col("id").as("ia"), col("v").as("va"), col("blob").as("ba"))
+    val b = df.select(col("id").as("ib"), col("v").as("vb"), col("blob").as("bb"))
+    val pairs = a.crossJoin(b)
+      .select(col("ia"), col("ib"),
+        GraftExpressions.cosineSimNative(col("va"), col("vb")).as("exact"),
+        GraftExpressions.sq8UpperCos(col("ba"), col("bb")).as("upper"))
+      .collect()
+    pairs.foreach { r =>
+      val exact = if (r.isNullAt(2)) Double.NaN else r.getDouble(2)
+      val upper = if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
+      if (!exact.isNaN) {
+        assert(!upper.isNaN && upper >= exact,
+          s"pair (${r.getLong(0)},${r.getLong(1)}): upper $upper < exact $exact")
+      } else
+        // zero-norm side: both the filter (NaN/never > t) and the exact
+        // confirm (NaN) drop the pair — consistent
+        assert(upper.isNaN)
+    }
+    // interpreted eval parity with the codegen'd path
+    val blob = graft.plans.Sq8Blob.pack(Array(1f, -2f, 3f, -4f))
+    val blob2 = graft.plans.Sq8Blob.pack(Array(127f, -127f, 64f, 1f))
+    val direct = graft.plans.Sq8UpperCos.upper(blob, blob2)
+    val viaDf = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L).get.getDouble(3)
+    assert(direct == viaDf, "eval vs codegen drifted for sq8_upper_cos")
+    // ragged blobs are NULL, matching the confirm's ragged-cosine NULL
+    val ragged = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("x", "y")
+      .select(GraftExpressions.sq8UpperCos(
+        GraftExpressions.sq8Blob(col("x")), GraftExpressions.sq8Blob(col("y"))).as("u"))
+      .collect()
+    assert(ragged.head.isNullAt(0))
+  }
 }

@@ -73,6 +73,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh), s"LSH missed exact pairs: ${exact -- lsh}")
   }
 
+  test("sq8 pre-filtered q40 is result-identical to the direct confirm (lossless by construction)") {
+    import graft.queries.VectorOps
+    val e = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    def pairs(prefilter: Boolean): Set[(Long, Long, Double)] =
+      VectorOps.lshNearDupPairs(e, VectorOps.LshTables, VectorOps.LshBits, 0.45,
+        prefilter = prefilter)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = pairs(prefilter = false)
+    val filtered = pairs(prefilter = true)
+    assert(direct.nonEmpty)
+    // identical down to the cosine DOUBLE: the pre-filter may only cut
+    // candidates the exact confirm would reject, and survivors recompute
+    // the same exact cosine — so the size-based engagement switch in q40
+    // is a pure plan choice, never a semantic one
+    assert(filtered == direct,
+      s"pre-filter changed the result: missing ${direct -- filtered}, extra ${filtered -- direct}")
+  }
+
   test("two-sided probing: identical at gate widths, a superset past the cap") {
     import graft.queries.VectorOps
     val e = Tables(spark, "/root/testdata/sf0.01", "embeddings")

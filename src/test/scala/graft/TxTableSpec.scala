@@ -223,10 +223,16 @@ class TxTableSpec extends AnyFunSuite {
       s"resolution read ${TxTable.manifestReads.get()} manifests (expected ≤ 2)")
     assert(TxTable.manifestProbes.get() <= 4,
       s"resolution probed ${TxTable.manifestProbes.get()} manifests (expected ≤ 4)")
-    // time travel stays O(1) too: direct manifest read, no discovery at all
+    // time travel stays O(1) too: direct manifest read (or an
+    // immutable-manifest cache hit — r18), no discovery at all
     TxTable.resetCounters()
     assert(TxTable.snapshot(root, 123).version == 123)
-    assert(TxTable.fullListings.get() == 0 && TxTable.manifestReads.get() == 1)
+    assert(TxTable.fullListings.get() == 0 && TxTable.manifestReads.get() <= 1)
+    // a second resolve of the same immutable version reads nothing
+    TxTable.resetCounters()
+    assert(TxTable.snapshot(root, 123).version == 123)
+    assert(TxTable.manifestReads.get() == 0 && TxTable.cacheHits.get() >= 1,
+      "repeat resolve of an immutable manifest should be a cache hit")
     // hintless legacy log: first resolution pays ONE listing and re-seeds
     java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_txlog", "_latest.hint"))
     TxTable.resetCounters()
@@ -937,6 +943,67 @@ class TxTableSpec extends AnyFunSuite {
     val pruned = TxTable.scanString(spark, root, "s", "a", "b")
       .collect().map(_.getLong(0)).toSet
     assert(pruned == full && full == (0L until 5L).toSet)
+  }
+
+  test("fast manifest parser equals the regex reference on adversarial round-trips") {
+    import TxTable.Snapshot
+    val adversarial = Seq(
+      Snapshot(0L, "refresh", Seq("data/v0-aa")),
+      Snapshot(7L, "append", Seq("data/v0-aa", "data/v7-bb")),
+      // every field populated, with qs-escaped quotes and backslashes in
+      // the user-controlled strings
+      Snapshot(12L, "merge",
+        dirs = Seq("data/v1-x", "data/v2-y", "data/v3-z"),
+        parts = Seq("de", "en \"quoted\"", "fr\\back"),
+        statsCols = Seq("k", "with \"q\""),
+        schemaDdl = "k BIGINT,v STRING COMMENT 'has \"quotes\" and \\ slash'",
+        layout = "buckets=64 \\ \"x\"",
+        bloomCols = Seq("sha"),
+        txnApps = Seq("app \"a\"", "/ckpt/q1"),
+        txnIds = Seq(42L, -1L)),
+      // empty lists and defaults
+      Snapshot(3L, "setstats", Nil, Nil, Nil, "", "", Nil, Nil, Nil),
+      // a big one: the 100k-dir shape the fast path exists for
+      Snapshot(1L, "compact", (0 until 5000).map(i => f"data/v1-$i%08x")))
+    adversarial.foreach { s =>
+      val body = TxTable.renderForTest(s)
+      val fast = TxTable.parseFast(body)
+      val regex = TxTable.parseRegex(body)
+      assert(fast == regex, s"parser divergence on: $body")
+      assert(fast == s, s"round-trip loss on: $s")
+    }
+    // stats sidecar: numeric (NaN/Infinity included) + escaped string rows
+    val stats = Seq(
+      TxTable.DirStat("data/v0-aa", "k", -1.5e300, 2.25),
+      TxTable.DirStat("data/v0-aa", "ts", Double.NaN, Double.NaN),
+      TxTable.DirStat("data/v1-bb", "k", Double.PositiveInfinity, Double.NegativeInfinity))
+    val strStats = Seq(
+      TxTable.DirStrStat("data/v0-aa", "lang", "de", "en"),
+      TxTable.DirStrStat("data/v1-bb", "s", "a \"q\" b", "z\\end"))
+    val body = TxTable.renderStatsForTest(9L, stats, strStats)
+    val (fastN, fastS) = TxTable.parseStatsFast(body)
+    val (regN, regS) = TxTable.readStatsRegex(body)
+    def key(d: TxTable.DirStat) = (d.dir, d.col, d.min.toString, d.max.toString)
+    assert(fastN.map(key) == regN.map(key), s"numeric stat divergence on: $body")
+    assert(fastS == regS, s"string stat divergence on: $body")
+    assert(fastS == strStats)
+  }
+
+  test("snapshot cache: invalidated by externally replaced manifests (size/mtime guard)") {
+    import spark.implicits._
+    val root = tmp()
+    TxTable.refresh(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    assert(TxTable.snapshot(root).dirs.length == 1)
+    // externally rewrite v0's manifest (simulates delete-and-recreate
+    // of a table at the same path — outside the protocol, but the
+    // cache must not serve the stale parse)
+    val p = java.nio.file.Paths.get(root, "_txlog", "v00000000.json")
+    val fresh = TxTable.renderForTest(TxTable.Snapshot(0L, "refresh",
+      Seq("data/v0-other1", "data/v0-other2")))
+    java.nio.file.Files.writeString(p, fresh)
+    assert(TxTable.snapshot(root).dirs ==
+      Seq("data/v0-other1", "data/v0-other2"),
+      "cache served a stale snapshot after the manifest changed on disk")
   }
 
 }
