@@ -633,7 +633,19 @@ object ScaleProbe {
         .filter(col("doc_id").between(0, 199)).count())
       require(rowsRange == rowsFull, s"connector row drift: $rowsRange vs $rowsFull")
       require(rowsSha >= 1, "bloom lookup lost a present key")
-      println(f"""{"probe":"gsource","sf":"$sfDir","corpus":$n,"dirs":$nBatches,"range_kept":$keptRange,"range_rows":$rowsRange,"range_sec":$tRange%.3f,"streq_kept":$keptEq,"streq_rows":$rowsEq,"streq_sec":$tEq%.3f,"bloom_kept":$keptSha,"bloom_rows":$rowsSha,"bloom_sec":$tSha%.3f,"full_filter_sec":$tFull%.3f}""")
+      // FULL-table scan through the connector vs the identical direct
+      // parquet read (r17 verdict: the DSv1 RDD[Row] boundary made this
+      // the connector's one structural cost; the DSv2 delegated
+      // ParquetScan should price them the same). sum(length(text))
+      // forces real column materialization — a bare count() would be
+      // answered from parquet metadata on both sides.
+      def fullAgg(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(length(col("text")))).head.getLong(0)
+      val (tConnFull, aggConn) = med3(fullAgg(t))
+      val dirPaths = TxTable.snapshot(root).dirs.map(d => s"$root/$d")
+      val (tParqFull, aggParq) = med3(fullAgg(spark.read.parquet(dirPaths: _*)))
+      require(aggConn == aggParq, s"full-scan agg drift: $aggConn vs $aggParq")
+      println(f"""{"probe":"gsource","sf":"$sfDir","corpus":$n,"dirs":$nBatches,"range_kept":$keptRange,"range_rows":$rowsRange,"range_sec":$tRange%.3f,"streq_kept":$keptEq,"streq_rows":$rowsEq,"streq_sec":$tEq%.3f,"bloom_kept":$keptSha,"bloom_rows":$rowsSha,"bloom_sec":$tSha%.3f,"full_filter_sec":$tFull%.3f,"fullscan_connector_sec":$tConnFull%.3f,"fullscan_parquet_sec":$tParqFull%.3f}""")
       spark.stop()
       return
     }

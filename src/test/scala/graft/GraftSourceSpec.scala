@@ -462,23 +462,30 @@ class GraftSourceSpec extends AnyFunSuite {
 
   test("DSv2: a connector read plans as a columnar BatchScan ParquetScan, no RDD boundary") {
     import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val root = ingestTable("v2plan", 4)
     val df = spark.read.format("graft").load(root)
       .where($"k" >= 150L && $"k" < 250L).select("v")
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BatchScan"), s"expected a DSv2 BatchScan:\n$plan")
-    assert(plan.contains("ParquetScan"),
-      s"expected delegation to the vectorized ParquetScan:\n$plan")
-    assert(!plan.contains("ExistingRDD"),
-      s"DSv1 RDD[Row] boundary leaked into the V2 plan:\n$plan")
-    assert(plan.contains("ColumnarToRow"),
-      s"expected a vectorized columnar read:\n$plan")
-    // the filters reach the parquet scan (row-group skipping below the
-    // manifest-level dir skip)
-    assert(plan.contains("GreaterThanOrEqual(k,150)") || plan.contains("PushedFilters"),
-      s"filters not pushed into the delegated scan:\n$plan")
     assert(df.collect().map(_.getString(0)).toSet ==
       (150L until 250L).map(k => s"v$k").toSet)
+    // tree-walk the executed plan (house rule: never string-match
+    // toString — it truncates)
+    val nodes = PlanSpec.allNodes(df.queryExecution.executedPlan)
+    val batchScans = nodes.collect { case b: BatchScanExec => b }
+    assert(batchScans.nonEmpty, s"expected a DSv2 BatchScan:\n${nodes.map(_.nodeName)}")
+    val scan = batchScans.head.scan
+    assert(scan.getClass.getName.contains("ParquetScan"),
+      s"expected delegation to the vectorized ParquetScan, got ${scan.getClass}")
+    assert(batchScans.head.supportsColumnar,
+      "delegated parquet scan should produce columnar batches")
+    assert(!nodes.exists(_.nodeName.contains("ExistingRDD")),
+      s"DSv1 RDD[Row] boundary leaked into the V2 plan:\n${nodes.map(_.nodeName)}")
+    assert(nodes.exists(_.nodeName.contains("ColumnarToRow")),
+      s"expected a vectorized columnar read:\n${nodes.map(_.nodeName)}")
+    // the filters reach the parquet scan (row-group skipping below the
+    // manifest-level dir skip)
+    assert(scan.description().contains("GreaterThanOrEqual(k,150)"),
+      s"filters not pushed into the delegated scan:\n${scan.description()}")
     // manifest-level pruning engaged on the same read
     assert(GraftTableSource.lastKeptDirs.get <= 2 &&
       GraftTableSource.lastPrunedDirs.get >= 2)

@@ -45,19 +45,7 @@ class PlanSpec extends AnyFunSuite {
     * exactly the intended shape — 2 InMemoryTableScanExec nodes whose
     * second line was swallowed by the print cut-off). */
   private def allNodes(plan: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.ReusedSubqueryExec
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    val kids = plan match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case r: ReusedExchangeExec => Seq(r.child)
-      case r: ReusedSubqueryExec => Seq(r.child)
-      case p => p.children
-    }
-    plan +: (kids ++ plan.subqueries).flatMap(allNodes)
-  }
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = PlanSpec.allNodes(plan)
 
   private def countNodes(df: DataFrame,
                          pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Int =
@@ -614,5 +602,25 @@ class PlanSpec extends AnyFunSuite {
       mom.unpersist()
       TempCaches.releaseAll(); spark.catalog.clearCache()
     }
+  }
+}
+
+/** Shared AQE-aware executed-plan tree walk — the ONE way plan-shape
+  * pins must enumerate nodes (never `executedPlan.toString`, which
+  * truncates deeply-nested subtrees; the round-14 q77 lesson). */
+object PlanSpec {
+  def allNodes(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.ReusedSubqueryExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val kids = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case r: ReusedSubqueryExec => Seq(r.child)
+      case p => p.children
+    }
+    plan +: (kids ++ plan.subqueries).flatMap(allNodes)
   }
 }
