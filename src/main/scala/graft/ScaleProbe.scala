@@ -742,10 +742,14 @@ object ScaleProbe {
       cached.unpersist()
       val (_, fullSec) = timed(
         VectorOps.lshNearDupPairs(e, tables, bits, 0.45).count())
-      val (_, fullPreSec) = timed(
+      // prefiltered end-to-end uses the FUSED candidate filter (blob
+      // carried on the bucket-join sides, filter before the distinct)
+      val (nPairsFused, fullPreSec) = timed(
         VectorOps.lshNearDupPairs(e, tables, bits, 0.45, prefilter = true).count())
       require(nPairsF == nPairs,
         s"LOSSLESS VIOLATION: prefiltered confirm found $nPairsF pairs vs $nPairs")
+      require(nPairsFused == nPairs,
+        s"LOSSLESS VIOLATION: fused prefilter found $nPairsFused pairs vs $nPairs")
       println(f"""{"probe":"lshprofile","sf":"$sfDir","corpus":$n,"bits":$bits,"tables":$tables,"idx_rows":$idxRows,"hot_buckets":$hotBuckets,"candidates":$nCand,"pairs":$nPairs,"survivors":$nSurv,"candidate_sec":$candSec%.3f,"confirm_sec":$confirmSec%.3f,"prefilter_sec":$prefilterSec%.3f,"confirm_filtered_sec":$confirmFSec%.3f,"end_to_end_sec":$fullSec%.3f,"end_to_end_prefiltered_sec":$fullPreSec%.3f}""")
       spark.stop()
       return

@@ -151,9 +151,54 @@ object VectorOps {
                                      thresh: Double,
                                      twoSided: Boolean = false,
                                      prefilter: Boolean = false): DataFrame = {
-    val cand = lshCandidatesVec(e, tables, bits, twoSided)
-    if (prefilter) lshConfirm(e, sq8Prefilter(e, cand, thresh), thresh)
-    else lshConfirm(e, cand, thresh)
+    if (prefilter)
+      lshConfirm(e, lshCandidatesVecFiltered(e, tables, bits, thresh, twoSided), thresh)
+    else
+      lshConfirm(e, lshCandidatesVec(e, tables, bits, twoSided), thresh)
+  }
+
+  /** [[lshCandidatesVec]] with the lossless SQ8 bound FUSED into the
+    * bucket join itself: the index and probe sides each carry their
+    * ~80-byte [[graft.plans.Sq8Blob]] side-car (idx +n·tables·80 B,
+    * probe +n·tables·probes·80 B of shuffle — ~1.2 GB at the ×100
+    * replica), and `sq8_upper_cos > thresh − 1e-9` filters the join
+    * OUTPUT inline in codegen, BEFORE the pair distinct. At the
+    * measured 311:1 filter rate that shrinks the distinct's shuffle
+    * input from the full candidate volume (115 M rows at ×100) to the
+    * survivor set (369 k) and deletes the two post-distinct
+    * 115 M-row blob joins the staged form
+    * ([[sq8Prefilter]], kept for the probe's split measurement) pays.
+    * Same soundness as the staged form: the bound can only drop pairs
+    * the exact confirm would drop, so the final pair set is identical
+    * at any scale (SimilaritySpec pins fused ≡ direct). */
+  private[graft] def lshCandidatesVecFiltered(e: DataFrame, tables: Int, bits: Int,
+                                              thresh: Double,
+                                              twoSided: Boolean = false): DataFrame = {
+    val withBlob = e.withColumn("blob",
+      graft.plans.GraftExpressions.sq8Blob(col("embedding")))
+    val idx = withBlob.select(col("vec_id"), col("blob"),
+        posexplode(graft.plans.GraftExpressions.lshKeys(
+          col("embedding"), tables, bits, LshMult)))
+      .select(col("vec_id"), col("blob"), col("pos").as("tbl"), col("col").as("k"))
+    val hot = idx.groupBy(col("tbl"), col("k"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") > LshBucketCap)
+      .select(col("tbl"), col("k"))
+    val idxCapped = idx.join(broadcast(hot), Seq("tbl", "k"), "left_anti")
+    val probe = withBlob.select(col("vec_id"), col("blob"),
+        posexplode(graft.plans.GraftExpressions.lshProbeKeys(
+          col("embedding"), tables, bits, MaxProbes, LshMult)))
+      .select(col("vec_id"), col("blob"), col("pos").as("tbl"), explode(col("col")).as("pk"))
+    val x = idxCapped.alias("x"); val y = probe.alias("y")
+    val idCond =
+      if (twoSided) col("y.vec_id") =!= col("x.vec_id")
+      else col("y.vec_id") < col("x.vec_id")
+    x.join(y, col("x.tbl") === col("y.tbl") && col("x.k") === col("y.pk")
+        && idCond)
+      .filter(graft.plans.GraftExpressions.sq8UpperCos(col("x.blob"), col("y.blob"))
+        > thresh - 1e-9)
+      .select(least(col("y.vec_id"), col("x.vec_id")).as("id_a"),
+        greatest(col("y.vec_id"), col("x.vec_id")).as("id_b"))
+      .distinct()
   }
 
   /** Lossless SQ8 pre-filter between the candidate pairs and the exact

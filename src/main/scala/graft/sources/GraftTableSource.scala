@@ -111,7 +111,10 @@ class GraftTableSource extends TableProvider
     val root = Option(opts.get("path")).getOrElse(throw new IllegalArgumentException(
       "graft source requires a path"))
     val version = Option(opts.get("versionAsOf")).map(_.trim.toLong).getOrElse(-1L)
-    GraftTable(root, version)
+    // resolve `latest` NOW so the pinned version is part of the table's
+    // case-class IDENTITY (cache-aliasing hazard — see
+    // [[GraftTableSource.resolveVersion]])
+    GraftTable(root, GraftTableSource.resolveVersion(root, version))
   }
 
   // --- DSv1 fallback read + the write path ---
@@ -120,7 +123,7 @@ class GraftTableSource extends TableProvider
                               parameters: Map[String, String]): BaseRelation = {
     val root = pathOf(parameters)
     val version = parameters.get("versionAsOf").map(_.trim.toLong).getOrElse(-1L)
-    GraftTableRelation(sqlContext, root, version)
+    GraftTableRelation(sqlContext, root, GraftTableSource.resolveVersion(root, version))
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -152,7 +155,7 @@ class GraftTableSource extends TableProvider
       if (stats.nonEmpty) TxTable.setStatsColumns(spark, root, stats)
       if (blooms.nonEmpty) TxTable.setBloomColumns(spark, root, blooms)
     }
-    GraftTableRelation(sqlContext, root, -1L)
+    GraftTableRelation(sqlContext, root, GraftTableSource.resolveVersion(root, -1L))
   }
 
   // --- streaming (readStream.format("graft")): see GraftTailSource ---
@@ -377,6 +380,15 @@ object GraftTableSource {
     * both the DSv2 scan build and the DSv1 buildScan. */
   private[graft] val lastKeptDirs = new java.util.concurrent.atomic.AtomicInteger
   private[graft] val lastPrunedDirs = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Pin `latest` to a concrete version at relation/table CREATION
+    * (O(1) hinted discovery), so the pinned version participates in the
+    * relation's case-class equality — Spark's cache manager matches
+    * plans by relation equality, and two loads straddling a commit must
+    * not alias each other's cached data. -1 survives only for a
+    * not-yet-created table (the write-path probe). */
+  private[graft] def resolveVersion(root: String, versionAsOf: Long): Long =
+    if (versionAsOf >= 0) versionAsOf else TxTable.latestVersion(root)
 
   /** The snapshot's schema: the manifest's recorded DDL when the schema
     * contract is active, else inferred from the snapshot's parquet. */

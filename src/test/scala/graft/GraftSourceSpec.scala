@@ -510,6 +510,38 @@ class GraftSourceSpec extends AnyFunSuite {
       .where($"k" >= 150L && $"k" < 250L)) == expected)
   }
 
+  test("a cached older load does not alias a newer load (pinned version is plan identity)") {
+    val root = tmp("cachealias")
+    kv(1L -> "a").write.format("graft").save(root)
+    val before = spark.read.format("graft").load(root)
+    before.cache()
+    try {
+      assert(ks(before) == Set(1L -> "a")) // materialize the cache
+      kv(2L -> "b").write.format("graft").mode(SaveMode.Append).save(root)
+      // the new load pins a NEWER version: the cache manager must not
+      // substitute the cached v0 data (relation equality includes the
+      // resolved version)
+      assert(ks(spark.read.format("graft").load(root)) ==
+        Set(1L -> "a", 2L -> "b"),
+        "cached older snapshot aliased a newer load")
+      // and the cached frame still serves its own pinned snapshot
+      assert(ks(before) == Set(1L -> "a"))
+      // same property under the V1 fallback
+      spark.conf.set("spark.sql.sources.useV1SourceList", "graft")
+      try {
+        val v1a = spark.read.format("graft").load(root)
+        v1a.cache()
+        try {
+          assert(ks(v1a) == Set(1L -> "a", 2L -> "b"))
+          kv(3L -> "c").write.format("graft").mode(SaveMode.Append).save(root)
+          assert(ks(spark.read.format("graft").load(root)) ==
+            Set(1L -> "a", 2L -> "b", 3L -> "c"),
+            "V1: cached older snapshot aliased a newer load")
+        } finally v1a.unpersist()
+      } finally spark.conf.unset("spark.sql.sources.useV1SourceList")
+    } finally before.unpersist()
+  }
+
   test("temp view pins snapshot at creation: its own INSERT INTO is invisible until re-created") {
     val root = tmp("viewpin")
     kv(1L -> "a").write.format("graft").save(root)
