@@ -302,20 +302,95 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    val ranges = GraftTableSource.conjunctiveRanges(pushed)
-    val strRanges = GraftTableSource.conjunctiveStrRanges(pushed)
-    val points = GraftTableSource.conjunctivePoints(pushed)
+  override def build(): Scan =
+    new GraftScan(spark, root, snap, tableSchema, required, pushed)
+}
+
+/** The connector's Scan: manifest-level dir pruning + delegation to
+  * Spark's vectorized parquet scan, with RUNTIME re-pruning — the
+  * dynamic-file-pruning shape. `SupportsRuntimeFiltering` declares the
+  * snapshot's stats/bloom columns as filterable; when this scan sits on
+  * the probe side of a broadcast join keyed on one of them, Spark
+  * passes the build side's key values as an `In(...)` filter at
+  * EXECUTION time and [[filter]] re-prunes the dir list through the
+  * same three stat families before any file is read — a dimension-table
+  * join prunes the fact table's dirs by join key, not just by WHERE
+  * clause. Runtime filters can only SKIP (the join re-applies its exact
+  * condition), so correctness is unchanged by construction.
+  *
+  * `readSchema` is pinned to the PLANNED inner scan's schema (column
+  * order must match the rows the reader factory emits); runtime
+  * filtering only shrinks the dir list, never the schema. */
+final class GraftScan(spark: SparkSession, root: String,
+                      snap: TxTable.Snapshot, tableSchema: StructType,
+                      required: StructType, pushed: Array[Filter])
+    extends Scan with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+
+  private var runtimeFilters: Array[Filter] = Array.empty
+  @volatile private var cachedInner: Scan = null
+
+  private def buildInner(): Scan = {
+    val all = pushed ++ runtimeFilters
+    val ranges = GraftTableSource.conjunctiveRanges(all)
+    val strRanges = GraftTableSource.conjunctiveStrRanges(all)
+    // Bloom point-probing is per-value-per-dir: a runtime join side can
+    // carry millions of distinct keys, where probing costs more than it
+    // saves — cap the list (dropping a points constraint only KEEPS
+    // more dirs, always sound; the min/max ranges above still prune
+    // from the same IN list at any size)
+    val points = GraftTableSource.conjunctivePoints(all)
+      .filter(_._2.length <= GraftScan.MaxBloomProbeValues)
     val (kept, pruned) = TxTable.pruneSnapshot(root, snap, ranges, strRanges, points)
     GraftTableSource.lastKeptDirs.set(kept.length)
     GraftTableSource.lastPrunedDirs.set(pruned)
     val attrs = tableSchema.fields
       .map(f => f.name -> ce.AttributeReference(f.name, f.dataType, f.nullable)())
       .toMap
+    // only the STATIC filters push into parquet row groups: runtime In
+    // lists can be huge (a join side's distinct keys) and the join
+    // re-applies its exact condition anyway — dir-level skipping is the
+    // win worth taking at execution time
     val catalyst = pushed.toIndexedSeq
       .flatMap(f => GraftTableSource.toCatalyst(f, attrs))
     GraftParquetBridge.parquetScan(spark, kept.map(d => s"$root/$d"),
       tableSchema, required, catalyst)
+  }
+
+  private def inner: Scan = {
+    var s = cachedInner
+    if (s == null) { s = buildInner(); cachedInner = s }
+    s
+  }
+
+  /** Planned once, BEFORE any runtime filter: the output column order
+    * the reader factory will emit. */
+  private val plannedSchema: StructType = inner.readSchema()
+
+  override def readSchema(): StructType = plannedSchema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    inner.toBatch.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner.toBatch.createReaderFactory()
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (snap.statsCols ++ snap.bloomCols).distinct
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilters = filters
+    cachedInner = null // re-prune against the runtime keys
+  }
+
+  override def description(): String = {
+    val rt = if (runtimeFilters.isEmpty) ""
+      else s", RuntimeFilters: ${runtimeFilters.mkString("[", ", ", "]")}"
+    s"graft root=$root version=${snap.version} " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}$rt -> ${inner.description()}"
   }
 }
 
@@ -371,6 +446,12 @@ final case class GraftTableRelation(sqlContext: SQLContext, root: String,
       else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
     projected.rdd
   }
+}
+
+object GraftScan {
+  /** Largest IN-list the per-dir Bloom probe will evaluate (runtime
+    * join keys can number millions; ranges handle those instead). */
+  private[graft] val MaxBloomProbeValues = 10000
 }
 
 object GraftTableSource {

@@ -474,8 +474,10 @@ class GraftSourceSpec extends AnyFunSuite {
     val batchScans = nodes.collect { case b: BatchScanExec => b }
     assert(batchScans.nonEmpty, s"expected a DSv2 BatchScan:\n${nodes.map(_.nodeName)}")
     val scan = batchScans.head.scan
-    assert(scan.getClass.getName.contains("ParquetScan"),
-      s"expected delegation to the vectorized ParquetScan, got ${scan.getClass}")
+    assert(scan.isInstanceOf[graft.sources.GraftScan],
+      s"expected the runtime-filterable GraftScan, got ${scan.getClass}")
+    assert(scan.description().contains("ParquetScan"),
+      s"expected delegation to the vectorized ParquetScan:\n${scan.description()}")
     assert(batchScans.head.supportsColumnar,
       "delegated parquet scan should produce columnar batches")
     assert(!nodes.exists(_.nodeName.contains("ExistingRDD")),
@@ -508,6 +510,33 @@ class GraftSourceSpec extends AnyFunSuite {
     // and back on V2, same answer
     assert(ks(spark.read.format("graft").load(root)
       .where($"k" >= 150L && $"k" < 250L)) == expected)
+  }
+
+  test("runtime (join-driven) dir pruning: a broadcast dim join prunes fact dirs at execution") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val root = ingestTable("rtprune", 8) // 8 dirs of 100 contiguous keys, stats on k
+    // a dim table whose selected keys all land in ONE fact dir; the
+    // filter must be a real scan predicate (a folded LocalRelation has
+    // no selective predicate and DPP correctly declines)
+    val dimPath = tmp("rtprune-dim")
+    (0L until 800L).map(k => (k, k / 100)).toDF("k", "grp").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter($"grp" === 3L).select("k")
+    val fact = spark.read.format("graft").load(root)
+    val joined = fact.join(broadcast(dim), "k")
+    assert(joined.count() == 100L)
+    // the scan declared its stats columns as runtime-filterable; Spark
+    // passed the build side's keys at execution and the manifest-level
+    // prune kept only the covering dir
+    assert(GraftTableSource.lastKeptDirs.get == 1 &&
+      GraftTableSource.lastPrunedDirs.get == 7,
+      s"runtime pruning kept ${GraftTableSource.lastKeptDirs.get}, " +
+        s"pruned ${GraftTableSource.lastPrunedDirs.get} of 8 dirs")
+    // result identity vs the unpruned direct read
+    val expect = TxTable.read(spark, root).join(broadcast(dim), "k")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(joined.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == expect)
   }
 
   test("a cached older load does not alias a newer load (pinned version is plan identity)") {
