@@ -287,10 +287,12 @@ final case class GraftTable(root: String, versionAsOf: Long)
 final class GraftScanBuilder(spark: SparkSession, root: String,
                              snap: TxTable.Snapshot, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var aggScan: Option[Scan] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -302,8 +304,30 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(spark, root, snap, tableSchema, required, pushed)
+  /** Aggregate pushdown (COUNT/MIN/MAX answered from parquet footer
+    * metadata — no data pages read for a whole-table `count(*)` or
+    * `min/max(col)`, the Delta "answer from stats" property): accepted
+    * only for FILTER-LESS scans — this connector reports every filter
+    * as residual, and Spark only pushes aggregates when no residual
+    * filter remains, so a filtered query can never reach a pushed
+    * aggregate here; when filter-less, ALL snapshot dirs are in scope
+    * (nothing to prune) and the aggregation delegates to the parquet
+    * builder, gated by the same `spark.sql.parquet.aggregatePushdown`
+    * conf as native parquet reads. Per-split partial results only
+    * (Spark plans its final merge on top), so `supportCompletePushDown`
+    * stays false — exactly the parquet contract. */
+  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (pushed.nonEmpty) return false
+    aggScan = GraftParquetBridge.parquetAggScan(spark,
+      snap.dirs.map(d => s"$root/$d"), tableSchema, aggregation)
+    aggScan.isDefined
+  }
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def build(): Scan = aggScan.getOrElse(
+    new GraftScan(spark, root, snap, tableSchema, required, pushed))
 }
 
 /** The connector's Scan: manifest-level dir pruning + delegation to

@@ -38,4 +38,19 @@ object GraftParquetBridge {
     builder.pruneColumns(required)
     builder.build()
   }
+
+  /** Parquet scan with a pushed AGGREGATION (COUNT/MIN/MAX answered
+    * from footer metadata, no data pages read) — Some only when the
+    * parquet builder accepts it (requires
+    * `spark.sql.parquet.aggregatePushdown=true` and a supported agg
+    * shape, the same gate native parquet reads have). */
+  def parquetAggScan(spark: SparkSession, dirs: Seq[String], schema: StructType,
+                     aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Scan] = {
+    val session = spark.asInstanceOf[classic.SparkSession]
+    val index = new InMemoryFileIndex(
+      session, dirs.map(new Path(_)), Map.empty[String, String], Some(schema))
+    val builder = ParquetScanBuilder(session, index, schema, schema,
+      CaseInsensitiveStringMap.empty())
+    if (builder.pushAggregation(aggregation)) Some(builder.build()) else None
+  }
 }

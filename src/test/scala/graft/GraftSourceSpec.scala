@@ -539,6 +539,41 @@ class GraftSourceSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet == expect)
   }
 
+  test("aggregate pushdown: whole-table count/min/max answer from parquet metadata") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, max, min}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = ingestTable("aggpush", 4)
+    def stats() = spark.read.format("graft").load(root)
+      .agg(count("*").as("n"), min("k").as("lo"), max("k").as("hi"))
+    val expect = (400L, 0L, 399L)
+    def got(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.head(); (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // conf off (default): normal scan, exact result
+    assert(got(stats()) == expect)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val df = stats()
+      assert(got(df) == expect, "pushed aggregate changed the answer")
+      val scans = PlanSpec.allNodes(df.queryExecution.executedPlan)
+        .collect { case b: BatchScanExec => b }
+      assert(scans.nonEmpty)
+      assert(scans.head.scan.description().contains("PushedAggregation: [COUNT(*)"),
+        s"aggregation not pushed to the parquet scan:\n${scans.head.scan.description()}")
+      // a FILTERED aggregate must NOT push (this connector keeps every
+      // filter residual, which blocks aggregate pushdown by design) —
+      // and stays correct
+      val filtered = spark.read.format("graft").load(root)
+        .where($"k" >= 100L).agg(count("*"))
+      assert(filtered.head().getLong(0) == 300L)
+      val fScans = PlanSpec.allNodes(filtered.queryExecution.executedPlan)
+        .collect { case b: BatchScanExec => b }
+      assert(fScans.forall(!_.scan.description().contains("PushedAggregation: [COUNT")),
+        "a filtered aggregate was pushed past a residual filter")
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+  }
+
   test("a cached older load does not alias a newer load (pinned version is plan identity)") {
     val root = tmp("cachealias")
     kv(1L -> "a").write.format("graft").save(root)
