@@ -955,6 +955,42 @@ object TxTable {
       }
     }
 
+  /** Delta's RESTORE (`RESTORE TABLE t TO VERSION AS OF v`): make the
+    * CURRENT table state equal `version`'s via ONE metadata commit
+    * (action "restore") that lists the old version's dirs BY
+    * REFERENCE — zero data bytes moved, history intact: the mistaken
+    * refresh/delete/merge being undone AND the restored-from version
+    * both stay time-travel readable, so a restore is itself
+    * restorable. The restored version's recorded schema, layout,
+    * declared stats/bloom columns, and per-dir skipping stats all come
+    * back with it (dirs are immutable, so the old sidecar's stats are
+    * exact forever and are re-injected into the new version's
+    * sidecar). The CURRENT txn ledger is kept, NOT the old one —
+    * writer idempotence tracks writer progress, not table content, and
+    * restoring an old ledger would un-record replayed streaming
+    * batches into double-commits. Restoring to the current version is
+    * a no-op returning it. Fails loudly if `version` was vacuumed. */
+  def restore(spark: SparkSession, root: String, version: Long): Long = {
+    val src = snapshot(root, version) // throws if absent/vacuumed
+    var v = -1L
+    var done = false
+    while (!done) {
+      val baseV = latestVersion(root)
+      require(baseV >= 0, s"TxTable at $root has no committed version")
+      if (baseV == version) return baseV
+      val base = snapshot(root, baseV)
+      val target = baseV + 1
+      val dirs = src.dirs.toSet
+      val stats = readStats(root, version).filter(s => dirs(s.dir))
+      val strStats = readStrStats(root, version).filter(s => dirs(s.dir))
+      val snapNew = Snapshot(target, "restore", src.dirs, src.parts,
+        src.statsCols, src.schemaDdl, src.layout, src.bloomCols,
+        base.txnApps, base.txnIds)
+      if (tryCommitAnchored(root, snapNew, stats, strStats)) { v = target; done = true }
+    }
+    v
+  }
+
   /** Idempotent keyed MERGE for replayable writers — [[mergeUpsert]]
     * semantics under the [[appendIdempotent]] txn-ledger contract: the
     * commit is tagged (`appId`, `batchId`); a replayed batch (appId

@@ -945,6 +945,48 @@ class TxTableSpec extends AnyFunSuite {
     assert(pruned == full && full == (0L until 5L).toSet)
   }
 
+  test("restore: zero-copy rollback commit — content, schema, stats, and ledger semantics") {
+    import spark.implicits._
+    val root = tmp()
+    def df(rows: (Long, String)*) = rows.toDF("k", "v")
+    TxTable.refresh(spark, root, df(1L -> "a", 2L -> "b"))          // v0
+    TxTable.setStatsColumns(spark, root, Seq("k"))                  // v1
+    TxTable.append(spark, root, df(3L -> "c"))                      // v2
+    TxTable.appendIdempotent(spark, root, df(4L -> "d"), "app", 7L) // v3
+    val goodV = TxTable.latestVersion(root)
+    val goodState = Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+    // the mistake to undo: a destructive refresh
+    TxTable.refresh(spark, root, df(9L -> "oops"))                  // v4
+    val restoredV = TxTable.restore(spark, root, goodV)
+    def state(v: Long = -1L) = TxTable.read(spark, root, v).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(restoredV == goodV + 2)
+    assert(state() == goodState, "restore did not reproduce the old content")
+    // history intact on BOTH sides: the mistake and the source version
+    assert(state(goodV + 1) == Set(9L -> "oops"))
+    assert(state(goodV) == goodState)
+    assert(TxTable.snapshot(root, restoredV).action == "restore")
+    assert(TxTable.history(spark, root).collect().map(_.getString(1)).contains("restore"))
+    // zero-copy: the restore commit lists the SAME dir names as goodV
+    assert(TxTable.snapshot(root, restoredV).dirs == TxTable.snapshot(root, goodV).dirs)
+    // declared stats columns and per-dir stats came back: a range scan prunes
+    assert(TxTable.snapshot(root, restoredV).statsCols == Seq("k"))
+    assert(TxTable.readStats(root, restoredV).nonEmpty,
+      "restored version lost the dirs' skipping stats")
+    // txn ledger kept from the CURRENT state: the replayed batch still no-ops
+    val before = TxTable.latestVersion(root)
+    TxTable.appendIdempotent(spark, root, df(99L -> "replay"), "app", 7L)
+    assert(TxTable.latestVersion(root) == before && state() == goodState,
+      "restore un-recorded the writer ledger: a replayed batch double-committed")
+    // restoring to the current version is a no-op
+    assert(TxTable.restore(spark, root, before) == before)
+    // a restore is itself restorable (back to the mistake, then back again)
+    TxTable.restore(spark, root, goodV + 1)
+    assert(state() == Set(9L -> "oops"))
+    TxTable.restore(spark, root, goodV)
+    assert(state() == goodState)
+  }
+
   test("fast manifest parser equals the regex reference on adversarial round-trips") {
     import TxTable.Snapshot
     val adversarial = Seq(
