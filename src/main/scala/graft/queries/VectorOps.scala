@@ -231,12 +231,14 @@ object VectorOps {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Corpus size past which q40 inserts [[sq8Prefilter]]: below it the
-    * candidate set is small enough that the two extra side-car joins
-    * cost more than the payload they save (measured at the sf0.1 gate);
-    * above it the 925:1 candidate:confirm ratio makes the skinny filter
-    * pay for itself many times over (×100 measurement in SCALE.md r18). */
-  private[graft] val SqPrefilterMinRows = 100000L
+  /** Corpus size past which q40 fuses the SQ8 filter into its bucket
+    * join: at the oracle gates (500 / 2000 vectors) the candidate set
+    * is small enough that the wider join rows cost more than they
+    * save, so the direct plan stays; from the ×10 replica up the cut
+    * dominates (measured: ×10 3.97 → 2.53 s, ×100 82.9 → 15.3 s —
+    * SCALE.md r18). The filter is lossless, so this switch is a pure
+    * plan choice at any value. */
+  private[graft] val SqPrefilterMinRows = 10000L
 
   /** q40's candidate stage alone — the banding/probing/blacklist half,
     * ending at the distinct (id_a, id_b) pair set; split out so
