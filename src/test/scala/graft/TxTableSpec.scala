@@ -987,6 +987,36 @@ class TxTableSpec extends AnyFunSuite {
     assert(state() == goodState)
   }
 
+  test("restore races a concurrent append: both serialize, final state is a consistent snapshot") {
+    import spark.implicits._
+    val root = tmp()
+    def df(rows: (Long, String)*) = rows.toDF("k", "v")
+    TxTable.refresh(spark, root, df(1L -> "a"))  // v0
+    TxTable.append(spark, root, df(2L -> "b"))   // v1
+    // interleave: the appender commits INSIDE the restore's commit
+    // window (the restore sees v1 as base, targets v2; the append wins
+    // v2 first, the restore's optimistic loop rebases and commits v3)
+    var fired = false
+    TxTable.beforeCommitHook = () => {
+      if (!fired) { fired = true; TxTable.append(spark, root, df(3L -> "c")) }
+    }
+    try TxTable.restore(spark, root, 0L)
+    finally TxTable.beforeCommitHook = () => ()
+    // the restore committed AFTER the append and its contract is
+    // "current state = v0's": the racing append is undone by version
+    // order (still time-travel readable), exactly Delta's RESTORE
+    // semantics under concurrency
+    val state = TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state == Set(1L -> "a"), s"restore race produced $state")
+    val latest = TxTable.latestVersion(root)
+    assert(TxTable.snapshot(root, latest).action == "restore")
+    // dense versions, every one readable, the raced append preserved in history
+    (0L to latest).foreach(v => assert(TxTable.versionExists(root, v)))
+    val hist = (0L to latest).map(v => TxTable.read(spark, root, v).count())
+    assert(hist.contains(3L), "the raced append's version vanished from history")
+  }
+
   test("fast manifest parser equals the regex reference on adversarial round-trips") {
     import TxTable.Snapshot
     val adversarial = Seq(
