@@ -732,6 +732,28 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
   }
 
+  test("writer option evolve: schema change rejected by default, recorded with evolve=true") {
+    import spark.implicits._
+    val root = tmp("evolve")
+    kv(1L -> "a").write.format("graft").save(root)
+    val wider = Seq((2L, "b", 9L)).toDF("k", "v", "extra")
+    // default: the table contract rejects the mismatched commit up front
+    val ex = intercept[Exception] {
+      wider.write.format("graft").mode(SaveMode.Append).save(root)
+    }
+    assert(ex.getMessage.contains("schema mismatch") || ex.getMessage.contains("evolve"),
+      s"wrong rejection: ${ex.getMessage}")
+    // evolve=true records the new schema; the old rows read with a NULL extra
+    wider.write.format("graft").mode(SaveMode.Append)
+      .option("evolve", "true").save(root)
+    val rows = spark.read.format("graft").load(root).collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(9L))))
+    // and subsequent commits enforce the NEW schema
+    intercept[Exception] { kv(3L -> "c").write.format("graft").mode(SaveMode.Append).save(root) }
+  }
+
   test("checkpoint identity normalization: local respellings converge, remote URIs pass verbatim") {
     val n = GraftTableSource.normalizeCheckpoint _
     // cosmetic local respellings converge to one identity
@@ -742,6 +764,6 @@ class GraftSourceSpec extends AnyFunSuite {
     // minus trailing slashes (r17 advisor — a CWD change would silently
     // fork the writer identity and un-record the replay high-water mark)
     assert(n("hdfs://nn:8020/ckpt/q1/") == "hdfs://nn:8020/ckpt/q1")
-    assert(n("s3a://bucket/ckpt") == "s3a://bucket/ckpt")
+    assert(n("hdfs://nn2:8020/warehouse/ckpt") == "hdfs://nn2:8020/warehouse/ckpt")
   }
 }
