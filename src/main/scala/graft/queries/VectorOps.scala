@@ -188,6 +188,10 @@ object VectorOps {
         posexplode(graft.plans.GraftExpressions.lshProbeKeys(
           col("embedding"), tables, bits, MaxProbes, LshMult)))
       .select(col("vec_id"), col("blob"), col("pos").as("tbl"), explode(col("col")).as("pk"))
+      // same identity cut as the direct form: blacklisted-bucket probes
+      // match nothing — drop them before shuffling their 80-byte blobs
+      .join(broadcast(hot.select(col("tbl"), col("k").as("pk"))),
+        Seq("tbl", "pk"), "left_anti")
     val x = idxCapped.alias("x"); val y = probe.alias("y")
     val idCond =
       if (twoSided) col("y.vec_id") =!= col("x.vec_id")
@@ -261,6 +265,12 @@ object VectorOps {
         posexplode(graft.plans.GraftExpressions.lshProbeKeys(
           col("embedding"), tables, bits, MaxProbes, LshMult)))
       .select(col("vec_id"), col("pos").as("tbl"), explode(col("col")).as("pk"))
+      // identity cut: a probe into a blacklisted bucket matches NOTHING
+      // (its idx rows were removed above), so dropping those probe rows
+      // before the shuffle changes no pair — and hot buckets are where
+      // probes concentrate, so this is the join's biggest row cut
+      .join(broadcast(hot.select(col("tbl"), col("k").as("pk"))),
+        Seq("tbl", "pk"), "left_anti")
     // probe only from the smaller id: pair (a,b) is found iff b's exact
     // key is in a's probe set. At bits <= MaxProbes (full Hamming-1,
     // the gates) probe sets are symmetric so one direction is lossless;
