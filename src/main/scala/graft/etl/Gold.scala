@@ -129,7 +129,12 @@ object Gold {
     val q = spark.range(1).select(
       lit(-1L).as("query_id"),
       VectorFunctions.hashEmbedUdf(lit(queryText), lit(dim)).as("qv"))
-    val hits = Similarity.topKWindow(q, corpus.select(col("neighbor_id"), col("cv")), k)
+    // map-side top-k: exact brute force, but only |partitions|·k
+    // candidate rows shuffle instead of the whole corpus's cosines
+    // (one query against 100 TB must not exchange corpus-sized rows;
+    // bit-identical to the window form — SimilaritySpec)
+    val hits = Similarity.topKPartitioned(
+      spark, q, corpus.select(col("neighbor_id"), col("cv")), k)
     hits.join(corpus, "neighbor_id")
       .select(col("rank"), col("pk"), col("text"), col("cosine"))
       .orderBy(col("rank"))

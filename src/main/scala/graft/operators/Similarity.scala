@@ -53,18 +53,29 @@ object Similarity {
     val partial = corpus.select(col("neighbor_id"), col("cv")).as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qarr = qBc.value
-        val qnorm = qarr.map { case (_, v) => math.sqrt(sumsq(v)) }
+        // hoist the query ids/vectors/norms into flat arrays so the
+        // per-pair loop does no tuple destructuring — the loop body is
+        // the sequential-double dot alone (the kernel runs n·|Q| times;
+        // at the definitional q24 batch that is the whole operator)
+        val nq = qarr.length
+        val qids = new Array[Long](nq)
+        val qvs = new Array[Array[Float]](nq)
+        val qnorm = new Array[Double](nq)
+        var j = 0
+        while (j < nq) {
+          qids(j) = qarr(j)._1; qvs(j) = qarr(j)._2
+          qnorm(j) = math.sqrt(sumsq(qvs(j))); j += 1
+        }
         // per-query bounded heap ordered worst-first
-        val heaps = Array.fill(qarr.length)(
+        val heaps = Array.fill(nq)(
           collection.mutable.PriorityQueue.empty[(Double, Long)](
             Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
         for ((nid, cv) <- it) {
           val cn = math.sqrt(sumsq(cv))
           var qi = 0
-          while (qi < qarr.length) {
-            val (qid, qv) = qarr(qi)
-            if (qid != nid) {
-              val raw = dot(qv, cv) / (qnorm(qi) * cn)
+          while (qi < nq) {
+            if (qids(qi) != nid) {
+              val raw = dot(qvs(qi), cv) / (qnorm(qi) * cn)
               // same NaN guard as guardedSim: a zero-norm vector must
               // never beat a real candidate in the heap comparison
               val c = if (raw.isNaN) Double.NegativeInfinity else raw
@@ -79,7 +90,7 @@ object Similarity {
           }
         }
         heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-          h.iterator.map { case (c, nid) => (qarr(qi)._1, nid, c) }
+          h.iterator.map { case (c, nid) => (qids(qi), nid, c) }
         }
       }.toDF("query_id", "neighbor_id", "cosine")
 

@@ -388,13 +388,25 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 per query vector (A8). Query side =
-    // vec_id % 50 == 0 (broadcast); exact, deterministic tiebreak.
+    // vec_id % 50 == 0 — DEFINITIONAL: the batch grows with the corpus,
+    // so n·|Q| exact pair evaluations is the contract (the honest
+    // "what exact costs" row; the fixed-batch deployment twin is
+    // `ScaleProbe knn`). The PLAN is the map-side top-k
+    // (topKPartitioned): every pair is still scored exactly, but each
+    // partition keeps a bounded per-query heap so only
+    // |partitions|·|Q|·k candidate rows reach the final window — the
+    // former window form shuffled all n·|Q| pair rows through one
+    // exchange (~800M rows at the ×100 replica), which was the
+    // operator's entire wall time, not the flops. Results are
+    // bit-identical (same sequential-double dot/(qn·cn) tree, same NaN
+    // guard, same tiebreak; topKPartitioned ≡ topKWindow is pinned in
+    // SimilaritySpec, and the oracle hash-gates it at sf0.01).
     "q24_knn_brute" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-      Similarity.topKWindow(q, c, 5)
+      Similarity.topKPartitioned(s, q, c, 5)
     }),
 
     // Embedding near-duplicate pairs: all pairs with cosine > 0.45
@@ -648,7 +660,12 @@ object VectorOps {
       val qv = e.filter(col("vec_id") % BmQueryMod === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-      val dense = Similarity.topKWindow(qv, cv, RrfArmK)
+      // map-side top-k (q24's round-18 plan change): the dense arm's
+      // |Q| grows with the corpus by query definition, so the former
+      // window form put all n·|Q| pair rows through one exchange
+      // (~160M rows at ×100); the bounded-heap form shuffles
+      // |partitions|·|Q|·k rows and is bit-identical (SimilaritySpec)
+      val dense = Similarity.topKPartitioned(s, qv, cv, RrfArmK)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank").as("rank_dense"))
       lex.join(dense, Seq("query_id", "doc_id"), "full_outer")

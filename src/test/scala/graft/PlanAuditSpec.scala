@@ -34,7 +34,9 @@ class PlanAuditSpec extends AnyFunSuite {
     * the new query's scaladoc.
     */
   private val boundedBnlj: Set[String] = Set(
-    "q24_knn_brute",             // 50-query batch vs corpus (definitional)
+    // q24 left this list in round 18: its plan is now the map-side
+    // top-k (no BNLJ — pairs are scored and reduced inside the scan
+    // stage; PlanSpec pins the shape)
     "q25_embedding_neardup",     // vec_id<2000 audit slice build side
     "q35_ivf_assign",            // k=16 centroid build side
     "q45_ivf_topk",              // k-centroid probe

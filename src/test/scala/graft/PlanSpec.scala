@@ -83,9 +83,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"dimension join degraded to SMJ:\n$p")
   }
 
-  test("q24 kNN inner loop uses the native codegen'd cosine") {
+  test("q24 kNN is map-side top-k: no n×|Q| pair rows reach an exchange") {
+    // The definitional brute batch means n·|Q| exact pair evaluations,
+    // but those pairs must be reduced to |partitions|·|Q|·k rows INSIDE
+    // the scan stage (topKPartitioned's bounded heaps). If the plan ever
+    // regresses to the window form, the n×|Q| cross join reappears as a
+    // BroadcastNestedLoopJoin feeding the window's exchange — at the
+    // ×100 replica that single exchange carried ~800M rows and was the
+    // whole operator cost.
     val p = planOf("q24_knn_brute")
-    assert(p.contains("cosine_sim"), p)
+    assert(p.contains("MapPartitions"), s"expected map-side top-k:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q24 regressed to the all-pairs window form:\n$p")
   }
 
   test("q40 hot-bucket blacklist anti-join is a broadcast, not a shuffle") {
