@@ -1220,7 +1220,7 @@ object VectorOps {
     * Listing footprint is one directory walk (few entries at any SF —
     * fingerprinting reads NO data), so the stamp costs microseconds
     * against a training run of corpus-scan jobs. */
-  private def stampedKey(dir: String, table: String): String = {
+  private[graft] def stampedKey(dir: String, table: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.sortBy(_.getName).toSeq).getOrElse(Nil).flatMap(walk)
@@ -1230,7 +1230,7 @@ object VectorOps {
     s"$dir@${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))}"
   }
 
-  private def memoGet[V](m: scala.collection.concurrent.TrieMap[String, V], key: String)
+  private[graft] def memoGet[V](m: scala.collection.concurrent.TrieMap[String, V], key: String)
                         (compute: => V): V =
     m.get(key) match {
       case Some(v) => memoHits.incrementAndGet(); v
