@@ -136,48 +136,19 @@ object TextOps {
         .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
   }
 
-  // --- Staged-pipeline memos (the kmeans/PQ/eigen train-once precedent
-  // applied to the dedup DAG's intermediate TABLES): q48's near-dup
-  // pair table and q51's cluster labeling are pipeline STAGES that
+  // --- Staged-pipeline memos ([[StageMemo]]): q48's near-dup pair
+  // table and q51's cluster labeling are pipeline STAGES that
   // q51/q59/q83 all consume — per-invocation, each of the three
   // downstream queries re-ran the whole LSH candidate pipeline (~9.6 s
-  // at the ×100 replica) before its own (cheap) logic. A production
-  // pipeline materializes each stage once and the consumers read it;
-  // these memos do exactly that. Unlike the trained-artifact memos the
-  // stage outputs are ∝ corpus (pairs ≈ 2% of docs at ×100, clusters ≤
-  // docs-with-edges), so they are NEVER collected: the memo holds the
-  // PATH of a parquet materialization (at deployment this is a TxTable
-  // commit between stages), keyed by the documents table's content
-  // fingerprint so an in-place rewrite regenerates. Values are the
-  // exact rows the per-invocation computation produced (deterministic),
-  // so every oracle row is unchanged by construction; the shared
-  // hit/miss counters land on the bench artifact, and the first
-  // consuming rep visibly pays the stage build (the kmeans-memo
-  // pattern). Same single-threaded harness contract as TempCaches.
-  private val stageMemo = scala.collection.concurrent.TrieMap[String, String]()
-
-  private def materializeStage(s: SparkSession, key: String, tag: String)
-                              (build: => DataFrame): DataFrame = {
-    val path = VectorOps.memoGet(stageMemo, key) {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft-stage-$tag-")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(dir.toFile)
-      }))
-      build.write.mode("overwrite").parquet(dir.toString)
-      dir.toString
-    }
-    s.read.parquet(path)
-  }
+  // at the ×100 replica) before its own (cheap) logic.
 
   /** q48's pair table, materialized once per documents-table contents.
     * q48 itself stays a live computation (its bench row IS the honest
     * pair-generation cost); the downstream cluster/survivor/split
     * queries read the materialized stage. */
   private def q48PairsStage(s: SparkSession, dir: String): DataFrame =
-    materializeStage(s, s"${VectorOps.stampedKey(dir, "documents")}#q48pairs", "pairs") {
+    StageMemo.materialize(s,
+      s"${VectorOps.stampedKey(dir, "documents")}#q48pairs", "pairs") {
       q48NearDup(s, dir)
     }
 
@@ -186,15 +157,11 @@ object TextOps {
     * cluster stage, and its bench row times exactly that stage over the
     * memoized pairs. */
   private def clustersStage(s: SparkSession, dir: String): DataFrame =
-    materializeStage(s, s"${VectorOps.stampedKey(dir, "documents")}#q51clusters", "clusters") {
+    StageMemo.materialize(s,
+      s"${VectorOps.stampedKey(dir, "documents")}#q51clusters", "clusters") {
       graft.operators.Components.connectedComponents(
         q48PairsStage(s, dir).select(col("doc_a"), col("doc_b")))
     }
-
-  /** Test hook: drop the materialized stage paths (a spec that mutates
-    * a table dir in place must rebuild; the temp dirs themselves are
-    * removed by the shutdown hook). */
-  private[graft] def clearStageMemo(): Unit = stageMemo.clear()
 
   /** The q17 quality signals as a reusable frame (shared by q17 and the
     * q59 survivor selection so the score arithmetic cannot drift). */

