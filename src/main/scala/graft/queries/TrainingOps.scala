@@ -1049,14 +1049,21 @@ object TrainingOps {
 
   /** q94/q100's BPE working set: the corpus collapsed to (freq,
     * syms = single-char symbol list) per distinct word of length ≥ 2 —
-    * bounded by the vocabulary, not the corpus. */
+    * bounded by the vocabulary, not the corpus. The collapse itself is
+    * the one corpus-sized pass of the BPE family and is shared by the
+    * train (q94) and apply (q100) halves, so it rides [[StageMemo]]:
+    * the word-count precompute is the stage every tokenizer trainer
+    * materializes once before its merge loop. */
   private[graft] def bpeVocab(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(explode(expr(toksExpr)).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), expr(
-        "transform(sequence(1, length(w)), i -> substr(w, i, 1))").as("syms"))
+    StageMemo.materialize(s,
+      s"${VectorOps.stampedKey(dir, "documents")}#bpevocab", "bpevocab") {
+      Tables(s, dir, "documents")
+        .select(explode(expr(toksExpr)).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(col("freq"), expr(
+          "transform(sequence(1, length(w)), i -> substr(w, i, 1))").as("syms"))
+    }
 
   /** Freq-weighted adjacent-symbol pair counts over a symbolized
     * vocabulary (one BPE round's statistics). */
