@@ -22,9 +22,16 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** queries: (query_id: Long, qv: Array[Float]); corpus: (neighbor_id,
-    * cv). Returns (query_id, neighbor_id, cosine, rank), rank ≤ k. */
+    * cv). Returns (query_id, neighbor_id, cosine, rank), rank ≤ k.
+    * NULL vectors are excluded up front on BOTH sides in BOTH forms —
+    * a null embedding is even more degenerate than a zero-norm one
+    * (which already ranks -Infinity) and, unfiltered, it would NPE the
+    * partitioned kernel while the window form quietly ranked it last;
+    * the shared filter keeps the two forms result-identical on any
+    * input (SimilaritySpec pins the null case). */
   def topKWindow(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val sims = corpus.crossJoin(broadcast(queries))
+    val sims = corpus.filter(col("cv").isNotNull)
+      .crossJoin(broadcast(queries.filter(col("qv").isNotNull)))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", guardedSim(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
@@ -47,10 +54,12 @@ object Similarity {
   def topKPartitioned(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
     val qs: Array[(Long, Array[Float])] = queries
+      .filter(col("qv").isNotNull)
       .select(col("query_id"), col("qv")).as[(Long, Array[Float])].collect()
     val qBc = spark.sparkContext.broadcast(qs)
 
-    val partial = corpus.select(col("neighbor_id"), col("cv")).as[(Long, Array[Float])]
+    val partial = corpus.filter(col("cv").isNotNull)
+      .select(col("neighbor_id"), col("cv")).as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qarr = qBc.value
         // hoist the query ids/vectors/norms into flat arrays so the

@@ -24,6 +24,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object StageMemo {
   private val paths = scala.collection.concurrent.TrieMap[String, String]()
 
+  // ONE static cleanup hook over every temp dir ever created (a hook
+  // per materialization would accumulate an unbounded thread list in a
+  // long session that rewrites tables, and a build failure would leak
+  // its hook); dirs whose build failed hold nothing but still get swept.
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    tempDirs.forEach(rm(_))
+  }))
+
   /** Build-once-read-many: materialize `build`'s output under a temp
     * dir keyed by `key`, then (and on every later call) return a
     * parquet read of it. The temp dirs are removed on JVM exit. */
@@ -32,17 +44,15 @@ object StageMemo {
     s.read.parquet(materializePath(s, key, tag)(build))
 
   /** As [[materialize]] but returns the path — for stages whose
-    * consumers also need stage scalars stored alongside. */
+    * consumers key derived artifacts (scalars, sub-stages) on it: the
+    * path is unique PER MATERIALIZATION, so anything keyed by it can
+    * never outlive a rebuild (unlike the logical key, which survives
+    * [[clear]] and fingerprint collisions). */
   def materializePath(s: SparkSession, key: String, tag: String)
                      (build: => DataFrame): String =
     VectorOps.memoGet(paths, key) {
       val dir = java.nio.file.Files.createTempDirectory(s"graft-stage-$tag-")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(dir.toFile)
-      }))
+      tempDirs.add(dir.toFile)
       build.write.mode("overwrite").parquet(dir.toString)
       dir.toString
     }

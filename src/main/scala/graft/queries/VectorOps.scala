@@ -657,11 +657,7 @@ object VectorOps {
       // lexical arm = top-RrfArmK window over the materialized scored
       // stage (the fusion consumes the retrieval system's OUTPUT; q75
       // keeps the live end-to-end scoring row)
-      val lex = bm25ScoredStage(s, dir)
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
-        .filter(col("rank") <= RrfArmK)
+      val lex = rankScored(bm25ScoredStage(s, dir), RrfArmK)
         .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
       val e = Tables(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") % BmQueryMod === 0)
@@ -714,10 +710,7 @@ object VectorOps {
       // (bm25ScoredStage); tracked so its two ranking windows share one
       // read
       val scored = graft.TempCaches.tracked(bm25ScoredStage(s, dir))
-      val dcg = scored
-        .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
-        .filter(col("rank") <= BmTopK)
+      val dcg = rankScored(scored, BmTopK)
         .withColumn("p", expr("1024 * (rank + 1)"))
         .withColumn("gain", expr(s"(rel * 1073741824) div (${Idioms.pl2Expr("p")})"))
         .groupBy(col("query_id"))
@@ -1423,7 +1416,7 @@ object VectorOps {
                                queryCap: Long = Long.MaxValue)
       : (DataFrame, DataFrame, Long, Long) = {
     val key = s"${stampedKey(dir, "documents")}#bm25postings"
-    val postings = StageMemo.materialize(s, key, "postings") {
+    val postingsPath = StageMemo.materializePath(s, key, "postings") {
       val docs = Tables(s, dir, "documents")
         .withColumn("toks", expr(Idioms.toksExpr))
         .select(col("doc_id"), col("toks"), expr("CAST(size(toks) AS BIGINT)").as("dl"))
@@ -1431,7 +1424,12 @@ object VectorOps {
       docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
         .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("f"))
     }
-    val (bigN, bigT) = memoGet(bm25ScalarsMemo, key) {
+    val postings = s.read.parquet(postingsPath)
+    // scalars keyed by the materialized PATH, not the logical key: a
+    // stage rebuild (StageMemo.clear, or a fingerprint-colliding
+    // in-place rewrite) lands on a fresh temp path, so stale N/T can
+    // never pair with rebuilt postings
+    val (bigN, bigT) = memoGet(bm25ScalarsMemo, postingsPath) {
       val nt = postings.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).first()
       (nt.getLong(0), nt.getLong(1))
@@ -1470,10 +1468,17 @@ object VectorOps {
     * (query_id, tok) set. */
   private[graft] def bm25ScoreStage(postings: DataFrame, qterms: DataFrame,
                                     bigN: Long, bigT: Long, k: Int): DataFrame =
-    bm25ScoredAll(postings, qterms, bigN, bigT).drop("rel")
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+    rankScored(bm25ScoredAll(postings, qterms, bigN, bigT).drop("rel"), k)
+
+  /** Rank a scored (query_id, doc_id, score, …) frame by the BM25
+    * family's ONE tiebreak rule — (score desc, doc_id asc), rank ≤ k —
+    * shared by q75's ranking, q76's lexical arm, and q77's system
+    * ranking so the retrieval, the fusion of it, and the evaluation of
+    * it can never silently diverge on ordering. */
+  private[graft] def rankScored(scored: DataFrame, k: Int): DataFrame =
+    scored.withColumn("rank", row_number().over(
+      Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
       .filter(col("rank") <= k)
 
   /** The unranked (query_id, doc_id, score, rel) frame: BM25 score plus

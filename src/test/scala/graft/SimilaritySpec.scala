@@ -289,6 +289,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2 >= 0.35, s"nprobe=2 recall $r2 below target")
   }
 
+  test("NULL vectors are never candidates, identically in both top-k forms") {
+    import spark.implicits._
+    val dim = 4
+    def unit(i: Int): Array[Float] = Array.tabulate(dim)(d => if (d == i % dim) 1f else 0f)
+    // null corpus vector and a null query vector: the window form used
+    // to rank the null row last (null cosine), the partitioned kernel
+    // would NPE on it — both now exclude null vectors up front
+    val corpus = ((0L to 4L).map(i => (i, unit(i.toInt))) :+ ((99L, null.asInstanceOf[Array[Float]])))
+      .toDF("neighbor_id", "cv")
+    val queries = Seq((1000L, unit(0)), (1001L, null.asInstanceOf[Array[Float]]))
+      .toDF("query_id", "qv")
+    val win = Similarity.topKWindow(queries, corpus, 10).collect()
+    val part = Similarity.topKPartitioned(spark, queries, corpus.repartition(2), 10).collect()
+    assert(win.nonEmpty)
+    assert(win.map(_.toSeq).toSet == part.map(_.toSeq).toSet)
+    assert(!win.exists(r => r.getLong(1) == 99L || r.getLong(0) == 1001L),
+      s"null vector surfaced: ${win.mkString(",")}")
+  }
+
   test("zero-norm vectors never win: top-k, IVF scoring, centroid assignment") {
     import spark.implicits._
     // hashEmbed of empty text is all-zeros -> cosine against it is NaN;
