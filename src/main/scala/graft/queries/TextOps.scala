@@ -163,6 +163,55 @@ object TextOps {
         q48PairsStage(s, dir).select(col("doc_a"), col("doc_b")))
     }
 
+  /** The capped shared-shingle PAIR AGGREGATION — (doc_a, doc_b, na,
+    * nb, shared) for every unordered doc pair sharing ≥1 surviving
+    * shingle: distinct word 3-gram shingles per doc, DF cap window on
+    * the shingle key (reusing that shuffle's partitioning for the
+    * self-join), self-join on the shingle, count shared per pair. This
+    * is the ENTIRE shared prefix of q21 (symmetric Jaccard) and q96
+    * (asymmetric containment) — both are just thresholds over
+    * (shared, na, nb) — so it is computed LIVE here and staged once per
+    * documents-table contents in [[shinglePairStage]] (round-19 verdict
+    * task 5: at ×100 each query rebuilt this identical self-join from
+    * scratch). Production analogy: a dedup pipeline materializes the
+    * pair-statistics stage once; Jaccard and containment are two
+    * policies read off it. */
+  private[graft] def shinglePairAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // The per-doc shingle count (the denominators, over UNCAPPED
+    // shingles) is just size() of the native-expression array, taken
+    // before the explode — no aggregate, no join-back; the grouped pair
+    // keys carry na/nb directly. The DF cap is a window on the
+    // self-join key itself (s), so the join reuses that one shuffle's
+    // partitioning. Scale posture: the join key is capped at shingle
+    // document frequency ShingleDfCap — a shingle in k docs makes k²
+    // join rows, so one stop-shingle would otherwise dominate the whole
+    // shuffle; docs sharing only ultra-common shingles aren't
+    // meaningful near-dups anyway (standard stop-shingle removal;
+    // TextOpsSpec pins ≥10× cap headroom in the oracle data, so the
+    // oracle result is unchanged).
+    val sh = Tables(s, dir, "documents")
+      .withColumn("arr", graft.plans.GraftExpressions.distinctShingles(col("text"), 3))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
+        explode(col("arr")).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= ShingleDfCap).drop("df")
+    val a = sh.alias("a"); val b = sh.alias("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+  }
+
+  /** [[shinglePairAgg]] materialized once per documents-table contents;
+    * q21 and q96 both consume it (the first consumer's rep pays the
+    * build — visible as a StageMemo miss on the bench line). */
+  private def shinglePairStage(s: SparkSession, dir: String): DataFrame =
+    StageMemo.materialize(s,
+      s"${VectorOps.stampedKey(dir, "documents")}#shpairs", "shpairs") {
+      shinglePairAgg(s, dir)
+    }
+
   /** The q17 quality signals as a reusable frame (shared by q17 and the
     * q59 survivor selection so the score arithmetic cannot drift). */
   private[graft] def qualityFrame(docs: DataFrame): DataFrame =
@@ -232,25 +281,11 @@ object TextOps {
     // otherwise dominate the whole shuffle; docs sharing only
     // ultra-common shingles aren't meaningful near-dups anyway (standard
     // stop-shingle removal; TextOpsSpec pins ≥10× cap headroom in the
-    // oracle data, so the oracle result is unchanged).
+    // oracle data, so the oracle result is unchanged). The pair
+    // aggregation itself is [[shinglePairAgg]] — staged once and shared
+    // with q96, which thresholds the SAME (shared, na, nb) statistics.
     "q21_ngram_jaccard" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // The per-doc shingle count (Jaccard denominator, over UNCAPPED
-      // shingles) is just size() of the UDF array, taken before the
-      // explode — no aggregate, no join-back; the grouped pair keys carry
-      // na/nb directly. The DF cap is a window on the self-join key
-      // itself (s), so the join reuses that one shuffle's partitioning.
-      val sh = Tables(s, dir, "documents")
-        .withColumn("arr", graft.plans.GraftExpressions.distinctShingles(col("text"), 3))
-        .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
-          explode(col("arr")).as("s"))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-        .filter(col("df") <= ShingleDfCap).drop("df")
-      val a = sh.alias("a"); val b = sh.alias("b")
-      a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.n").as("na"), col("b.n").as("nb"))
-        .agg(count(lit(1)).as("shared"))
+      shinglePairStage(s, dir)
         .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (na + nb - shared)"))
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
@@ -261,23 +296,11 @@ object TextOps {
     // measure that catches a SHORT document quoted wholesale inside a
     // LONG one (jaccard ≈ |A|/|B| stays tiny however perfect the
     // inclusion, so q21 structurally misses it; the Lee et al. dedup
-    // papers flag exactly this family). Same capped shared-shingle
-    // self-join as q21 — one shuffle on the shingle key, DF cap window
-    // reusing that shuffle's partitioning — emitting BOTH directions'
+    // papers flag exactly this family). Exactly q21's staged
+    // [[shinglePairAgg]] statistics — emitting BOTH directions'
     // containments per unordered pair, kept when either side is ≥ 0.8.
     "q96_containment_dedup" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val sh = Tables(s, dir, "documents")
-        .withColumn("arr", graft.plans.GraftExpressions.distinctShingles(col("text"), 3))
-        .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
-          explode(col("arr")).as("s"))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-        .filter(col("df") <= ShingleDfCap).drop("df")
-      val a = sh.alias("a"); val b = sh.alias("b")
-      a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.n").as("na"), col("b.n").as("nb"))
-        .agg(count(lit(1)).as("shared"))
+      shinglePairStage(s, dir)
         .withColumn("cont_a_in_b", expr("CAST(shared AS DOUBLE) / na"))
         .withColumn("cont_b_in_a", expr("CAST(shared AS DOUBLE) / nb"))
         .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.8)

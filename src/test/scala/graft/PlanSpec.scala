@@ -119,8 +119,12 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected a single documents scan, got $scans:\n$p")
   }
 
-  test("q21 self-join keys are document-frequency capped") {
-    val p = planOf("q21_ngram_jaccard")
+  test("shingle-pair stage self-join keys are document-frequency capped") {
+    // q21/q96 consume the STAGED pair aggregation (round 19); the live
+    // builder is where the cap pin belongs now
+    TempCaches.releaseAll(); spark.catalog.clearCache()
+    val p = graft.queries.TextOps.shinglePairAgg(spark, dir)
+      .queryExecution.executedPlan.toString
     // the DF cap window precedes the join: its filter survives in the plan
     assert(p.contains("1000"), p)
     assert(!p.contains("BroadcastExchange IdentityBroadcastMode"),
