@@ -36,6 +36,15 @@ import org.apache.spark.sql.types.StructType
   * default 0 = replay the full committed history first, the
   * FileStreamSource convention) or `"latest"` (only versions committed
   * after stream start). `ignoreChanges` as above.
+  * `maxVersionsPerBatch` = N (admission control, Delta's
+  * `maxFilesPerTrigger` role): each micro-batch admits at most N
+  * versions, so a stream restarted after a week of commits drains the
+  * backlog in bounded batches instead of one giant memory/skew-spiking
+  * batch. The cap is applied in [[getOffset]] relative to the last
+  * offset this source has SEEN (offered or replayed) — on restart the
+  * engine re-initializes the source with the checkpointed offsets via
+  * getBatch before asking for new ones, so the cap never re-admits or
+  * skips committed versions; exactly-once is untouched (spec-pinned).
   *
   * Vacuuming versions the stream has not processed yet makes getBatch
   * fail loudly on the missing manifest (data loss must never be
@@ -99,6 +108,22 @@ final case class GraftTailSource(sqlContext: SQLContext, root: String,
       case Some(n)        => n.toLong - 1L
     }
 
+  private val maxVersionsPerBatch: Option[Long] =
+    parameters.get("maxVersionsPerBatch").map(_.trim.toLong).map { m =>
+      require(m > 0, s"maxVersionsPerBatch must be positive, got $m"); m
+    }
+
+  /** Highest version this source has offered or replayed — the
+    * admission cap's base. Restart safety: MicroBatchExecution
+    * re-initializes a V1 source by calling getBatch with the
+    * checkpoint's committed offsets BEFORE the first getOffset, so this
+    * watermark is restored past everything already emitted; if that
+    * re-init ever didn't happen, the cap could only make getOffset
+    * return an offset BELOW the checkpointed one, which the engine
+    * treats as no-new-data for the replayed range (getBatch over an
+    * empty version range) — never a re-emission. */
+  @volatile private var seenThrough: Long = startExclusive
+
   override val schema: StructType =
     userSchema.getOrElse(TxTable.tableSchema(spark, root))
 
@@ -109,12 +134,20 @@ final case class GraftTailSource(sqlContext: SQLContext, root: String,
 
   override def getOffset: Option[Offset] = {
     val v = TxTable.latestVersion(root)
-    if (v < 0 || v <= startExclusive) None else Some(LongOffset(v))
+    val capped = maxVersionsPerBatch match {
+      case Some(m) => math.min(v, math.max(seenThrough, startExclusive) + m)
+      case None    => v
+    }
+    if (capped < 0 || capped <= startExclusive) None
+    else { seenThrough = math.max(seenThrough, capped); Some(LongOffset(capped)) }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startExclusive)
     val to = ver(end)
+    // restart re-init (populateStartOffsets) and replayed batches both
+    // land here: everything through `to` is spoken for
+    seenThrough = math.max(seenThrough, to)
     // A fresh stream (no checkpointed offset yet) may start past
     // vacuumed history: the first RETAINED version bootstraps as a full
     // snapshot (prev = empty — nothing was emitted yet, so re-emission
