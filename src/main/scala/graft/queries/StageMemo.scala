@@ -1,20 +1,45 @@
 package graft.queries
 
+import graft.etl.TxTable
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Path-valued memo for pipeline STAGE outputs (the kmeans/PQ/eigen
   * train-once precedent applied to intermediate TABLES): a stage's
-  * output is computed once per upstream-table contents, materialized as
-  * parquet in a process-scoped temp dir, and every consumer reads the
-  * materialization — exactly what a production pipeline does between
-  * stages (at deployment the materialization is a TxTable commit).
+  * output is computed once per upstream-table contents, materialized,
+  * and every consumer reads the materialization — exactly what a
+  * production pipeline does between stages.
+  *
+  * Two materialization backends, chosen by the session conf
+  * [[StageRootConf]] (`spark.graft.stage.root`):
+  *
+  *  - UNSET (default, the single-JVM harness form): parquet under a
+  *    process-scoped temp dir, swept by one static shutdown hook. Lives
+  *    and dies with the JVM.
+  *  - SET (the deployment form — round-19 verdict task 2): each stage
+  *    is a [[TxTable]] at `<root>/<tag>-<sha256(key)>`, committed
+  *    through the transactional `refresh` path, so stages SURVIVE the
+  *    session, are shared across driver JVMs pointed at the same root
+  *    (a second JVM's first call finds the committed table and skips
+  *    the build — the cross-session hit), and age out via
+  *    [[vacuumStages]] retention. Concurrent builders race safely: the
+  *    loser's refresh lands as a second identical version (stage
+  *    builders are deterministic), and every reader reads a consistent
+  *    snapshot. The requested logical key is recorded in a
+  *    `_stage_key` sidecar and VERIFIED on every durable hit, so a
+  *    hash collision or a foreign table squatting in the stage root
+  *    fails loudly instead of silently serving wrong rows.
   *
   * Unlike the trained-artifact memos the stage outputs are ∝ corpus
   * (near-dup pairs, cluster labelings, inverted-index postings), so
   * they are NEVER collected: the memo holds only the PATH (plus
   * optional stage scalars). Keys must embed a content fingerprint of
   * the upstream table ([[VectorOps.stampedKey]]) so an in-place rewrite
-  * regenerates. Values are the exact rows the per-invocation
+  * regenerates — with the fingerprint's documented caveat (see
+  * stampedKey: a rewrite preserving every file name AND size within
+  * the filesystem's mtime granularity is indistinguishable; TxTable
+  * upstreams are immune because every commit adds a manifest file the
+  * name walk sees). Values are the exact rows the per-invocation
   * computation produced (all stage builders are deterministic), so
   * every oracle row is unchanged by construction; hits/misses land on
   * the shared bench counters, making the first consuming rep's stage
@@ -22,6 +47,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * as [[graft.TempCaches]].
   */
 object StageMemo {
+  /** Session conf key: when set, stages materialize as TxTable commits
+    * under this root instead of process-temp parquet. */
+  val StageRootConf = "spark.graft.stage.root"
+
   private val paths = scala.collection.concurrent.TrieMap[String, String]()
 
   // ONE static cleanup hook over every temp dir ever created (a hook
@@ -36,29 +65,98 @@ object StageMemo {
     tempDirs.forEach(rm(_))
   }))
 
-  /** Build-once-read-many: materialize `build`'s output under a temp
-    * dir keyed by `key`, then (and on every later call) return a
-    * parquet read of it. The temp dirs are removed on JVM exit. */
+  private def durableRoot(s: SparkSession): Option[String] =
+    s.conf.getOption(StageRootConf).map(_.replaceAll("/+$", "")).filter(_.nonEmpty)
+
+  private def keyHash(key: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(16).map(b => f"$b%02x").mkString // 128 bits of the digest
+
+  /** Build-once-read-many: materialize `build`'s output under a path
+    * keyed by `key`, then (and on every later call) return a read of
+    * it. Durable (TxTable) or temp (parquet) per [[StageRootConf]]. */
   def materialize(s: SparkSession, key: String, tag: String)
                  (build: => DataFrame): DataFrame =
-    s.read.parquet(materializePath(s, key, tag)(build))
+    readStage(s, materializePath(s, key, tag)(build))
+
+  /** Read a materialized stage path, whichever backend produced it. */
+  def readStage(s: SparkSession, path: String): DataFrame =
+    if (TxTable.exists(path)) TxTable.read(s, path) else s.read.parquet(path)
 
   /** As [[materialize]] but returns the path — for stages whose
     * consumers key derived artifacts (scalars, sub-stages) on it: the
-    * path is unique PER MATERIALIZATION, so anything keyed by it can
-    * never outlive a rebuild (unlike the logical key, which survives
-    * [[clear]] and fingerprint collisions). */
+    * temp path is unique PER MATERIALIZATION, and the durable path per
+    * (tag, key), so anything keyed by it can never pair with a stage
+    * built from different upstream contents. */
   def materializePath(s: SparkSession, key: String, tag: String)
                      (build: => DataFrame): String =
     VectorOps.memoGet(paths, key) {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft-stage-$tag-")
-      tempDirs.add(dir.toFile)
-      build.write.mode("overwrite").parquet(dir.toString)
-      dir.toString
+      durableRoot(s) match {
+        case Some(root) =>
+          val dir = s"$root/$tag-${keyHash(key)}"
+          val sidecar = java.nio.file.Paths.get(dir, "_stage_key")
+          if (TxTable.exists(dir)) {
+            // durable cross-session hit: verify the sidecar so a
+            // 128-bit collision or a foreign table under this name
+            // fails loudly instead of serving wrong rows
+            val recorded =
+              if (java.nio.file.Files.exists(sidecar))
+                new String(java.nio.file.Files.readAllBytes(sidecar),
+                  java.nio.charset.StandardCharsets.UTF_8)
+              else ""
+            require(recorded == key,
+              s"stage table $dir exists but records key '$recorded', " +
+                s"not the requested '$key' — stage root corrupted or " +
+                "hash-collided; clear the stage dir or change " +
+                s"$StageRootConf")
+          } else {
+            TxTable.refresh(s, dir, build)
+            java.nio.file.Files.write(sidecar,
+              key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          dir
+        case None =>
+          val dir = java.nio.file.Files.createTempDirectory(s"graft-stage-$tag-")
+          tempDirs.add(dir.toFile)
+          build.write.mode("overwrite").parquet(dir.toString)
+          dir.toString
+      }
     }
 
+  /** Retention sweep for a durable stage root: delete stage TABLES
+    * whose newest commit is older than `olderThanMs`. Stage dirs become
+    * garbage when their upstream fingerprint changes (the new
+    * fingerprint keys a fresh dir), so age since last commit is the
+    * right collection signal; an in-flight reader of a swept stage
+    * fails loudly on the missing files — retention must trail the
+    * longest job, the same operational contract as TxTable.vacuum.
+    * Returns the deleted stage paths. */
+  def vacuumStages(root: String, olderThanMs: Long,
+                   nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val base = new java.io.File(root)
+    val kids = Option(base.listFiles()).map(_.toSeq).getOrElse(Nil)
+    kids.filter(_.isDirectory).filter { d =>
+      TxTable.exists(d.toString) && {
+        val log = new java.io.File(d, "_txlog")
+        val newest = Option(log.listFiles()).map(_.toSeq).getOrElse(Nil)
+          .map(_.lastModified()).maxOption.getOrElse(0L)
+        newest < nowMs - olderThanMs
+      }
+    }.map { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d)
+      // forget any in-memory path pointing at the swept dir
+      paths.filterInPlace((_, p) => p != d.toString)
+      d.toString
+    }
+  }
+
   /** Test hook: forget every materialized path (a spec that mutates an
-    * upstream table in place must rebuild; the temp dirs themselves are
-    * removed by the shutdown hook). */
+    * upstream table in place must rebuild; temp dirs are removed by the
+    * shutdown hook, durable stage tables persist — that persistence IS
+    * the cross-session contract). */
   private[graft] def clear(): Unit = paths.clear()
 }

@@ -1220,7 +1220,19 @@ object VectorOps {
   /** `dir` + a fingerprint of the embeddings table's physical files.
     * Listing footprint is one directory walk (few entries at any SF —
     * fingerprinting reads NO data), so the stamp costs microseconds
-    * against a training run of corpus-scan jobs. */
+    * against a training run of corpus-scan jobs.
+    *
+    * Staleness caveat (round-18 advisor): the fingerprint is
+    * name+size+mtime per file, so an in-place rewrite that preserves
+    * every file NAME and SIZE within the filesystem's mtime granularity
+    * (1 s on some filesystems) is indistinguishable from no change and
+    * would serve a stale memo/stage. A TxTable upstream is immune —
+    * every commit adds a `_txlog` manifest file the name walk sees —
+    * and Spark's own parquet writers emit fresh randomized part-file
+    * names on overwrite; the caveat bites only a hand-rolled
+    * byte-in-place rewrite. Specs that rewrite tables call
+    * StageMemo.clear()/the artifact memos' clear hooks instead of
+    * relying on sub-second mtime resolution. */
   private[graft] def stampedKey(dir: String, table: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
@@ -1424,7 +1436,7 @@ object VectorOps {
       docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
         .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("f"))
     }
-    val postings = s.read.parquet(postingsPath)
+    val postings = StageMemo.readStage(s, postingsPath)
     // scalars keyed by the materialized PATH, not the logical key: a
     // stage rebuild (StageMemo.clear, or a fingerprint-colliding
     // in-place rewrite) lands on a fresh temp path, so stale N/T can
