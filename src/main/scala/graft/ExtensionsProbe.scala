@@ -8,8 +8,11 @@ import org.apache.spark.sql.SparkSession
   * drives each injected SQL function. Exits non-zero on any failure. */
 object ExtensionsProbe {
   def main(args: Array[String]): Unit = {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-extprobe-wh").toString
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      .config("spark.sql.catalog.graft.root", warehouse)
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -88,9 +91,26 @@ object ExtensionsProbe {
     require(spark.sql(
       s"SELECT count(*) AS n FROM graft_table_stats('$sroot') WHERE kind = 'str_range'")
       .head.getLong(0) == 2, "graft_table_stats")
+    // round 19: the name-based catalog + MERGE INTO, end-to-end from
+    // bare SQL on this config-only session (no Scala table handles)
+    spark.sql("CREATE TABLE graft.probe (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('statsColumns'='k')")
+    spark.sql("INSERT INTO graft.probe SELECT id AS k, id * 2 AS v FROM range(100)")
+    spark.sql("""MERGE INTO graft.probe t
+                |USING (SELECT id AS k, id * 1000 AS v FROM range(5)) s
+                |ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(spark.sql("SELECT sum(v) AS s FROM graft.probe").head.getLong(0) ==
+      (5L until 100L).map(_ * 2).sum + (0L until 5L).map(_ * 1000).sum,
+      "catalog MERGE INTO")
+    require(spark.sql("SELECT count(*) AS n FROM graft.probe VERSION AS OF 1")
+      .head.getLong(0) == 100, "catalog VERSION AS OF")
+    require(spark.sql("SHOW TABLES IN graft").collect()
+      .exists(_.getString(1) == "probe"), "catalog SHOW TABLES")
     println(s"extensions-probe OK: ${r.length} vectors, ${chunks.length} chunks, " +
       s"${pk.length} probe-key rows, ${sh.head.getSeq[String](0).length} shingles, " +
-      s"txtable TVFs green ($droppedDirs dirs pruned)")
+      s"txtable TVFs green ($droppedDirs dirs pruned), catalog+MERGE green")
     spark.stop()
   }
 }

@@ -650,6 +650,72 @@ object ScaleProbe {
       return
     }
 
+    // gdpp: runtime (join-driven) dir pruning UNDER CONCURRENT WRITERS
+    // (round-19 verdict task 6) — a standing DPP-joined pipeline reads
+    // a 32-dir ingest table while an append writer commits between
+    // reps. Three invariants measured, not asserted-only: (1) a PINNED
+    // frame's DPP join returns byte-stable counts across every racing
+    // commit (the runtime filter() re-prunes against the pinned
+    // snapshot's immutable dir list); (2) the prune stays engaged
+    // (kept ≪ dirs) on every rep; (3) a FRESH load per rep sees each
+    // commit's rows, at flat per-rep cost (the O(1) hinted log
+    // discovery + one-dir prune delta, not an O(commits) reread).
+    if (bitsArg == "gdpp") {
+      import graft.etl.TxTable
+      import graft.sources.GraftTableSource
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val n = docs.count()
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val nBatches = 32
+      val span = maxId / nBatches + 1
+      val root = java.nio.file.Files.createTempDirectory("graft-gdpp").toString + "/t"
+      def batch(i: Int) = docs.filter(
+        col("doc_id") >= i * span && col("doc_id") < (i + 1) * span)
+      TxTable.refresh(spark, root, batch(0))
+      TxTable.setStatsColumns(spark, root, Seq("doc_id"))
+      (1 until nBatches).foreach(i => TxTable.append(spark, root, batch(i)))
+      // dim side: a REAL parquet scan with a selective predicate (a
+      // folded LocalRelation makes Spark correctly decline DPP), whose
+      // selected keys all land in ONE fact dir (batch 7's id range)
+      val dimPath = java.nio.file.Files.createTempDirectory("graft-gdpp-dim").toString + "/dim"
+      docs.select(col("doc_id"), (col("doc_id") / span).cast("long").as("grp"))
+        .write.parquet(dimPath)
+      val dim = spark.read.parquet(dimPath).filter(col("grp") === 7L).select("doc_id")
+      val pinned = spark.read.format("graft").load(root)
+        .join(org.apache.spark.sql.functions.broadcast(dim), "doc_id")
+      val pinnedBase = pinned.count()
+      val reps = 8
+      val pinnedTimes = Array.ofDim[Double](reps)
+      val freshTimes = Array.ofDim[Double](reps)
+      val freshCounts = Array.ofDim[Long](reps)
+      var keptMax = 0
+      (0 until reps).foreach { r =>
+        // racing writer: a commit duplicating 50 rows of the joined key
+        // range lands BEFORE this rep's reads
+        TxTable.append(spark, root, batch(7).limit(50))
+        val t0 = System.nanoTime()
+        val c = pinned.count()
+        pinnedTimes(r) = (System.nanoTime() - t0) / 1e9
+        require(c == pinnedBase,
+          s"pinned DPP count drifted under writers: $c vs $pinnedBase at rep $r")
+        keptMax = math.max(keptMax, GraftTableSource.lastKeptDirs.get)
+        val t1 = System.nanoTime()
+        freshCounts(r) = spark.read.format("graft").load(root)
+          .join(org.apache.spark.sql.functions.broadcast(dim), "doc_id").count()
+        freshTimes(r) = (System.nanoTime() - t1) / 1e9
+      }
+      // fresh loads saw every commit: counts strictly increasing
+      require(freshCounts.toSeq == freshCounts.toSeq.sorted &&
+        freshCounts.distinct.length == reps,
+        s"fresh loads missed commits: ${freshCounts.toSeq}")
+      val pm = pinnedTimes.sorted.apply(reps / 2)
+      val fm = freshTimes.sorted.apply(reps / 2)
+      println(f"""{"probe":"gdpp","sf":"$sfDir","corpus":$n,"dirs":$nBatches,"reps":$reps,"pinned_rows":$pinnedBase,"pinned_med_sec":$pm%.3f,"fresh_med_sec":$fm%.3f,"fresh_first_sec":${freshTimes(0)}%.3f,"fresh_last_sec":${freshTimes(reps - 1)}%.3f,"kept_max":$keptMax,"fresh_rows_last":${freshCounts(reps - 1)}}""")
+      spark.stop()
+      return
+    }
+
     // gstream: the streaming table→table pair measured — table A is the
     // corpus as an append-only TxTable, tailed into table B through
     // `readStream.format("graft")` → `writeStream.format("graft")`

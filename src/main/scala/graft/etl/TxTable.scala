@@ -668,6 +668,54 @@ object TxTable {
   def versionExists(root: String, version: Long): Boolean =
     version >= 0 && Files.exists(manifest(root, version))
 
+  /** Metadata-only CREATE (the catalog's `CREATE TABLE` path): commit
+    * version 0 with ZERO data dirs, recording `schema` as the table's
+    * enforced schema — subsequent writes must match it (or pass
+    * evolve). `statsCols`/`bloomCols` declare the data-skipping columns
+    * as part of creation, so every later commit stats its dirs from the
+    * first row written. Loses cleanly to a concurrent creator/writer
+    * (returns false); reads of the empty table plan zero partitions
+    * (the all-pruned scan shape). */
+  def create(root: String, schema: org.apache.spark.sql.types.StructType,
+             statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Boolean = {
+    val ddl = org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(nullable = true))).toDDL
+    val unknown = (statsCols ++ bloomCols).filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"declared skipping columns not in the schema: ${unknown.mkString(", ")}")
+    if (exists(root)) false
+    else tryCommitSnap(root,
+      Snapshot(0L, "create", Nil, Nil, statsCols, ddl, "", bloomCols, Nil, Nil))
+  }
+
+  /** Commit time of `version` (the manifest file's mtime — the same
+    * clock [[history]]'s `committed_at` column reports). */
+  def commitTimeMs(root: String, version: Long): Long = {
+    require(versionExists(root, version),
+      s"TxTable at $root has no version $version")
+    Files.getLastModifiedTime(manifest(root, version)).toMillis
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the newest version committed at or
+    * before `tsMillis`. Scans newest→oldest (manifest mtimes are
+    * monotone with version), so a recent timestamp resolves in O(1)
+    * probes; throws if every surviving version is newer (or the table
+    * does not exist) — silently reading latest instead would time
+    * travel FORWARD. */
+  def versionAtTimestamp(root: String, tsMillis: Long): Long = {
+    val latest = latestVersion(root)
+    require(latest >= 0, s"TxTable at $root has no committed version")
+    var v = latest
+    while (v >= 0) {
+      if (versionExists(root, v) && commitTimeMs(root, v) <= tsMillis) return v
+      v -= 1
+    }
+    throw new IllegalArgumentException(
+      s"TxTable at $root has no version committed at or before " +
+        s"${new java.sql.Timestamp(tsMillis)} (earliest surviving commit is " +
+        s"${new java.sql.Timestamp(commitTimeMs(root, (0L to latest).find(versionExists(root, _)).get))})")
+  }
+
   /** Attempt to commit `dirs` (relative to root) as `version`. Returns
     * true iff this writer won the version; false = a concurrent writer
     * claimed it first — re-read, rebase, retry.

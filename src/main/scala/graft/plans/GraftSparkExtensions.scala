@@ -51,6 +51,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // MERGE INTO over graft relations → the transactional upsert
+    // (round 19; see [[GraftMergeRule]] for the supported shape)
+    ext.injectPostHocResolutionRule(_ => GraftMergeRule)
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))

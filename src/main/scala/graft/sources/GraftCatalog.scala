@@ -1,0 +1,261 @@
+package graft.sources
+
+import graft.etl.TxTable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 `TableCatalog` over a warehouse of [[TxTable]]s — the
+  * name-based SQL surface (round-19 verdict task 1: "the last
+  * Delta-parity surface a SQL-only user hits"). Register with
+  *
+  * {{{
+  * spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.root = /warehouse/graft
+  * }}}
+  *
+  * and every table is addressable by NAME from pure SQL, no Scala and
+  * no paths:
+  *
+  *  - `CREATE TABLE graft.ns.t (k BIGINT, v STRING)` — a metadata-only
+  *    v0 commit recording the enforced schema ([[TxTable.create]]);
+  *    `TBLPROPERTIES` / `OPTIONS` keys `statsColumns` / `bloomColumns`
+  *    declare the data-skipping columns at creation, so the first data
+  *    commit is already statted.
+  *  - `INSERT INTO graft.ns.t ...` / `INSERT OVERWRITE` — the existing
+  *    [[GraftTable]] V1Write path: transactional append / refresh
+  *    commits, identical to every other write route.
+  *  - `SELECT ... FROM graft.ns.t` — the DSv2 read path with
+  *    manifest-level skipping, DPP, and aggregate pushdown, resolved
+  *    at LATEST per query (each query still reads one pinned
+  *    consistent snapshot).
+  *  - `SELECT ... FROM graft.ns.t VERSION AS OF 3` — time travel via
+  *    the catalog's `loadTable(ident, version)` hook; `TIMESTAMP AS
+  *    OF ts` resolves through [[TxTable.versionAtTimestamp]] (commit
+  *    mtimes, the `history` clock).
+  *  - `MERGE INTO graft.ns.t` — upsert-by-SQL, rewritten to
+  *    [[TxTable.mergeUpsert]] by the rule
+  *    [[graft.plans.GraftMergeRule]] (riding this catalog's name
+  *    resolution).
+  *  - `ALTER TABLE graft.ns.t SET TBLPROPERTIES('statsColumns'='k')` —
+  *    routes to [[TxTable.setStatsColumns]]/[[TxTable.setBloomColumns]]
+  *    (metadata commits that backfill existing dirs). All other alters
+  *    are rejected loudly: the schema contract evolves through writes
+  *    (`evolve=true`), not DDL.
+  *  - `SHOW TABLES IN graft.ns` / `DESCRIBE TABLE` / `DROP TABLE` /
+  *    `ALTER TABLE ... RENAME TO` — standard catalog plumbing; a
+  *    namespace is a directory, a table is a TxTable root.
+  *
+  * Scale posture: the catalog holds NO state beyond the root path —
+  * every lookup is the table's own O(1) hinted log discovery, so a
+  * 1000-executor deployment pointing many drivers at one warehouse
+  * coordinates exactly as the underlying commit protocol does
+  * (rename-wins manifests), with no metastore bottleneck in front.
+  * Reference counterpart: the Milvus collection addressed by name
+  * (`dags/utils/seed_milvus.py:71`).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).map(_.replaceAll("/+$", "")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs a warehouse root: set spark.sql.catalog.$name.root"))
+  }
+
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  /** Identifier → filesystem path under the root. Each segment must be
+    * a plain directory name: anything path-like would let a SQL
+    * identifier escape the warehouse root. */
+  private def pathOf(ident: Identifier): String = {
+    val segs = (ident.namespace() :+ ident.name()).toSeq
+    segs.foreach { s =>
+      require(s.nonEmpty && !s.contains("/") && !s.contains("\\") &&
+        s != "." && s != ".." && !s.startsWith("_"),
+        s"illegal graft identifier segment '$s' (path separators, dot " +
+          "segments, and _-prefixed names are reserved)")
+    }
+    (root +: segs).mkString("/")
+  }
+
+  private def nsPath(namespace: Array[String]): String =
+    (root +: namespace.toSeq).mkString("/")
+
+  private def spark: SparkSession = SparkSession.active
+
+  // --- tables ---
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new java.io.File(nsPath(namespace))
+    if (!dir.isDirectory) throw new NoSuchNamespaceException(namespace)
+    Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && TxTable.exists(f.toString))
+      .map(f => Identifier.of(namespace, f.getName))
+      .sortBy(_.name())
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    TxTable.exists(pathOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    if (!TxTable.exists(path)) throw new NoSuchTableException(ident)
+    GraftTable(path, GraftTableSource.resolveVersion(path, -1L))
+  }
+
+  /** `VERSION AS OF <v>` (Spark hands the version as a string). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    if (!TxTable.exists(path)) throw new NoSuchTableException(ident)
+    val v = try version.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft VERSION AS OF takes a numeric table version, got '$version'")
+    }
+    require(TxTable.versionExists(path, v),
+      s"graft table ${ident} has no version $v")
+    GraftTable(path, v)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` (Spark hands microseconds since epoch). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = pathOf(ident)
+    if (!TxTable.exists(path)) throw new NoSuchTableException(ident)
+    GraftTable(path, TxTable.versionAtTimestamp(path, timestamp / 1000L))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft tables do not take PARTITIONED BY transforms — declare " +
+        "data-skipping columns via TBLPROPERTIES('statsColumns'= , " +
+        "'bloomColumns'= ) instead (manifest-level dir skipping plays " +
+        "the partition-pruning role)")
+    val path = pathOf(ident)
+    def prop(key: String): Seq[String] =
+      Seq(key, TableCatalog.OPTION_PREFIX + key)
+        .flatMap(k => Option(properties.get(k)))
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).distinct
+    // namespace dirs materialize on first use (CREATE NAMESPACE is
+    // optional, the filesystem-catalog convention)
+    new java.io.File(path).getParentFile.mkdirs()
+    if (!TxTable.create(path, schema, prop("statsColumns"), prop("bloomColumns")))
+      throw new TableAlreadyExistsException(ident)
+    GraftTable(path, 0L)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    if (!TxTable.exists(path)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case set: TableChange.SetProperty if set.property() == "statsColumns" =>
+        TxTable.setStatsColumns(spark, path,
+          set.value().split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      case set: TableChange.SetProperty if set.property() == "bloomColumns" =>
+        TxTable.setBloomColumns(spark, path,
+          set.value().split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      case other => throw new UnsupportedOperationException(
+        s"graft tables only alter the skipping declarations " +
+          s"(SET TBLPROPERTIES('statsColumns'|'bloomColumns')); schema " +
+          s"changes ride a write with evolve=true. Rejected: $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = pathOf(ident)
+    if (!TxTable.exists(path)) false
+    else {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      // cached snapshots/stats for the dropped root must not leak into
+      // a same-named successor
+      TxTable.clearResolutionCaches()
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = pathOf(oldIdent); val to = pathOf(newIdent)
+    if (!TxTable.exists(from)) throw new NoSuchTableException(oldIdent)
+    if (TxTable.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    new java.io.File(to).getParentFile.mkdirs()
+    java.nio.file.Files.move(java.nio.file.Paths.get(from),
+      java.nio.file.Paths.get(to))
+    TxTable.clearResolutionCaches()
+  }
+
+  override def invalidateTable(ident: Identifier): Unit =
+    TxTable.clearResolutionCaches()
+
+  // --- namespaces (a namespace = a directory that is not itself a
+  // table; nesting is allowed) ---
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = new java.io.File(nsPath(namespace))
+    if (namespace.nonEmpty && !dir.isDirectory)
+      throw new NoSuchNamespaceException(namespace)
+    Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && !f.getName.startsWith("_") &&
+        !TxTable.exists(f.toString))
+      .map(f => namespace :+ f.getName)
+      .sortBy(_.mkString("."))
+      .toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || (new java.io.File(nsPath(namespace)).isDirectory &&
+      !TxTable.exists(nsPath(namespace)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.singletonMap(SupportsNamespaces.PROP_LOCATION,
+      nsPath(namespace))
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException(namespace)
+    namespace.foreach(s => require(s.nonEmpty && !s.contains("/") &&
+      !s.contains("\\") && s != "." && s != ".." && !s.startsWith("_"),
+      s"illegal namespace segment '$s'"))
+    new java.io.File(nsPath(namespace)).mkdirs(): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = new java.io.File(nsPath(namespace))
+    if (!namespaceExists(namespace) || namespace.isEmpty) false
+    else {
+      val nonEmpty = Option(dir.listFiles()).exists(_.nonEmpty)
+      if (nonEmpty && !cascade)
+        throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+          namespace)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+      if (nonEmpty) TxTable.clearResolutionCaches()
+      true
+    }
+  }
+}

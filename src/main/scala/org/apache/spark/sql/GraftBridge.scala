@@ -26,4 +26,20 @@ object GraftBridge {
     val c = df.asInstanceOf[classic.Dataset[Row]]
     c.sparkSession.internalCreateDataFrame(c.queryExecution.toRdd, c.schema, isStreaming = false)
   }
+  // a resolved logical plan as a DataFrame — the MERGE INTO command's
+  // source side (the same Dataset.ofRows call Spark's own command
+  // execs make)
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  // test hook: a sibling session whose sessionState is rebuilt from the
+  // parent's SparkSessionExtensions AFTER `inject` ran — the only way a
+  // spec sharing one JVM-wide SparkContext can get an injected analyzer
+  // rule (extensions apply at sessionState build, and getOrCreate
+  // returns the pre-existing session unchanged)
+  def sessionWithInjected(s: SparkSession)
+                         (inject: SparkSessionExtensions => Unit): SparkSession = {
+    val c = s.asInstanceOf[classic.SparkSession]
+    inject(c.extensions)
+    c.newSession()
+  }
 }

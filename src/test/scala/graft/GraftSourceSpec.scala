@@ -597,6 +597,42 @@ class GraftSourceSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet == expect)
   }
 
+  test("a commit racing a DPP-pruned read returns the pinned snapshot's rows exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val root = ingestTable("rtrace", 8) // 8 dirs of 100 contiguous keys, stats on k
+    val dimPath = tmp("rtrace-dim")
+    (0L until 800L).map(k => (k, k / 100)).toDF("k", "grp").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter($"grp" === 3L).select("k")
+    // pin the snapshot NOW; the runtime dir prune runs at EXECUTION
+    // time, i.e. after the racing commits below — it must re-prune
+    // against the pinned version's dir list, never the latest's
+    val fact = spark.read.format("graft").load(root)
+    val joined = fact.join(broadcast(dim), "k").select("k", "v")
+    // racing writer 1: an append duplicating the joined key range
+    (300L until 400L).map(k => (k, "raced")).toDF("k", "v")
+      .write.format("graft").mode(SaveMode.Append).save(root)
+    val rows = joined.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 100 &&
+      rows.forall { case (k, v) => v == s"v$k" },
+      s"pinned DPP read leaked racing rows: ${rows.filter(_._2 == "raced").length} raced")
+    // pruning stayed engaged against the PINNED dir list (1 of its 8)
+    assert(GraftTableSource.lastKeptDirs.get == 1 &&
+      GraftTableSource.lastPrunedDirs.get == 7,
+      s"kept=${GraftTableSource.lastKeptDirs.get} pruned=${GraftTableSource.lastPrunedDirs.get}")
+    // racing writer 2: a full REWRITE (refresh drops every pinned dir);
+    // the pinned frame still reads its snapshot — old dirs stay on disk
+    // until vacuum, the time-travel contract
+    (0L until 10L).map(k => (k, "rewritten")).toDF("k", "v")
+      .write.format("graft").mode(SaveMode.Overwrite).save(root)
+    val afterRewrite = joined.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(afterRewrite.length == 100 &&
+      afterRewrite.forall { case (k, v) => v == s"v$k" },
+      "pinned DPP read must survive a concurrent full rewrite")
+    // a FRESH load sees the rewrite
+    assert(spark.read.format("graft").load(root).count() == 10L)
+  }
+
   test("aggregate pushdown: whole-table count/min/max answer from parquet metadata") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{count, max, min}
@@ -745,6 +781,95 @@ class GraftSourceSpec extends AnyFunSuite {
         .outputMode("update").start(tmp("upsink-bad-t"))
     }
     assert(ex.getMessage.contains("mergeKey"))
+  }
+
+  // --- round 19 (stretch): the checkpoint-portability restart matrix.
+  // Perturb a stream's identity inputs (moved checkpoint dir, renamed
+  // query / changed conf root → both reduce to "derived identity
+  // changed") and pin what each writer-identity mode does: explicit
+  // appId stays exactly-once through any perturbation (the txn ledger
+  // carries the high-water mark in the TABLE, not the checkpoint);
+  // derived identity + perturbation is a DELIBERATE new writer — append
+  // re-emits everything (clean at-least-once, never a partial/corrupt
+  // state), keyed Update re-merges to the identical state (content
+  // idempotence). Nothing silently re-keys: the one silent-corruption
+  // shape (two queries sharing a bare conf-root identity) is already
+  // rejected at sink creation (r17). ---
+
+  test("restart matrix: explicit appId is exactly-once across a moved checkpoint") {
+    val src = tmp("rm-src"); val dst = tmp("rm-dst")
+    kv(1L -> "a").write.format("graft").save(src)
+    kv(2L -> "b").write.format("graft").mode(SaveMode.Append).save(src)
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("appId", "rm-writer-1")
+        .outputMode("append").start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(tmp("rm-ckpt1"))
+    assert(ks(spark.read.format("graft").load(dst)) == Set(1L -> "a", 2L -> "b"))
+    // "moved" checkpoint = the stream restarts with NO offset history
+    // and replays the full source; the ledger's (appId, batchId) record
+    // drops the replayed batches — table contents stay exactly-once
+    run(tmp("rm-ckpt2"))
+    val rows = spark.read.format("graft").load(dst).collect()
+    assert(rows.length == 2 &&
+      ks(spark.read.format("graft").load(dst)) == Set(1L -> "a", 2L -> "b"),
+      s"explicit-appId replay duplicated rows: ${rows.length}")
+  }
+
+  test("restart matrix: derived identity + moved checkpoint = a new writer, clean re-emission") {
+    val src = tmp("rm2-src"); val dst = tmp("rm2-dst")
+    kv(1L -> "a").write.format("graft").save(src)
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt) // identity = this path
+        .outputMode("append").start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(tmp("rm2-ckpt1"))
+    run(tmp("rm2-ckpt2")) // deliberately new identity
+    // at-least-once, and CLEANLY so: the full source re-emitted exactly
+    // once more (2 copies of each row), never a torn subset
+    val rows = spark.read.format("graft").load(dst).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.sorted == Seq(1L -> "a", 1L -> "a").sorted,
+      s"derived-identity re-run must re-emit the whole source exactly once more: $rows")
+    // both writers' ledgers coexist in the table
+    assert(TxTable.snapshot(dst).txns.size == 2)
+  }
+
+  test("restart matrix: keyed Update re-merges to the identical state under any identity") {
+    val src = tmp("rm3-src"); val dst = tmp("rm3-dst")
+    kv(1L -> "a", 2L -> "b").write.format("graft").save(src)
+    TxTable.mergeUpsert(spark, src, kv(1L -> "a2"), "k")
+    // maxVersionsPerBatch=1 is load-bearing for keyed replays: a
+    // replay-from-scratch otherwise coalesces the whole history into
+    // ONE batch, and a batch carrying two versions of the same key has
+    // no defined upsert winner — per-version batches re-merge in commit
+    // order, so the replay converges to the exact upstream state (the
+    // admission control composing with the keyed sink)
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("ignoreChanges", "true")
+        .option("maxVersionsPerBatch", "1").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("mergeKey", "k")
+        .outputMode("update").start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(tmp("rm3-ckpt1"))
+    val state = ks(spark.read.format("graft").load(dst))
+    assert(state == Set(1L -> "a2", 2L -> "b"))
+    // moved checkpoint → new derived identity → full re-merge: the
+    // keyed upsert is content-idempotent, so the state is unchanged
+    run(tmp("rm3-ckpt2"))
+    assert(ks(spark.read.format("graft").load(dst)) == state,
+      "keyed Update re-run under a new identity must re-merge to the same state")
   }
 
   test("composite mergeKey: upsert by (k, v) tuple") {
