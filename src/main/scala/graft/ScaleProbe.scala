@@ -660,6 +660,24 @@ object ScaleProbe {
     // (kept ≪ dirs) on every rep; (3) a FRESH load per rep sees each
     // commit's rows, at flat per-rep cost (the O(1) hinted log
     // discovery + one-dir prune delta, not an O(commits) reread).
+    // shpairs: the q21/q96 shared shingle-pair stage BUILD cost in
+    // isolation — cold (first computation in the JVM) and warm
+    // (second), to adjudicate how much of the staged build's first-rep
+    // cost is JVM/page-cache warmup vs real compute.
+    if (bitsArg == "shpairs") {
+      def one(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = graft.queries.TextOps.shinglePairAgg(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (cold, n1) = one()
+      val (warm, n2) = one()
+      require(n1 == n2)
+      println(f"""{"probe":"shpairs","sf":"$sfDir","rows":$n1,"cold_sec":$cold%.2f,"warm_sec":$warm%.2f}""")
+      spark.stop()
+      return
+    }
+
     if (bitsArg == "gdpp") {
       import graft.etl.TxTable
       import graft.sources.GraftTableSource

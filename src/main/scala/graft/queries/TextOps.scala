@@ -201,6 +201,14 @@ object TextOps {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("shared"))
+      // materialize only the UNION of the consumers' thresholds —
+      // lossless for both (each re-applies its exact predicate), and
+      // the staged table shrinks from EVERY co-shingling pair (∝ corpus
+      // × avg shingle DF — the first ×100 build measured 77 s, mostly
+      // writing pairs nobody reads) to ≈ |q21 ∪ q96| rows. A new
+      // consumer with a weaker threshold must widen this filter.
+      .filter(expr("CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5") ||
+        expr("CAST(shared AS DOUBLE) / least(na, nb) >= 0.8"))
   }
 
   /** [[shinglePairAgg]] materialized once per documents-table contents;
