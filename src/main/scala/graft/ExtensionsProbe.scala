@@ -108,6 +108,14 @@ object ExtensionsProbe {
       .head.getLong(0) == 100, "catalog VERSION AS OF")
     require(spark.sql("SHOW TABLES IN graft").collect()
       .exists(_.getString(1) == "probe"), "catalog SHOW TABLES")
+    // DELETE (scoped rewrite) + the maintenance procedures
+    spark.sql("DELETE FROM graft.probe WHERE k >= 90 AND k <= 99")
+    require(spark.sql("SELECT count(*) AS n FROM graft.probe").head.getLong(0) == 90,
+      "catalog DELETE range")
+    val cpv = spark.sql("CALL graft.system.compact(table => 'probe')").collect()
+    require(cpv.length == 1 && cpv.head.getLong(0) > 0, "CALL compact")
+    require(spark.sql("SELECT count(*) AS n FROM graft.probe").head.getLong(0) == 90,
+      "compact preserved rows")
     println(s"extensions-probe OK: ${r.length} vectors, ${chunks.length} chunks, " +
       s"${pk.length} probe-key rows, ${sh.head.getSeq[String](0).length} shingles, " +
       s"txtable TVFs green ($droppedDirs dirs pruned), catalog+MERGE green")

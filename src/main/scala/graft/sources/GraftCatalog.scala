@@ -58,7 +58,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Reference counterpart: the Milvus collection addressed by name
   * (`dags/utils/seed_milvus.py:71`).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -199,6 +200,107 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def invalidateTable(ident: Identifier): Unit =
     TxTable.clearResolutionCaches()
+
+  // --- maintenance procedures (`CALL graft.system.<proc>(...)`) —
+  // the Delta OPTIMIZE/VACUUM/RESTORE SQL parity, routed to the
+  // table format's own maintenance primitives. Each returns a one-row
+  // summary. The `table` argument is the catalog-relative name
+  // ('t' or 'ns.t'), resolved through the same identifier rules as
+  // every other catalog lookup. ---
+
+  /** Resolve a procedure's `table` argument; fails on unknown tables. */
+  private def tableArg(name: String): String = {
+    val segs = name.split('.').toSeq
+    val path = pathOf(Identifier.of(segs.init.toArray, segs.last))
+    require(TxTable.exists(path), s"graft table '$name' does not exist")
+    path
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array("compact", "vacuum", "restore").map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    import org.apache.spark.sql.connector.catalog.procedures._
+    import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    require(ident.namespace().sameElements(Array("system")),
+      s"unknown procedure namespace ${ident.namespace().mkString(".")} " +
+        "(graft procedures live under 'system')")
+
+    def p(n: String, dt: DataType) = ProcedureParameter.in(n, dt)
+    /** One-row result as the CALL command's scan. */
+    def result(schema: StructType, values: Any*): java.util.Iterator[Scan] =
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow.fromSeq(values.toIndexedSeq))
+      }).iterator()
+    def str(row: InternalRow, i: Int): String = row.getUTF8String(i).toString
+    val versionResult = StructType(Seq(StructField("version", LongType)))
+
+    abstract class Proc(procName: String, params: Array[ProcedureParameter],
+                        desc: String)
+        extends UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] = params
+    }
+
+    ident.name() match {
+      case "compact" => new Proc("compact", Array(
+        p("table", StringType).build(),
+        p("target_bytes", LongType)
+          .defaultValue(graft.etl.Compact.DefaultTargetBytes.toString)
+          .comment("max output dir size").build(),
+        p("cluster_by", StringType).defaultValue("''")
+          .comment("comma-separated layout columns").build(),
+        p("z_order", BooleanType).defaultValue("false").build()),
+        "bin-pack (optionally cluster / z-order) a graft table's dirs " +
+          "into one compacted commit; history stays time-travelable") {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val cols = str(input, 2).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val v = TxTable.compact(spark, tableArg(str(input, 0)),
+            targetBytes = input.getLong(1), clusterBy = cols,
+            zOrder = input.getBoolean(3))
+          result(versionResult, v)
+        }
+      }
+      case "vacuum" => new Proc("vacuum", Array(
+        p("table", StringType).build(),
+        p("keep_from", LongType)
+          .comment("drop manifests below this version, then unreferenced dirs").build(),
+        p("grace_ms", LongType)
+          .defaultValue(TxTable.DefaultVacuumGraceMs.toString)
+          .comment("in-flight writer grace").build()),
+        "destructive retention: forget history below keep_from " +
+          "(time travel works until the operator chooses to forget)") {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val path = tableArg(str(input, 0))
+          TxTable.vacuum(path, input.getLong(1), input.getLong(2))
+          result(StructType(Seq(StructField("kept_from", LongType))),
+            input.getLong(1))
+        }
+      }
+      case "restore" => new Proc("restore", Array(
+        p("table", StringType).build(),
+        p("version", LongType).comment("the version to restore to").build()),
+        "zero-copy rollback commit: current state becomes `version`'s; " +
+          "both sides stay readable, the txn ledger is kept") {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val v = TxTable.restore(spark, tableArg(str(input, 0)), input.getLong(1))
+          result(versionResult, v)
+        }
+      }
+      case other => throw new RuntimeException(
+        s"unknown graft procedure '$other' — available: system.compact, " +
+          "system.vacuum, system.restore")
+    }
+  }
 
   // --- namespaces (a namespace = a directory that is not itself a
   // table; nesting is allowed) ---

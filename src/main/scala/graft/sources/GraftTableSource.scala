@@ -232,7 +232,8 @@ class GraftTableSource extends TableProvider
   * source/sink. */
 final case class GraftTable(root: String, versionAsOf: Long)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   /** Resolved lazily but ONCE per table instance = once per `load()`:
     * the DataFrame is a consistent snapshot — concurrent commits after
@@ -253,6 +254,41 @@ final case class GraftTable(root: String, versionAsOf: Long)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, root, snap, schema())
+
+  /** SQL `DELETE FROM` (round 19, riding the catalog's name
+    * resolution): accepted when the WHERE clause maps onto one of the
+    * table format's scoped-rewrite delete primitives — a point/IN set
+    * on one column ([[TxTable.deleteKeys]], bloom/stat-pruned), a
+    * closed numeric range on one column ([[TxTable.deleteRange]];
+    * strict bounds accepted for integral values by tightening ±1), or
+    * no condition at all (truncate = a full-replace commit of the
+    * empty table — history stays time-travelable). Everything else
+    * reports `canDeleteWhere = false`, which Spark surfaces as the
+    * loud "cannot delete" analysis error: silently rewriting the whole
+    * table for an arbitrary predicate would hide an O(table) cost
+    * behind a one-liner, the opposite of the format's scoped-rewrite
+    * contract (use the Scala API's explicit forms for exotic shapes).
+    * Deletes are scoped rewrites: only dirs whose skipping stats match
+    * are rewritten, everything else is carried by reference. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    GraftTable.deletePlan(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    GraftTable.deletePlan(filters) match {
+      case Some(GraftTable.DeleteKeys(c, vs)) =>
+        TxTable.deleteKeys(SparkSession.active, root, c, vs): Unit
+      case Some(GraftTable.DeleteRange(c, lo, hi)) =>
+        TxTable.deleteRange(SparkSession.active, root, c, lo, hi): Unit
+      case Some(GraftTable.Truncate) =>
+        val spark = SparkSession.active
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema())
+        TxTable.refresh(spark, root, empty): Unit
+      case None => throw new UnsupportedOperationException(
+        s"graft DELETE supports a point/IN set or a closed numeric " +
+          s"range on one column, or an unconditioned truncate — got " +
+          s"${filters.mkString(", ")}")
+    }
 
   /** SQL DML entry (INSERT INTO → append; INSERT OVERWRITE → truncate →
     * refresh): a `V1Write` handing Spark the transactional
@@ -469,6 +505,62 @@ final case class GraftTableRelation(sqlContext: SQLContext, root: String,
       if (requiredColumns.isEmpty) filtered.select()
       else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
     projected.rdd
+  }
+}
+
+object GraftTable {
+  sealed trait DeleteAction
+  final case class DeleteKeys(column: String, values: Seq[Any]) extends DeleteAction
+  final case class DeleteRange(column: String, lo: Double, hi: Double) extends DeleteAction
+  case object Truncate extends DeleteAction
+
+  private def integral(v: Any): Option[Long] = v match {
+    case b: Byte  => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int   => Some(i.toLong)
+    case l: Long  => Some(l)
+    case _        => None
+  }
+
+  private def numeric(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue())
+    case _         => None
+  }
+
+  /** The delete plan a filter conjunction maps onto, or None (= reject
+    * loudly). Exactness matters: the plan must delete EXACTLY the
+    * matching rows — so strict bounds are only tightened for integral
+    * values (where `> v` ≡ `>= v + 1`), and any shape this cannot
+    * represent exactly is refused rather than approximated. */
+  private[graft] def deletePlan(filters: Array[Filter]): Option[DeleteAction] = {
+    // `DELETE FROM t` (no WHERE) arrives as [AlwaysTrue]; the engine's
+    // truncateTable() default passes an empty array
+    if (filters.isEmpty || filters.sameElements(Array(AlwaysTrue)))
+      return Some(Truncate)
+    // all conjuncts must speak about ONE column
+    val refs = filters.flatMap(_.references).distinct
+    if (refs.length != 1) return None
+    val c = refs.head
+    filters match {
+      case Array(EqualTo(_, v)) if v != null => Some(DeleteKeys(c, Seq(v)))
+      case Array(In(_, vs)) if vs.nonEmpty && vs.forall(_ != null) =>
+        Some(DeleteKeys(c, vs.toSeq))
+      case _ =>
+        // range conjunction: every filter contributes an exact closed
+        // bound or the whole delete is refused
+        val bounds = filters.map {
+          case GreaterThanOrEqual(_, v) => numeric(v).map(d => (d, Double.PositiveInfinity))
+          case LessThanOrEqual(_, v)    => numeric(v).map(d => (Double.NegativeInfinity, d))
+          case GreaterThan(_, v)        => integral(v).map(l => ((l + 1).toDouble, Double.PositiveInfinity))
+          case LessThan(_, v)           => integral(v).map(l => (Double.NegativeInfinity, (l - 1).toDouble))
+          case _                        => None
+        }
+        if (bounds.exists(_.isEmpty)) None
+        else {
+          val bs = bounds.flatten
+          Some(DeleteRange(c, bs.map(_._1).max, bs.map(_._2).min))
+        }
+    }
   }
 }
 

@@ -242,6 +242,86 @@ class GraftCatalogSpec extends AnyFunSuite {
   private def tmpTable(name: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-cat-$name").toString + "/t"
 
+  // --- SQL DELETE FROM (SupportsDelete: scoped-rewrite shapes only) ---
+
+  test("DELETE FROM by name: IN set, closed range, strict integral bounds, truncate") {
+    sql("CREATE TABLE graft.del (k BIGINT, v STRING) TBLPROPERTIES('statsColumns'='k')")
+    val vals = (0L until 40L).map(k => s"($k, 'v$k')").mkString(", ")
+    sql(s"INSERT INTO graft.del VALUES $vals")
+    val root = s"$warehouse/del"
+
+    sql("DELETE FROM graft.del WHERE k IN (3, 5)")
+    assert(TxTable.snapshot(root).action == "deleteKeys")
+    assert(sql("SELECT count(*) FROM graft.del").head.getLong(0) == 38L)
+
+    sql("DELETE FROM graft.del WHERE k >= 10 AND k <= 19")
+    assert(TxTable.snapshot(root).action == "deleteRange")
+    assert(sql("SELECT count(*) FROM graft.del").head.getLong(0) == 28L)
+
+    // strict bounds tighten exactly for integral columns: (30, 35) = [31, 34]
+    sql("DELETE FROM graft.del WHERE k > 30 AND k < 35")
+    assert(sql("SELECT k FROM graft.del WHERE k >= 30 AND k <= 35 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(30L, 35L))
+
+    // every delete is a commit; time travel reads the pre-delete state
+    assert(sql("SELECT count(*) FROM graft.del VERSION AS OF 1").head.getLong(0) == 40L)
+
+    // arbitrary predicates are refused loudly (scoped-rewrite contract)
+    val ex = intercept[Exception] {
+      sql("DELETE FROM graft.del WHERE v = 'v0' AND k = 0")
+    }
+    assert(ex.getMessage.toLowerCase.contains("delete"), ex.getMessage)
+
+    // unconditioned DELETE = truncate, as a full-replace commit
+    sql("DELETE FROM graft.del")
+    assert(sql("SELECT count(*) FROM graft.del").head.getLong(0) == 0L)
+    assert(sql("SELECT * FROM graft.del").schema.fieldNames.toSeq == Seq("k", "v"))
+    sql("DROP TABLE graft.del")
+  }
+
+  // --- CALL procedures (Delta OPTIMIZE/VACUUM/RESTORE parity) ---
+
+  test("CALL graft.system.compact / restore / vacuum drive the table's maintenance") {
+    sql("CREATE TABLE graft.mnt (k BIGINT, v STRING)")
+    (0 until 4).foreach { b =>
+      val vals = (b * 10L until (b + 1) * 10L).map(k => s"($k, 'v$k')").mkString(", ")
+      sql(s"INSERT INTO graft.mnt VALUES $vals")
+    }
+    val root = s"$warehouse/mnt"
+    val dirsBefore = TxTable.snapshot(root).dirs.length
+    assert(dirsBefore == 4)
+    // compact: 4 ingest dirs bin-pack into one commit
+    val cv = sql("CALL graft.system.compact(table => 'mnt')").collect()
+    assert(cv.length == 1 && cv.head.getLong(0) == 5L,
+      s"compact returned ${cv.toSeq}")
+    assert(TxTable.snapshot(root).action == "compact")
+    assert(TxTable.snapshot(root).dirs.length < dirsBefore)
+    assert(sql("SELECT count(*) FROM graft.mnt").head.getLong(0) == 40L)
+    // restore: roll back to pre-compact version 4 (zero-copy)
+    val rv = sql("CALL graft.system.restore(table => 'mnt', version => 4)").collect()
+    assert(rv.head.getLong(0) == 6L)
+    assert(TxTable.snapshot(root).dirs.length == dirsBefore)
+    assert(sql("SELECT count(*) FROM graft.mnt").head.getLong(0) == 40L)
+    // vacuum: forget history below version 6; old versions unreadable,
+    // current contents intact
+    sql("CALL graft.system.vacuum(table => 'mnt', keep_from => 6, grace_ms => 0)")
+    intercept[Exception] { sql("SELECT * FROM graft.mnt VERSION AS OF 0").collect() }
+    assert(sql("SELECT count(*) FROM graft.mnt").head.getLong(0) == 40L)
+    sql("DROP TABLE graft.mnt")
+  }
+
+  test("procedures reject unknown tables and unknown names loudly") {
+    val ex = intercept[Exception] {
+      sql("CALL graft.system.compact(table => 'nope')").collect()
+    }
+    assert(ex.getMessage.contains("does not exist"), ex.getMessage)
+    val ex2 = intercept[Exception] {
+      sql("CALL graft.system.frobnicate(table => 'x')").collect()
+    }
+    // Spark wraps the catalog's error as FAILED_TO_LOAD_ROUTINE
+    assert(ex2.getMessage.contains("frobnicate"), ex2.getMessage)
+  }
+
   test("namespaces list, report metadata, and refuse non-cascade drop of non-empty") {
     sql("CREATE NAMESPACE graft.nsa")
     sql("CREATE TABLE graft.nsa.inner (k BIGINT)")
