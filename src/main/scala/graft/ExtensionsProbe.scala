@@ -116,6 +116,9 @@ object ExtensionsProbe {
     require(cpv.length == 1 && cpv.head.getLong(0) > 0, "CALL compact")
     require(spark.sql("SELECT count(*) AS n FROM graft.probe").head.getLong(0) == 90,
       "compact preserved rows")
+    spark.sql("UPDATE graft.probe SET v = v + 1 WHERE k IN (0, 1)")
+    require(spark.sql("SELECT sum(v) AS s FROM graft.probe WHERE k < 2")
+      .head.getLong(0) == 1002L, "catalog UPDATE") // 0*1000+1 + 1*1000+1
     println(s"extensions-probe OK: ${r.length} vectors, ${chunks.length} chunks, " +
       s"${pk.length} probe-key rows, ${sh.head.getSeq[String](0).length} shingles, " +
       s"txtable TVFs green ($droppedDirs dirs pruned), catalog+MERGE green")

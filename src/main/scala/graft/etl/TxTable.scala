@@ -1737,6 +1737,103 @@ object TxTable {
         col(column).try_cast("double").between(lo, hi),
         org.apache.spark.sql.functions.lit(false)))
 
+  /** Row-level UPDATE of a key set (`column IN values` → apply `set`)
+    * — the scoped-rewrite twin of [[deleteKeys]] (round 19, the SQL
+    * UPDATE primitive): only dirs whose skipping stats admit the value
+    * set are rewritten; within each, matching rows get the assignments
+    * applied and every other row is carried verbatim. `set` values are
+    * Columns over the table's own columns (arbitrary expressions —
+    * `v -> concat(col("v"), lit("!"))`). The updated columns' stats
+    * rebuild with the fresh dirs, so skipping stays exact. NULL cells
+    * never match (same membership semantics as the delete family). */
+  def updateKeys(spark: SparkSession, root: String, column: String,
+                 values: Seq[Any],
+                 set: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    require(values.nonEmpty, "updateKeys needs at least one value")
+    require(values.forall(_ != null),
+      "update key values must be non-null — NULL matches no row and " +
+        "poisons the membership predicate")
+    val nums = values.collect { case n: Number => n.doubleValue() }
+    val strs = values.collect { case s: String => s }
+    val ranges =
+      if (nums.length == values.length) Map(column -> (nums.min, nums.max))
+      else Map.empty[String, (Double, Double)]
+    val strRanges =
+      if (strs.length == values.length)
+        Map(column -> (strs.min(strOrdering), Option(strs.max(strOrdering))))
+      else Map.empty[String, (String, Option[String])]
+    updateImpl(spark, root, "updateKeys",
+      prune = s => pruneSnapshot(root, s, ranges, strRanges,
+        Map(column -> values))._1.toSet,
+      cond = org.apache.spark.sql.functions.coalesce(
+        col(column).isin(values: _*), org.apache.spark.sql.functions.lit(false)),
+      set)
+  }
+
+  /** Row-level UPDATE of a numeric range (`column` in [lo, hi] →
+    * apply `set`) — the scoped-rewrite twin of [[deleteRange]]. */
+  def updateRange(spark: SparkSession, root: String, column: String,
+                  lo: Double, hi: Double,
+                  set: Seq[(String, org.apache.spark.sql.Column)]): Long =
+    updateImpl(spark, root, "updateRange",
+      prune = s => pruneSnapshot(root, s, Map(column -> (lo, hi)))._1.toSet,
+      cond = org.apache.spark.sql.functions.coalesce(
+        col(column).try_cast("double").between(lo, hi),
+        org.apache.spark.sql.functions.lit(false)),
+      set)
+
+  /** Shared optimistic update loop — [[deleteImpl]]'s shape with a
+    * projection instead of a filter: candidate dirs rewrite every row
+    * through `CASE WHEN cond THEN assignment ELSE old END` per updated
+    * column (schema unchanged — assignments cast to the column's
+    * existing type), everything else carries by reference. */
+  private def updateImpl(spark: SparkSession, root: String, action: String,
+                         prune: Snapshot => Set[String],
+                         cond: org.apache.spark.sql.Column,
+                         set: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    require(set.nonEmpty, "update needs at least one assignment")
+    var v = -1L
+    var done = false
+    while (!done) {
+      val baseV = latestVersion(root)
+      require(baseV >= 0, s"TxTable at $root has no committed version")
+      val base = snapshot(root, baseV)
+      val target = baseV + 1
+      val schema = tableSchema(spark, root, baseV)
+      val setMap = set.toMap
+      val unknown = set.map(_._1).filterNot(schema.fieldNames.contains)
+      require(unknown.isEmpty,
+        s"update assigns unknown column(s): ${unknown.mkString(", ")}")
+      val candidates = prune(base)
+      val rewritten: Seq[(String, (String, String))] =
+        base.entries.filter(e => candidates(e._1)).map { case (dir, part) =>
+          val src = spark.read.schema(schema).parquet(s"$root/$dir")
+          val projected = src.select(schema.fields.toIndexedSeq.map { f =>
+            setMap.get(f.name) match {
+              case Some(expr) => org.apache.spark.sql.functions
+                .when(cond, expr.cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+              case None => col(f.name)
+            }
+          }: _*)
+          (dir, (writeData(root, target, projected), part))
+        }
+      val replacement = rewritten.toMap
+      val entries = base.entries.map { case e @ (dir, _) =>
+        replacement.getOrElse(dir, e)
+      }
+      val freshRels = rewritten.map(_._2._1)
+      val (fresh, freshStr) = dirStatsOf(spark, root, freshRels, base.statsCols)
+      buildBlooms(spark, root, freshRels, base.bloomCols)
+      val snap = Snapshot(target, action, entries.map(_._1), entries.map(_._2),
+        base.statsCols, base.schemaDdl, base.layout, base.bloomCols,
+        base.txnApps, base.txnIds)
+      if (tryCommitAnchored(root, snap, fresh, freshStr)) { v = target; done = true }
+      else freshRels.foreach(dropData(root, _))
+    }
+    v
+  }
+
   /** Shared optimistic delete loop: candidate dirs (prune) are
     * rewritten without the matching rows, everything else carries by
     * reference. Stats/blooms rebuild for the fresh dirs only — carried

@@ -59,7 +59,10 @@ object GraftMergeRule extends Rule[LogicalPlan] {
   }
 
   /** The graft table root under the (possibly aliased) target relation:
-    * Some only for the two graft relation shapes. */
+    * Some only for the two graft relation shapes. Shared with
+    * [[GraftUpdateRule]]. */
+  private[plans] def rootOfTarget(plan: LogicalPlan): Option[String] = rootOf(plan)
+
   private def rootOf(plan: LogicalPlan): Option[String] = plan match {
     case SubqueryAlias(_, child) => rootOf(child)
     case r: DataSourceV2Relation => r.table match {
@@ -161,6 +164,166 @@ object GraftMergeRule extends Rule[LogicalPlan] {
       case a: AttributeReference => sourceOut.contains(a) && k.name.equalsIgnoreCase(a.name)
       case _ => false
     }
+}
+
+/** `UPDATE` for graft tables (round 19, completing the DML matrix):
+  * the SQL statement
+  *
+  * {{{ UPDATE graft.db.t SET v = concat(v, '!') WHERE k IN (1, 2) }}}
+  *
+  * routes to the scoped-rewrite primitives [[TxTable.updateKeys]] /
+  * [[TxTable.updateRange]] — only dirs whose skipping stats admit the
+  * WHERE shape are rewritten, everything else carries by reference.
+  * Accepted WHERE shapes mirror SQL DELETE's: a point/IN set on one
+  * column, or a closed numeric range (strict bounds tightened ±1 for
+  * integral literals, where the tightening is exact). SET assignments
+  * may be arbitrary expressions over the table's own columns (they
+  * re-resolve by NAME inside the rewrite, and cast to the column's
+  * existing type — the schema contract is unchanged by construction).
+  * Everything else — subqueries, unconditioned UPDATE (a whole-table
+  * rewrite; spell it as INSERT OVERWRITE ... SELECT), non-key
+  * predicates — fails loudly with the contract spelled out. */
+object GraftUpdateRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, And => CAnd, In => CIn, GreaterThan => CGt, GreaterThanOrEqual => CGte, LessThan => CLt, LessThanOrEqual => CLte}
+  import org.apache.spark.sql.catalyst.CatalystTypeConverters
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case u @ UpdateTable(target, assignments, condition)
+        if u.childrenResolved && GraftMergeRule.rootOfTarget(target).isDefined =>
+      rewrite(u, target, assignments, condition,
+        GraftMergeRule.rootOfTarget(target).get)
+  }
+
+  private def fail(why: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft UPDATE supports SET <col> = <expression over the table's " +
+        "columns> with a WHERE that is a point/IN set or a closed " +
+        s"numeric range on one column — $why. For whole-table rewrites " +
+        "use INSERT OVERWRITE ... SELECT; for exotic predicates use the " +
+        "DataFrame API.")
+
+  private def uncast(e: Expression): Expression = e match {
+    case c: Cast => uncast(c.child)
+    case other   => other
+  }
+
+  /** A constant side of the predicate, however the analyzer wrapped it
+    * (bare literal, cast-of-literal, any deterministic foldable). */
+  private def litOf(e: Expression): Option[Literal] = e match {
+    case l: Literal => Some(l)
+    case f if f.foldable && f.deterministic =>
+      try Some(Literal.create(f.eval(), f.dataType))
+      catch { case _: Exception => None }
+    case _ => None
+  }
+
+  private def scalaValue(l: Literal): Any =
+    CatalystTypeConverters.convertToScala(l.value, l.dataType)
+
+  private def integralValue(l: Literal): Option[Long] = scalaValue(l) match {
+    case b: Byte => Some(b.toLong); case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong);  case lo: Long => Some(lo)
+    case _ => None
+  }
+
+  private def numericValue(l: Literal): Option[Double] = scalaValue(l) match {
+    case n: Number => Some(n.doubleValue()); case _ => None
+  }
+
+  private def rewrite(u: UpdateTable, target: LogicalPlan,
+                      assignments: Seq[Assignment],
+                      condition: Option[Expression], root: String): LogicalPlan = {
+    val targetOut = target.outputSet
+    // SET: target column := expression over target columns only
+    val set = assignments.map {
+      case Assignment(k: AttributeReference, v) if targetOut.contains(k) =>
+        if (v.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+          fail("SET expressions cannot contain subqueries")
+        val foreign = v.references.filterNot(targetOut.contains)
+        if (foreign.nonEmpty)
+          fail(s"SET references non-table columns: ${foreign.map(_.name).mkString(", ")}")
+        // re-anchor by NAME: the expression re-resolves inside the
+        // scoped rewrite's own read of the table
+        k.name -> v.transform { case a: AttributeReference =>
+          UnresolvedAttribute.quoted(a.name) }
+      case a => fail(s"unsupported assignment ${a.key.sql} = ${a.value.sql}")
+    }
+
+    // WHERE → the scoped shape
+    def attrLit(l: Expression, r: Expression): Option[(AttributeReference, Literal)] =
+      (uncast(l), uncast(r)) match {
+        case (a: AttributeReference, rhs) if targetOut.contains(a) =>
+          litOf(rhs).map(lit => (a, lit))
+        case (lhs, a: AttributeReference) if targetOut.contains(a) =>
+          litOf(lhs).map(lit => (a, lit))
+        case _ => None
+      }
+    // strict bounds: exact only for integral literals. The attribute
+    // must sit on the LEFT (the flipped `lit < col` form would need
+    // direction inversion — refuse it rather than risk mis-translating)
+    def attrLeft(l: Expression, r: Expression): Option[(AttributeReference, Literal)] =
+      (uncast(l), uncast(r)) match {
+        case (a: AttributeReference, rhs) if targetOut.contains(a) =>
+          litOf(rhs).map(lit => (a, lit))
+        case _ => None
+      }
+    def rangeBound(e: Expression): Option[(String, Double, Double)] = e match {
+      case CGt(l, r) => attrLeft(l, r).flatMap { case (a, lit) =>
+        integralValue(lit).map(v => (a.name, (v + 1).toDouble, Double.PositiveInfinity)) }
+      case CLt(l, r) => attrLeft(l, r).flatMap { case (a, lit) =>
+        integralValue(lit).map(v => (a.name, Double.NegativeInfinity, (v - 1).toDouble)) }
+      case CGte(l, r) => attrLeft(l, r).flatMap { case (a, lit) =>
+        numericValue(lit).map(v => (a.name, v, Double.PositiveInfinity)) }
+      case CLte(l, r) => attrLeft(l, r).flatMap { case (a, lit) =>
+        numericValue(lit).map(v => (a.name, Double.NegativeInfinity, v)) }
+      case _ => None
+    }
+    def flatten(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => flatten(l) ++ flatten(r)
+      case other      => Seq(other)
+    }
+
+    val cond = condition.getOrElse(fail(
+      "unconditioned UPDATE is a whole-table rewrite"))
+    val shape: (String, Either[Seq[Any], (Double, Double)]) = cond match {
+      case EqualTo(l, r) if attrLit(l, r).isDefined =>
+        val (a, lit) = attrLit(l, r).get
+        val v = scalaValue(lit)
+        if (v == null) fail("NULL never matches an equality")
+        (a.name, Left(Seq(v)))
+      case CIn(v, list) if uncast(v).isInstanceOf[AttributeReference] &&
+          targetOut.contains(uncast(v).asInstanceOf[AttributeReference]) &&
+          list.forall(litOf(_).isDefined) =>
+        val vs = list.map(l => scalaValue(litOf(l).get))
+        if (vs.exists(_ == null)) fail("NULL never matches IN")
+        (uncast(v).asInstanceOf[AttributeReference].name, Left(vs))
+      case other =>
+        val bounds = flatten(other).map(rangeBound)
+        if (bounds.exists(_.isEmpty)) fail(s"untranslatable WHERE: ${other.sql}")
+        val bs = bounds.flatten
+        if (bs.map(_._1).distinct.length != 1)
+          fail("the WHERE range must constrain exactly one column")
+        (bs.head._1, Right((bs.map(_._2).max, bs.map(_._3).min)))
+    }
+    GraftUpdateCommand(root, shape._1, shape._2, set)
+  }
+}
+
+/** The rewritten UPDATE: route the translated WHERE shape + named SET
+  * expressions to the scoped-rewrite primitive. */
+final case class GraftUpdateCommand(root: String, column: String,
+                                    where: Either[Seq[Any], (Double, Double)],
+                                    set: Seq[(String, Expression)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cols = set.map { case (n, e) => n -> GraftBridge.column(e) }
+    where match {
+      case Left(values)    => TxTable.updateKeys(spark, root, column, values, cols)
+      case Right((lo, hi)) => TxTable.updateRange(spark, root, column, lo, hi, cols)
+    }
+    Nil
+  }
 }
 
 /** The rewritten MERGE: evaluate the source plan, align it to the

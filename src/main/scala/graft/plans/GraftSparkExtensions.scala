@@ -51,9 +51,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // MERGE INTO over graft relations → the transactional upsert
-    // (round 19; see [[GraftMergeRule]] for the supported shape)
+    // MERGE INTO over graft relations → the transactional upsert;
+    // UPDATE → the scoped-rewrite updateKeys/updateRange (round 19;
+    // see [[GraftMergeRule]]/[[GraftUpdateRule]] for the shapes)
     ext.injectPostHocResolutionRule(_ => GraftMergeRule)
+    ext.injectPostHocResolutionRule(_ => GraftUpdateRule)
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))

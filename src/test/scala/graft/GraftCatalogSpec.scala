@@ -242,6 +242,52 @@ class GraftCatalogSpec extends AnyFunSuite {
   private def tmpTable(name: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-cat-$name").toString + "/t"
 
+  // --- SQL UPDATE (GraftUpdateRule → scoped-rewrite updateKeys/Range) ---
+
+  test("UPDATE by name: IN set and range shapes, expression assignments, scoped commits") {
+    val s2 = mergeSession
+    s2.sql("CREATE TABLE graft.upd (k BIGINT, v STRING, n BIGINT) " +
+      "TBLPROPERTIES('statsColumns'='k')")
+    val vals = (0L until 40L).map(k => s"($k, 'v$k', $k)").mkString(", ")
+    s2.sql(s"INSERT INTO graft.upd VALUES $vals")
+    val root = s"$warehouse/upd"
+
+    // point shape → updateKeys commit; SET is an expression over the
+    // table's own columns
+    s2.sql("UPDATE graft.upd SET v = concat(v, '!'), n = n * 10 WHERE k IN (3, 5)")
+    assert(TxTable.snapshot(root).action == "updateKeys")
+    val got = s2.sql("SELECT v, n FROM graft.upd WHERE k IN (3, 5) ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("v3!", 30L), ("v5!", 50L)), got)
+    assert(s2.sql("SELECT count(*) FROM graft.upd").head.getLong(0) == 40L)
+    assert(s2.sql("SELECT v FROM graft.upd WHERE k = 4").head.getString(0) == "v4")
+
+    // range shape (strict integral bounds tighten exactly)
+    s2.sql("UPDATE graft.upd SET n = 0 WHERE k > 10 AND k <= 12")
+    assert(TxTable.snapshot(root).action == "updateRange")
+    // exactly (10, 12] = {11, 12} zeroed; 10 and 13 untouched
+    assert(s2.sql("SELECT n FROM graft.upd WHERE k IN (10, 11, 12, 13) ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L, 0L, 0L, 13L))
+
+    // every update is a commit; time travel reads the pre-update state
+    assert(s2.sql("SELECT v FROM graft.upd VERSION AS OF 1 WHERE k = 3")
+      .head.getString(0) == "v3")
+
+    // rejected shapes fail loudly, table untouched
+    val before = TxTable.latestVersion(root)
+    def rejected(q: String): Unit = {
+      val ex = intercept[Exception] { s2.sql(q) }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("graft UPDATE supports")), s"wrong failure: $ex")
+    }
+    rejected("UPDATE graft.upd SET n = 0") // unconditioned = whole-table rewrite
+    rejected("UPDATE graft.upd SET n = 0 WHERE v = 'v1' AND n = 1") // two columns
+    assert(TxTable.latestVersion(root) == before)
+    s2.sql("DROP TABLE graft.upd")
+  }
+
   // --- SQL DELETE FROM (SupportsDelete: scoped-rewrite shapes only) ---
 
   test("DELETE FROM by name: IN set, closed range, strict integral bounds, truncate") {

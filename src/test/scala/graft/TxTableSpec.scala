@@ -628,6 +628,50 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.lookup(spark, root, "sha", "doc-01-05").count() == 0)
   }
 
+  test("updateKeys/updateRange: scoped rewrite applies assignments only to matching rows/dirs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val root = tmp()
+    def batch(i: Int) = (0 until 20)
+      .map(j => (i * 20L + j, f"doc-$i%02d-$j%02d")).toDF("k", "sha")
+    TxTable.refresh(spark, root, batch(0))
+    TxTable.setStatsColumns(spark, root, Seq("k"))
+    (1 until 5).foreach(i => TxTable.append(spark, root, batch(i)))
+    val before = TxTable.snapshot(root)
+    // point update in batch 1 only
+    val uv = TxTable.updateKeys(spark, root, "k", Seq(25L, 27L),
+      Seq("sha" -> concat(col("sha"), lit("!"))))
+    val after = TxTable.snapshot(root, uv)
+    assert(after.action == "updateKeys")
+    val rows = TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows(25L) == "doc-01-05!" && rows(27L) == "doc-01-07!")
+    assert(rows(26L) == "doc-01-06" && rows.size == 100)
+    // untouched dirs carried BY REFERENCE; only batch-1's dir rewritten
+    val carried = before.dirs.toSet intersect after.dirs.toSet
+    assert(carried.size == 4,
+      s"${carried.size} of 5 dirs carried — update rewrote non-matching dirs")
+    // fresh stats cover the rewritten dir: k-range pruning still exact
+    assert(TxTable.scan(spark, root, "k", 25, 25).count() == 1)
+    // time travel reads the pre-update value
+    assert(TxTable.read(spark, root, before.version).filter($"k" === 25L)
+      .head().getString(1) == "doc-01-05")
+    // range update: assignments cast to the column's existing type
+    val rv = TxTable.updateRange(spark, root, "k", 40, 44,
+      Seq("sha" -> lit("ranged")))
+    assert(TxTable.snapshot(root, rv).action == "updateRange")
+    val r2 = TxTable.read(spark, root).filter($"k".between(38, 46))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert((40L to 44L).forall(k => r2(k) == "ranged") &&
+      r2(39L) == "doc-01-19" && r2(45L) == "doc-02-05")
+    // unknown assignment column fails loudly before any commit
+    val vb = TxTable.latestVersion(root)
+    intercept[IllegalArgumentException] {
+      TxTable.updateKeys(spark, root, "k", Seq(1L), Seq("nope" -> lit(1)))
+    }
+    assert(TxTable.latestVersion(root) == vb)
+  }
+
   test("deleteRange: a fully-deleted dir drops out of the manifest; NULLs survive") {
     import spark.implicits._
     val root = tmp()
