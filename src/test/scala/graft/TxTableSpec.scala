@@ -672,6 +672,45 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.latestVersion(root) == vb)
   }
 
+  test("updateKeys racing appends: optimistic rebase loses no writer's rows or updates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val root = tmp()
+    TxTable.refresh(spark, root,
+      (0L until 20L).map(k => (k, s"v$k")).toDF("k", "v"))
+    TxTable.setStatsColumns(spark, root, Seq("k"))
+    // two writers race: one appends fresh batches, one updates existing
+    // keys — interleaved via the commit hook so the update's first
+    // attempts LOSE and must rebase (bounded: an unbounded hook would
+    // steal every version forever — a livelock of the test's making,
+    // not the protocol's)
+    val appended = new java.util.concurrent.atomic.AtomicLong(100L)
+    val races = new java.util.concurrent.atomic.AtomicInteger(3)
+    var hooked = true
+    TxTable.beforeCommitHook = () => if (hooked && races.getAndDecrement() > 0) {
+      hooked = false // the hook's own append must not recurse
+      try {
+        val base = appended.getAndAdd(10L)
+        TxTable.append(spark, root,
+          (base until base + 10L).map(k => (k, s"a$k")).toDF("k", "v"))
+      } finally hooked = true
+    }
+    try {
+      TxTable.updateKeys(spark, root, "k", Seq(3L, 7L),
+        Seq("v" -> concat(col("v"), lit("!"))))
+    } finally TxTable.beforeCommitHook = () => ()
+    val rows = TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // the updates landed...
+    assert(rows(3L) == "v3!" && rows(7L) == "v7!")
+    // ...and EVERY racing append's rows survived the rebase
+    val appendedRows = rows.keys.filter(_ >= 100L)
+    assert(appendedRows.nonEmpty &&
+      appendedRows.forall(k => rows(k) == s"a$k"),
+      s"racing appends lost: ${rows.filter(_._1 >= 100L)}")
+    assert(rows.size == 20 + appendedRows.size)
+  }
+
   test("deleteRange: a fully-deleted dir drops out of the manifest; NULLs survive") {
     import spark.implicits._
     val root = tmp()
