@@ -252,6 +252,23 @@ final case class GraftTable(root: String, versionAsOf: Long)
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** Surface the table's transactional state in `DESCRIBE EXTENDED` /
+    * catalog listings: the pinned snapshot version, its action, and
+    * the declared data-skipping columns (the properties a user would
+    * otherwise need the `graft_table_history`/`graft_table_stats`
+    * TVFs to see). */
+  override def properties(): java.util.Map[String, String] =
+    if (!TxTable.exists(root)) java.util.Collections.emptyMap()
+    else {
+      val m = new java.util.HashMap[String, String]()
+      m.put("version", snap.version.toString)
+      m.put("action", snap.action)
+      m.put("data_dirs", snap.dirs.length.toString)
+      if (snap.statsCols.nonEmpty) m.put("statsColumns", snap.statsCols.mkString(","))
+      if (snap.bloomCols.nonEmpty) m.put("bloomColumns", snap.bloomCols.mkString(","))
+      m
+    }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, root, snap, schema())
 

@@ -74,6 +74,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).toSeq == Seq("t"))
     assert(sql("DESCRIBE TABLE graft.db.t").collect()
       .map(_.getString(0)).toSet.contains("k"))
+    // the transactional state surfaces as table properties
+    val props = sql("SHOW TBLPROPERTIES graft.db.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("statsColumns") == "k" && props("version") == "3" &&
+      props("action") == "refresh", props)
     sql("DROP TABLE graft.db.t")
     assert(!TxTable.exists(root))
     intercept[Exception] { sql("SELECT * FROM graft.db.t").collect() }
