@@ -660,6 +660,31 @@ object ScaleProbe {
     // (kept ≪ dirs) on every rep; (3) a FRESH load per rep sees each
     // commit's rows, at flat per-rep cost (the O(1) hinted log
     // discovery + one-dir prune delta, not an O(commits) reread).
+    // stagedur: the DURABLE StageMemo cross-JVM contract, for real —
+    // run this twice with the same SPARK_GRAFT_STAGE_ROOT: the first
+    // JVM builds and commits the stage table; the second (a genuinely
+    // fresh process, not a clear() simulation) must read the committed
+    // stage WITHOUT running the build. Emits built:true/false + rows.
+    if (bitsArg == "stagedur") {
+      val stageRoot = sys.env.getOrElse("SPARK_GRAFT_STAGE_ROOT",
+        sys.error("set SPARK_GRAFT_STAGE_ROOT"))
+      spark.conf.set(graft.queries.StageMemo.StageRootConf, stageRoot)
+      var built = false
+      val t0 = System.nanoTime()
+      val df = graft.queries.StageMemo.materialize(spark,
+        s"${graft.queries.VectorOps.stampedKey(sfDir, "documents")}#stagedur",
+        "sdur") {
+        built = true
+        Tables(spark, sfDir, "documents")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      }
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"stagedur","sf":"$sfDir","built":$built,"rows":$rows,"sec":$sec%.3f}""")
+      spark.stop()
+      return
+    }
+
     // shpairs: the q21/q96 shared shingle-pair stage BUILD cost in
     // isolation — cold (first computation in the JVM) and warm
     // (second), to adjudicate how much of the staged build's first-rep
