@@ -305,9 +305,19 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(TxTable.snapshot(root).action == "deleteKeys")
     assert(sql("SELECT count(*) FROM graft.del").head.getLong(0) == 38L)
 
+    // single equality is the point form too
+    sql("DELETE FROM graft.del WHERE k = 7")
+    assert(TxTable.snapshot(root).action == "deleteKeys")
+    assert(sql("SELECT count(*) FROM graft.del").head.getLong(0) == 37L)
+
+    // a bare IS NOT NULL is not a scoped shape: refused loudly
+    val nn = intercept[Exception] { sql("DELETE FROM graft.del WHERE k IS NOT NULL") }
+    assert(nn.getMessage.toLowerCase.contains("delete"), nn.getMessage)
+    assert(sql("SELECT count(*) FROM graft.del").head.getLong(0) == 37L)
+
     sql("DELETE FROM graft.del WHERE k >= 10 AND k <= 19")
     assert(TxTable.snapshot(root).action == "deleteRange")
-    assert(sql("SELECT count(*) FROM graft.del").head.getLong(0) == 28L)
+    assert(sql("SELECT count(*) FROM graft.del").head.getLong(0) == 27L)
 
     // strict bounds tighten exactly for integral columns: (30, 35) = [31, 34]
     sql("DELETE FROM graft.del WHERE k > 30 AND k < 35")
