@@ -218,6 +218,15 @@ object TxTable {
         .map { c => cacheHits.incrementAndGet(); c }
     }
 
+  /** Recursive local-filesystem delete (child-first). The ONE copy of
+    * this logic: DROP TABLE/NAMESPACE and the stage sweeps all route
+    * here (r19 reviewer — four inline twins). Table roots contain only
+    * files and hard links the format itself wrote, so no symlink
+    * traversal concern arises on the paths this serves. */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively)); f.delete(); ()
+  }
+
   /** Test/probe seam: drop both caches so a resolve pays the cold
     * read+parse path (ScaleProbe txmanifest reports cold and warm). */
   private[graft] def clearResolutionCaches(): Unit = {
@@ -1590,6 +1599,49 @@ object TxTable {
     v
   }
 
+  /** Metadata-only schema evolution commit (action "evolve") — the
+    * `ALTER TABLE ... ADD COLUMNS` primitive: record `newSchema` as the
+    * table's contract while carrying every data dir, stat, bloom, and
+    * txn-ledger entry by reference. Zero data bytes move: existing
+    * part files simply lack the appended columns, and every read path
+    * resolves under the manifest's recorded DDL, so parquet fills the
+    * missing columns with NULL — which is why the appended columns
+    * must be nullable (enforced by the caller; the format cannot
+    * backfill a default into immutable dirs). `newSchema` must extend
+    * the recorded schema: existing fields unchanged in name, order,
+    * and type, new fields appended — anything else is refused loudly
+    * (dropping/retyping columns would silently corrupt old-dir reads).
+    * Time travel keeps working per version: a pre-evolve version reads
+    * under its own recorded DDL. */
+  def evolveSchema(spark: SparkSession, root: String,
+                   newSchema: org.apache.spark.sql.types.StructType): Long = {
+    val newDdl = org.apache.spark.sql.types.StructType(
+      newSchema.fields.map(_.copy(nullable = true))).toDDL
+    var v = -1L
+    var done = false
+    while (!done) {
+      val baseV = latestVersion(root)
+      require(baseV >= 0, s"TxTable at $root has no committed version")
+      val base = snapshot(root, baseV)
+      require(base.schemaDdl.nonEmpty,
+        s"TxTable $root has no recorded schema contract — evolve rides " +
+          "a write (append/refresh with evolve = true) on pre-contract tables")
+      val cur = org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl)
+      require(newSchema.fields.length >= cur.fields.length &&
+        cur.fields.zip(newSchema.fields).forall { case (a, b) =>
+          a.name == b.name && a.dataType == b.dataType },
+        s"evolveSchema only APPENDS columns: table has [${base.schemaDdl}], " +
+          s"requested [$newDdl] — existing fields must keep their name, " +
+          "order, and type (drops/renames/retypes would corrupt old-dir reads)")
+      if (newDdl == base.schemaDdl) return baseV // idempotent no-op
+      val snap = Snapshot(baseV + 1, "evolve", base.dirs, base.parts,
+        base.statsCols, newDdl, base.layout, base.bloomCols,
+        base.txnApps, base.txnIds)
+      if (tryCommitAnchored(root, snap)) { v = snap.version; done = true }
+    }
+    v
+  }
+
   /** Declare (or re-declare) the table's point-lookup Bloom columns — a
     * metadata commit (action "setbloom") that records `cols` in the
     * manifest so every subsequent commit builds per-dir Bloom filters
@@ -1695,18 +1747,7 @@ object TxTable {
     require(values.forall(_ != null),
       "takedown values must be non-null — NULL matches no row and " +
         "poisons the membership predicate")
-    // statted columns prune by the value set's span too, not just by
-    // bloom: an undeclared-bloom column with range/string stats still
-    // bounds the rewrite set
-    val nums = values.collect { case n: Number => n.doubleValue() }
-    val strs = values.collect { case s: String => s }
-    val ranges =
-      if (nums.length == values.length) Map(column -> (nums.min, nums.max))
-      else Map.empty[String, (Double, Double)]
-    val strRanges =
-      if (strs.length == values.length)
-        Map(column -> (strs.min(strOrdering), Option(strs.max(strOrdering))))
-      else Map.empty[String, (String, Option[String])]
+    val (ranges, strRanges) = valueSetSpans(column, values)
     deleteImpl(spark, root, "deleteKeys",
       prune = s => pruneSnapshot(root, s, ranges, strRanges,
         Map(column -> values))._1.toSet,
@@ -1715,6 +1756,73 @@ object TxTable {
       // propagates the NULL into filter(), which drops it
       keep = !org.apache.spark.sql.functions.coalesce(
         col(column).isin(values: _*), org.apache.spark.sql.functions.lit(false)))
+  }
+
+  /** The EXACT row predicate for `column` in [lo, hi], typed by the
+    * table's recorded schema. The naive `try_cast("double")` form
+    * rounds integral values at 2^53 — a BIGINT row at 2^53+1 casts to
+    * 2^53 and would wrongly match `<= 2^53` (r19 reviewer) — so:
+    * integral columns compare in LONG space (bounds tightened to the
+    * enclosed integer range; every long compares exactly), decimal
+    * columns in DECIMAL space (bounds snapped to the column's scale —
+    * exact, since no column value can fall between scale steps; a
+    * bound whose integer digits overflow the column's precision
+    * resolves by sign to match-none/unbounded), float/double natively,
+    * and any OTHER type keeps the try_cast fallback (non-castable
+    * values are NULL = no match, the documented read-side semantics).
+    * NULL cells never match in any branch. */
+  private def rangeMatch(spark: SparkSession, root: String, column: String,
+                         lo: Double, hi: Double): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types._
+    val fieldType = {
+      val v = latestVersion(root)
+      if (v < 0) None
+      else tableSchema(spark, root, v).fields.find(_.name == column).map(_.dataType)
+    }
+    fieldType match {
+      case Some(ByteType | ShortType | IntegerType | LongType) =>
+        // Long.MaxValue.toDouble is 2^63 (just above MaxValue) and
+        // Long.MinValue.toDouble is −2^63 exactly, so: a lower bound at
+        // or above 2^63 admits no long; an upper bound below −2^63
+        // admits none; finite bounds strictly inside (−2^63, 2^63)
+        // ceil/floor to longs without saturation (every exact double
+        // there is ≤ 2^63 − 1024 in magnitude)
+        if (lo >= Long.MaxValue.toDouble || hi < Long.MinValue.toDouble)
+          lit(false)
+        else {
+          val loL = if (lo <= Long.MinValue.toDouble) Long.MinValue
+                    else math.ceil(lo).toLong
+          val hiL = if (hi >= Long.MaxValue.toDouble) Long.MaxValue
+                    else math.floor(hi).toLong
+          if (loL > hiL) lit(false)
+          else col(column).between(lit(loL), lit(hiL))
+        }
+      case Some(dt: DecimalType) =>
+        // exact decimal bound at the column's scale; CEILING/FLOOR keep
+        // the admitted row set identical because column values are
+        // multiples of the scale step
+        def snapped(v: Double, mode: java.math.RoundingMode) =
+          new java.math.BigDecimal(v).setScale(dt.scale, mode)
+        val conj = Seq(
+          Option(lo).filterNot(_.isNegInfinity).map { l =>
+            val b = snapped(l, java.math.RoundingMode.CEILING)
+            if (b.precision > dt.precision)
+              if (b.signum > 0) lit(false) else col(column).isNotNull
+            else col(column) >= lit(b)
+          },
+          Option(hi).filterNot(_.isPosInfinity).map { h =>
+            val b = snapped(h, java.math.RoundingMode.FLOOR)
+            if (b.precision > dt.precision)
+              if (b.signum < 0) lit(false) else col(column).isNotNull
+            else col(column) <= lit(b)
+          }).flatten
+        if (conj.isEmpty) col(column).isNotNull else conj.reduce(_ && _)
+      case Some(FloatType | DoubleType) =>
+        col(column).between(lit(lo), lit(hi))
+      case _ =>
+        col(column).try_cast("double").between(lit(lo), lit(hi))
+    }
   }
 
   /** Row-level DELETE of a numeric range (`column` in [lo, hi]) —
@@ -1726,15 +1834,13 @@ object TxTable {
                   lo: Double, hi: Double): Long =
     deleteImpl(spark, root, "deleteRange",
       prune = s => pruneSnapshot(root, s, Map(column -> (lo, hi)))._1.toSet,
-      // try_cast + coalesce(…, false): a NULL comparison (NULL cell,
-      // or a value the double cast cannot represent — e.g. a string
-      // column, which ANSI mode's plain cast would make a runtime
-      // ERROR) is NOT a match and must be KEPT; the bare form
-      // propagated the NULL into filter() and silently deleted every
-      // such row, the exact opposite of scan()'s read-side semantics
-      // (r17 reviewer)
+      // coalesce(…, false): a NULL comparison (NULL cell, or a value
+      // the fallback double cast cannot represent) is NOT a match and
+      // must be KEPT; the bare form propagated the NULL into filter()
+      // and silently deleted every such row (r17 reviewer). The
+      // predicate itself is type-exact — see [[rangeMatch]].
       keep = !org.apache.spark.sql.functions.coalesce(
-        col(column).try_cast("double").between(lo, hi),
+        rangeMatch(spark, root, column, lo, hi),
         org.apache.spark.sql.functions.lit(false)))
 
   /** Row-level UPDATE of a key set (`column IN values` → apply `set`)
@@ -1753,15 +1859,7 @@ object TxTable {
     require(values.forall(_ != null),
       "update key values must be non-null — NULL matches no row and " +
         "poisons the membership predicate")
-    val nums = values.collect { case n: Number => n.doubleValue() }
-    val strs = values.collect { case s: String => s }
-    val ranges =
-      if (nums.length == values.length) Map(column -> (nums.min, nums.max))
-      else Map.empty[String, (Double, Double)]
-    val strRanges =
-      if (strs.length == values.length)
-        Map(column -> (strs.min(strOrdering), Option(strs.max(strOrdering))))
-      else Map.empty[String, (String, Option[String])]
+    val (ranges, strRanges) = valueSetSpans(column, values)
     updateImpl(spark, root, "updateKeys",
       prune = s => pruneSnapshot(root, s, ranges, strRanges,
         Map(column -> values))._1.toSet,
@@ -1778,9 +1876,34 @@ object TxTable {
     updateImpl(spark, root, "updateRange",
       prune = s => pruneSnapshot(root, s, Map(column -> (lo, hi)))._1.toSet,
       cond = org.apache.spark.sql.functions.coalesce(
-        col(column).try_cast("double").between(lo, hi),
+        rangeMatch(spark, root, column, lo, hi),
         org.apache.spark.sql.functions.lit(false)),
       set)
+
+  /** The range-stat spans a DELETE/UPDATE key SET implies — statted
+    * columns prune by the value set's span too, not just by bloom: an
+    * undeclared-bloom column with range/string stats still bounds the
+    * rewrite set. Only an ALL-numeric (resp. all-string) set yields a
+    * span; mixed sets prune by bloom/membership alone. Shared by
+    * [[deleteKeys]] and [[updateKeys]] so the span subtleties can
+    * never diverge between the twins (r19 reviewer). Span rounding is
+    * SOUND here (unlike the row predicates): doubleValue() is
+    * monotone, and the scan-side stat comparison rounds the same way,
+    * so a dir holding a match is never pruned — rounding can only
+    * false-KEEP a dir whose exact rewrite then touches nothing. */
+  private def valueSetSpans(column: String, values: Seq[Any])
+      : (Map[String, (Double, Double)], Map[String, (String, Option[String])]) = {
+    val nums = values.collect { case n: Number => n.doubleValue() }
+    val strs = values.collect { case s: String => s }
+    val ranges =
+      if (nums.length == values.length) Map(column -> (nums.min, nums.max))
+      else Map.empty[String, (Double, Double)]
+    val strRanges =
+      if (strs.length == values.length)
+        Map(column -> (strs.min(strOrdering), Option(strs.max(strOrdering))))
+      else Map.empty[String, (String, Option[String])]
+    (ranges, strRanges)
+  }
 
   /** Shared optimistic update loop — [[deleteImpl]]'s shape with a
     * projection instead of a filter: candidate dirs rewrite every row

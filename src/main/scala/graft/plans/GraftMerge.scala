@@ -227,9 +227,12 @@ object GraftUpdateRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def numericValue(l: Literal): Option[Double] = scalaValue(l) match {
-    case n: Number => Some(n.doubleValue()); case _ => None
-  }
+  /** The literal as a Double ONLY when exact — a BIGINT/DECIMAL bound
+    * that doubleValue() would round must be refused (loud), never
+    * silently shifted onto neighboring keys (r19 reviewer). Shares
+    * [[graft.sources.GraftTable.exactDouble]]'s round-trip rules. */
+  private def numericValue(l: Literal): Option[Double] =
+    graft.sources.GraftTable.exactDouble(scalaValue(l))
 
   private def rewrite(u: UpdateTable, target: LogicalPlan,
                       assignments: Seq[Assignment],
@@ -270,9 +273,11 @@ object GraftUpdateRule extends Rule[LogicalPlan] {
       }
     def rangeBound(e: Expression): Option[(String, Double, Double)] = e match {
       case CGt(l, r) => attrLeft(l, r).flatMap { case (a, lit) =>
-        integralValue(lit).map(v => (a.name, (v + 1).toDouble, Double.PositiveInfinity)) }
+        integralValue(lit).flatMap(graft.sources.GraftTable.strictLower)
+          .map(v => (a.name, v, Double.PositiveInfinity)) }
       case CLt(l, r) => attrLeft(l, r).flatMap { case (a, lit) =>
-        integralValue(lit).map(v => (a.name, Double.NegativeInfinity, (v - 1).toDouble)) }
+        integralValue(lit).flatMap(graft.sources.GraftTable.strictUpper)
+          .map(v => (a.name, Double.NegativeInfinity, v)) }
       case CGte(l, r) => attrLeft(l, r).flatMap { case (a, lit) =>
         numericValue(lit).map(v => (a.name, v, Double.PositiveInfinity)) }
       case CLte(l, r) => attrLeft(l, r).flatMap { case (a, lit) =>
@@ -341,6 +346,20 @@ final case class GraftMergeCommand(root: String, source: LogicalPlan,
     val src = GraftBridge.ofRows(spark, source)
     val aligned = src.select(targetSchema.fields.toIndexedSeq.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
+    // SQL MERGE cardinality rule: a source with duplicate merge keys
+    // would land BOTH rows (the upsert is anti-join + union), silently
+    // duplicating a keyed table where SQL — and Delta — require an
+    // error (r19 reviewer). One map-side-partial aggregation over the
+    // source (limit 1 stops at the first offender); the merge itself
+    // already pays a full source pass, so this is a bounded pre-check,
+    // not a second join.
+    val dup = aligned.groupBy(col(key)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty) throw new UnsupportedOperationException(
+      s"MERGE INTO source has duplicate rows for merge key '$key' " +
+        s"(e.g. ${dup.head.get(0)}) — SQL MERGE forbids updating a " +
+        "target row from more than one source row; de-duplicate the " +
+        "source (GROUP BY the key) and re-run")
     TxTable.mergeUpsert(spark, root, aligned, key)
     Nil
   }

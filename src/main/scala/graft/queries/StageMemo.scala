@@ -59,10 +59,7 @@ object StageMemo {
   // its hook); dirs whose build failed hold nothing but still get swept.
   private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    tempDirs.forEach(rm(_))
+    tempDirs.forEach(TxTable.deleteRecursively(_))
   }))
 
   private def durableRoot(s: SparkSession): Option[String] =
@@ -111,9 +108,18 @@ object StageMemo {
                 "hash-collided; clear the stage dir or change " +
                 s"$StageRootConf")
           } else {
-            TxTable.refresh(s, dir, build)
+            // sidecar BEFORE the table commit: TxTable.exists flips
+            // true atomically at the commit, so writing the sidecar
+            // first guarantees every observer of a committed stage
+            // finds its key recorded — the reverse order let a second
+            // JVM (or a crash) observe a committed table with no
+            // sidecar and fail the verification spuriously, poisoning
+            // the stage until manual cleanup (r19 reviewer). Racing
+            // builders write identical bytes (same key), benign.
+            java.nio.file.Files.createDirectories(sidecar.getParent)
             java.nio.file.Files.write(sidecar,
               key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            TxTable.refresh(s, dir, build)
           }
           dir
         case None =>
@@ -144,10 +150,7 @@ object StageMemo {
         newest < nowMs - olderThanMs
       }
     }.map { d =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(d)
+      TxTable.deleteRecursively(d)
       // forget any in-memory path pointing at the swept dir
       paths.filterInPlace((_, p) => p != d.toString)
       d.toString

@@ -147,6 +147,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Seq(key, TableCatalog.OPTION_PREFIX + key)
         .flatMap(k => Option(properties.get(k)))
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).distinct
+    // loud-rejection rule (and ALTER TABLE parity): an unknown
+    // property is far more likely a typo'd skipping declaration
+    // ('statColumns') than an intentional annotation, and accepting it
+    // silently creates an UNSKIPPED table whose every scan reads all
+    // dirs with no error anywhere (r19 reviewer). Spark's own managed
+    // keys (provider/owner/location/...) pass — Spark injects them on
+    // every CREATE and the engine does not interpret them.
+    val sparkManaged = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
+      "transient_lastDdlTime")
+    val understood = Set("statsColumns", "bloomColumns")
+      .flatMap(k => Set(k, TableCatalog.OPTION_PREFIX + k))
+    val unknownProps = properties.keySet().toArray(Array.empty[String])
+      .filterNot(understood).filterNot(sparkManaged)
+    if (unknownProps.nonEmpty) throw new UnsupportedOperationException(
+      s"graft tables understand TBLPROPERTIES('statsColumns'= , " +
+        s"'bloomColumns'= ) only; rejected: ${unknownProps.sorted.mkString(", ")} " +
+        "(misspelling a skipping declaration would otherwise silently " +
+        "create an unskipped table)")
+    // NOT NULL is neither enforced at write time nor recorded by the
+    // table format (commit fingerprints normalize nullability, because
+    // a parquet round-trip always reads back nullable) — refuse the
+    // declaration rather than silently drop the constraint
+    schema.fields.filterNot(_.nullable).toSeq match {
+      case Seq() => ()
+      case nn => throw new UnsupportedOperationException(
+        s"graft tables do not enforce NOT NULL — declare " +
+          s"${nn.map(_.name).mkString(", ")} nullable (the format " +
+          "normalizes nullability: a parquet round-trip reads back " +
+          "nullable, so the constraint could be recorded but never kept)")
+    }
     // namespace dirs materialize on first use (CREATE NAMESPACE is
     // optional, the filesystem-catalog convention)
     new java.io.File(path).getParentFile.mkdirs()
@@ -158,7 +190,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
     if (!TxTable.exists(path)) throw new NoSuchTableException(ident)
-    changes.foreach {
+    // ADD COLUMNS batches into ONE evolve commit (Spark hands each
+    // column as its own AddColumn change); everything else applies
+    // change-by-change
+    val (adds, rest) = changes.partition(_.isInstanceOf[TableChange.AddColumn])
+    rest.foreach {
       case set: TableChange.SetProperty if set.property() == "statsColumns" =>
         TxTable.setStatsColumns(spark, path,
           set.value().split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -166,9 +202,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         TxTable.setBloomColumns(spark, path,
           set.value().split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       case other => throw new UnsupportedOperationException(
-        s"graft tables only alter the skipping declarations " +
-          s"(SET TBLPROPERTIES('statsColumns'|'bloomColumns')); schema " +
-          s"changes ride a write with evolve=true. Rejected: $other")
+        s"graft tables alter the skipping declarations " +
+          s"(SET TBLPROPERTIES('statsColumns'|'bloomColumns')) and ADD " +
+          s"COLUMNS (nullable, appended); other schema changes ride a " +
+          s"write with evolve=true. Rejected: $other")
+    }
+    if (adds.nonEmpty) {
+      val fields = adds.map(_.asInstanceOf[TableChange.AddColumn]).map { a =>
+        // append-only, top-level, nullable: the evolve commit cannot
+        // backfill immutable dirs, so a NOT NULL or positioned or
+        // nested add would lie about what old rows read back as
+        if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
+          s"graft ADD COLUMNS adds top-level columns only; rejected " +
+            s"nested field ${a.fieldNames().mkString(".")}")
+        if (!a.isNullable) throw new UnsupportedOperationException(
+          s"graft ADD COLUMNS requires nullable columns — existing rows " +
+            s"read the new column as NULL; '${a.fieldNames().head}' " +
+            "declared NOT NULL cannot hold")
+        if (a.position() != null) throw new UnsupportedOperationException(
+          s"graft ADD COLUMNS appends at the end (parquet resolves " +
+            s"missing columns by name); a position for " +
+            s"'${a.fieldNames().head}' is not supported")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames().head, a.dataType(), nullable = true)
+      }
+      val cur = TxTable.tableSchema(spark, path)
+      val dup = fields.map(_.name).filter(cur.fieldNames.contains)
+      if (dup.nonEmpty) throw new UnsupportedOperationException(
+        s"column(s) already exist: ${dup.mkString(", ")}")
+      TxTable.evolveSchema(spark, path,
+        org.apache.spark.sql.types.StructType(cur.fields ++ fields))
     }
     loadTable(ident)
   }
@@ -177,10 +240,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val path = pathOf(ident)
     if (!TxTable.exists(path)) false
     else {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      TxTable.deleteRecursively(new java.io.File(path))
       // cached snapshots/stats for the dropped root must not leak into
       // a same-named successor
       TxTable.clearResolutionCaches()
@@ -218,7 +278,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("compact", "vacuum", "restore").map(Identifier.of(Array("system"), _))
+      Array("compact", "vacuum", "restore", "history")
+        .map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -286,6 +347,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             input.getLong(1))
         }
       }
+      case "history" => new Proc("history", Array(
+        p("table", StringType).build()),
+        "the table's commit history, newest first (DESCRIBE HISTORY " +
+          "parity): one row per still-retained version — exactly what " +
+          "time travel can still read") {
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val df = TxTable.history(spark, tableArg(str(input, 0)))
+          // bounded collect: one row per RETAINED version (vacuum
+          // bounds retention; a never-vacuumed table holds its full
+          // commit count, the same bound Delta's DESCRIBE HISTORY has)
+          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(df.schema)
+          val collected = df.collect().map(r => conv(r).asInstanceOf[InternalRow])
+          java.util.List.of[Scan](new LocalScan {
+            override def readSchema(): StructType = df.schema
+            override def rows(): Array[InternalRow] = collected
+          }).iterator()
+        }
+      }
       case "restore" => new Proc("restore", Array(
         p("table", StringType).build(),
         p("version", LongType).comment("the version to restore to").build()),
@@ -298,7 +378,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       case other => throw new RuntimeException(
         s"unknown graft procedure '$other' — available: system.compact, " +
-          "system.vacuum, system.restore")
+          "system.vacuum, system.restore, system.history")
     }
   }
 
@@ -352,10 +432,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (nonEmpty && !cascade)
         throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
           namespace)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir)
+      TxTable.deleteRecursively(dir)
       if (nonEmpty) TxTable.clearResolutionCaches()
       true
     }

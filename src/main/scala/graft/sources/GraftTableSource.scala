@@ -539,10 +539,39 @@ object GraftTable {
     case _        => None
   }
 
-  private def numeric(v: Any): Option[Double] = v match {
-    case n: Number => Some(n.doubleValue())
-    case _         => None
+  /** The bound value as a Double ONLY when the conversion is exact —
+    * the delete/update surface promises exact row sets, so a BIGINT
+    * bound at/above 2^53 (where doubleValue() rounds) must be REFUSED,
+    * not silently shifted onto neighboring keys (r19 reviewer). The
+    * Long.MaxValue exclusion guards toDouble's saturation trap:
+    * Long.MaxValue.toDouble is 2^63, whose toLong saturates BACK to
+    * Long.MaxValue and fakes a round-trip. */
+  private[graft] def exactDouble(v: Any): Option[Double] = v match {
+    case b: Byte   => Some(b.toDouble)
+    case s: Short  => Some(s.toDouble)
+    case i: Int    => Some(i.toDouble)
+    case l: Long   =>
+      Some(l.toDouble).filter(d => l != Long.MaxValue && d.toLong == l)
+    case f: Float  => Some(f.toDouble)
+    case d: Double => Some(d)
+    case b: java.math.BigDecimal =>
+      val d = b.doubleValue()
+      Some(d).filter(x => !x.isInfinite &&
+        new java.math.BigDecimal(x).compareTo(b) == 0)
+    case b: BigDecimal => exactDouble(b.bigDecimal)
+    case _ => None
   }
+
+  /** `col > v` tightened to `col >= v + 1` — None when the increment
+    * overflows Long or the tightened bound has no exact Double (refuse
+    * rather than approximate; `> Long.MaxValue` matches nothing but is
+    * so degenerate a loud refusal is the clearer contract). */
+  private[graft] def strictLower(l: Long): Option[Double] =
+    if (l == Long.MaxValue) None else exactDouble(l + 1)
+
+  /** `col < v` tightened to `col <= v - 1`; the mirror of [[strictLower]]. */
+  private[graft] def strictUpper(l: Long): Option[Double] =
+    if (l == Long.MinValue) None else exactDouble(l - 1)
 
   /** The delete plan a filter conjunction maps onto, or None (= reject
     * loudly). Exactness matters: the plan must delete EXACTLY the
@@ -566,10 +595,10 @@ object GraftTable {
         // range conjunction: every filter contributes an exact closed
         // bound or the whole delete is refused
         val bounds = filters.map {
-          case GreaterThanOrEqual(_, v) => numeric(v).map(d => (d, Double.PositiveInfinity))
-          case LessThanOrEqual(_, v)    => numeric(v).map(d => (Double.NegativeInfinity, d))
-          case GreaterThan(_, v)        => integral(v).map(l => ((l + 1).toDouble, Double.PositiveInfinity))
-          case LessThan(_, v)           => integral(v).map(l => (Double.NegativeInfinity, (l - 1).toDouble))
+          case GreaterThanOrEqual(_, v) => exactDouble(v).map(d => (d, Double.PositiveInfinity))
+          case LessThanOrEqual(_, v)    => exactDouble(v).map(d => (Double.NegativeInfinity, d))
+          case GreaterThan(_, v)        => integral(v).flatMap(strictLower).map(d => (d, Double.PositiveInfinity))
+          case LessThan(_, v)           => integral(v).flatMap(strictUpper).map(d => (Double.NegativeInfinity, d))
           case _                        => None
         }
         if (bounds.exists(_.isEmpty)) None

@@ -54,8 +54,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT * FROM graft.db.t VERSION AS OF 1").collect()
       .map(_.getLong(0)).toSet == Set(1L, 2L))
 
-    // TIMESTAMP AS OF: v1's commit time resolves to v1 (not v2)
-    val t1 = new java.sql.Timestamp(TxTable.commitTimeMs(root, 1L))
+    // TIMESTAMP AS OF: v1's commit time resolves to v1 (not v2).
+    // Render the instant in the SESSION timezone — Timestamp.toString
+    // uses the JVM default zone while Spark parses under
+    // spark.sql.session.timeZone, so the bare form shifts the probe
+    // by the zone offset on any non-UTC JVM (r19 reviewer)
+    val t1 = java.time.Instant.ofEpochMilli(TxTable.commitTimeMs(root, 1L))
+      .atZone(java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone")))
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
     assert(sql(s"SELECT * FROM graft.db.t TIMESTAMP AS OF '$t1'").collect()
       .map(_.getLong(0)).toSet == Set(1L, 2L))
     // a pre-creation timestamp fails loudly instead of reading latest
@@ -124,8 +130,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(TxTable.snapshot(root).statsCols == Seq("k"))
     sql("ALTER TABLE graft.alt SET TBLPROPERTIES('bloomColumns'='s')")
     assert(TxTable.snapshot(root).bloomCols == Seq("s"))
+    // ADD COLUMNS is supported (zero-copy evolve commit — its own
+    // test); destructive schema changes are NOT: dropping a column
+    // would corrupt old-dir reads, so it rides a write with evolve=true
     val ex = intercept[Exception] {
-      sql("ALTER TABLE graft.alt ADD COLUMN z INT")
+      sql("ALTER TABLE graft.alt DROP COLUMN s")
     }
     assert(ex.getMessage.contains("evolve"), ex.getMessage)
     // rename keeps the table (and its history) intact
@@ -242,6 +251,159 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(TxTable.latestVersion(s"$warehouse/mr") == v)
     assert(s2.sql("SELECT v FROM graft.mr").collect().map(_.getString(0)).toSeq == Seq("a"))
     s2.sql("DROP TABLE graft.mr")
+  }
+
+  test("ALTER TABLE ADD COLUMNS: zero-copy evolve commit; old rows read NULL; time travel keeps old schema") {
+    sql("CREATE TABLE graft.ev (k BIGINT, v STRING)")
+    sql("INSERT INTO graft.ev VALUES (1, 'a'), (2, 'b')")
+    val root = s"$warehouse/ev"
+    val dirsBefore = TxTable.snapshot(root).dirs.toSet
+
+    sql("ALTER TABLE graft.ev ADD COLUMNS (n BIGINT, tag STRING)")
+    // ONE metadata-only commit: same data dirs carried by reference
+    assert(TxTable.snapshot(root).action == "evolve")
+    assert(TxTable.snapshot(root).dirs.toSet == dirsBefore)
+    // pre-evolve rows read the appended columns as NULL
+    val rows = sql("SELECT k, v, n, tag FROM graft.ev ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.isNullAt(2),
+      r.isNullAt(3))).toSeq == Seq((1L, "a", true, true), (2L, "b", true, true)))
+    // new-shape inserts land; mixed generations read consistently
+    sql("INSERT INTO graft.ev VALUES (3, 'c', 30, 't')")
+    assert(sql("SELECT n FROM graft.ev WHERE k = 3").head.getLong(0) == 30L)
+    assert(sql("SELECT count(*) FROM graft.ev WHERE n IS NULL").head.getLong(0) == 2L)
+    // time travel: the pre-evolve version still reads under ITS schema
+    assert(sql("SELECT * FROM graft.ev VERSION AS OF 1").schema.fieldNames.toSeq ==
+      Seq("k", "v"))
+    assert(sql("SELECT * FROM graft.ev").schema.fieldNames.toSeq ==
+      Seq("k", "v", "n", "tag"))
+
+    // refused shapes: NOT NULL adds, duplicate names — loudly, no commit
+    val vNow = TxTable.latestVersion(root)
+    val nn = intercept[Exception] {
+      sql("ALTER TABLE graft.ev ADD COLUMNS (m BIGINT NOT NULL)")
+    }
+    assert(nn.getMessage.contains("nullable"), nn.getMessage)
+    val dup = intercept[Exception] {
+      sql("ALTER TABLE graft.ev ADD COLUMNS (v STRING)")
+    }
+    assert(dup.getMessage.toLowerCase.contains("exist"), dup.getMessage)
+    assert(TxTable.latestVersion(root) == vNow)
+    sql("DROP TABLE graft.ev")
+  }
+
+  test("CALL graft.system.history lists retained versions newest-first by name") {
+    sql("CREATE TABLE graft.h (k BIGINT, v STRING)")
+    sql("INSERT INTO graft.h VALUES (1, 'a')")
+    sql("INSERT INTO graft.h VALUES (2, 'b')")
+    sql("INSERT OVERWRITE graft.h VALUES (9, 'z')")
+    val got = sql("CALL graft.system.history('h')").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L, 0L), got.toSeq)
+    assert(got.map(_.getString(1)).toSeq == Seq("refresh", "append", "append", "create"))
+    // schema matches the path-based TxTable.history surface
+    assert(sql("CALL graft.system.history('h')").schema.fieldNames.toSeq ==
+      Seq("version", "action", "dirs", "dirs_added", "partitions", "committed_at"))
+    sql("DROP TABLE graft.h")
+  }
+
+  test("MERGE rejects a source with duplicate merge keys (SQL cardinality rule)") {
+    val s2 = mergeSession
+    s2.sql("CREATE TABLE graft.mdup (k BIGINT, v STRING)")
+    s2.sql("INSERT INTO graft.mdup VALUES (1, 'a')")
+    val v = TxTable.latestVersion(s"$warehouse/mdup")
+    // two source rows for k=1: the anti-join+union upsert would land
+    // BOTH, silently duplicating the keyed table — SQL (and Delta)
+    // require the cardinality violation to error instead
+    val ex = intercept[Exception] {
+      s2.sql("""MERGE INTO graft.mdup t
+               |USING (SELECT * FROM VALUES (1L, 'x'), (1L, 'y') AS s(k, v)) s
+               |ON t.k = s.k
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("duplicate rows for merge key")), ex.toString)
+    // nothing committed, table untouched
+    assert(TxTable.latestVersion(s"$warehouse/mdup") == v)
+    assert(s2.sql("SELECT * FROM graft.mdup").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(1L -> "a"))
+    // a deduplicated source (GROUP BY the key) then merges fine
+    s2.sql("""MERGE INTO graft.mdup t
+             |USING (SELECT k, max(v) AS v FROM VALUES (1L, 'x'), (1L, 'y') AS s(k, v)
+             |       GROUP BY k) s
+             |ON t.k = s.k
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(s2.sql("SELECT v FROM graft.mdup").collect()
+      .map(_.getString(0)).toSeq == Seq("y"))
+    s2.sql("DROP TABLE graft.mdup")
+  }
+
+  test("CREATE TABLE rejects unknown TBLPROPERTIES and NOT NULL loudly; nothing created") {
+    // a typo'd skipping declaration must NOT silently create an
+    // unskipped table (ALTER TABLE parity)
+    val typo = intercept[Exception] {
+      sql("CREATE TABLE graft.badprops (k BIGINT) TBLPROPERTIES('statColumns'='k')")
+    }
+    assert(typo.getMessage.contains("statsColumns") &&
+      typo.getMessage.contains("statColumns"), typo.getMessage)
+    assert(!TxTable.exists(s"$warehouse/badprops"))
+    // NOT NULL is neither recorded nor enforced by the format — refuse
+    // the declaration rather than silently drop the constraint
+    val nn = intercept[Exception] {
+      sql("CREATE TABLE graft.nn (k BIGINT NOT NULL, v STRING)")
+    }
+    assert(nn.getMessage.contains("NOT NULL"), nn.getMessage)
+    assert(!TxTable.exists(s"$warehouse/nn"))
+    // the understood declarations still create (both families at once)
+    sql("CREATE TABLE graft.okprops (k BIGINT, h STRING) " +
+      "TBLPROPERTIES('statsColumns'='k', 'bloomColumns'='h')")
+    assert(TxTable.snapshot(s"$warehouse/okprops", 0L).statsCols == Seq("k"))
+    assert(TxTable.snapshot(s"$warehouse/okprops", 0L).bloomCols == Seq("h"))
+    sql("DROP TABLE graft.okprops")
+  }
+
+  test("DML at the 2^53 boundary: inexact Double bounds refused, exact bounds classify in long space") {
+    val s2 = mergeSession
+    val big = 9007199254740992L // 2^53 — the last contiguous exact double
+    s2.sql("CREATE TABLE graft.big (k BIGINT, v STRING)")
+    s2.sql(s"INSERT INTO graft.big VALUES (1, 'a'), (2, 'b'), " +
+      s"(${big - 1}, 'lo'), ($big, 'mid'), (${big + 1}, 'hi')")
+    val root = s"$warehouse/big"
+    val v0 = TxTable.latestVersion(root)
+
+    // 2^53+1 has no exact double: a range bound there would silently
+    // shift onto the neighboring key — refused loudly, nothing committed
+    intercept[Exception] {
+      s2.sql(s"DELETE FROM graft.big WHERE k >= ${big + 1}")
+    }
+    intercept[Exception] {
+      s2.sql(s"UPDATE graft.big SET v = 'X' WHERE k >= ${big + 1}")
+    }
+    assert(TxTable.latestVersion(root) == v0)
+    assert(s2.sql("SELECT count(*) FROM graft.big").head.getLong(0) == 5L)
+
+    // an EXACT bound at 2^53 classifies rows in long space: k=2^53+1
+    // casts to double 2^53 and the old try_cast predicate wrongly
+    // matched it against `<= 2^53` — the typed predicate must not
+    s2.sql(s"UPDATE graft.big SET v = upper(v) WHERE k <= $big")
+    assert(s2.sql("SELECT k, v FROM graft.big ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(1L -> "A", 2L -> "B", (big - 1) -> "LO", big -> "MID",
+        (big + 1) -> "hi"))
+
+    // the point forms stay exact at any magnitude (long-space equality)
+    s2.sql(s"DELETE FROM graft.big WHERE k = ${big + 1}")
+    assert(s2.sql("SELECT count(*) FROM graft.big").head.getLong(0) == 4L)
+    assert(s2.sql(s"SELECT count(*) FROM graft.big WHERE k = $big")
+      .head.getLong(0) == 1L)
+
+    // exact range delete above 2^53-1 removes exactly {2^53}
+    s2.sql(s"DELETE FROM graft.big WHERE k >= $big")
+    assert(s2.sql("SELECT k FROM graft.big ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, big - 1))
+    s2.sql("DROP TABLE graft.big")
   }
 
   private def tmpTable(name: String): String =

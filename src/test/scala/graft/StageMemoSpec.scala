@@ -156,6 +156,35 @@ class StageMemoSpec extends AnyFunSuite {
     }
   }
 
+  test("durable mode: a crash between sidecar and commit self-heals (sidecar-first ordering)") {
+    import spark.implicits._
+    withStageRoot { root =>
+      StageMemo.clear()
+      // simulate a builder that died AFTER writing the sidecar but
+      // BEFORE the TxTable commit (the write order the r19 review
+      // fixed: sidecar first, so a COMMITTED stage always has its key
+      // on disk — the half-state left behind is sidecar-without-table)
+      var builds = 0
+      def build = { builds += 1; Seq(7L).toDF("id") }
+      StageMemo.materialize(spark, "crash-key", "cspec")(build)
+      val dir = new java.io.File(root).listFiles().filter(_.isDirectory).head
+      assert(new java.io.File(dir, "_stage_key").exists())
+      // reconstruct the half-state: keep the sidecar, drop the table
+      val keep = java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "_stage_key").toPath)
+      graft.etl.TxTable.deleteRecursively(dir)
+      dir.mkdirs()
+      java.nio.file.Files.write(new java.io.File(dir, "_stage_key").toPath, keep)
+      StageMemo.clear()
+      // next materialize must treat it as not-built: rebuild cleanly,
+      // no 'corrupted' failure
+      val rows = StageMemo.materialize(spark, "crash-key", "cspec")(build)
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(7L) && builds == 2,
+        s"half-committed stage must rebuild, got builds=$builds")
+    }
+  }
+
   test("vacuumStages sweeps only stage tables older than retention") {
     import spark.implicits._
     withStageRoot { root =>

@@ -469,6 +469,44 @@ class TxTableSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("schema mismatch"))
   }
 
+  test("evolveSchema: append-only metadata commit; drops/retypes/reorders refused; idempotent") {
+    import spark.implicits._
+    val root = tmp()
+    TxTable.refresh(spark, root, Seq(1L -> "a", 2L -> "b").toDF("k", "v"))
+    import org.apache.spark.sql.{types => t}
+    def st(fields: (String, org.apache.spark.sql.types.DataType)*) =
+      t.StructType(fields.map { case (n, dt) => t.StructField(n, dt) })
+    val evolved = st("k" -> t.LongType, "v" -> t.StringType, "n" -> t.LongType)
+    val ev = TxTable.evolveSchema(spark, root, evolved)
+    assert(TxTable.snapshot(root, ev).action == "evolve")
+    // metadata-only: dirs carried by reference, old rows read NULL
+    assert(TxTable.snapshot(root, ev).dirs == TxTable.snapshot(root, ev - 1).dirs)
+    val rows = TxTable.read(spark, root).collect()
+    assert(rows.length == 2 && rows.forall(_.isNullAt(2)))
+    // idempotent re-evolve: no new version
+    assert(TxTable.evolveSchema(spark, root, evolved) == ev)
+    assert(TxTable.latestVersion(root) == ev)
+    // anything but an append is refused loudly
+    intercept[IllegalArgumentException] { // drop
+      TxTable.evolveSchema(spark, root, st("k" -> t.LongType))
+    }
+    intercept[IllegalArgumentException] { // retype
+      TxTable.evolveSchema(spark, root,
+        st("k" -> t.LongType, "v" -> t.LongType, "n" -> t.LongType))
+    }
+    intercept[IllegalArgumentException] { // reorder
+      TxTable.evolveSchema(spark, root,
+        st("v" -> t.StringType, "k" -> t.LongType, "n" -> t.LongType))
+    }
+    assert(TxTable.latestVersion(root) == ev)
+    // post-evolve commits enforce the NEW contract both ways
+    intercept[IllegalArgumentException] {
+      TxTable.append(spark, root, Seq(3L -> "c").toDF("k", "v"))
+    }
+    TxTable.append(spark, root, Seq((3L, "c", 30L)).toDF("k", "v", "n"))
+    assert(TxTable.read(spark, root).count() == 3)
+  }
+
   test("layout contract: scoping descriptor recorded at creation, carried, validated on merges") {
     import spark.implicits._
     val root = tmp()
@@ -748,6 +786,32 @@ class TxTableSpec extends AnyFunSuite {
       TxTable.deleteKeys(spark, root, "v", Seq("v0-5", null))
     }
     assert(TxTable.read(spark, root).count() == nBefore)
+  }
+
+  test("deleteRange/updateRange classify BIGINT rows in long space at the 2^53 boundary") {
+    import spark.implicits._
+    val root = tmp()
+    val big = 9007199254740992L // 2^53: last long whose neighbors collapse onto it in double
+    TxTable.refresh(spark, root,
+      Seq(1L -> "a", (big - 1) -> "lo", big -> "mid", (big + 1) -> "hi")
+        .toDF("k", "v"))
+    // hi = 2^53 must NOT catch 2^53+1 (its double cast rounds DOWN to
+    // 2^53 — the old try_cast predicate wrongly matched it)
+    TxTable.updateRange(spark, root, "k", Double.NegativeInfinity, big.toDouble,
+      Seq("v" -> org.apache.spark.sql.functions.upper(
+        org.apache.spark.sql.functions.col("v"))))
+    assert(TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap ==
+      Map(1L -> "A", (big - 1) -> "LO", big -> "MID", (big + 1) -> "hi"))
+    // lo = 2^53 deletes {2^53, 2^53+1}: 2^53+1 compares in LONG space
+    TxTable.deleteRange(spark, root, "k", big.toDouble, Double.PositiveInfinity)
+    assert(TxTable.read(spark, root).collect().map(_.getLong(0)).toSet ==
+      Set(1L, big - 1))
+    // and DOUBLE columns still compare natively (fractional bounds live)
+    val droot = tmp()
+    TxTable.refresh(spark, droot, Seq(0.5 -> "x", 1.5 -> "y").toDF("d", "v"))
+    TxTable.deleteRange(spark, droot, "d", 0.0, 1.0)
+    assert(TxTable.read(spark, droot).collect().map(_.getString(1)).toSeq == Seq("y"))
   }
 
   test("cloneTable: zero-copy fork — stats and blooms carry, divergence isolates, source vacuum survives") {
