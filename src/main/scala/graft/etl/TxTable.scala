@@ -1974,12 +1974,19 @@ object TxTable {
       val base = snapshot(root, baseV)
       val target = baseV + 1
       val candidates = prune(base)
+      // read candidates under the TABLE schema (like updateImpl): a
+      // dir written before an evolve commit physically lacks the
+      // appended columns, and a raw read would fail to resolve a
+      // delete predicate on one — under the recorded schema those
+      // cells are NULL, which the keep-predicates correctly never
+      // match (r19: evolve interplay)
+      val readSchema = tableSchema(spark, root, baseV)
       val rewritten: Seq[(String, Option[(String, String)])] =
         base.entries.filter(e => candidates(e._1)).map { case (dir, part) =>
           // one scan per candidate: filter+write in a single pass, then
           // a parquet METADATA count decides fully-deleted (a separate
           // isEmpty probe would re-read the whole dir first)
-          val kept = spark.read.parquet(s"$root/$dir").filter(keep)
+          val kept = spark.read.schema(readSchema).parquet(s"$root/$dir").filter(keep)
           val rel = writeData(root, target, kept)
           if (spark.read.parquet(s"$root/$rel").count() == 0L) {
             dropData(root, rel)

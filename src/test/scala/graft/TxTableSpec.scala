@@ -505,6 +505,18 @@ class TxTableSpec extends AnyFunSuite {
     }
     TxTable.append(spark, root, Seq((3L, "c", 30L)).toDF("k", "v", "n"))
     assert(TxTable.read(spark, root).count() == 3)
+    // DML keyed on the EVOLVED column: pre-evolve dirs physically lack
+    // `n` — the delete must read them under the recorded schema (cells
+    // NULL, never matching) instead of failing to resolve the column
+    TxTable.deleteRange(spark, root, "n", 25, 35)
+    assert(TxTable.read(spark, root).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L), "only the post-evolve row with n=30 deletes; " +
+        "old NULL-n rows survive")
+    TxTable.updateKeys(spark, root, "k", Seq(1L),
+      Seq("n" -> org.apache.spark.sql.functions.lit(99L)))
+    val byK = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(byK == Map(1L -> 99L, 2L -> -1L))
   }
 
   test("layout contract: scoping descriptor recorded at creation, carried, validated on merges") {
