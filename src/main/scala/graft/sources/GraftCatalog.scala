@@ -59,7 +59,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (`dags/utils/seed_milvus.py:71`).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -99,7 +99,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = new java.io.File(nsPath(namespace))
     if (!dir.isDirectory) throw new NoSuchNamespaceException(namespace)
     Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(f => f.isDirectory && TxTable.exists(f.toString))
+      // "_"-prefixed names are reserved (identifier rule in pathOf):
+      // in-flight CTAS staging dirs live there and must not list
+      .filter(f => f.isDirectory && !f.getName.startsWith("_") &&
+        TxTable.exists(f.toString))
       .map(f => Identifier.of(namespace, f.getName))
       .sortBy(_.name())
       .toArray
@@ -134,26 +137,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftTable(path, TxTable.versionAtTimestamp(path, timestamp / 1000L))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table = {
+  /** Shared CREATE/CTAS validation: no PARTITIONED BY (manifest-level
+    * dir skipping plays the pruning role) and no unknown TBLPROPERTIES
+    * (an unknown property is far more likely a typo'd skipping
+    * declaration — 'statColumns' — than an intentional annotation, and
+    * accepting it silently creates an UNSKIPPED table whose every scan
+    * reads all dirs with no error anywhere; r19 reviewer). Spark's own
+    * managed keys pass — Spark injects them on every CREATE and the
+    * engine does not interpret them. Returns the declared
+    * (statsColumns, bloomColumns). */
+  private def validatedSkipping(partitions: Array[Transform],
+                                properties: java.util.Map[String, String]): (Seq[String], Seq[String]) = {
     if (partitions.nonEmpty) throw new UnsupportedOperationException(
       "graft tables do not take PARTITIONED BY transforms — declare " +
         "data-skipping columns via TBLPROPERTIES('statsColumns'= , " +
         "'bloomColumns'= ) instead (manifest-level dir skipping plays " +
         "the partition-pruning role)")
-    val path = pathOf(ident)
     def prop(key: String): Seq[String] =
       Seq(key, TableCatalog.OPTION_PREFIX + key)
         .flatMap(k => Option(properties.get(k)))
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).distinct
-    // loud-rejection rule (and ALTER TABLE parity): an unknown
-    // property is far more likely a typo'd skipping declaration
-    // ('statColumns') than an intentional annotation, and accepting it
-    // silently creates an UNSKIPPED table whose every scan reads all
-    // dirs with no error anywhere (r19 reviewer). Spark's own managed
-    // keys (provider/owner/location/...) pass — Spark injects them on
-    // every CREATE and the engine does not interpret them.
     val sparkManaged = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
       TableCatalog.PROP_LOCATION, TableCatalog.PROP_COMMENT,
       TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
@@ -167,6 +170,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"'bloomColumns'= ) only; rejected: ${unknownProps.sorted.mkString(", ")} " +
         "(misspelling a skipping declaration would otherwise silently " +
         "create an unskipped table)")
+    (prop("statsColumns"), prop("bloomColumns"))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val path = pathOf(ident)
+    val (statsCols, bloomCols) = validatedSkipping(partitions, properties)
     // NOT NULL is neither enforced at write time nor recorded by the
     // table format (commit fingerprints normalize nullability, because
     // a parquet round-trip always reads back nullable) — refuse the
@@ -182,9 +193,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // namespace dirs materialize on first use (CREATE NAMESPACE is
     // optional, the filesystem-catalog convention)
     new java.io.File(path).getParentFile.mkdirs()
-    if (!TxTable.create(path, schema, prop("statsColumns"), prop("bloomColumns")))
+    if (!TxTable.create(path, schema, statsCols, bloomCols))
       throw new TableAlreadyExistsException(ident)
     GraftTable(path, 0L)
+  }
+
+  // --- staged creates/replaces (`CREATE TABLE ... AS SELECT`,
+  // `[CREATE OR] REPLACE TABLE [... AS SELECT]`) — the atomic CTAS/RTAS
+  // surface. CREATE stages into a sibling `_staging-*` TxTable and
+  // RENAMES into place on commit (one filesystem rename = the atomic
+  // point; a racing creator loses loudly, rename-wins like every other
+  // graft commit). REPLACE is a full-replace `refresh(evolve=true)`
+  // commit on the EXISTING table — atomic by the manifest protocol and
+  // HISTORY-KEEPING: the pre-replace versions stay time-travelable
+  // (Delta's REPLACE behaves the same way), unlike the non-atomic
+  // drop+recreate Spark falls back to without a StagingTableCatalog,
+  // which loses the table entirely on a crash between the two steps.
+  //
+  // Nullability: staged schemas are normalized to nullable rather than
+  // rejected — they are QUERY-DERIVED (a CTAS of `count(*)` infers a
+  // non-nullable column the user never declared), unlike the explicit
+  // NOT NULL a human types into plain CREATE TABLE, which stays a loud
+  // rejection. The format records nullable-normalized schemas anyway.
+  //
+  // A crash between stageCreate and commit leaves only an orphaned
+  // `_staging-*` dir (reserved namespace, never listed, never read);
+  // delete it at leisure.
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stagedTable(ident, info, mustExist = Some(false))
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stagedTable(ident, info, mustExist = Some(true))
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stagedTable(ident, info, mustExist = None)
+
+  private def stagedTable(ident: Identifier, info: TableInfo,
+                          mustExist: Option[Boolean]): StagedTable = {
+    val path = pathOf(ident)
+    val (statsCols, bloomCols) = validatedSkipping(info.partitions(), info.properties())
+    val schema = StructType(info.schema().fields.map(_.copy(nullable = true)))
+    val bad = (statsCols ++ bloomCols).filterNot(schema.fieldNames.contains)
+    require(bad.isEmpty,
+      s"declared skipping columns not in the schema: ${bad.mkString(", ")}")
+    val exists = TxTable.exists(path)
+    mustExist match {
+      case Some(true) if !exists => throw new NoSuchTableException(ident)
+      case Some(false) if exists => throw new TableAlreadyExistsException(ident)
+      case _                     => ()
+    }
+    if (exists) new StagedGraftReplace(ident, path, schema, statsCols, bloomCols)
+    else new StagedGraftCreate(ident, path, schema, statsCols, bloomCols)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -437,4 +497,119 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       true
     }
   }
+}
+
+/** Common staged-write shape for the atomic CTAS/RTAS surface: a
+  * [[StagedTable]] whose write lands through the same `V1Write` →
+  * transactional-commit path as every other graft write. */
+private[sources] sealed abstract class StagedGraftTable(
+    ident: Identifier, tableSchema: StructType)
+    extends StagedTable with SupportsWrite {
+
+  protected def spark: SparkSession = SparkSession.active
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE)
+
+  /** Where this staged table's AS-SELECT rows land. */
+  protected def insertStaged(data: org.apache.spark.sql.DataFrame): Unit
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = insertStaged(data)
+            }
+        }
+    }
+}
+
+/** Staged CREATE (CTAS): the table builds as a sibling `_staging-*`
+  * TxTable (v0 create + v1 data append), and `commitStagedChanges`
+  * RENAMES it into place — one atomic filesystem rename, so a reader
+  * never sees a partial table and a crash leaves only an orphaned
+  * staging dir. A concurrent creator of the same name loses loudly at
+  * the rename (rename-wins, like every manifest commit). */
+private[sources] final class StagedGraftCreate(
+    ident: Identifier, path: String, tableSchema: StructType,
+    statsCols: Seq[String], bloomCols: Seq[String])
+    extends StagedGraftTable(ident, tableSchema) {
+
+  private val tmpPath: String = {
+    val f = new java.io.File(path)
+    new java.io.File(f.getParentFile,
+      s"_staging-${f.getName}-${java.util.UUID.randomUUID().toString.take(8)}").toString
+  }
+  locally {
+    new java.io.File(tmpPath).getParentFile.mkdirs()
+    require(TxTable.create(tmpPath, tableSchema, statsCols, bloomCols),
+      s"could not stage CTAS at $tmpPath")
+  }
+
+  override protected def insertStaged(data: org.apache.spark.sql.DataFrame): Unit =
+    TxTable.append(spark, tmpPath, data): Unit
+
+  override def commitStagedChanges(): Unit = {
+    import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption}
+    try
+      Files.move(Paths.get(tmpPath), Paths.get(path),
+        StandardCopyOption.ATOMIC_MOVE): Unit
+    catch {
+      case e @ (_: FileAlreadyExistsException |
+                _: java.nio.file.FileSystemException) =>
+        TxTable.deleteRecursively(new java.io.File(tmpPath))
+        if (TxTable.exists(path)) throw new TableAlreadyExistsException(ident)
+        else throw e
+    }
+    TxTable.clearResolutionCaches() // tmp-path snapshots must not linger
+  }
+
+  override def abortStagedChanges(): Unit = {
+    TxTable.deleteRecursively(new java.io.File(tmpPath))
+    TxTable.clearResolutionCaches()
+  }
+}
+
+/** Staged REPLACE (RTAS / `[CREATE OR] REPLACE TABLE`): a full-replace
+  * `refresh(evolve = true)` commit on the EXISTING table — atomic by
+  * the manifest protocol, with pre-replace versions kept
+  * time-travelable (Delta's REPLACE semantics). Declared skipping
+  * properties re-declare after the data commit (backfilling the fresh
+  * dirs); when the REPLACE declares none, the carried declarations
+  * stand — sound either way, since stats on a column the new schema
+  * dropped simply never match a predicate again. A failed AS-SELECT
+  * never reaches the manifest commit, so abort has nothing to undo
+  * (uncommitted data dirs are vacuum's to sweep). */
+private[sources] final class StagedGraftReplace(
+    ident: Identifier, path: String, tableSchema: StructType,
+    statsCols: Seq[String], bloomCols: Seq[String])
+    extends StagedGraftTable(ident, tableSchema) {
+
+  @volatile private var wrote = false
+
+  private def declare(): Unit = {
+    if (statsCols.nonEmpty) TxTable.setStatsColumns(spark, path, statsCols): Unit
+    if (bloomCols.nonEmpty) TxTable.setBloomColumns(spark, path, bloomCols): Unit
+  }
+
+  override protected def insertStaged(data: org.apache.spark.sql.DataFrame): Unit = {
+    TxTable.refresh(spark, path, data, evolve = true): Unit
+    declare()
+    wrote = true
+  }
+
+  override def commitStagedChanges(): Unit =
+    if (!wrote) { // REPLACE TABLE without AS SELECT: the empty table
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+      TxTable.refresh(spark, path, empty, evolve = true): Unit
+      declare()
+    }
+
+  override def abortStagedChanges(): Unit = ()
 }

@@ -233,7 +233,8 @@ class GraftTableSource extends TableProvider
 final case class GraftTable(root: String, versionAsOf: Long)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.GraftV1FallbackBridge {
 
   /** Resolved lazily but ONCE per table instance = once per `load()`:
     * the DataFrame is a consistent snapshot — concurrent commits after
@@ -250,7 +251,30 @@ final case class GraftTable(root: String, versionAsOf: Long)
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** Streaming-WRITE-by-name bridge: `df.writeStream.format("graft")
+    * .toTable("graft.ns.t")` dispatches on `V2TableWithV1Fallback` and
+    * lands in the existing transactional V1 sink ([[GraftTableSink]])
+    * with `path` taken from this CatalogTable's location — identical
+    * idempotent-commit semantics (appId/mergeKey options flow through
+    * the writer untouched). Streaming READS never consult this: the
+    * table declares MICRO_BATCH_READ, so `readStream.table` plans the
+    * native DSv2 [[GraftMicroBatchStream]]. The location URI is
+    * deliberately SCHEME-LESS (a bare path) because the whole engine
+    * addresses tables by plain filesystem path. */
+  override protected def graftV1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        new java.io.File(root).getName),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new java.net.URI(null, null, root, null))),
+      schema = schema(),
+      provider = Some("graft"))
+  }
 
   /** Surface the table's transactional state in `DESCRIBE EXTENDED` /
     * catalog listings: the pinned snapshot version, its action, and
@@ -270,7 +294,7 @@ final case class GraftTable(root: String, versionAsOf: Long)
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(SparkSession.active, root, snap, schema())
+    new GraftScanBuilder(SparkSession.active, root, snap, schema(), options)
 
   /** SQL `DELETE FROM` (round 19, riding the catalog's name
     * resolution): accepted when the WHERE clause maps onto one of the
@@ -338,10 +362,29 @@ final case class GraftTable(root: String, versionAsOf: Long)
   * are returned as residuals — Spark re-applies the originals, so the
   * connector can only skip work, never change a result. */
 final class GraftScanBuilder(spark: SparkSession, root: String,
-                             snap: TxTable.Snapshot, tableSchema: StructType)
+                             snap: TxTable.Snapshot, tableSchema: StructType,
+                             options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  // READ OPTIONS on a name-based scan cannot re-pin the snapshot (the
+  // catalog pinned it at loadTable) — silently serving LATEST to a
+  // reader that asked for `option("versionAsOf", 3)` would be a wrong
+  // result, so mismatches fail loudly with the SQL spelling that works.
+  // Path-based reads resolve the same option in getTable, so there the
+  // values always agree.
+  Option(options.get("versionAsOf")).map(_.trim.toLong).foreach { v =>
+    require(v == snap.version,
+      s"graft read option versionAsOf=$v does not match the loaded " +
+        s"table snapshot (version ${snap.version}) — for name-based " +
+        "time travel use SQL `VERSION AS OF`, or load by path: " +
+        "spark.read.format(\"graft\").option(\"versionAsOf\", ...)")
+  }
+  require(!options.containsKey("timestampAsOf"),
+    "graft does not take a timestampAsOf read option — use SQL " +
+      "`TIMESTAMP AS OF` on a catalog table name (silently ignoring " +
+      "the option would time-travel to the wrong snapshot)")
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
@@ -380,7 +423,7 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
 
   override def build(): Scan = aggScan.getOrElse(
-    new GraftScan(spark, root, snap, tableSchema, required, pushed))
+    new GraftScan(spark, root, snap, tableSchema, required, pushed, options))
 }
 
 /** The connector's Scan: manifest-level dir pruning + delegation to
@@ -400,7 +443,9 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
   * filtering only shrinks the dir list, never the schema. */
 final class GraftScan(spark: SparkSession, root: String,
                       snap: TxTable.Snapshot, tableSchema: StructType,
-                      required: StructType, pushed: Array[Filter])
+                      required: StructType, pushed: Array[Filter],
+                      options: CaseInsensitiveStringMap =
+                        CaseInsensitiveStringMap.empty())
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -448,6 +493,21 @@ final class GraftScan(spark: SparkSession, root: String,
 
   override def readSchema(): StructType = plannedSchema
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  /** The DSv2 streaming read: `spark.readStream.table("graft.ns.t")`
+    * and (by default) `readStream.format("graft").load(path)` both
+    * land here — reader options (`startingVersion`, `ignoreChanges`,
+    * `maxVersionsPerBatch`) flow through this scan's options, which
+    * the name-based path could never deliver to a V1 fallback source
+    * (Spark builds the fallback relation with EMPTY options).
+    * Semantics are [[GraftStreamCore]]'s, shared verbatim with the V1
+    * tail source; the micro-batch stream tails LATEST, not this scan's
+    * pinned snapshot — streams follow the log, snapshots pin reads. */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    import scala.jdk.CollectionConverters._
+    new GraftMicroBatchStream(spark, root, tableSchema,
+      options.asCaseSensitiveMap().asScala.toMap, checkpointLocation)
+  }
   override def planInputPartitions(): Array[InputPartition] =
     inner.toBatch.planInputPartitions()
   override def createReaderFactory(): PartitionReaderFactory =

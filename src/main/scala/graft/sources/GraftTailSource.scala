@@ -57,61 +57,15 @@ final case class GraftTailSource(sqlContext: SQLContext, root: String,
                                  metadataPath: String) extends Source {
 
   private val spark: SparkSession = sqlContext.sparkSession
-  private val ignoreChanges =
-    parameters.get("ignoreChanges").exists(_.trim.toBoolean)
-  /** Highest version NOT part of the stream (exclusive lower bound).
-    * `latest` is resolved ONCE per stream and persisted in the
-    * source's checkpoint metadata dir: re-deriving it on every source
-    * re-creation would silently anchor a RESTART at the new latest —
-    * a replayed first batch returns empty (committed data lost) and
-    * commits made while the stream was down are withheld until an
-    * unrelated later commit (r17 reviewer). The anchor goes through
-    * the CHECKPOINT's Hadoop FileSystem (not java.nio), so a non-local
-    * checkpoint (hdfs:/s3a:) persists it too; a persist failure is
-    * LOUD — falling back to re-deriving 'latest' would reintroduce the
-    * exact restart data-loss mode the anchor prevents (r17 advisor). */
-  private val startExclusive: Long =
-    parameters.get("startingVersion").map(_.trim) match {
-      case None           => -1L // full history
-      case Some("latest") =>
-        import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-        val mdir = new HPath(metadataPath)
-        val fs: FileSystem = mdir.getFileSystem(
-          spark.sessionState.newHadoopConf())
-        val anchor = new HPath(mdir, "graft-latest-anchor")
-        def readAnchor(): Long = {
-          val in = fs.open(anchor)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
-        }
-        if (fs.exists(anchor)) readAnchor()
-        else {
-          val v = TxTable.latestVersion(root)
-          try {
-            fs.mkdirs(mdir)
-            val tmp = new HPath(mdir, s".anchor-tmp-${java.util.UUID.randomUUID()}")
-            val out = fs.create(tmp, true)
-            try out.write(v.toString.getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-            if (!fs.rename(tmp, anchor)) fs.delete(tmp, false) // lost a race
-          } catch { case _: Exception => () } // adjudicated below, loudly
-          if (fs.exists(anchor)) readAnchor()
-          else throw new IllegalStateException(
-            s"graft stream on $root: could not persist the " +
-              s"startingVersion=latest anchor at $anchor — refusing to " +
-              "re-derive 'latest' (a restart would silently drop the " +
-              "commits made while the stream was down); fix the " +
-              "checkpoint filesystem or pass an explicit startingVersion")
-        }
-      case Some(n)        => n.toLong - 1L
-    }
+  private val ignoreChanges = GraftStreamCore.ignoreChanges(parameters)
+  /** Exclusive lower bound, `startingVersion=latest` anchored durably
+    * under the checkpoint — semantics and anchor location shared with
+    * the DSv2 path via [[GraftStreamCore.resolveStartExclusive]]. */
+  private val startExclusive: Long = GraftStreamCore.resolveStartExclusive(
+    spark, root, parameters, metadataPath)
 
   private val maxVersionsPerBatch: Option[Long] =
-    parameters.get("maxVersionsPerBatch").map(_.trim.toLong).map { m =>
-      require(m > 0, s"maxVersionsPerBatch must be positive, got $m"); m
-    }
+    GraftStreamCore.maxVersionsPerBatch(parameters)
 
   /** Highest version this source has offered or replayed — the
     * admission cap's base. Restart safety: MicroBatchExecution
@@ -158,35 +112,8 @@ final case class GraftTailSource(sqlContext: SQLContext, root: String,
     // silently break exactly-once — retention must trail the slowest
     // stream (r17 reviewer: startingVersion=N on a vacuumed table
     // previously failed even for the safe fresh-start case).
-    val bootstrap = start.isEmpty
-    def gone(v: Long): Nothing = throw new IllegalStateException(
-      s"graft stream on $root: version $v was vacuumed under a running " +
-        "stream — the diff against already-emitted data is lost; keep " +
-        "vacuum retention behind the slowest stream's offset")
-    val fresh = ((from + 1) to to).flatMap { v =>
-      if (!TxTable.versionExists(root, v)) {
-        if (bootstrap) Nil else gone(v)
-      } else {
-        val s = TxTable.snapshot(root, v)
-        val prev =
-          if (v == 0) Set.empty[String]
-          else if (TxTable.versionExists(root, v - 1))
-            TxTable.snapshot(root, v - 1).dirs.toSet
-          else if (bootstrap) Set.empty[String] // full-snapshot bootstrap
-          else gone(v - 1)
-        val added = s.dirs.filterNot(prev)
-        val dropped = prev -- s.dirs.toSet
-        if (dropped.nonEmpty && !ignoreChanges)
-          throw new IllegalStateException(
-            s"graft stream on $root: version $v ('${s.action}') drops " +
-              s"${dropped.size} dir(s) the stream may already have emitted " +
-              "rows from — rewritten/deleted rows cannot stream exactly-once; " +
-              "pass option(\"ignoreChanges\",\"true\") to re-emit the " +
-              "version's fresh dirs (dedupe downstream by key), or keep the " +
-              "table append-only")
-        added
-      }
-    }
+    val fresh = GraftStreamCore.freshDirs(root, from, to,
+      bootstrap = start.isEmpty, ignoreChanges = ignoreChanges)
     val batch =
       if (fresh.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
