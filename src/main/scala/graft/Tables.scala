@@ -15,9 +15,65 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Measurement-only hook ([[graft.queries.OptProbe]]): when set, every
+    * [[apply]] is wrapped in [[spreadBySize]] so a query can be A/B-timed
+    * with/without the spread in ONE JVM. Never set outside the probe. */
+  @volatile private[graft] var probeSpreadAll = false
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = raw(spark, sfDir, name)
+    if (probeSpreadAll) {
+      val (bytes, files) = pathStats(s"$sfDir/$name.parquet")
+      spreadBySize(spark, df, bytes, files)
+    } else df
+  }
+
+  private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir) else
       spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Recursive on-disk size + file count of a table path (single file or
+    * a parquet directory of parts). */
+  private[graft] def pathStats(path: String): (Long, Long) = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isFile) (f.length(), 1L)
+      else Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .map(walk).foldLeft((0L, 0L)) { case ((b, n), (b2, n2)) => (b + b2, n + n2) }
+    walk(new java.io.File(path))
+  }
+
+  /** SCALE-ADAPTIVE parallelism spread for compute-heavy map paths
+    * (guide §2: "make partitioning scale-adaptive — derive from input
+    * size — rather than a constant tuned for either local mode or the
+    * cluster"). Spark's scan parallelism is ceil((bytes + files ·
+    * openCost) / maxPartitionBytes) splits; a small table (one 600 KB
+    * parquet file at the sf0.1 gate — or a bounded audit slice at ANY
+    * scale) therefore runs its entire scan-side pipeline — per-token
+    * sha256, shingle generation, LSH plane dots, broadcast-join pair
+    * loops — in ONE task while the other cores idle. When the estimated
+    * split count is below the session's default parallelism, insert one
+    * round-robin repartition so the heavy map work that FOLLOWS uses
+    * every core; when the input is big enough to split naturally (any
+    * production table), the rule is a no-op and the plan is untouched.
+    * The exchange moves only the rows the caller kept (apply it after
+    * pushed filters / audit-slice cuts), and every consumer here is
+    * aggregation/join-shaped, so row order never reaches a result. */
+  private[graft] def spreadBySize(spark: SparkSession, df: DataFrame,
+                                  bytes: Long, files: Long): DataFrame = {
+    val conf = spark.sessionState.conf
+    val maxPB = conf.filesMaxPartitionBytes
+    val openCost = conf.filesOpenCostInBytes
+    val splits = ((bytes + files * openCost + maxPB - 1) / maxPB).max(1L)
+    val par = spark.sparkContext.defaultParallelism.toLong
+    if (splits < par) df.repartition(par.toInt) else df
+  }
+
+  /** [[apply]] + [[spreadBySize]] over the table's own on-disk size —
+    * the read for scan-side-compute-heavy queries. */
+  def spread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val (bytes, files) = pathStats(s"$sfDir/$name.parquet")
+    spreadBySize(spark, raw(spark, sfDir, name), bytes, files)
+  }
 
   /** events.parquet's physical `ts` type has drifted across testdata
     * generations, so dispatch on the decoded Spark type and normalise every

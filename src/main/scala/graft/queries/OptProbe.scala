@@ -1,0 +1,326 @@
+package graft.queries
+
+import graft.{Tables, TempCaches}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-19 optimization A/B harness: candidate rewrites of SparkEntry
+  * queries, timed ALTERNATING against the shipped form in ONE JVM (the
+  * box swings ~1.3-2.3× between sessions — SCALE.md; alternation is the
+  * only honest comparison). Winners move into the query maps; this file
+  * keeps the measurement record reproducible.
+  *
+  * Usage: tools/run.sh graft.queries.OptProbe <sfDir> <reps> <n1,n2,...>
+  * Names resolve in [[variants]] first, then SparkEntry.queries.
+  */
+object OptProbe {
+
+  private def toks = Idioms.toksExpr
+
+  val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q25 with the audit slice spread over every core: the BNLJ pair
+    // loop (2M codegen'd dots) runs in as many tasks as the SCAN had
+    // splits — one, at a 780 KB input.
+    "q25_spread" -> ((s, dir) => {
+      val e = Tables.spread(s, dir, "embeddings")
+        .filter(col("vec_id") < VectorOps.Q25Cap)
+        .withColumn("nrm", sqrt(expr(graft.functions.VectorFunctions.sumsqExpr("embedding"))))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cosine",
+          graft.plans.GraftExpressions.dotNative(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cosine") > 0.45)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }),
+
+    // q92 with ONE corpus tokenize/explode pass: directed pair counts
+    // aggregate first (map-side combine), the union/flip symmetrization
+    // runs over the VOCABULARY-sized count table instead of the corpus
+    // pair stream (the shipped form evaluates the corpus explode 4× —
+    // twice under the union, twice more for the uncached rank seed).
+    "q92_agg1" -> ((s, dir) => {
+      val pc = graft.TempCaches.tracked(
+        Tables.spread(s, dir, "documents")
+          .select(expr(toks).as("tk"))
+          .filter(expr("size(tk) >= 2"))
+          .select(explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS a, tk[i] AS b))")).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .filter(col("a") =!= col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c")))
+      val und = pc.union(pc.select(col("b").as("a"), col("a").as("b"), col("c")))
+      val edges = und.groupBy(col("a"), col("b")).agg(sum(col("c")).as("w"))
+      val wdeg = edges.groupBy(col("a")).agg(sum(col("w")).as("wdeg"))
+      val e = edges.join(wdeg, "a")
+        .select(col("a"), col("b"), col("w"), col("wdeg"))
+        .transform(graft.TempCaches.tracked(_))
+      var ranks = wdeg.select(col("a").as("word"), lit(1000000000L).as("score"))
+      for (_ <- 1 to 3) {
+        ranks = e.join(ranks, e("a") === ranks("word"))
+          .select(col("b"), expr("score * w div wdeg").as("c"))
+          .groupBy(col("b"))
+          .agg((lit(150000000L) + expr("85 * sum(c) div 100")).as("score"))
+          .select(col("b").as("word"), col("score"))
+      }
+      ranks
+    }),
+
+    // q46 with df derived FROM tf (df(word) = rows per word in tf — the
+    // same countDistinct, without re-tokenizing the corpus) and the one
+    // corpus pass spread + tracked.
+    "q46_tf1" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = graft.TempCaches.tracked(
+        Tables.spread(s, dir, "documents")
+          .select(col("doc_id"), explode(expr(toks)).as("word"))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")))
+      val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val nDocs = Tables(s, dir, "documents").select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("word").asc)
+      tf.join(df, "word").crossJoin(nDocs)
+        .withColumn("score", expr("CAST(tf AS DOUBLE) * n_docs / df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"), col("score"),
+          col("rk").cast("long").as("rk"))
+    }),
+
+    // q72 with the (doc, bucket) counts aggregated ONCE: t_b/s_b are
+    // sums over the same table (the shipped form tokenizes the corpus 3×).
+    "q72_cb1" -> ((s, dir) => {
+      val cb = graft.TempCaches.tracked(
+        Tables.spread(s, dir, "documents")
+          .select(col("doc_id"), explode(expr(toks)).as("w"))
+          .withColumn("b", pmod(expr(Idioms.hash60Expr("w")), lit(1024L)))
+          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c_b")))
+      val tb = cb.filter(col("doc_id") % 20 === 0)
+        .groupBy(col("b")).agg(sum(col("c_b")).as("t_b"))
+      val sb = cb.filter(col("doc_id") % 20 =!= 0)
+        .groupBy(col("b")).agg(sum(col("c_b")).as("s_b"))
+      val totals = tb.agg(sum(col("t_b"))).crossJoin(sb.agg(sum(col("s_b"))))
+        .toDF("t_tot", "s_tot")
+      val weights = tb.join(sb, Seq("b"), "full_outer").crossJoin(totals)
+        .select(col("b"),
+          (coalesce(col("t_b"), lit(0L)) * col("s_tot")
+            - coalesce(col("s_b"), lit(0L)) * col("t_tot")).as("w_b"))
+      cb.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(weights), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c_b") * col("w_b")).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(100)
+    }),
+
+    // q85 with gram counts aggregated ONCE (cells = position-sums over
+    // the count table — identical by linearity of the CMS), spread.
+    "q85_v1" -> ((s, dir) => {
+      val gramCounts = graft.TempCaches.tracked(
+        Tables.spread(s, dir, "documents")
+          .withColumn("toks", expr(toks))
+          .withColumn("n", expr("size(toks) - 1"))
+          .filter(col("n") > 0)
+          .select(explode(expr("sequence(1, n)")).as("i"), col("toks"))
+          .select(expr(Idioms.gramAtExpr("toks", "i", 2)).as("gram"))
+          .select(col("gram"), expr(Idioms.hash60Expr("gram")).as("h"))
+          .groupBy(col("gram"), col("h")).agg(count(lit(1)).as("cnt")))
+      val probe = array((0 until TrainingOps.CmsD).map(j =>
+        struct(lit(j).as("j"), expr(TrainingOps.cmsPosExpr(j)).as("pos"))): _*)
+      val cells = gramCounts.select(col("cnt"), explode(probe).as("c"))
+        .groupBy(col("c.j").as("j"), col("c.pos").as("pos"))
+        .agg(sum(col("cnt")).as("cell_cnt"))
+      val exact = gramCounts
+        .orderBy(col("cnt").desc, col("gram").asc)
+        .limit(TrainingOps.CmsTopK)
+        .select(col("gram"), col("h"), col("cnt").as("exact_cnt"))
+      exact.select(col("gram"), col("exact_cnt"), explode(probe).as("c"))
+        .join(broadcast(cells),
+          col("c.j") === cells("j") && col("c.pos") === cells("pos"))
+        .groupBy(col("gram"), col("exact_cnt"))
+        .agg(min(col("cell_cnt")).as("cms_est"))
+        .select(col("gram"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") - col("exact_cnt")).as("overcount"))
+    }),
+
+    // q67 with the session spine + reaches materialized once
+    // (localCheckpoint) instead of 6 recomputations of the 3-window
+    // sessionize.
+    "q67_ckpt" -> ((s, dir) =>
+      graft.operators.Funnel.kStepFunnel(
+        Tables(s, dir, "events"), Seq("view", "click", "purchase"),
+        persistIntermediates = Some(true))),
+
+    // spread-only variants of the scan-side-compute-heavy family
+    "q52_spread" -> ((s, dir) => {
+      def grams(df: DataFrame): DataFrame = df
+        .withColumn("toks", expr(toks))
+        .filter(expr("size(toks) >= 13"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(1, size(toks) - 12)")).as("i"))
+        .select(col("doc_id"), expr(Idioms.hash60Expr(Idioms.gramAtExpr("toks", "i", 13))).as("h"))
+      val docs = Tables.spread(s, dir, "documents")
+      val bench = grams(docs.filter(col("doc_id") % 20 === 0)).distinct()
+        .select(col("doc_id").as("bench_id"), col("h"))
+      val train = grams(docs.filter(col("doc_id") % 20 =!= 0))
+      train.join(broadcast(bench), Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_shared_13grams"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+    }),
+
+    "q42_spread" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hs = Tables.spread(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .filter(expr("size(toks) >= 7"))
+        .select(col("doc_id"), expr("size(toks)").as("ntok"), col("toks"))
+        .select(col("doc_id"), col("ntok"),
+          explode(expr("sequence(1, size(toks) - 3)")).as("i"), col("toks"))
+        .select(col("doc_id"), col("ntok"), col("i"),
+          expr(s"CAST(conv(substr(sha2(${Idioms.gramAtExpr("toks", "i", 4)}, 256)," +
+            " 1, 15), 16, 10) AS BIGINT) % 2147483647").as("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(0, 3)
+      hs.withColumn("fp", min(col("h")).over(w))
+        .filter(col("i") <= col("ntok") - 6)
+        .select(col("doc_id"), col("fp")).distinct()
+    }),
+
+    "q50_spread" -> ((s, dir) => {
+      val sig = TextOps.simhashSig(Tables.spread(s, dir, "documents"),
+        bits = 32, hashExpr = Idioms.hash60Expr("s"))
+      sig.select(explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"shiftright(simhash, ${8 * b}) & 255").as("bucket"),
+            col("doc_id"), col("simhash"))): _*)).as("bb"))
+        .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+          col("bb.doc_id").as("doc_id"), col("bb.simhash").as("simhash"))
+        .groupBy(col("band"), col("bucket"))
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
+        .filter(size(col("ids")).between(2, TextOps.SimhashBucketCap))
+        .select(explode(expr(
+          """flatten(transform(ids, (a, i) ->
+            |  transform(slice(ids, i + 2, size(ids)), b -> struct(
+            |    least(a.doc_id, b.doc_id) AS doc_a,
+            |    greatest(a.doc_id, b.doc_id) AS doc_b,
+            |    CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming))))""".stripMargin))
+          .as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+    }),
+
+    "q22_spread" -> ((s, dir) => {
+      TextOps.lshCandidatePairs(TextOps.minhashSig(
+        Tables.spread(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.plans.GraftExpressions.distinctShingles(col("text"), 3)).as("s"))),
+        bands = 4)
+    }),
+
+    "q48_spread" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents")
+        .withColumn("arr", graft.plans.GraftExpressions.distinctShingles(col("text"), 3))
+      val cand = TextOps.lshCandidatePairs(
+        TextOps.minhashSig(docs.select(col("doc_id"), explode(col("arr")).as("s"))),
+        bands = 8)
+      val sh = docs.select(col("doc_id"), col("arr"))
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")), "doc_b")
+        .withColumn("shared", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+        .withColumn("jaccard",
+          expr("CAST(shared AS DOUBLE) / (size(arr_a) + size(arr_b) - shared)"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+    }),
+
+    "q40_spread" -> ((s, dir) => {
+      val e0 = Tables(s, dir, "embeddings")
+      val n = e0.count()
+      val e = Tables.spread(s, dir, "embeddings")
+      VectorOps.lshNearDupPairs(e, VectorOps.LshTables, VectorOps.autoBits(n), 0.45,
+        prefilter = n >= VectorOps.SqPrefilterMinRows)
+    }),
+
+    "q09_spread" -> ((s, dir) => {
+      Tables.spread(s, dir, "orders").select(col("o_orderkey").as("orderkey"))
+        .except(Tables.spread(s, dir, "lineitem").select(col("l_orderkey").as("orderkey")))
+    }),
+
+    "q99_spread" -> ((s, dir) => {
+      val counts = graft.TempCaches.tracked(Tables.spread(s, dir, "documents")
+        .select(expr(toks).as("toks"))
+        .filter(expr("size(toks) >= 2"))
+        .select(explode(expr(
+          "concat(" +
+            "transform(toks, w -> struct('u' AS kind, w AS a, CAST(NULL AS STRING) AS b)), " +
+            "transform(sequence(1, size(toks) - 1), i -> " +
+            "  struct('p' AS kind, element_at(toks, i) AS a, element_at(toks, i + 1) AS b)))")).as("x"))
+        .select(col("x.kind").as("kind"), col("x.a").as("a"), col("x.b").as("b"))
+        .groupBy(col("kind"), col("a"), col("b")).agg(count(lit(1)).as("c")))
+      val ntDf = counts.filter(col("kind") === "p").agg(sum(col("c")).as("nt"))
+      val pc = counts.filter(col("kind") === "p" && col("c") >= 5)
+        .select(col("a"), col("b"), col("c").as("cab"))
+      val uni = counts.filter(col("kind") === "u")
+        .select(col("a").as("w"), col("c").as("cw"))
+      pc
+        .join(uni.select(col("w").as("a"), col("cw").as("ca")), Seq("a"))
+        .join(uni.select(col("w").as("b"), col("cw").as("cb")), Seq("b"))
+        .crossJoin(broadcast(ntDf))
+        .withColumn("x", expr(
+          "(CAST(cab AS DECIMAL(38,0)) * nt * 1024) div (CAST(ca AS DECIMAL(38,0)) * cb)"))
+        .filter(col("x") > 1024)
+        .withColumn("pmi_mbits", expr(s"${Idioms.pl2Expr("x")} - 10240"))
+        .orderBy(col("pmi_mbits").desc, col("a").asc, col("b").asc).limit(100)
+        .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"), col("pmi_mbits"))
+    })
+  )
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val reps = args(1).toInt
+    val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)
+    val all = variants ++ graft.SparkEntry.queries
+    // "<name>+S" = run <name> with the global Tables spread toggled on
+    def resolve(n: String): (SparkSession, String) => DataFrame =
+      if (n.endsWith("+S")) {
+        val fn = all(n.stripSuffix("+S"))
+        (s, d) => {
+          Tables.probeSpreadAll = true
+          try fn(s, d) finally Tables.probeSpreadAll = false
+        }
+      } else all(n)
+    names.foreach(n => require(all.contains(n.stripSuffix("+S")), s"unknown: $n"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // one untimed warmup of every named query (JIT + codegen + memo builds)
+    names.foreach { n =>
+      try resolve(n)(spark, dir).count() catch { case e: Throwable =>
+        System.err.println(s"[warmup] $n FAILED: $e") }
+      TempCaches.releaseAll(); spark.catalog.clearCache()
+    }
+    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector())
+    for (_ <- 1 to reps; n <- names) {
+      val t0 = System.nanoTime()
+      resolve(n)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      TempCaches.releaseAll(); spark.catalog.clearCache()
+      times(n) = times(n) :+ dt
+    }
+    names.foreach { n =>
+      val ts = times(n).sorted
+      println(f"$n%-28s median=${ts(ts.length / 2)}%7.3f  reps=${times(n).map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

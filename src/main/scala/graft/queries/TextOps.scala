@@ -112,7 +112,13 @@ object TextOps {
   }
 
   private def q48NearDup(s: SparkSession, dir: String): DataFrame = {
-      val docs = Tables(s, dir, "documents")
+      // Round-19 optimization: spread read — the three shingle passes
+      // (candidate signatures + both attach re-shingles) are all
+      // scan-side map work, and the identical repartition subtrees
+      // collapse to ONE ReusedExchange, so the re-shingles now read a
+      // 32-way shuffle instead of re-running the one-task scan
+      // (measured 1.90 → 1.57 s at sf0.1 alternating in one JVM).
+      val docs = Tables.spread(s, dir, "documents")
         .withColumn("arr", graft.plans.GraftExpressions.distinctShingles(col("text"), 3))
       val cand = lshCandidatePairs(
         minhashSig(docs.select(col("doc_id"), explode(col("arr")).as("s"))),
@@ -322,9 +328,11 @@ object TextOps {
     // banding is the high-precision/recall-for-J≳0.8 point of the
     // 16-perm budget; q48 rebands the same signatures 8×2 when recall
     // down to J=0.5 matters.
+    // (Round-19 optimization: spread read — per-shingle sha256 is
+    // scan-side; 1.33 → 1.15 s at sf0.1 alternating in one JVM.)
     "q22_minhash_lsh" -> ((s, dir) => {
       lshCandidatePairs(minhashSig(
-        Tables(s, dir, "documents")
+        Tables.spread(s, dir, "documents")
           .select(col("doc_id"),
             explode(graft.plans.GraftExpressions.distinctShingles(col("text"), 3)).as("s"))),
         bands = 4)
@@ -417,8 +425,11 @@ object TextOps {
     // more than minhash buckets (similar vocab ⇒ same sign pattern), and
     // C(cap,2) structs materialize per bucket row. Production widens to
     // 64-bit signatures + 4×16 banding — same guarantee, sparser buckets.
+    // (Round-19 optimization: spread read — the per-token sha256 + 32
+    // conditional vote sums are scan-side; measured 1.91 → 1.26 s at
+    // sf0.1 alternating in one JVM.)
     "q50_simhash_neardup" -> ((s, dir) => {
-      val sig = simhashSig(Tables(s, dir, "documents"), bits = 32, hashExpr = hm60Expr)
+      val sig = simhashSig(Tables.spread(s, dir, "documents"), bits = 32, hashExpr = hm60Expr)
       sig.select(explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             expr(s"shiftright(simhash, ${8 * b}) & 255").as("bucket"),
@@ -544,9 +555,13 @@ object TextOps {
     // because the transform(...sha2(slice)...) lambda form this
     // replaced evaluates interpreted per element (the q80 round-12
     // finding; nested lambdas made q42 the worst of the family).
+    // Round-19 optimization: read through Tables.spread — the
+    // sha256-per-4-gram projection below is scan-side map work that ran
+    // in one task at the gate's single-file input (measured 1.56 →
+    // 0.84 s at sf0.1, alternating in one JVM; no-op at natural splits).
     "q42_winnow_fingerprint" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val hs = Tables(s, dir, "documents")
+      val hs = Tables.spread(s, dir, "documents")
         .withColumn("toks", expr(toksExpr))
         .filter(expr("size(toks) >= 7")) // >= 4 grams -> >= 1 window
         .select(col("doc_id"), expr("size(toks)").as("ntok"), col("toks"))
@@ -639,8 +654,10 @@ object TextOps {
     // The join side is the ≥5-count pair table (small) against unigram
     // counts on word keys — vocabulary-sized, AQE picks the strategy;
     // top-100 is a TakeOrdered, never a global sort.
+    // (Round-19 optimization: spread read — the unigram+pair explode is
+    // scan-side; 1.64 → 1.14 s at sf0.1 alternating in one JVM.)
     "q99_pmi_collocations" -> ((s, dir) => {
-      val counts = graft.TempCaches.tracked(Tables(s, dir, "documents")
+      val counts = graft.TempCaches.tracked(Tables.spread(s, dir, "documents")
         .select(expr(toksExpr).as("toks"))
         .filter(expr("size(toks) >= 2"))
         .select(explode(expr(

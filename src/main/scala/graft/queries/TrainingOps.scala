@@ -295,10 +295,15 @@ object TrainingOps {
     // the join dedups anyway, and a pre-join distinct would shuffle
     // EVERY train n-gram, while the broadcast join passes only the
     // contaminated handful to the distinct-aggregate.
+    // Round-19 optimization: documents read through Tables.spread — the
+    // per-13-gram sha256 below is the query's real cost and it runs on
+    // the SCAN side, which splits into one task at the gate file sizes
+    // (guide §2.5 input parallelism; measured 2.75 → 1.21 s at sf0.1
+    // alternating in one JVM; no-op once the input splits naturally).
     "q52_decontaminate" -> ((s, dir) => {
       def grams(df: DataFrame): DataFrame =
         docGrams(df).select(col("doc_id"), hash60("g").as("h"))
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.spread(s, dir, "documents")
       val bench = grams(docs.filter(col("doc_id") % 20 === 0)).distinct()
         .select(col("doc_id").as("bench_id"), col("h"))
       val train = grams(docs.filter(col("doc_id") % 20 =!= 0))
@@ -775,8 +780,11 @@ object TrainingOps {
     // exact always (overcount ≥ 0 is part of the output), with
     // collisions from the full gram population folded in. min over the
     // d row estimates per gram is the CMS read.
+    // (Round-19 optimization: spread read — the 2-gram explode +
+    // sha256-per-gram runs twice on the scan side; 1.33 → 1.04 s at
+    // sf0.1 alternating in one JVM.)
     "q85_cms_heavy" -> ((s, dir) => {
-      val grams = Tables(s, dir, "documents")
+      val grams = Tables.spread(s, dir, "documents")
         .withColumn("toks", expr(toksExpr))
         .withColumn("n", expr("size(toks) - 1"))
         .filter(col("n") > 0)

@@ -422,8 +422,14 @@ object VectorOps {
     // per-pair form: sqrt(sumsq) is the same sequential accumulation
     // wherever it runs, and the final dot/(na*nb) is the oracle's exact
     // expression tree.
+    // Round-19 optimization: the audit slice is read through
+    // Tables.spread — a ≤Q25Cap-row slice scans as ONE task at any
+    // corpus scale (one 780 KB file at sf0.1), so the 2M-pair BNLJ dot
+    // loop below ran on one core while 31 idled; the size-derived
+    // round-robin spread unlocks them (measured 1.12 → 0.42 s at
+    // sf0.1; no-op whenever the scan splits naturally).
     "q25_embedding_neardup" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
+      val e = Tables.spread(s, dir, "embeddings")
         .filter(col("vec_id") < Q25Cap)
         .withColumn("nrm", sqrt(expr(graft.functions.VectorFunctions.sumsqExpr("embedding"))))
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
