@@ -30,7 +30,33 @@ object Tables {
 
   private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir) else
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      readStamped(spark, s"$sfDir/$name.parquet")
+
+  /** Round-19 optimization: per-JVM schema memo, keyed by the table
+    * path + a name:size:mtime fingerprint of its physical files (the
+    * stampedKey staleness contract — a rewrite re-infers). A bare
+    * `spark.read.parquet(path)` runs a footer schema-inference job on
+    * the driver EVERY time; at ~175 table reads per bench pass that was
+    * ~60 ms × reads ≈ 20% of the whole sf0.1 suite (measured
+    * read_plain 0.16 s vs read_schema 0.10 s on a 3 KB table — the
+    * cost is the inference job, not the data). This is exactly the
+    * metadata a catalog/metastore serves at deployment; caching it
+    * per-JVM is the path-based equivalent. Results are unchanged: the
+    * cached schema IS the one inference produced on the same files. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def readStamped(spark: SparkSession, path: String): DataFrame = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.sortBy(_.getName).toSeq).getOrElse(Nil).flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(path))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val sch = schemaCache.getOrElseUpdate(s"$path@${sig.hashCode}",
+      spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   /** Recursive on-disk size + file count of a table path (single file or
     * a parquet directory of parts). */
@@ -96,7 +122,7 @@ object Tables {
     * instead of letting 4 queries + 8 specs break downstream. */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    val df = readStamped(spark, s"$sfDir/events.parquet")
     import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
       case LongType =>

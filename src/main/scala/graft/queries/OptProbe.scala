@@ -17,6 +17,9 @@ object OptProbe {
 
   private def toks = Idioms.toksExpr
 
+  private[graft] val schemaCache =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]()
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q25 with the audit slice spread over every core: the BNLJ pair
     // loop (2M codegen'd dots) runs in as many tasks as the SCAN had
@@ -242,6 +245,168 @@ object OptProbe {
       val e = Tables.spread(s, dir, "embeddings")
       VectorOps.lshNearDupPairs(e, VectorOps.LshTables, VectorOps.autoBits(n), 0.45,
         prefilter = n >= VectorOps.SqPrefilterMinRows)
+    }),
+
+    // read-overhead floor probes: a trivial count on a small table with
+    // and without footer schema inference
+    "read_plain" -> ((s, dir) =>
+      s.read.parquet(s"$dir/region.parquet").groupBy().count()),
+    "read_schema" -> ((s, dir) => {
+      val sch = OptProbe.schemaCache.getOrElseUpdate(s"$dir/region",
+        s.read.parquet(s"$dir/region.parquet").schema)
+      s.read.schema(sch).parquet(s"$dir/region.parquet").groupBy().count()
+    }),
+    "read_docs_plain" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet").groupBy().count()),
+    "read_docs_schema" -> ((s, dir) => {
+      val sch = OptProbe.schemaCache.getOrElseUpdate(s"$dir/documents",
+        s.read.parquet(s"$dir/documents.parquet").schema)
+      s.read.schema(sch).parquet(s"$dir/documents.parquet").groupBy().count()
+    }),
+
+    // q92 minimal fix: the rank seed re-derived wdeg from the CORPUS
+    // lineage (2 extra tokenize passes); read the seed vocabulary off
+    // the tracked e instead.
+    "q92_seed" -> ((s, dir) => {
+      val toksE = Idioms.toksExpr
+      val toksDf = Tables(s, dir, "documents")
+        .select(expr(toksE).as("tk"))
+        .filter(expr("size(tk) >= 2"))
+      val pairs = toksDf
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS a, tk[i] AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      val edges = und.groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      val wdeg = edges.groupBy(col("a")).agg(sum(col("w")).as("wdeg"))
+      val e = edges.join(wdeg, "a")
+        .select(col("a"), col("b"), col("w"), col("wdeg"))
+        .transform(graft.TempCaches.tracked(_))
+      var ranks = e.select(col("a").as("word")).distinct()
+        .withColumn("score", lit(1000000000L))
+      for (_ <- 1 to 3) {
+        ranks = e.join(ranks, e("a") === ranks("word"))
+          .select(col("b"), expr("score * w div wdeg").as("c"))
+          .groupBy(col("b"))
+          .agg((lit(150000000L) + expr("85 * sum(c) div 100")).as("score"))
+          .select(col("b").as("word"), col("score"))
+      }
+      ranks
+    }),
+    "q92_seed_spread" -> ((s, dir) => {
+      val toksE = Idioms.toksExpr
+      val toksDf = Tables.spread(s, dir, "documents")
+        .select(expr(toksE).as("tk"))
+        .filter(expr("size(tk) >= 2"))
+      val pairs = toksDf
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS a, tk[i] AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      val edges = und.groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      val wdeg = edges.groupBy(col("a")).agg(sum(col("w")).as("wdeg"))
+      val e = edges.join(wdeg, "a")
+        .select(col("a"), col("b"), col("w"), col("wdeg"))
+        .transform(graft.TempCaches.tracked(_))
+      var ranks = e.select(col("a").as("word")).distinct()
+        .withColumn("score", lit(1000000000L))
+      for (_ <- 1 to 3) {
+        ranks = e.join(ranks, e("a") === ranks("word"))
+          .select(col("b"), expr("score * w div wdeg").as("c"))
+          .groupBy(col("b"))
+          .agg((lit(150000000L) + expr("85 * sum(c) div 100")).as("score"))
+          .select(col("b").as("word"), col("score"))
+      }
+      ranks
+    }),
+
+    // q73 with the bench gram pass computed once (tracked) — the shipped
+    // form re-derives it for the count, the bit array and the confirm
+    // join — plus spread for the train-side sha pass.
+    "q73_v1" -> ((s, dir) => {
+      def grams13(df: DataFrame): DataFrame = df
+        .withColumn("toks", expr(Idioms.toksExpr))
+        .filter(expr("size(toks) >= 13"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(1, size(toks) - 12)")).as("i"))
+        .select(col("doc_id"),
+          expr(Idioms.hash60Expr(Idioms.gramAtExpr("toks", "i", 13))).as("h"))
+      val docs = Tables.spread(s, dir, "documents")
+      val bench = graft.TempCaches.tracked(
+        grams13(docs.filter(col("doc_id") % 20 === 0)).select(col("h")).distinct())
+      val m = TrainingOps.BloomBitsPerElem * bench.count()
+      val bits = TrainingOps.bloomBitArray(bench, m)
+      val bcast = s.sparkContext.broadcast(bits)
+      val (mm, kk) = (m, TrainingOps.BloomK)
+      val bloomHit = udf { h: Long =>
+        val arr = bcast.value
+        var j = 0
+        var ok = true
+        while (j < kk && ok) {
+          val p = (h % mm + j * ((h / mm) % mm)) % mm
+          ok = ((arr((p / 64).toInt) >>> (p % 64).toInt) & 1L) == 1L
+          j += 1
+        }
+        ok
+      }
+      val train = grams13(docs.filter(col("doc_id") % 20 =!= 0))
+      train.filter(bloomHit(col("h")))
+        .join(broadcast(bench.withColumn("inb", lit(1))), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_candidate_13grams"),
+          countDistinct(when(col("inb") === 1, col("h"))).as("n_confirmed_13grams"))
+    }),
+
+    // q100/q94 with the symbolization chain cached (s1/s2 were
+    // recomputed 2-3x — each an interpreted aggregate-HOF pass) and the
+    // vocab stage read spread off its one-task single small file.
+    "q100_v1" -> ((s, dir) => {
+      val s0 = TrainingOps.bpeVocab(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+      val m1 = graft.TempCaches.tracked(TrainingOps.bpeArgmax(TrainingOps.bpePairCounts(s0)))
+      val s1 = graft.TempCaches.tracked(TrainingOps.bpeApplyMerge(s0, m1))
+      val m2 = graft.TempCaches.tracked(TrainingOps.bpeArgmax(TrainingOps.bpePairCounts(s1)))
+      val s2 = graft.TempCaches.tracked(TrainingOps.bpeApplyMerge(s1, m2))
+      val m3 = graft.TempCaches.tracked(TrainingOps.bpeArgmax(TrainingOps.bpePairCounts(s2)))
+      val s3 = graft.TempCaches.tracked(TrainingOps.bpeApplyMerge(s2, m3))
+      val tots = s0.agg(sum(expr("freq * size(syms)")).as("syms_before"))
+        .crossJoin(s3.agg(sum(expr("freq * size(syms)")).as("syms_after")))
+      s3.select(col("freq"), explode(col("syms")).as("sym"))
+        .filter(length(col("sym")) >= 2)
+        .groupBy(col("sym")).agg(sum(col("freq")).as("occurrences"))
+        .crossJoin(broadcast(tots))
+        .select(col("sym"), col("occurrences"),
+          col("syms_before"), col("syms_after"))
+    }),
+    "q94_v1" -> ((s, dir) => {
+      val s0 = TrainingOps.bpeVocab(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+      val m1 = graft.TempCaches.tracked(TrainingOps.bpeArgmax(TrainingOps.bpePairCounts(s0)))
+      val s1 = graft.TempCaches.tracked(TrainingOps.bpeApplyMerge(s0, m1))
+      val m2 = graft.TempCaches.tracked(TrainingOps.bpeArgmax(TrainingOps.bpePairCounts(s1)))
+      val s2 = TrainingOps.bpeApplyMerge(s1, m2)
+      val m3 = TrainingOps.bpeArgmax(TrainingOps.bpePairCounts(s2))
+      def row(step: Int, m: DataFrame): DataFrame = m.select(lit(step).as("step"),
+        col("l"), col("r"), concat(col("l"), col("r")).as("merged"), col("cnt"))
+      row(1, m1).union(row(2, m2)).union(row(3, m3))
+    }),
+
+    // q40 with the lossless fused SQ8 prefilter engaged below the r18
+    // SqPrefilterMinRows threshold (pure plan choice; pair set identical
+    // by the upper-bound math).
+    "q40_fused" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val n = e.count()
+      VectorOps.lshNearDupPairs(e, VectorOps.LshTables, VectorOps.autoBits(n), 0.45,
+        prefilter = true)
+    }),
+    "q40_fused_spread" -> ((s, dir) => {
+      val e0 = Tables(s, dir, "embeddings")
+      val n = e0.count()
+      VectorOps.lshNearDupPairs(Tables.spread(s, dir, "embeddings"),
+        VectorOps.LshTables, VectorOps.autoBits(n), 0.45, prefilter = true)
     }),
 
     "q09_spread" -> ((s, dir) => {

@@ -241,8 +241,12 @@ object VectorOps {
     * save, so the direct plan stays; from the ×10 replica up the cut
     * dominates (measured: ×10 3.97 → 2.53 s, ×100 82.9 → 15.3 s —
     * SCALE.md r18). The filter is lossless, so this switch is a pure
-    * plan choice at any value. */
-  private[graft] val SqPrefilterMinRows = 10000L
+    * plan choice at any value. Round-19 optimization: lowered 10000 →
+    * 2000 — re-measured on this box (7 alternating same-JVM reps at
+    * sf0.1, n = 2000): direct 1.68 s, fused 1.52 s, fused + spread
+    * 1.16 s — the cut already pays at the sf0.1 gate; sf0.01 (n = 500)
+    * stays direct. */
+  private[graft] val SqPrefilterMinRows = 2000L
 
   /** q40's candidate stage alone — the banding/probing/blacklist half,
     * ending at the distinct (id_a, id_b) pair set; split out so
@@ -477,9 +481,15 @@ object VectorOps {
     // of any ANN index build. At the driver's sf0.01/sf0.1 gates
     // autoBits gives 6/8 ≤ MaxProbes, where the probe set IS full
     // Hamming-1 (pre-cap identical).
+    // (Round-19 optimization: the index/probe key+blob packing passes
+    // are scan-side — read through Tables.spread; with the fused SQ8
+    // prefilter now engaging from the sf0.1 gate up (see
+    // SqPrefilterMinRows) the measured chain is 1.68 → 1.16 s at sf0.1,
+    // 7 alternating same-JVM reps. The count() rides the unspread read —
+    // one column-pruned scan, no shuffle.)
     "q40_lsh_neardup" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-      val n = e.count()
+      val n = Tables(s, dir, "embeddings").count()
+      val e = Tables.spread(s, dir, "embeddings")
       lshNearDupPairs(e, LshTables, autoBits(n), 0.45,
         prefilter = n >= SqPrefilterMinRows)
     }),
