@@ -359,6 +359,105 @@ object OptProbe {
           countDistinct(when(col("inb") === 1, col("h"))).as("n_confirmed_13grams"))
     }),
 
+    // q73 substage: just the bench-side build (count + bit array fold)
+    "q73_build" -> ((s, dir) => {
+      val bench = TrainingOps.benchGramHashes(s, dir)
+      val m = TrainingOps.BloomBitsPerElem * bench.count()
+      val bits = TrainingOps.bloomBitArray(bench, m)
+      s.range(bits.length).groupBy().count()
+    }),
+    // q73 substage: train-side gram hash + UDF probe only (no confirm)
+    "q73_probe" -> ((s, dir) => {
+      val bench = TrainingOps.benchGramHashes(s, dir)
+      val m = TrainingOps.BloomBitsPerElem * bench.count()
+      val bits = TrainingOps.bloomBitArray(bench, m)
+      val bcast = s.sparkContext.broadcast(bits)
+      val (mm, kk) = (m, TrainingOps.BloomK)
+      val bloomHit = udf { h: Long =>
+        val arr = bcast.value
+        var j = 0
+        var ok = true
+        while (j < kk && ok) {
+          val p = (h % mm + j * ((h / mm) % mm)) % mm
+          ok = ((arr((p / 64).toInt) >>> (p % 64).toInt) & 1L) == 1L
+          j += 1
+        }
+        ok
+      }
+      TrainingOps.trainGramHashes(s, dir).filter(bloomHit(col("h")))
+        .groupBy().count()
+    }),
+
+    // q73 with ONLY the train side spread (bench build + bloom fold stay
+    // on the unspread read; v1 coupled spread+tracked and lost)
+    "q73_v2" -> ((s, dir) => {
+      def grams13(df: DataFrame): DataFrame = df
+        .withColumn("toks", expr(Idioms.toksExpr))
+        .filter(expr("size(toks) >= 13"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(1, size(toks) - 12)")).as("i"))
+        .select(col("doc_id"),
+          expr(Idioms.hash60Expr(Idioms.gramAtExpr("toks", "i", 13))).as("h"))
+      val bench = grams13(Tables(s, dir, "documents").filter(col("doc_id") % 20 === 0))
+        .select(col("doc_id").as("bench_id"), col("h"))
+      val benchH = bench.select(col("h")).distinct()
+      val m = TrainingOps.BloomBitsPerElem * benchH.count()
+      val bits = TrainingOps.bloomBitArray(benchH, m)
+      val bcast = s.sparkContext.broadcast(bits)
+      val (mm, kk) = (m, TrainingOps.BloomK)
+      val bloomHit = udf { h: Long =>
+        val arr = bcast.value
+        var j = 0
+        var ok = true
+        while (j < kk && ok) {
+          val p = (h % mm + j * ((h / mm) % mm)) % mm
+          ok = ((arr((p / 64).toInt) >>> (p % 64).toInt) & 1L) == 1L
+          j += 1
+        }
+        ok
+      }
+      val train = grams13(Tables.spread(s, dir, "documents")
+        .filter(col("doc_id") % 20 =!= 0))
+      train.filter(bloomHit(col("h")))
+        .join(broadcast(benchH.withColumn("inb", lit(1))), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_candidate_13grams"),
+          countDistinct(when(col("inb") === 1, col("h"))).as("n_confirmed_13grams"))
+    }),
+
+    // q94 with s1 tracked (recomputed twice in the shipped form)
+    "q94_v2" -> ((s, dir) => {
+      val s0 = TrainingOps.bpeVocab(s, dir)
+      val m1 = graft.TempCaches.tracked(TrainingOps.bpeArgmax(TrainingOps.bpePairCounts(s0)))
+      val s1 = graft.TempCaches.tracked(TrainingOps.bpeApplyMerge(s0, m1))
+      val m2 = graft.TempCaches.tracked(TrainingOps.bpeArgmax(TrainingOps.bpePairCounts(s1)))
+      val s2 = TrainingOps.bpeApplyMerge(s1, m2)
+      val m3 = TrainingOps.bpeArgmax(TrainingOps.bpePairCounts(s2))
+      def row(step: Int, m: DataFrame): DataFrame = m.select(lit(step).as("step"),
+        col("l"), col("r"), concat(col("l"), col("r")).as("merged"), col("cnt"))
+      row(1, m1).union(row(2, m2)).union(row(3, m3))
+    }),
+
+    // q100 with ONLY the symbolization chain tracked (no repartition —
+    // v1 coupled both and lost)
+    "q100_v2" -> ((s, dir) => {
+      val s0 = TrainingOps.bpeVocab(s, dir)
+      val m1 = graft.TempCaches.tracked(TrainingOps.bpeArgmax(TrainingOps.bpePairCounts(s0)))
+      val s1 = graft.TempCaches.tracked(TrainingOps.bpeApplyMerge(s0, m1))
+      val m2 = graft.TempCaches.tracked(TrainingOps.bpeArgmax(TrainingOps.bpePairCounts(s1)))
+      val s2 = graft.TempCaches.tracked(TrainingOps.bpeApplyMerge(s1, m2))
+      val m3 = graft.TempCaches.tracked(TrainingOps.bpeArgmax(TrainingOps.bpePairCounts(s2)))
+      val s3 = graft.TempCaches.tracked(TrainingOps.bpeApplyMerge(s2, m3))
+      val tots = s0.agg(sum(expr("freq * size(syms)")).as("syms_before"))
+        .crossJoin(s3.agg(sum(expr("freq * size(syms)")).as("syms_after")))
+      s3.select(col("freq"), explode(col("syms")).as("sym"))
+        .filter(length(col("sym")) >= 2)
+        .groupBy(col("sym")).agg(sum(col("freq")).as("occurrences"))
+        .crossJoin(broadcast(tots))
+        .select(col("sym"), col("occurrences"),
+          col("syms_before"), col("syms_after"))
+    }),
+
     // q100/q94 with the symbolization chain cached (s1/s2 were
     // recomputed 2-3x — each an interpreted aggregate-HOF pass) and the
     // vocab stage read spread off its one-task single small file.

@@ -560,6 +560,14 @@ object TrainingOps {
     "q73_bloom_decontaminate" -> ((s, dir) => {
       def grams(df: DataFrame): DataFrame =
         docGrams(df).select(col("doc_id"), hash60("g").as("h"))
+      // Round-19 optimization: ONLY the train side reads through
+      // Tables.spread — its per-13-gram sha256 + Bloom-probe pass is
+      // 19/20 of the corpus and ran in one scan task; the bench side
+      // stays on the plain read because its two builder actions (count,
+      // bit-array fold) are plan-time jobs where the extra exchange
+      // costs more than it parallelizes (measured: spread-everything
+      // flat, spread-train-only 1.46 → 0.81 s at sf0.1, 7 alternating
+      // same-JVM reps).
       val docs = Tables(s, dir, "documents")
       val bench = grams(docs.filter(col("doc_id") % 20 === 0))
         .select(col("h")).distinct()
@@ -586,7 +594,8 @@ object TrainingOps {
         }
         ok
       }
-      val train = grams(docs.filter(col("doc_id") % 20 =!= 0))
+      val train = grams(Tables.spread(s, dir, "documents")
+        .filter(col("doc_id") % 20 =!= 0))
       train.filter(bloomHit(col("h")))
         .join(broadcast(bench.withColumn("inb", lit(1))), Seq("h"), "left")
         .groupBy(col("doc_id"))
@@ -962,10 +971,14 @@ object TrainingOps {
     // running tail is L and the next symbol is R). The 1-row argmax
     // cross-joins back in (broadcast), so every round is declarative
     // and the plan is O(rounds) stages.
+    // (Round-19 optimization: s1 is tracked — the shipped form evaluated
+    // its interpreted aggregate-HOF merge walk twice, once for p2 and
+    // once under s2's lineage; 0.77 → 0.65 s at sf0.1, 7 alternating
+    // same-JVM reps. Vocabulary-sized cache, rows identical.)
     "q94_bpe_merges" -> ((s, dir) => {
       val s0 = bpeVocab(s, dir)
       val m1 = graft.TempCaches.tracked(bpeArgmax(bpePairCounts(s0)))
-      val s1 = bpeApplyMerge(s0, m1)
+      val s1 = graft.TempCaches.tracked(bpeApplyMerge(s0, m1))
       val m2 = graft.TempCaches.tracked(bpeArgmax(bpePairCounts(s1)))
       val s2 = bpeApplyMerge(s1, m2)
       val m3 = bpeArgmax(bpePairCounts(s2))
@@ -987,12 +1000,15 @@ object TrainingOps {
     // merge round and the apply walk run at vocabulary size, and the
     // final stats are freq-weighted vocab aggregates — the corpus is
     // touched exactly once regardless of merge count.
+    // (Round-19 optimization: s1/s2 tracked — uncached, the interpreted
+    // merge-walk chain re-evaluated s1 three times and s2 twice across
+    // p2/p3/s3; ~1.17 → 0.95 s at sf0.1, alternating same-JVM reps.)
     "q100_bpe_apply" -> ((s, dir) => {
       val s0 = bpeVocab(s, dir)
       val m1 = graft.TempCaches.tracked(bpeArgmax(bpePairCounts(s0)))
-      val s1 = bpeApplyMerge(s0, m1)
+      val s1 = graft.TempCaches.tracked(bpeApplyMerge(s0, m1))
       val m2 = graft.TempCaches.tracked(bpeArgmax(bpePairCounts(s1)))
-      val s2 = bpeApplyMerge(s1, m2)
+      val s2 = graft.TempCaches.tracked(bpeApplyMerge(s1, m2))
       val m3 = graft.TempCaches.tracked(bpeArgmax(bpePairCounts(s2)))
       val s3 = graft.TempCaches.tracked(bpeApplyMerge(s2, m3))
       val tots = s0.agg(sum(expr("freq * size(syms)")).as("syms_before"))
