@@ -359,6 +359,17 @@ object OptProbe {
           countDistinct(when(col("inb") === 1, col("h"))).as("n_confirmed_13grams"))
     }),
 
+    // q46 substages
+    "q46_tf_only" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(Idioms.toksExpr)).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        .groupBy().count()),
+    "q46_words_only" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(Idioms.toksExpr)).as("word"))
+        .groupBy().count()),
+
     // q73 substage: just the bench-side build (count + bit array fold)
     "q73_build" -> ((s, dir) => {
       val bench = TrainingOps.benchGramHashes(s, dir)
@@ -386,6 +397,31 @@ object OptProbe {
       }
       TrainingOps.trainGramHashes(s, dir).filter(bloomHit(col("h")))
         .groupBy().count()
+    }),
+
+    // pre-round-19 forms, for at-scale adjudication of the spread
+    "q52_plain" -> ((s, dir) => {
+      def grams13(df: DataFrame): DataFrame = df
+        .withColumn("toks", expr(Idioms.toksExpr))
+        .filter(expr("size(toks) >= 13"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(1, size(toks) - 12)")).as("i"))
+        .select(col("doc_id"),
+          expr(Idioms.hash60Expr(Idioms.gramAtExpr("toks", "i", 13))).as("h"))
+      val docs = Tables(s, dir, "documents")
+      val bench = grams13(docs.filter(col("doc_id") % 20 === 0)).distinct()
+        .select(col("doc_id").as("bench_id"), col("h"))
+      val train = grams13(docs.filter(col("doc_id") % 20 =!= 0))
+      train.join(broadcast(bench), Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_shared_13grams"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+    }),
+    "q40_fused_plain" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val n = e.count()
+      VectorOps.lshNearDupPairs(e, VectorOps.LshTables, VectorOps.autoBits(n), 0.45,
+        prefilter = n >= VectorOps.SqPrefilterMinRows)
     }),
 
     // q73 with ONLY the train side spread (bench build + bloom fold stay

@@ -481,15 +481,17 @@ object VectorOps {
     // of any ANN index build. At the driver's sf0.01/sf0.1 gates
     // autoBits gives 6/8 ≤ MaxProbes, where the probe set IS full
     // Hamming-1 (pre-cap identical).
-    // (Round-19 optimization: the index/probe key+blob packing passes
-    // are scan-side — read through Tables.spread; with the fused SQ8
-    // prefilter now engaging from the sf0.1 gate up (see
-    // SqPrefilterMinRows) the measured chain is 1.68 → 1.16 s at sf0.1,
-    // 7 alternating same-JVM reps. The count() rides the unspread read —
-    // one column-pruned scan, no shuffle.)
+    // (Round-19 optimization: the fused SQ8 prefilter engages from the
+    // sf0.1 gate up — see SqPrefilterMinRows: direct 1.68 s → fused
+    // 1.52 s at sf0.1, 7 alternating same-JVM reps. A Tables.spread
+    // read was ALSO measured and REJECTED: it bought 1.52 → 1.16 s at
+    // sf0.1 but cost 5.45 → 7.21 s at the ×100 replica (7 alternating
+    // reps, idle) — the join-heavy candidate pipeline loses more to the
+    // extra corpus exchange at scale than the key/blob pack passes gain
+    // at the gate, so q40 keeps the plain read.)
     "q40_lsh_neardup" -> ((s, dir) => {
-      val n = Tables(s, dir, "embeddings").count()
-      val e = Tables.spread(s, dir, "embeddings")
+      val e = Tables(s, dir, "embeddings")
+      val n = e.count()
       lshNearDupPairs(e, LshTables, autoBits(n), 0.45,
         prefilter = n >= SqPrefilterMinRows)
     }),
