@@ -399,6 +399,37 @@ object OptProbe {
         .groupBy().count()
     }),
 
+    // q91 with the ±delta rows emitted in ONE lineitem pass (explode of
+    // a 2-struct array) instead of a union of two scans
+    "q91_onepass" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val (intervals, points) = Relational.rangeJoinFrames(s, dir)
+      val deltas = intervals
+        .select(explode(array(
+          struct(col("s_day").as("day"), lit(1L).as("dn"),
+            col("l_quantity").cast(DecimalType(30, 6)).as("dq")),
+          struct((col("e_day") + 1).as("day"), lit(-1L).as("dn"),
+            (col("l_quantity") * lit(-1)).cast(DecimalType(30, 6)).as("dq")))).as("d"))
+        .select(col("d.day").as("day"), col("d.dn").as("dn"), col("d.dq").as("dq"))
+        .groupBy(col("day"))
+        .agg(sum(col("dn")).as("dn"), sum(col("dq")).as("dq"))
+      val span = deltas.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val dense = span.select(explode(expr("sequence(lo, hi)")).as("day"))
+        .join(deltas, Seq("day"), "left")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cover = dense
+        .withColumn("n_transit", sum(coalesce(col("dn"), lit(0L))).over(w))
+        .withColumn("qty_transit",
+          sum(coalesce(col("dq"), expr("CAST(0 AS DECIMAL(30,6))"))).over(w)
+            .cast("double"))
+        .filter(col("n_transit") > 0)
+        .select(col("day"), col("n_transit"), col("qty_transit"))
+      points.join(broadcast(cover), points("o_day") === cover("day"))
+        .select(col("o_orderkey"), col("n_transit"), col("qty_transit"))
+    }),
+
     // pre-round-19 forms, for at-scale adjudication of the spread
     "q52_plain" -> ((s, dir) => {
       def grams13(df: DataFrame): DataFrame = df

@@ -27,7 +27,7 @@ object Relational {
 
   /** q91's interval/point frames, shared by both range-join strategies.
     * Intervals: (s_day, e_day, l_quantity); points: (o_orderkey, o_day). */
-  private def rangeJoinFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def rangeJoinFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val epoch = lit("1970-01-01").cast("date")
     val intervals = Tables(s, dir, "lineitem")
       .withColumn("s_day", datediff(col("l_shipdate").cast("date"), epoch))
