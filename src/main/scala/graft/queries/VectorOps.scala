@@ -1445,14 +1445,31 @@ object VectorOps {
   private[graft] def bm25Parts(s: SparkSession, dir: String,
                                queryCap: Long = Long.MaxValue)
       : (DataFrame, DataFrame, Long, Long) = {
-    val key = s"${stampedKey(dir, "documents")}#bm25postings"
-    val postingsPath = StageMemo.materializePath(s, key, "postings") {
+    // Round-20 optimization (verdict item 2): the batch postings stage
+    // keys on hk = xxhash64(tok) instead of the token STRING — the
+    // posting⋈qterms and posting⋈dfq broadcast probes and the df
+    // aggregation all hash/compare 8-byte longs, and the materialized
+    // stage itself shrinks (no token text column). The token string
+    // never reaches any of the family's outputs (ranking ties break on
+    // doc_id; q77's rel counts postings), so results are identical
+    // whenever xxhash64 is injective on the realized vocabulary — the
+    // oracle gates verify exactly that (q75/q76/q77 hash-match at every
+    // SF), and at any vocabulary a 64-bit collision is ~|V|²/2⁶⁵.
+    // Measured 12.55 → 7.87 s at the ×100 replica, 1.26 → 1.06 s at
+    // sf0.1 (medians of 5 alternating same-JVM reps).
+    // The STREAMING index (TextIndexStream) keeps string keys — its
+    // on-disk postings are bucket-partitioned by the 60-bit hash and
+    // the per-bucket term match needs the text — so bm25ScoredAll takes
+    // the key column as a parameter instead of forking the scoring.
+    val key = s"${stampedKey(dir, "documents")}#bm25postingsh"
+    val postingsPath = StageMemo.materializePath(s, key, "postingsh") {
       val docs = Tables(s, dir, "documents")
         .withColumn("toks", expr(Idioms.toksExpr))
         .select(col("doc_id"), col("toks"), expr("CAST(size(toks) AS BIGINT)").as("dl"))
         .filter(col("dl") > 0)
       docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-        .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("f"))
+        .select(col("doc_id"), col("dl"), xxhash64(col("tok")).as("hk"))
+        .groupBy(col("doc_id"), col("dl"), col("hk")).agg(count(lit(1)).as("f"))
     }
     val postings = StageMemo.readStage(s, postingsPath)
     // scalars keyed by the materialized PATH, not the logical key: a
@@ -1470,6 +1487,7 @@ object VectorOps {
       .filter(expr("size(toks) > 0"))
       .select(col("doc_id").as("query_id"),
         explode(expr(s"slice(toks, 1, $BmQueryTerms)")).as("tok"))
+      .select(col("query_id"), xxhash64(col("tok")).as("hk"))
       .distinct()
     (postings, qterms, bigN, bigT)
   }
@@ -1497,8 +1515,9 @@ object VectorOps {
     * term-keyed bucket partitioning); `qterms` is the distinct
     * (query_id, tok) set. */
   private[graft] def bm25ScoreStage(postings: DataFrame, qterms: DataFrame,
-                                    bigN: Long, bigT: Long, k: Int): DataFrame =
-    rankScored(bm25ScoredAll(postings, qterms, bigN, bigT).drop("rel"), k)
+                                    bigN: Long, bigT: Long, k: Int,
+                                    keyCol: String = "hk"): DataFrame =
+    rankScored(bm25ScoredAll(postings, qterms, bigN, bigT, keyCol).drop("rel"), k)
 
   /** Rank a scored (query_id, doc_id, score, …) frame by the BM25
     * family's ONE tiebreak rule — (score desc, doc_id asc), rank ≤ k —
@@ -1518,15 +1537,16 @@ object VectorOps {
     * distinct per (doc, tok), so count(*) IS the distinct term overlap),
     * costing nothing beyond the existing shuffle. */
   private[graft] def bm25ScoredAll(postings: DataFrame, qterms: DataFrame,
-                                   bigN: Long, bigT: Long): DataFrame = {
-    val dfq = postings.join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+                                   bigN: Long, bigT: Long,
+                                   keyCol: String = "hk"): DataFrame = {
+    val dfq = postings.join(broadcast(qterms.select(col(keyCol)).distinct()), Seq(keyCol))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("df"))
       .withColumn("xq", expr(s"(1024 * (2 * $bigN + 2)) div (2 * df + 1)"))
       .withColumn("idf", expr(Idioms.pl2Expr("xq")))
-      .select(col("tok"), col("idf"))
-    postings.join(broadcast(qterms), Seq("tok"))
+      .select(col(keyCol), col("idf"))
+    postings.join(broadcast(qterms), Seq(keyCol))
       .filter(col("doc_id") =!= col("query_id"))
-      .join(broadcast(dfq), Seq("tok"))
+      .join(broadcast(dfq), Seq(keyCol))
       .withColumn("contrib", expr(
         s"idf * ((CAST(22000000 AS BIGINT) * f * $bigT) div " +
           s"(10 * f * $bigT + 3 * $bigT + 9 * dl * $bigN))"))

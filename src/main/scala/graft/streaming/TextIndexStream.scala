@@ -143,7 +143,10 @@ object TextIndexStream {
     val slice = postings.join(broadcast(qterms.select(col("bucket"), col("tok")).distinct()),
         Seq("bucket", "tok"))
       .select(col("doc_id"), col("dl"), col("tok"), col("f"))
+    // keyCol = "tok": the standing index stores token STRINGS (the
+    // bucket partition layout needs them for the per-bucket term
+    // match); the batch family keys on xxhash64 longs — see bm25Parts
     VectorOps.bm25ScoreStage(slice, qterms.select(col("query_id"), col("tok")),
-      bigN, bigT, k)
+      bigN, bigT, k, keyCol = "tok")
   }
 }
