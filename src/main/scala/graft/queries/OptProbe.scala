@@ -627,6 +627,101 @@ object OptProbe {
         .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"), col("rk"))
     }),
 
+    // q07/q46 with the top-k window replaced by the bounded-heap
+    // aggregate (graft.plans.TopKRows): no map-side sort, the partial
+    // agg bounds the exchange to <= k rows per group per partition.
+    "q07_heap" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val customer = Tables(s, dir, "customer")
+      orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(graft.plans.GraftExpressions.topKRows(
+          struct((-col("o_totalprice")).as("ns"), col("o_orderkey"), col("o_totalprice")), 3).as("tk"))
+        .select(col("c_mktsegment"), posexplode(col("tk")))
+        .select(col("c_mktsegment"), col("col.o_orderkey").as("o_orderkey"),
+          col("col.o_totalprice").as("o_totalprice"), (col("pos") + lit(1)).as("rk"))
+    }),
+    "q46_heap" -> ((s, dir) => {
+      val words = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toks)).as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val df = words.groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = Tables(s, dir, "documents")
+        .select(countDistinct(col("doc_id")).as("n_docs"))
+      tf.join(df, "word").crossJoin(nDocs)
+        .withColumn("score", expr("CAST(tf AS DOUBLE) * n_docs / df"))
+        .groupBy(col("doc_id"))
+        .agg(graft.plans.GraftExpressions.topKRows(
+          struct((-col("score")).as("ns"), col("word"), col("tf"), col("df"), col("score")), 3).as("tk"))
+        .select(col("doc_id"), posexplode(col("tk")))
+        .select(col("doc_id"), col("col.word").as("word"), col("col.tf").as("tf"),
+          col("col.df").as("df"), col("col.score").as("score"),
+          (col("pos") + lit(1)).cast("long").as("rk"))
+    }),
+
+    // q102/q104 with the per-query rank window replaced by the
+    // bounded-heap aggregate (few groups — the bounded query batch — so
+    // the object agg never falls back to sort-based; the map-side heap
+    // bounds the exchange to k rows per query per partition instead of
+    // shuffling every ADC-scored candidate row).
+    "q102_heap" -> ((s, dir) =>
+      VectorOps.pqAdcScored(s, dir)
+        .groupBy(col("query_id"))
+        .agg(graft.plans.GraftExpressions.topKRows(
+          struct((-col("adc_micro")).as("ns"), col("vec_id"), col("adc_micro")), 5).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")))
+        .select(col("query_id"), col("col.vec_id").as("neighbor_id"),
+          col("col.adc_micro").as("adc_micro"),
+          (col("pos") + lit(1)).cast("long").as("rank"))),
+    "q104_heap" -> ((s, dir) => {
+      import graft.functions.VectorFunctions
+      val e = Tables(s, dir, "embeddings")
+      val short = VectorOps.pqAdcScored(s, dir)
+        .groupBy(col("query_id"))
+        .agg(graft.plans.GraftExpressions.topKRows(
+          struct((-col("adc_micro")).as("ns"), col("vec_id")), VectorOps.PqRefineR).as("tk"))
+        .select(col("query_id"), explode(col("tk")).as("r"))
+        .select(col("query_id"), col("r.vec_id").as("vec_id"))
+      val qv = e.filter(col("vec_id") < VectorOps.Q25Cap && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      e.select(col("vec_id"), col("embedding").as("cv"))
+        .join(broadcast(short), Seq("vec_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("cos_micro",
+          floor(VectorFunctions.cosine("qv", "cv") * lit(1000000.0)))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(col("cos_micro").desc, col("vec_id").asc)).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cos_micro"), col("rank"))
+    }),
+
+    // q46 with df derived FROM tf's output and NO persist/spread: the
+    // two identical tf subtrees should collapse to one ReusedExchange,
+    // so the corpus is tokenized and shuffled once without paying a
+    // cache materialization.
+    "q46_tf2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toks)).as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      // postings are distinct per (doc, word), so rows-per-word in tf IS
+      // countDistinct(doc_id) — same df values as the two-pass form
+      val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val nDocs = Tables(s, dir, "documents")
+        .select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("word").asc)
+      tf.join(df, "word").crossJoin(nDocs)
+        .withColumn("score", expr("CAST(tf AS DOUBLE) * n_docs / df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"), col("score"),
+          col("rk").cast("long").as("rk"))
+    }),
+
     // q46 decomposition: everything below the top-3 window (tf agg, df
     // agg, the join and the score) — window cost = q46 minus this.
     "q46_belowwindow" -> ((s, dir) => {

@@ -613,27 +613,41 @@ object TextOps {
     // classic distributed PageRank stage plan, O(iters) stages with no
     // driver-side state. Vocabulary nodes collapse by key first, so the
     // corpus-sized pair stream never joins anything.
+    // Round-20 optimization: ONE corpus tokenize/explode pass. The prior
+    // form unioned the RAW corpus pair stream with its flip before the
+    // edge aggregation, so the explode lineage was evaluated twice and
+    // 2·|pairs| rows crossed the edge groupBy's exchange. Now DIRECTED
+    // pair counts aggregate first (map-side combine over the one corpus
+    // pass), the union/flip symmetrization runs over the
+    // VOCABULARY-sized count table, and that table is tracked-persisted
+    // (vocab-sized, harness-released). Counts are integers, so
+    // sum-of-directed-counts ≡ count-over-unioned-stream exactly, and
+    // every downstream expression is unchanged — oracle identical.
+    // Measured 4.91 → 3.88 s at the ×100 replica (5/5 alternating reps
+    // won); at sf0.1 the persist overhead makes it ~0.1-0.2 s slower
+    // within the noise band (1.60 → 1.77 median, rep ranges overlap) —
+    // adopted for the scale shape, which is the round's goal. (r19 had
+    // rejected this rewrite on sf0.1 evidence alone; the ×100 A/B
+    // reverses that call.)
     "q92_textrank" -> ((s, dir) => {
-      val toks = Tables(s, dir, "documents")
-        .select(expr(toksExpr).as("tk"))
-        .filter(expr("size(tk) >= 2"))
-      val pairs = toks
-        .select(explode(expr(
-          "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS a, tk[i] AS b))")).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .filter(col("a") =!= col("b")) // no self-loops
-      val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-      val edges = und.groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      val pc = graft.TempCaches.tracked(
+        Tables.spread(s, dir, "documents")
+          .select(expr(toksExpr).as("tk"))
+          .filter(expr("size(tk) >= 2"))
+          .select(explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS a, tk[i] AS b))")).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .filter(col("a") =!= col("b")) // no self-loops
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c")))
+      val und = pc.union(pc.select(col("b").as("a"), col("a").as("b"), col("c")))
+      val edges = und.groupBy(col("a"), col("b")).agg(sum(col("c")).as("w"))
       val wdeg = edges.groupBy(col("a")).agg(sum(col("w")).as("wdeg"))
       val e = edges.join(wdeg, "a")
         .select(col("a"), col("b"), col("w"), col("wdeg"))
         .transform(graft.TempCaches.tracked(_)) // reused every iteration; harness-released
-      // Round-19 optimization: seed the ranks off the TRACKED edge frame
-      // (distinct src = exactly wdeg's key set) — seeding from wdeg
-      // re-derived the whole corpus tokenize/explode lineage a second
-      // time because only e is cached (measured 1.75 → 1.41 s at sf0.1,
-      // 7 alternating same-JVM reps). Same rows: every word with
-      // outgoing weight appears as e.a, scores all start at 1e9.
+      // seed ranks off the tracked count table's key set (= wdeg's key
+      // set: every word with outgoing weight appears as a directed-pair
+      // src or dst, and the union/flip makes src cover both)
       var ranks = e.select(col("a").as("word")).distinct()
         .withColumn("score", lit(1000000000L))
       for (_ <- 1 to 3) {

@@ -791,26 +791,41 @@ object TrainingOps {
     // exact always (overcount ≥ 0 is part of the output), with
     // collisions from the full gram population folded in. min over the
     // d row estimates per gram is the CMS read.
-    // (Round-19 optimization: spread read — the 2-gram explode +
-    // sha256-per-gram runs twice on the scan side; 1.33 → 1.04 s at
-    // sf0.1 alternating in one JVM.)
+    // (Round-19 optimization: spread read — 1.33 → 1.04 s at sf0.1.)
+    // Round-20 optimization: the gram explode + sha256 pass runs ONCE —
+    // occurrences aggregate to a distinct-gram count table (map-side
+    // combined, tracked-persisted at distinct-2-gram size, the same
+    // cardinality class as q99's tracked count table), and BOTH reads
+    // derive from it: the CMS cells by linearity (cell_cnt = Σ cnt of
+    // the grams hashing there — identical to counting occurrences) and
+    // the exact top-20 directly. The prior form evaluated the
+    // corpus-sized explode + per-gram sha256 twice (cells branch +
+    // exact branch — DataFrame reuse is plan duplication). Measured
+    // 5.74 → 3.59 s at the ×100 replica (5/5 alternating reps); at
+    // sf0.1 the persist overhead is ~0.1 s inside the noise band
+    // (1.16 vs 1.27 median). r19 had rejected this on sf0.1 evidence
+    // alone (1.34 → 1.42); the ×100 A/B reverses that call, and the
+    // cached table is bounded by DISTINCT grams (zipf-sublinear in
+    // corpus size), never by occurrences.
     "q85_cms_heavy" -> ((s, dir) => {
-      val grams = Tables.spread(s, dir, "documents")
-        .withColumn("toks", expr(toksExpr))
-        .withColumn("n", expr("size(toks) - 1"))
-        .filter(col("n") > 0)
-        .select(explode(expr("sequence(1, n)")).as("i"), col("toks"))
-        .select(expr(Idioms.gramAtExpr("toks", "i", 2)).as("gram"))
-        .select(col("gram"), hash60("gram").as("h"))
+      val gramCounts = graft.TempCaches.tracked(
+        Tables.spread(s, dir, "documents")
+          .withColumn("toks", expr(toksExpr))
+          .withColumn("n", expr("size(toks) - 1"))
+          .filter(col("n") > 0)
+          .select(explode(expr("sequence(1, n)")).as("i"), col("toks"))
+          .select(expr(Idioms.gramAtExpr("toks", "i", 2)).as("gram"))
+          .select(col("gram"), hash60("gram").as("h"))
+          .groupBy(col("gram"), col("h")).agg(count(lit(1)).as("cnt")))
       val probe = array((0 until CmsD).map(j =>
         struct(lit(j).as("j"), expr(cmsPosExpr(j)).as("pos"))): _*)
-      val cells = grams.select(explode(probe).as("c"))
+      val cells = gramCounts.select(col("cnt"), explode(probe).as("c"))
         .groupBy(col("c.j").as("j"), col("c.pos").as("pos"))
-        .agg(count(lit(1)).as("cell_cnt"))
-      val exact = grams.groupBy(col("gram"), col("h"))
-        .agg(count(lit(1)).as("exact_cnt"))
-        .orderBy(col("exact_cnt").desc, col("gram").asc)
+        .agg(sum(col("cnt")).as("cell_cnt"))
+      val exact = gramCounts
+        .orderBy(col("cnt").desc, col("gram").asc)
         .limit(CmsTopK)
+        .select(col("gram"), col("h"), col("cnt").as("exact_cnt"))
       exact.select(col("gram"), col("exact_cnt"), explode(probe).as("c"))
         .join(broadcast(cells),
           col("c.j") === cells("j") && col("c.pos") === cells("pos"))

@@ -385,4 +385,51 @@ class ExpressionsSpec extends AnyFunSuite {
       .collect()
     assert(ragged.head.isNullAt(0))
   }
+
+  test("top_k_rows equals the row_number window top-k (q07's bounded-heap form)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // deterministic data with DUPLICATE scores inside groups (the
+    // tiebreak column must decide) and more groups than one partition
+    val rows = (0 until 2000).map { i =>
+      val g = s"g${i % 7}"
+      val score = ((i * 37) % 50).toDouble / 4.0 // many exact duplicates
+      val id = (i * 13 % 2000).toLong // unique within the dataset
+      (g, score, id)
+    }
+    // 8 partitions so partial heaps MERGE across the exchange (exercises
+    // serialize/deserialize and the merge path, not just update/eval)
+    val df = rows.toDF("g", "score", "id").repartition(8)
+    for (k <- Seq(1, 3, 5)) {
+      val win = Window.partitionBy(col("g"))
+        .orderBy(col("score").desc, col("id").asc)
+      val expected = df.withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= k)
+        .select(col("g"), col("id"), col("score"), col("rk"))
+      val got = df.groupBy(col("g"))
+        .agg(GraftExpressions.topKRows(
+          struct((-col("score")).as("ns"), col("id"), col("score")), k).as("tk"))
+        .select(col("g"), posexplode(col("tk")))
+        .select(col("g"), col("col.id").as("id"), col("col.score").as("score"),
+          (col("pos") + lit(1)).as("rk"))
+      assert(got.schema == expected.schema, s"k=$k schema drifted")
+      assert(expected.exceptAll(got).count() == 0 && got.exceptAll(expected).count() == 0,
+        s"k=$k: bounded-heap top-k must equal the window top-k")
+    }
+    // string tiebreak (the q46 ordering shape): (score desc, word asc)
+    val sdf = (0 until 500).map { i =>
+      (i % 11L, ((i * 7) % 13).toDouble, s"w${(i * 31) % 500}%03d")
+    }.toDF("doc", "score", "word").repartition(8)
+    val win2 = Window.partitionBy(col("doc"))
+      .orderBy(col("score").desc, col("word").asc)
+    val exp2 = sdf.withColumn("rk", row_number().over(win2)).filter(col("rk") <= 3)
+      .select(col("doc"), col("word"), col("rk"))
+    val got2 = sdf.groupBy(col("doc"))
+      .agg(GraftExpressions.topKRows(
+        struct((-col("score")).as("ns"), col("word")), 3).as("tk"))
+      .select(col("doc"), posexplode(col("tk")))
+      .select(col("doc"), col("col.word").as("word"), (col("pos") + lit(1)).as("rk"))
+    assert(exp2.exceptAll(got2).count() == 0 && got2.exceptAll(exp2).count() == 0,
+      "string-tiebreak bounded-heap top-k must equal the window top-k")
+  }
 }
